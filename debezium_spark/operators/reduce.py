@@ -1,0 +1,63 @@
+"""K4 — per-key write reduction (last event wins) and truncate collapse.
+
+Reference: ``ReducedRecordBuffer`` (debezium-connector-jdbc/.../ReducedRecordBuffer.java:27)
+and ``DeduplicatingBuffer`` (debezium-sink/.../batch/DeduplicatingBuffer.java:26,39-52):
+before flushing a batch to the sink, keep only the latest event per key, and
+let a TRUNCATE clear everything buffered before it.
+
+This reduction is *mandatory* ahead of a MERGE (duplicate match keys are
+illegal), not just an optimization. Spark shape: one window over
+``partition by key order by source.pos desc`` — a single shuffle on the key,
+which is the same shuffle the MERGE join needs, so AQE reuses the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from debezium_spark.envelope import OP_TRUNCATE
+
+
+def apply_truncates(env_df: DataFrame) -> DataFrame:
+    """Drop change events superseded by a later TRUNCATE on the same table.
+
+    DeduplicatingBuffer.java:39-52 — a truncate clears the pending buffer for
+    its collection. Batch equivalent: events with pos < the table's max
+    truncate pos are dead; the truncate row itself survives so the sink can
+    clear the target.
+    """
+    trunc = (
+        env_df.filter(F.col("op") == OP_TRUNCATE)
+        .groupBy(F.col("source.table").alias("__t"))
+        .agg(F.max("source.pos").alias("__trunc_pos"))
+    )
+    out = env_df.join(
+        F.broadcast(trunc), env_df["source.table"] == F.col("__t"), "left"
+    )
+    keep = (
+        F.col("__trunc_pos").isNull()
+        | (F.col("source.pos") >= F.col("__trunc_pos"))
+        | (F.col("op") == OP_TRUNCATE)
+    )
+    return out.filter(keep).drop("__t", "__trunc_pos")
+
+
+def reduce_last_per_key(
+    env_df: DataFrame,
+    key_cols: tuple[str, ...] = ("key",),
+    order_col: str = "source.pos",
+) -> DataFrame:
+    """Keep only the latest event per key (ReducedRecordBuffer.java:27).
+
+    Ordering is by the replayable stream position, never by batch row order
+    (SURVEY §7.3 "Ordering").
+    """
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col(order_col).desc()
+    )
+    return (
+        env_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

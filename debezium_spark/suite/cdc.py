@@ -1,0 +1,619 @@
+"""CDC operator correctness queries (SURVEY §2.1-§2.5 ✅ rows).
+
+Each query applies one engine operator to the deterministic change feed /
+snapshot derived from the synthetic tables (sources/changefeed.py) and pairs
+it with the equivalent DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_spark.envelope import with_tombstones, wrap_snapshot
+from debezium_spark.operators import (
+    by_logical_table_router,
+    content_based_router,
+    convert_timezone_fields,
+    enforce_record_size,
+    extract_new_record_state,
+    filter_records,
+    hash_mask,
+    incremental_snapshot_chunk,
+    mask_string,
+    outbox_event_router,
+    partition_routing,
+    reduce_last_per_key,
+    skipped_operations,
+    truncate_column,
+)
+from debezium_spark.operators.transaction import (
+    enrich_transaction_metadata,
+    transaction_boundaries,
+)
+from debezium_spark.operators.unwrap import extract_changed_record_state
+from debezium_spark.sinks.merge import merge_changes
+from debezium_spark.sources.changefeed import (
+    CHANGES_CTE,
+    LATEST_CTE,
+    SNAPSHOT_CTE,
+    accounts_changefeed,
+    accounts_snapshot,
+)
+from debezium_spark.suite import register
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _snapshot_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_new_record_state(
+        accounts_snapshot(spark, sf_dir), delete_handling="drop"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1 — snapshot source emits `r` envelopes
+# ---------------------------------------------------------------------------
+@register(
+    "s1_snapshot_envelope",
+    oracle="""
+    SELECT c_custkey AS id, c_mktsegment AS status, c_acctbal AS balance,
+           'r' AS op, 'accounts' AS tbl, 'true' AS snapshot_flag
+    FROM customer
+    """,
+)
+def s1_snapshot_envelope(spark, sf_dir):
+    env = accounts_snapshot(spark, sf_dir)
+    return env.select(
+        F.col("after.id").alias("id"),
+        F.col("after.status").alias("status"),
+        F.col("after.balance").alias("balance"),
+        F.col("op").alias("op"),
+        F.col("source.table").alias("tbl"),
+        F.col("source.snapshot").alias("snapshot_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 — chunked snapshot boundary calculation
+# ---------------------------------------------------------------------------
+@register(
+    "s2_chunked_snapshot",
+    oracle="""
+    WITH b AS (SELECT min(c_custkey) AS lo FROM customer)
+    SELECT CAST((c_custkey - b.lo) // 512 AS BIGINT) AS chunk_id,
+           count(*) AS n_rows,
+           min(c_custkey) AS chunk_lo, max(c_custkey) AS chunk_hi
+    FROM customer, b
+    GROUP BY 1
+    """,
+)
+def s2_chunked_snapshot(spark, sf_dir):
+    """Key-range chunking (ChunkBoundaryCalculator.java:56-107): one cheap
+    min() agg then equi-width ranges — each chunk is a partition-pruned scan."""
+    cust = t(spark, sf_dir, "customer")
+    lo = cust.agg(F.min("c_custkey")).collect()[0][0]
+    return (
+        cust.withColumn(
+            "chunk_id", ((F.col("c_custkey") - F.lit(lo)) / 512).cast("bigint")
+        )
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("c_custkey").alias("chunk_lo"),
+            F.max("c_custkey").alias("chunk_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1 — ExtractNewRecordState (unwrap with delete rewrite + added metadata)
+# ---------------------------------------------------------------------------
+@register(
+    "t1_extract_new_record_state",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT id,
+           CASE WHEN op = 'd' THEN NULL ELSE status END AS status,
+           CASE WHEN op = 'd' THEN NULL ELSE balance END AS balance,
+           op = 'd' AS __deleted, op AS __op, pos AS __pos
+    FROM changes
+    """,
+)
+def t1_extract_new_record_state(spark, sf_dir):
+    env = accounts_changefeed(spark, sf_dir)
+    return extract_new_record_state(
+        env, delete_handling="rewrite", add_fields=("op", "source.pos")
+    )
+
+
+@register(
+    "t1_unwrap_drop_deletes",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT id, status, balance FROM changes WHERE op <> 'd'
+    """,
+)
+def t1_unwrap_drop_deletes(spark, sf_dir):
+    env = accounts_changefeed(spark, sf_dir)
+    return extract_new_record_state(env, delete_handling="drop")
+
+
+# ---------------------------------------------------------------------------
+# T3 — ExtractChangedRecordState
+# ---------------------------------------------------------------------------
+@register(
+    "t3_extract_changed_record_state",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT pos,
+           CASE op
+             WHEN 'c' THEN 'id,status,balance'
+             WHEN 'd' THEN 'id,status,balance'
+             ELSE 'status,balance'
+           END AS changed_fields
+    FROM changes
+    """,
+)
+def t3_extract_changed_record_state(spark, sf_dir):
+    """before/after diff → changed-field names (ExtractChangedRecordState.java:36).
+
+    On this feed: creates/deletes flip every field (one side null); updates
+    change status+balance (before carries nulls for non-key fields).
+    """
+    env = accounts_changefeed(spark, sf_dir)
+    out = extract_changed_record_state(env)
+    return out.select(
+        F.col("source.pos").alias("pos"),
+        F.array_join("__changed", ",").alias("changed_fields"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4/T22 — filtering
+# ---------------------------------------------------------------------------
+@register(
+    "t4_filter_expression",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT id, pos, balance FROM changes
+    WHERE op <> 'd' AND balance > 100.0
+    """,
+)
+def t4_filter_expression(spark, sf_dir):
+    env = accounts_changefeed(spark, sf_dir)
+    flat = filter_records(env, "op <> 'd' AND after.balance > 100.0")
+    return flat.select(
+        F.col("after.id").alias("id"),
+        F.col("source.pos").alias("pos"),
+        F.col("after.balance").alias("balance"),
+    )
+
+
+@register(
+    "t22_skipped_operations",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT op, count(*) AS n FROM changes WHERE op NOT IN ('d') GROUP BY op
+    """,
+)
+def t22_skipped_operations(spark, sf_dir):
+    env = accounts_changefeed(spark, sf_dir)
+    return skipped_operations(env, skip=("d",)).groupBy("op").agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5/T6/T10 — routing
+# ---------------------------------------------------------------------------
+@register(
+    "t5_content_based_router",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT pos, 'accounts.' || CASE WHEN balance >= 100 THEN 'high' ELSE 'low' END AS __topic
+    FROM changes WHERE op <> 'd'
+    """,
+)
+def t5_content_based_router(spark, sf_dir):
+    env = accounts_changefeed(spark, sf_dir).filter(F.col("op") != "d")
+    routed = content_based_router(
+        env,
+        "concat('accounts.', CASE WHEN after.balance >= 100 THEN 'high' ELSE 'low' END)",
+    )
+    return routed.select(F.col("source.pos").alias("pos"), "__topic")
+
+
+@register(
+    "t6_logical_table_router",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT pos,
+           'accounts_' || CAST(id % 4 AS VARCHAR) AS physical_table,
+           regexp_replace('accounts_' || CAST(id % 4 AS VARCHAR), 'accounts_[0-9]+', 'accounts') AS __topic
+    FROM changes
+    """,
+)
+def t6_logical_table_router(spark, sf_dir):
+    """Shard-merge routing (ByLogicalTableRouter.java:26): four physical
+    shards accounts_0..3 regex-collapse to one logical stream; the physical
+    id is kept for key augmentation."""
+    env = accounts_changefeed(spark, sf_dir).withColumn(
+        "physical_table",
+        F.concat(F.lit("accounts_"), (F.col("key.id") % 4).cast("string")),
+    )
+    routed = by_logical_table_router(
+        env,
+        "accounts_[0-9]+",
+        "accounts",
+        table_col="physical_table",
+        key_augment=False,
+    )
+    return routed.select(F.col("source.pos").alias("pos"), "physical_table", "__topic")
+
+
+@register(
+    "t10_partition_routing",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT pos,
+           CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 12))::BIGINT % 8 AS INTEGER) AS __partition
+    FROM changes
+    """,
+)
+def t10_partition_routing(spark, sf_dir):
+    env = accounts_changefeed(spark, sf_dir).withColumn("id", F.col("key.id"))
+    routed = partition_routing(env, ["id"], 8, portable=True)
+    return routed.select(F.col("source.pos").alias("pos"), "__partition")
+
+
+# ---------------------------------------------------------------------------
+# T7 — outbox event router
+# ---------------------------------------------------------------------------
+@register(
+    "t7_outbox_router",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           props AS payload,
+           'outbox.event.' || event_type AS __topic,
+           event_id AS __pos,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+    FROM events
+    """,
+)
+def t7_outbox_router(spark, sf_dir):
+    """events.parquet acting as the outbox table: aggregatetype=event_type,
+    aggregateid=user_id, payload=props (EventRouterDelegate.java:59)."""
+    ev = t(spark, sf_dir, "events")
+    outbox_rows = ev.select(
+        F.struct(F.col("event_id").alias("id")).alias("key"),
+        F.lit(None)
+        .cast(
+            "struct<id:string,aggregatetype:string,aggregateid:string,payload:string>"
+        )
+        .alias("before"),
+        F.struct(
+            F.col("event_id").cast("string").alias("id"),
+            F.col("event_type").alias("aggregatetype"),
+            F.col("user_id").cast("string").alias("aggregateid"),
+            F.col("props").alias("payload"),
+        ).alias("after"),
+        F.lit("c").alias("op"),
+        F.struct(
+            F.lit("testdb").alias("db"),
+            F.lit("outbox").alias("table"),
+            F.col("event_id").alias("pos"),
+            F.lit(None).cast("string").alias("tx_id"),
+            F.lit(None).cast("string").alias("snapshot"),
+        ).alias("source"),
+    )
+    routed = outbox_event_router(
+        outbox_rows, expand_json_fields={"k_value": "$.k"}
+    )
+    return routed.withColumn("k_value", F.col("k_value").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# T8 — header to value
+# ---------------------------------------------------------------------------
+@register(
+    "t8_header_to_value",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT pos, 'testdb' AS h_db, op AS h_op FROM changes
+    """,
+)
+def t8_header_to_value(spark, sf_dir):
+    from debezium_spark.operators import header_to_value
+
+    env = accounts_changefeed(spark, sf_dir)
+    with_headers = env.withColumn(
+        "headers",
+        F.create_map(
+            F.lit("db"), F.col("source.db"), F.lit("op"), F.col("op")
+        ),
+    )
+    out = header_to_value(with_headers, ["db", "op"], operation="copy", prefix="h_")
+    return out.select(F.col("source.pos").alias("pos"), "h_db", "h_op")
+
+
+# ---------------------------------------------------------------------------
+# T9 — timezone conversion
+# ---------------------------------------------------------------------------
+@register(
+    "t9_timezone_converter",
+    oracle="""
+    SELECT event_id, timezone('America/New_York', timezone('UTC', ts)) AS ts_local
+    FROM events
+    """,
+)
+def t9_timezone_converter(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    out = convert_timezone_fields(ev, "America/New_York", include=("ts",))
+    return out.select("event_id", F.col("ts").alias("ts_local"))
+
+
+# ---------------------------------------------------------------------------
+# T11 — record size guard
+# ---------------------------------------------------------------------------
+@register(
+    "t11_enforce_record_size",
+    oracle="SELECT doc_id, n_chars FROM documents WHERE n_chars <= 300",
+)
+def t11_enforce_record_size(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return enforce_record_size(docs, 300, size_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# T17 — masking / pseudonymization / truncation
+# ---------------------------------------------------------------------------
+@register(
+    "t17_mask_columns",
+    oracle="""
+    SELECT c_custkey AS id,
+           sha256('pepper' || c_name) AS name_hash,
+           '***' AS segment_masked,
+           substr(c_name, 1, 10) AS name_trunc
+    FROM customer
+    """,
+)
+def t17_mask_columns(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name_hash"),
+        F.col("c_mktsegment").alias("segment_masked"),
+        F.col("c_name").alias("name_trunc"),
+    )
+    cust = hash_mask(cust, "name_hash", "pepper")
+    cust = mask_string(cust, "segment_masked")
+    cust = truncate_column(cust, "name_trunc", 10)
+    return cust
+
+
+# ---------------------------------------------------------------------------
+# T18 — reselect columns (stream-static lookup join)
+# ---------------------------------------------------------------------------
+@register(
+    "t18_reselect_columns",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT c.pos, c.id, cu.c_mktsegment AS status_reselected
+    FROM changes c JOIN customer cu ON cu.c_custkey = c.id
+    WHERE c.op = 'u'
+    """,
+)
+def t18_reselect_columns(spark, sf_dir):
+    """ReselectColumnsPostProcessor.java:68-73 — re-query the source row to
+    fill columns unavailable in the event. Spark: broadcast lookup join
+    against the source table (a static DataFrame in streaming)."""
+    env = accounts_changefeed(spark, sf_dir).filter(F.col("op") == "u")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        env.join(
+            F.broadcast(cust), env["key.id"] == cust["c_custkey"], "inner"
+        ).select(
+            F.col("source.pos").alias("pos"),
+            F.col("key.id").alias("id"),
+            F.col("c_mktsegment").alias("status_reselected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K4 — last-write-wins reduction
+# ---------------------------------------------------------------------------
+@register(
+    "k4_reduce_last_per_key",
+    oracle=f"""
+    WITH {CHANGES_CTE}, {LATEST_CTE}
+    SELECT id, status, balance, pos, op FROM latest
+    """,
+)
+def k4_reduce_last_per_key(spark, sf_dir):
+    env = accounts_changefeed(spark, sf_dir)
+    latest = reduce_last_per_key(env)
+    return latest.select(
+        F.col("key.id").alias("id"),
+        F.col("after.status").alias("status"),
+        F.col("after.balance").alias("balance"),
+        F.col("source.pos").alias("pos"),
+        F.col("op").alias("op"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K1/K2 — MERGE sink, three insert modes (flagship = upsert)
+# ---------------------------------------------------------------------------
+_MERGE_PRELUDE = f"WITH {CHANGES_CTE}, {LATEST_CTE}, {SNAPSHOT_CTE}"
+
+@register(
+    "k1_merge_upsert",
+    oracle=_MERGE_PRELUDE
+    + """
+    SELECT id, status, balance FROM snap ANTI JOIN latest USING (id)
+    UNION ALL
+    SELECT id, status, balance FROM latest WHERE op <> 'd'
+    """,
+)
+def k1_merge_upsert(spark, sf_dir):
+    """Flagship: snapshot ∪ change feed materialized via MERGE upsert —
+    exercises S1 + T1 + K4 + K1 in one pipeline (SURVEY §7.1)."""
+    target = _snapshot_flat(spark, sf_dir)
+    env = accounts_changefeed(spark, sf_dir)
+    return merge_changes(target, env, ["id"], insert_mode="upsert")
+
+
+@register(
+    "k2_merge_insert_mode",
+    oracle=_MERGE_PRELUDE
+    + """
+    SELECT id, status, balance FROM snap
+    UNION ALL
+    SELECT id, status, balance FROM latest WHERE op = 'c'
+    """,
+)
+def k2_merge_insert_mode(spark, sf_dir):
+    target = _snapshot_flat(spark, sf_dir)
+    env = accounts_changefeed(spark, sf_dir)
+    return merge_changes(target, env, ["id"], insert_mode="insert")
+
+
+@register(
+    "k2_merge_update_mode",
+    oracle=_MERGE_PRELUDE
+    + """
+    SELECT s.id, s.status, s.balance FROM snap s ANTI JOIN latest l USING (id)
+    UNION ALL
+    SELECT l.id, l.status, l.balance
+    FROM latest l SEMI JOIN snap s ON s.id = l.id
+    WHERE l.op <> 'd'
+    """,
+)
+def k2_merge_update_mode(spark, sf_dir):
+    target = _snapshot_flat(spark, sf_dir)
+    env = accounts_changefeed(spark, sf_dir)
+    return merge_changes(target, env, ["id"], insert_mode="update")
+
+
+# ---------------------------------------------------------------------------
+# S3 — incremental snapshot window dedup (stream wins)
+# ---------------------------------------------------------------------------
+@register(
+    "s3_incremental_snapshot_dedup",
+    oracle=f"""
+    WITH {CHANGES_CTE}, {SNAPSHOT_CTE},
+    win AS (SELECT DISTINCT id FROM changes WHERE pos < 500)
+    SELECT id, status, balance FROM snap ANTI JOIN win USING (id)
+    """,
+)
+def s3_incremental_snapshot_dedup(spark, sf_dir):
+    """The DBLog window: chunk rows whose PK saw a streamed change inside the
+    low/high-watermark window are evicted
+    (AbstractIncrementalSnapshotChangeEventSource.java:198-207)."""
+    chunk = _snapshot_flat(spark, sf_dir)
+    window_events = (
+        accounts_changefeed(spark, sf_dir)
+        .filter(F.col("source.pos") < 500)
+        .select(F.col("key.id").alias("id"))
+    )
+    return incremental_snapshot_chunk(chunk, window_events, ["id"])
+
+
+# ---------------------------------------------------------------------------
+# P4 — transaction metadata enrichment + boundaries
+# ---------------------------------------------------------------------------
+@register(
+    "p4_transaction_metadata",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT pos, tx_id,
+           row_number() OVER (PARTITION BY tx_id ORDER BY pos) AS total_order,
+           row_number() OVER (PARTITION BY tx_id ORDER BY pos) AS data_collection_order
+    FROM changes
+    """,
+)
+def p4_transaction_metadata(spark, sf_dir):
+    env = enrich_transaction_metadata(accounts_changefeed(spark, sf_dir))
+    return env.select(
+        F.col("source.pos").alias("pos"),
+        F.col("transaction.id").alias("tx_id"),
+        F.col("transaction.total_order").alias("total_order"),
+        F.col("transaction.data_collection_order").alias("data_collection_order"),
+    )
+
+
+@register(
+    "p4_transaction_boundaries",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT tx_id, count(*) AS event_count, min(pos) AS begin_pos, max(pos) AS end_pos
+    FROM changes GROUP BY tx_id
+    """,
+)
+def p4_transaction_boundaries(spark, sf_dir):
+    return transaction_boundaries(accounts_changefeed(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Tombstones (envelope semantics, CommonConnectorConfig.java:690)
+# ---------------------------------------------------------------------------
+@register(
+    "tombstones_on_delete",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT coalesce(op, 'tombstone') AS op_kind, count(*) AS n
+    FROM (
+        SELECT op FROM changes
+        UNION ALL
+        SELECT NULL AS op FROM changes WHERE op = 'd'
+    ) GROUP BY 1
+    """,
+)
+def tombstones_on_delete(spark, sf_dir):
+    env = with_tombstones(accounts_changefeed(spark, sf_dir))
+    return env.groupBy(
+        F.coalesce(F.col("op"), F.lit("tombstone")).alias("op_kind")
+    ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# P9 — error handling / DLQ split
+# ---------------------------------------------------------------------------
+@register(
+    "p9_dlq_quarantine",
+    oracle="""
+    SELECT CASE WHEN value > 190.0 THEN 'dlq' ELSE 'ok' END AS stream,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def p9_dlq_quarantine(spark, sf_dir):
+    """EventProcessingFailureHandlingMode=skip: poison records route to a
+    quarantine (DLQ) table instead of failing the pipeline
+    (CommonConnectorConfig.java:153; debezium-sink/.../dlq/ErrorReporter.java).
+    Deterministic stand-in for a decode failure: value > 190."""
+    ev = t(spark, sf_dir, "events")
+    return ev.withColumn(
+        "stream", F.when(F.col("value") > 190.0, "dlq").otherwise("ok")
+    ).groupBy("stream").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# F2 — JSON serde (consume-side unwrap)
+# ---------------------------------------------------------------------------
+@register(
+    "f2_json_serde",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def f2_json_serde(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )

@@ -1,0 +1,71 @@
+"""Driver-mimicking correctness gate: every registered query vs its DuckDB
+oracle, compared exactly (order-insensitive, columns sorted by name).
+
+Stricter than the driver's value-hash: full value equality after
+normalization, so a hash mismatch in the driver should never surprise us.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: None
+                if v is None or (isinstance(v, float) and math.isnan(v))
+                else str(v)
+            )
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _queries():
+    from debezium_spark.suite import load_all
+
+    return load_all()
+
+
+QUERY_ITEMS = sorted(_queries().items())
+
+
+@pytest.mark.parametrize("name", [n for n, _ in QUERY_ITEMS])
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = _queries()[name]
+    got = q.fn(spark, sf_dir)
+    got_pdf = got.toPandas()
+    assert got_pdf is not None
+    if q.oracle is None:
+        assert len(got_pdf) >= 0  # rows-only check, mirrors the driver
+        return
+    con = _duck(sf_dir)
+    exp_pdf = con.execute(q.oracle).df()
+    con.close()
+
+    g, e = _normalize(got_pdf), _normalize(exp_pdf)
+    assert list(g.columns) == list(e.columns), (
+        f"{name}: columns differ: {list(g.columns)} vs {list(e.columns)}"
+    )
+    assert len(g) == len(e), f"{name}: row count {len(g)} vs {len(e)}"
+    pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
