@@ -1,0 +1,293 @@
+"""Text-pipeline operators: stats, language ID, fingerprinting, dedup.
+
+Design rules (these survive a 1000-executor / 100 TB scale-up):
+
+* Everything per-document is a narrow projection over native expressions —
+  no Python UDFs, no explode unless the algorithm is inherently set-based.
+* MinHash signatures are computed with array-lambda expressions (one row per
+  document, K min-reductions over the shingle array) instead of
+  explode+groupBy — zero shuffles for signature computation.
+* Near-dup candidate generation joins only within LSH band buckets
+  (banding → band-key equi-join), never all-pairs. The only shuffles in the
+  whole dedup pipeline are the band-key join and the final distinct.
+* Hashes are md5-derived 60-bit ints so the DuckDB oracle can reproduce them
+  exactly (Spark's `hash` is murmur3, DuckDB's is wyhash — not portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# Language-marker stopwords for the n-gram/stopword language-ID heuristic.
+# Order = tie-break precedence.
+LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "a", "and", "of", "to", "is", "in", "that")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "ein", "zu")),
+    ("fr", ("le", "la", "les", "et", "est", "une", "dans", "que")),
+    ("es", ("el", "los", "las", "y", "es", "una", "en", "por")),
+    ("zh", ("de", "shi", "bu", "le", "wo", "ni", "zai", "you")),
+]
+
+
+def portable_hash64(col: Column, seed: str = "") -> Column:
+    """60-bit positive hash reproducible in ANSI SQL.
+
+    md5 → first 15 hex digits → base-10 bigint. DuckDB equivalent:
+    ``('0x' || substr(md5(seed || x), 1, 15))::BIGINT``.
+    """
+    payload = F.concat(F.lit(seed), col) if seed else col
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def oracle_hash64(expr: str, seed: str = "") -> str:
+    """The DuckDB-side twin of :func:`portable_hash64`."""
+    payload = f"'{seed}' || {expr}" if seed else expr
+    return f"CAST(('0x' || substr(md5({payload}), 1, 15)) AS BIGINT)"
+
+
+def normalize_text(col: Column) -> Column:
+    """Whitespace-collapsed, trimmed, lowercased text (dedup canonical form)."""
+    return F.lower(F.regexp_replace(F.trim(col), TOKEN_SPLIT_RE, " "))
+
+
+ORACLE_NORMALIZE = "lower(regexp_replace(trim({c}), '\\s+', ' ', 'g'))"
+
+
+def tokenize(col: Column) -> Column:
+    return F.split(F.trim(col), TOKEN_SPLIT_RE)
+
+
+ORACLE_TOKENIZE = "regexp_split_to_array(trim({c}), '\\s+')"
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality statistics: char/token counts, punctuation and
+    stopword ratios — the usual pre-training quality filters, all codegen'd.
+    """
+    toks = tokenize(F.col(text_col))
+    n_tokens = F.size(toks)
+    sum_token_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    en_stop = LANG_MARKERS[0][1]
+    n_stop = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.when(t.isin(*en_stop), 1).otherwise(0),
+    )
+    return df.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("long").alias("n_chars_calc"),
+        n_tokens.cast("long").alias("n_tokens"),
+        sum_token_chars.cast("long").alias("sum_token_chars"),
+        n_punct.cast("long").alias("n_punct"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker hits with
+    fixed precedence; 'und' when no marker hits at all."""
+    toks = tokenize(F.col(text_col))
+
+    def marker_counter(markers):
+        return lambda acc, t: acc + F.when(t.isin(*markers), 1).otherwise(0)
+
+    scores = {
+        lang: F.aggregate(toks, F.lit(0), marker_counter(markers))
+        for lang, markers in LANG_MARKERS
+    }
+    out = df.select(
+        "doc_id", *[c.cast("long").alias(f"score_{l}") for l, c in scores.items()]
+    )
+    best = F.greatest(*[F.col(f"score_{l}") for l, _ in LANG_MARKERS])
+    pred = F.lit("und")
+    # Reverse precedence order so earlier languages win ties via later
+    # overwrites in the when-chain below.
+    for lang, _ in reversed(LANG_MARKERS):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), lang
+        ).otherwise(pred)
+    return out.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit content fingerprint of the normalized text (exact-dup key)."""
+    return df.withColumn(
+        "fp", portable_hash64(normalize_text(F.col(text_col)), seed="fp:")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one representative (lowest id) per fingerprint.
+
+    Shape at scale: one hash-shuffle on the 60-bit fingerprint — the
+    canonical groupBy dedup; survives skew because fingerprints of real
+    corpora are near-uniform.
+    """
+    w = Window.partitionBy("fp").orderBy(F.col(id_col))
+    return (
+        fingerprint(df, text_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "fp", "n_copies")
+    )
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Character k-shingles of the normalized text as an array (no explode)."""
+    norm = normalize_text(col)
+    n = F.greatest(F.lit(1), F.length(norm) - F.lit(k - 1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+
+
+def oracle_shingles(expr: str, k: int = 5) -> str:
+    norm = ORACLE_NORMALIZE.format(c=expr)
+    return (
+        f"list_transform(generate_series(1, greatest(1, length({norm}) - {k - 1})),"
+        f" i -> substr({norm}, i, {k}))"
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 8, k: int = 5
+) -> DataFrame:
+    """K MinHash values per document over character k-shingles.
+
+    One row per document, K array-min reductions — computed map-side with no
+    shuffle; the 100 TB cost is a single pass over the text column.
+    """
+    sh = shingles(F.col(text_col), k)
+    out = df.withColumn("__sh", sh)
+
+    def hasher(j):
+        # NB: must be a 1-arg lambda — a second parameter would be bound to
+        # F.transform's element *index*, not the intended default.
+        return lambda s: portable_hash64(s, seed=f"{j}:")
+
+    for j in range(num_hashes):
+        out = out.withColumn(
+            f"mh{j}", F.array_min(F.transform(F.col("__sh"), hasher(j)))
+        )
+    return out.drop("__sh")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Banded-LSH near-dup candidate pairs (a < b), joined within buckets only.
+
+    bands = num_hashes / rows_per_band; a pair collides when all hashes of
+    any band agree. The join key is (band_idx, md5(band values)) — never an
+    all-pairs comparison; at 100 TB the bucket join shuffles O(docs·bands)
+    small rows, and AQE's skew-join splits any pathological bucket.
+    """
+    num_bands = num_hashes // rows_per_band
+    sig = minhash_signature(df, text_col, num_hashes, k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    bands = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """LSH candidates verified by true shingle-set Jaccard ≥ threshold.
+
+    Verification joins the (small) candidate pair list back to the documents
+    — broadcast when it fits — and compares distinct-shingle arrays with
+    native set functions; no Python in the loop.
+    """
+    cands = lsh_candidate_pairs(
+        df, text_col, id_col,
+        num_hashes=num_hashes, rows_per_band=rows_per_band, k=k,
+    )
+    sets_df = df.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), k)).alias("sset")
+    )
+    a = sets_df.alias("sa")
+    b = sets_df.alias("sb")
+    joined = (
+        cands.join(a, cands["a"] == F.col(f"sa.{id_col}"))
+        .join(b, cands["b"] == F.col(f"sb.{id_col}"))
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sset"), F.col("sb.sset")))
+    union = F.size(F.array_union(F.col("sa.sset"), F.col("sb.sset")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    return (
+        joined.select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash over whitespace tokens: per-bit signed vote, sign → bit.
+
+    Expressed as `bits` fold-sums over the token array — per-row compute,
+    no shuffle, oracle-reproducible (the token hash is md5-based).
+    """
+    toks = tokenize(F.col(text_col))
+    hashed = F.transform(toks, lambda t: portable_hash64(t, seed="sh:"))
+    out = df.withColumn("__th", hashed)
+    def bit_voter(j):
+        return lambda a, h: a + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(F.col("__th"), F.lit(0), bit_voter(j))
+        acc = acc + F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(0)
+    return out.withColumn("simhash", acc).drop("__th")

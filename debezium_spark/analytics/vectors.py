@@ -1,0 +1,158 @@
+"""Vector/similarity operators over `array<float>` embedding columns.
+
+Reference anchors: the vector logical types
+(debezium-connector-common/src/main/java/io/debezium/data/vector/FloatVector.java,
+DoubleVector.java:22-33) and the embedding SMT T20
+(debezium-ai/debezium-ai-embeddings/.../FieldToEmbedding.java:51,57-75).
+
+Float discipline: every reduction is an explicit left-fold over doubles in
+element order, so Spark and the DuckDB oracle produce bit-identical results
+(`F.aggregate` is a sequential fold; DuckDB `list_reduce` likewise).
+No Python UDFs in similarity paths — only the embedding *computation* (T20)
+uses an Arrow-batched pandas_udf, mirroring the reference where embedding is
+an external-model call.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, FloatType
+
+EMBED_DIM = 16
+
+
+def _dvec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _fold_sum(col: Column) -> Column:
+    return F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine of two float vectors via in-order double folds (portable)."""
+    da, db = _dvec(a), _dvec(b)
+    dot = _fold_sum(F.zip_with(da, db, lambda x, y: x * y))
+    na = F.sqrt(_fold_sum(F.transform(da, lambda x: x * x)))
+    nb = F.sqrt(_fold_sum(F.transform(db, lambda x: x * x)))
+    return dot / (na * nb)
+
+
+def knn_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors: broadcast the query set, scan the corpus.
+
+    Scale shape: queries are broadcast (they are small by construction), the
+    corpus is scanned once, and the top-k is a per-query window on the scan's
+    hash-shuffle — O(|corpus|·|queries|) compute but only ONE shuffle of
+    |corpus|·|queries| slim rows. For large query sets use :func:`knn_lsh`.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn("sim", cosine_similarity(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def sign_lsh_bucket(vec: Column, bits: int = 4) -> Column:
+    """Axis-aligned sign-LSH bucket: bit i = sign(vec[i]); 2^bits buckets.
+
+    The scale path for ANN: bucket once (map-side), equi-join within buckets
+    instead of a cross join — candidate count drops by ~2^bits.
+    """
+    acc = F.lit(0)
+    for i in range(bits):
+        acc = acc + F.when(
+            F.element_at(vec, i + 1) >= F.lit(0.0), F.lit(2 ** i)
+        ).otherwise(0)
+    return acc
+
+
+def knn_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket."""
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    c = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn("sim", cosine_similarity(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _embed_text(text: str, dim: int) -> list[float]:
+    """Deterministic hashed-token projection (the oracle-reproducible stand-in
+    for FieldToEmbedding's model call, FieldToEmbedding.java:57-75):
+    token → md5 → 60-bit h; vec[h % dim] += (h>>4)&1 ? -1 : +1.
+    """
+    vec = [0.0] * dim
+    for tok in text.strip().split():
+        h = int(hashlib.md5(f"t20:{tok}".encode()).hexdigest()[:15], 16)
+        vec[h % dim] += -1.0 if (h >> 4) & 1 else 1.0
+    return vec
+
+
+def field_to_embedding(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """T20 FieldToEmbedding: text column → `array<float>` embedding column.
+
+    Arrow-batched pandas_udf — the Spark shape for any real model (MiniLM /
+    Ollama / Voyage in the reference's factories); the model call itself is
+    swapped for a deterministic hashed projection so the correctness oracle
+    can reproduce it. Batch size rides Arrow's `maxRecordsPerBatch`; the
+    column never leaves the executor.
+    """
+
+    @pandas_udf(ArrayType(FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _embed_text(t or "", dim))
+
+    return df.withColumn(out_col, embed(F.col(text_col)))

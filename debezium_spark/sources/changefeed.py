@@ -33,7 +33,22 @@ OP_CASE_SQL = (
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS); Spark can only scan it as a
+    # long (nanos since epoch). Set the session conf here because the driver
+    # hands us ITS session, not one built by session.py.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with `ts` rebuilt as a proper µs TIMESTAMP (`ts_utc`) from the
+    long-nanos raw column, plus the raw nanos kept as `ts_ns`."""
+    ev = _events(spark, sf_dir)
+    # Integer `div`, not `/`: the nanos epoch (~1.7e18) exceeds double's 53-bit
+    # integer range, so float division would corrupt the low digits.
+    return ev.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts_utc", F.timestamp_micros(F.expr("ts div 1000"))
+    )
 
 
 def accounts_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,7 +75,7 @@ def accounts_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         table="accounts",
         pos=F.col("event_id"),
         tx_id=(F.col("event_id") / 16).cast("long").cast("string"),
-        ts_ms=(F.unix_micros("ts") / 1000).cast("long"),
+        ts_ms=F.expr("ts div 1000000"),
     )
 
 
@@ -92,9 +107,14 @@ snap AS (
     FROM customer
 )"""
 
+# Envelope semantics: a delete carries no after-image (Envelope.java:330-345),
+# so the latest state for a key whose last event is 'd' is NULL status/balance.
 LATEST_CTE = """
 latest AS (
-    SELECT id, status, balance, pos, op
+    SELECT id,
+           CASE WHEN op = 'd' THEN NULL ELSE status END AS status,
+           CASE WHEN op = 'd' THEN NULL ELSE balance END AS balance,
+           pos, op
     FROM changes
     QUALIFY row_number() OVER (PARTITION BY id ORDER BY pos DESC) = 1
 )"""

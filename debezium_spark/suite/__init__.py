@@ -36,7 +36,20 @@ def register(name: str, oracle: str | None = None):
 
 
 def load_all() -> dict[str, Q]:
-    """Import all suite modules (side effect: registration) and return the map."""
-    from debezium_spark.suite import cdc, analytics, textml  # noqa: F401
+    """Import all suite modules (side effect: registration) and return the map.
 
+    Imports are guarded per-module so one broken suite file degrades to a
+    smaller registry instead of zeroing every query (the round-1 failure
+    mode: a missing module made queries() itself raise).
+    """
+    import importlib
+    import sys
+    import traceback
+
+    for mod in ("cdc", "analytics", "textml"):
+        try:
+            importlib.import_module(f"debezium_spark.suite.{mod}")
+        except Exception:  # pragma: no cover - defensive
+            print(f"suite module {mod!r} failed to load:", file=sys.stderr)
+            traceback.print_exc()
     return QUERIES

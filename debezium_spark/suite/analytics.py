@@ -1,0 +1,248 @@
+"""Vector/similarity correctness queries over embeddings.parquet + documents.
+
+Pairs each analytics.vectors operator with a DuckDB oracle. Float discipline:
+both engines fold doubles in element order (Spark ``F.aggregate`` ≡ DuckDB
+``list_reduce`` over a 0.0-prepended list), so cosine values are bit-identical
+before the final display round.
+
+Reference anchors: vector logical types
+(debezium-connector-common/src/main/java/io/debezium/data/vector/DoubleVector.java:22-33)
+and the T20 embedding SMT
+(debezium-ai/debezium-ai-embeddings/src/main/java/io/debezium/ai/embeddings/FieldToEmbedding.java:51,57-75).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_spark.analytics.vectors import (
+    EMBED_DIM,
+    cosine_similarity,
+    field_to_embedding,
+    knn_bruteforce,
+    knn_lsh,
+    sign_lsh_bucket,
+)
+from debezium_spark.suite import register
+
+# ---------------------------------------------------------------------------
+# DuckDB fragments mirroring analytics/vectors.py
+# ---------------------------------------------------------------------------
+
+# In-order left fold with double init — the twin of F.aggregate(.., 0.0, +).
+def _fold_sum(list_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {list_expr}),"
+        f" (a, b) -> a + b)"
+    )
+
+
+def _dot(a: str, b: str) -> str:
+    prods = (
+        f"list_transform(list_zip({a}, {b}),"
+        f" z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))"
+    )
+    return _fold_sum(prods)
+
+
+def _norm(a: str) -> str:
+    sq = f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    return f"sqrt({_fold_sum(sq)})"
+
+
+def _cosine(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
+
+
+def _bucket(vec: str, bits: int = 4) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
+# Query-point selection shared by the knn queries: sparse deterministic subset
+# so the broadcast side stays small at every scale factor.
+_QFILTER = "vec_id % 100 = 0"
+
+
+# ---------------------------------------------------------------------------
+# A1 — vector norms (portable float fold sanity anchor)
+# ---------------------------------------------------------------------------
+@register(
+    "a1_vector_norms",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round({_norm('embedding')}, 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def a1_vector_norms(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(
+        F.transform(dvec, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    ))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(norm, 6).alias("l2_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — exact top-k cosine neighbors (brute force, broadcast query set)
+# ---------------------------------------------------------------------------
+@register(
+    "a2_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE {_QFILTER}
+    ),
+    scored AS (
+        SELECT q.qid, c.vec_id AS nid,
+               {_cosine('q.qvec', 'c.embedding')} AS sim
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        FROM scored
+    )
+    SELECT qid, nid, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def a2_knn_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.expr(_QFILTER))
+    return knn_bruteforce(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# A3 — approximate top-k via sign-LSH buckets (the scale path)
+# ---------------------------------------------------------------------------
+@register(
+    "a3_knn_lsh",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qvec,
+               {_bucket('embedding')} AS bucket
+        FROM embeddings WHERE {_QFILTER}
+    ),
+    c AS (
+        SELECT vec_id AS nid, embedding AS nvec,
+               {_bucket('embedding')} AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.qid, c.nid, {_cosine('q.qvec', 'c.nvec')} AS sim
+        FROM c JOIN q USING (bucket)
+        WHERE c.nid <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        FROM scored
+    )
+    SELECT qid, nid, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def a3_knn_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.expr(_QFILTER))
+    return knn_lsh(emb, queries, k=3, bits=4)
+
+
+# ---------------------------------------------------------------------------
+# A4 — T20 FieldToEmbedding (pandas_udf) — integer-exact check
+# ---------------------------------------------------------------------------
+def _t20_dim_sql(d: int) -> str:
+    h = "CAST(('0x' || substr(md5('t20:' || t), 1, 15)) AS BIGINT)"
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(toks, t -> "
+        f"CASE WHEN {h} % {EMBED_DIM} = {d} THEN "
+        f"(CASE WHEN ({h} >> 4) & 1 = 1 THEN CAST(-1 AS BIGINT) ELSE CAST(1 AS BIGINT) END) "
+        "ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)"
+        f" AS e{d}"
+    )
+
+
+@register(
+    "a4_field_to_embedding",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           """
+    + ",\n           ".join(_t20_dim_sql(d) for d in range(EMBED_DIM))
+    + "\n    FROM toks",
+)
+def a4_field_to_embedding(spark, sf_dir):
+    """T20: hashed-projection embedding of `documents.text`; each dimension is
+    a sum of ±1 votes, so the values are integer-exact across engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = field_to_embedding(docs)
+    return emb.select(
+        "doc_id",
+        *[
+            F.element_at("embedding", d + 1).cast("long").alias(f"e{d}")
+            for d in range(EMBED_DIM)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — embed-then-search: T20 embeddings fed into cosine similarity search
+# ---------------------------------------------------------------------------
+@register(
+    "a5_embed_similarity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    emb AS (
+        SELECT doc_id,
+               [{", ".join("CAST(" + _t20_dim_sql(d).split(" AS e")[0] + " AS DOUBLE)" for d in range(EMBED_DIM))}] AS v
+        FROM toks
+    ),
+    q AS (SELECT doc_id AS qid, v AS qv FROM emb WHERE qid % 50 = 0),
+    scored AS (
+        SELECT q.qid, e.doc_id AS nid, {_cosine('q.qv', 'e.v')} AS sim
+        FROM emb e CROSS JOIN q
+        WHERE e.doc_id <> q.qid AND {_norm('e.v')} > 0 AND {_norm('q.qv')} > 0
+    ),
+    ranked AS (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        FROM scored
+    )
+    SELECT qid, nid, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def a5_embed_similarity(spark, sf_dir):
+    """End-to-end similarity search over *computed* embeddings: T20 hashed
+    projection (pandas_udf) → brute-force cosine top-3 for a sparse query set.
+    Zero-norm vectors are excluded (cosine undefined)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = field_to_embedding(docs).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    norm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+    nonzero = emb.filter(norm > 0)
+    queries = nonzero.filter(F.col("vec_id") % 50 == 0)
+    return knn_bruteforce(nonzero, queries, k=3)

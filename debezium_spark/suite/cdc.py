@@ -151,7 +151,7 @@ def t1_unwrap_drop_deletes(spark, sf_dir):
     SELECT pos,
            CASE op
              WHEN 'c' THEN 'id,status,balance'
-             WHEN 'd' THEN 'id,status,balance'
+             WHEN 'd' THEN 'id'
              ELSE 'status,balance'
            END AS changed_fields
     FROM changes
@@ -160,8 +160,10 @@ def t1_unwrap_drop_deletes(spark, sf_dir):
 def t3_extract_changed_record_state(spark, sf_dir):
     """before/after diff → changed-field names (ExtractChangedRecordState.java:36).
 
-    On this feed: creates/deletes flip every field (one side null); updates
-    change status+balance (before carries nulls for non-key fields).
+    On this feed: creates flip every field (before is null); updates change
+    status+balance (before carries nulls for non-key fields); deletes have a
+    skinny before image (id, NULL, NULL) and a null after image, so under
+    null-safe comparison only `id` differs.
     """
     env = accounts_changefeed(spark, sf_dir)
     out = extract_changed_record_state(env)
@@ -345,14 +347,25 @@ def t8_header_to_value(spark, sf_dir):
 @register(
     "t9_timezone_converter",
     oracle="""
-    SELECT event_id, timezone('America/New_York', timezone('UTC', ts)) AS ts_local
+    SELECT event_id,
+           strftime(timezone('America/New_York',
+                             timezone('UTC', CAST(ts AS TIMESTAMP))),
+                    '%Y-%m-%d %H:%M:%S.%f') AS ts_local
     FROM events
     """,
 )
 def t9_timezone_converter(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    out = convert_timezone_fields(ev, "America/New_York", include=("ts",))
-    return out.select("event_id", F.col("ts").alias("ts_local"))
+    """UTC → zone conversion (TimezoneConverter.java:57,69-96). The fixture's
+    nanos column is rebuilt into a µs timestamp first; output is formatted so
+    both engines compare a string, not engine-specific timestamp encodings."""
+    from debezium_spark.sources.changefeed import events_with_ts
+
+    ev = events_with_ts(spark, sf_dir).withColumnRenamed("ts_utc", "ts_t")
+    out = convert_timezone_fields(ev, "America/New_York", include=("ts_t",))
+    return out.select(
+        "event_id",
+        F.date_format("ts_t", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_local"),
+    )
 
 
 # ---------------------------------------------------------------------------

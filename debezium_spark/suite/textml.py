@@ -1,0 +1,250 @@
+"""Text-pipeline correctness queries over documents.parquet.
+
+Each query pairs an analytics.text operator with a DuckDB oracle that
+recomputes the same md5-portable hashes / fold reductions, so the value-hash
+compare is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_spark.analytics.text import (
+    LANG_MARKERS,
+    exact_dedup,
+    language_id,
+    lsh_candidate_pairs,
+    minhash_signature,
+    near_dup_pairs,
+    simhash,
+    text_stats,
+)
+from debezium_spark.suite import register
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments (DuckDB SQL twins of analytics/text.py helpers)
+# ---------------------------------------------------------------------------
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _ohash(expr: str, seed: str = "") -> str:
+    payload = f"'{seed}' || {expr}" if seed else expr
+    return f"CAST(('0x' || substr(md5({payload}), 1, 15)) AS BIGINT)"
+
+
+_SHINGLES = (
+    f"list_transform(generate_series(1, greatest(1, length({_NORM}) - 4)),"
+    f" i -> substr({_NORM}, i, 5))"
+)
+
+# Per-doc minhash signature CTE: doc_id, mh0..mh7.
+_MH_COLS = ",\n           ".join(
+    f"list_aggregate(list_transform(sh, s -> {_ohash('s', f'{j}:')}), 'min') AS mh{j}"
+    for j in range(8)
+)
+_SIG_CTE = f"""
+sig AS (
+    SELECT doc_id,
+           {_MH_COLS}
+    FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+)"""
+
+# Band keys (4 bands × 2 rows): md5('mh_lo-mh_hi').
+_BANDS_CTE = (
+    "bands AS (\n"
+    + "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band,"
+        f" md5(CAST(mh{2 * b} AS VARCHAR) || '-' || CAST(mh{2 * b + 1} AS VARCHAR)) AS bkey"
+        f" FROM sig"
+        for b in range(4)
+    )
+    + "\n)"
+)
+
+_PAIRS_SQL = """
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# X1 — per-document text statistics (quality-filter features)
+# ---------------------------------------------------------------------------
+@register(
+    "x1_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           list_aggregate(list_transform({_TOKS}, t -> length(t)), 'sum')::BIGINT AS sum_token_chars,
+           length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))::BIGINT AS n_punct,
+           list_aggregate(list_transform({_TOKS},
+               t -> CASE WHEN t IN ('the','a','and','of','to','is','in','that')
+                    THEN 1 ELSE 0 END), 'sum')::BIGINT AS n_stopwords
+    FROM documents
+    """,
+)
+def x1_text_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# X2 — language identification (stopword-marker heuristic)
+# ---------------------------------------------------------------------------
+def _score_sql(markers: tuple[str, ...]) -> str:
+    inlist = ",".join(f"'{m}'" for m in markers)
+    return (
+        f"list_aggregate(list_transform({_TOKS},"
+        f" t -> CASE WHEN t IN ({inlist}) THEN 1 ELSE 0 END), 'sum')"
+    )
+
+
+_LANG_SCORES = ",\n           ".join(
+    f"{_score_sql(m)}::BIGINT AS score_{l}" for l, m in LANG_MARKERS
+)
+_BEST = "greatest(" + ", ".join(f"score_{l}" for l, _ in LANG_MARKERS) + ")"
+_PRED = (
+    "CASE WHEN " + _BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{l} = {_BEST} THEN '{l}'" for l, _ in LANG_MARKERS
+    )
+    + " END"
+)
+
+
+@register(
+    "x2_language_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+           {_LANG_SCORES}
+        FROM documents
+    )
+    SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,
+           {_PRED} AS lang_pred
+    FROM scored
+    """,
+)
+def x2_language_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs)
+
+
+# ---------------------------------------------------------------------------
+# X3 — BPE-ish token counting
+# ---------------------------------------------------------------------------
+@register(
+    "x3_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def x3_token_count(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — exact dedup via content fingerprint
+# ---------------------------------------------------------------------------
+@register(
+    "x4_exact_dedup",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, {_ohash(_NORM, "fp:")} AS fp FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
+    FROM fp GROUP BY fp
+    """,
+)
+def x4_exact_dedup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+# ---------------------------------------------------------------------------
+# X5 — MinHash signatures (the no-shuffle per-doc computation)
+# ---------------------------------------------------------------------------
+@register(
+    "x5_minhash_signature",
+    oracle=f"WITH {_SIG_CTE}\nSELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sig",
+)
+def x5_minhash_signature(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = minhash_signature(docs)
+    return sig.select("doc_id", *[f"mh{j}" for j in range(8)])
+
+
+# ---------------------------------------------------------------------------
+# X6 — banded-LSH near-dup candidate pairs (bucket join, no all-pairs)
+# ---------------------------------------------------------------------------
+@register(
+    "x6_lsh_candidates",
+    oracle=f"WITH {_SIG_CTE}, {_BANDS_CTE}\n{_PAIRS_SQL}",
+)
+def x6_lsh_candidates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lsh_candidate_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# X7 — near-dup pairs verified by true shingle Jaccard
+# ---------------------------------------------------------------------------
+@register(
+    "x7_near_dup_jaccard",
+    oracle=f"""
+    WITH {_SIG_CTE}, {_BANDS_CTE},
+    pairs AS ({_PAIRS_SQL}),
+    sets AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sset FROM documents)
+    SELECT p.a, p.b,
+           round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE),
+                 4) AS jaccard
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.a
+    JOIN sets sb ON sb.doc_id = p.b
+    WHERE round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE),
+                4) >= 0.5
+    """,
+)
+def x7_near_dup_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dup_pairs(docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# X8 — SimHash document fingerprints
+# ---------------------------------------------------------------------------
+_SIMHASH_VOTES = " + ".join(
+    f"""(CASE WHEN list_aggregate(list_transform(th,
+        h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+        THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"""
+    for j in range(16)
+)
+
+
+@register(
+    "x8_simhash",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform({_TOKS}, t -> {_ohash('t', 'sh:')}) AS th
+        FROM documents
+    )
+    SELECT doc_id, {_SIMHASH_VOTES} AS simhash FROM th
+    """,
+)
+def x8_simhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs).select("doc_id", "simhash")
