@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop write (full computation, no
+driver-side collect of the result set).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: the flagship CDC materialization path, the heaviest
+# stateful/windowed operators, and the LLM-pipeline operators.
+HEADLINE = [
+    "k1_merge_upsert",
+    "k4_reduce_last_per_key",
+    "s3_incremental_snapshot_dedup",
+    "t1_extract_new_record_state",
+    "p4_transaction_metadata",
+    "x4_exact_dedup",
+    "x6_lsh_candidates",
+    "x8_simhash",
+    "a2_knn_bruteforce",
+    "a4_field_to_embedding",
+]
+
+
+def main() -> None:
+    from debezium_spark.session import get_spark
+    from debezium_spark.suite import load_all
+
+    spark = get_spark()
+    qs = load_all()
+
+    sf = None
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        df = qs[name].fn(spark, SF_DIR)
+        # warm the input file listing/metadata so the measurement is compute
+        df.schema  # noqa: B018 - analysis only
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,16 +38,24 @@ _SHINGLES = (
     f" i -> substr({_NORM}, i, 5))"
 )
 
-# Per-doc minhash signature CTE: doc_id, mh0..mh7.
+# Per-doc minhash signature CTE: doc_id, mh0..mh7. Mirrors
+# analytics.text.minhash_signature's slice scheme: two md5s per distinct
+# shingle, hash j = hex slice [8j, 8j+8), min taken lexicographically on the
+# fixed-width hex (equals the numeric min), converted to bigint once.
 _MH_COLS = ",\n           ".join(
-    f"list_aggregate(list_transform(sh, s -> {_ohash('s', f'{j}:')}), 'min') AS mh{j}"
+    f"CAST(('0x' || list_aggregate(list_transform(m, x -> substr(x, {8 * j + 1}, 8)), 'min')) AS BIGINT) AS mh{j}"
     for j in range(8)
 )
 _SIG_CTE = f"""
 sig AS (
     SELECT doc_id,
            {_MH_COLS}
-    FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+    FROM (
+        SELECT doc_id,
+               list_transform(list_distinct(sh),
+                              s -> md5('mhA:' || s) || md5('mhB:' || s)) AS m
+        FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+    )
 )"""
 
 # Band keys (4 bands × 2 rows): md5('mh_lo-mh_hi').
