@@ -9,13 +9,20 @@ ONE logical MERGE here. Insert modes insert/upsert/update:
 JdbcSinkConnectorConfig.java:59,142-151.
 
 Without Delta in the container, MERGE is emulated as
-``target ANTI JOIN keys ∪ new_state`` and an idempotent overwrite —
-semantically the Delta ``MERGE INTO`` we would issue in production (the
-K4 reduction guarantees unique match keys either way).
+``target ANTI JOIN keys ∪ new_state`` — semantically the Delta ``MERGE
+INTO`` we would issue in production (the K4 reduction guarantees unique
+match keys either way).
 
-Scale notes: the anti-join shuffles on the PK — same key as the K4 window,
-so the exchange is reused; the change side is usually a micro-batch (small)
-and broadcasts.
+Scale shape (the 100 TB story):
+
+* ``merge_changes`` is a pure plan builder — zero driver-side actions.
+* The change side is NOT unconditionally broadcast; AQE decides from
+  runtime stats (a backfill batch can be the whole table — an
+  unconditional hint there is an OOM).
+* ``ParquetMergeSink`` hash-buckets the target on the PK and rewrites only
+  the buckets the batch touches (dynamic partition overwrite) — per-batch
+  I/O is O(changed buckets), not O(table). The production analog is Delta
+  ``MERGE INTO`` file pruning.
 """
 
 from __future__ import annotations
@@ -25,9 +32,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from debezium_spark.envelope import OP_DELETE, OP_TRUNCATE
+from debezium_spark.envelope import OP_TRUNCATE
 from debezium_spark.operators.reduce import apply_truncates, reduce_last_per_key
 from debezium_spark.operators.unwrap import extract_new_record_state
+
+BUCKET_COL = "__bucket"
 
 
 def merge_changes(
@@ -36,22 +45,31 @@ def merge_changes(
     pk_cols: list[str],
     *,
     insert_mode: str = "upsert",  # insert | upsert | update
-    broadcast_changes: bool = True,
+    broadcast_changes: bool = False,
 ) -> DataFrame:
     """Apply one batch of envelopes to the target table, returning new state.
 
     Order of operations mirrors JdbcChangeEventSink.execute
     (JdbcChangeEventSink.java:89-186): truncates clear pending + target,
     then the reduced (last-per-key, K4) change set merges in.
+
+    Pure plan construction — no Spark actions. The truncate-clears-target
+    rule is a broadcast one-row flag joined into the base relation rather
+    than a driver-side peek.
     """
     env_df = env_df.filter(F.col("op").isNotNull())  # tombstones carry no state
     env_df = apply_truncates(env_df)
 
-    truncated = env_df.filter(F.col("op") == OP_TRUNCATE)
-    if truncated.take(1):
-        # TRUNCATE clears the whole target for that table; with a single-table
-        # target that is an empty base.
-        target_df = target_df.limit(0)
+    # One-row flag: does this batch contain a TRUNCATE? Joined (broadcast,
+    # single row) so the target-clear is part of the plan, not an action.
+    trunc_flag = env_df.agg(
+        F.max(F.when(F.col("op") == OP_TRUNCATE, 1).otherwise(0)).alias("__has_trunc")
+    )
+    target_df = (
+        target_df.crossJoin(F.broadcast(trunc_flag))
+        .filter(F.coalesce(F.col("__has_trunc"), F.lit(0)) == 0)
+        .drop("__has_trunc")
+    )
     changes = env_df.filter(F.col("op") != OP_TRUNCATE)
 
     latest = reduce_last_per_key(changes)
@@ -59,6 +77,8 @@ def merge_changes(
         latest, delete_handling="rewrite", add_fields=("op",)
     )
     if broadcast_changes:
+        # Caller knows the change side is a micro-batch; otherwise AQE's
+        # runtime size estimate picks the join strategy.
         flat = F.broadcast(flat)
 
     keys = flat.select(*pk_cols)
@@ -84,10 +104,13 @@ def merge_changes(
 class ParquetMergeSink:
     """foreachBatch sink materializing an envelope stream into a parquet table.
 
-    The production analog is ``MERGE INTO`` on Delta/Iceberg; parquet
-    emulation rewrites the table (fine for tests; the interface is the
-    contract). Schema evolution mode ``basic`` adds missing optional columns
-    from the event schema (JdbcSinkConnectorConfig.java:158-163,
+    The production analog is ``MERGE INTO`` on Delta/Iceberg; the parquet
+    emulation keeps the same interface but makes the I/O scale-shaped: the
+    target is hash-bucketed on the PK (``partitionBy(__bucket)``), each
+    batch merges against ONLY the buckets its keys touch, and the write is
+    a dynamic partition overwrite of exactly those buckets. Schema
+    evolution mode ``basic`` adds missing optional columns from the event
+    schema (JdbcSinkConnectorConfig.java:158-163,
     JdbcChangeEventSink.java:195-238).
     """
 
@@ -99,17 +122,24 @@ class ParquetMergeSink:
         *,
         insert_mode: str = "upsert",
         schema_evolution: str = "basic",
+        num_buckets: int = 16,
     ):
         self.spark = spark
         self.path = path
         self.pk_cols = pk_cols
         self.insert_mode = insert_mode
         self.schema_evolution = schema_evolution
+        self.num_buckets = num_buckets
+
+    def _bucket_of(self) -> F.Column:
+        return F.pmod(F.hash(*self.pk_cols), F.lit(self.num_buckets))
 
     def _read_target(self, like_df: DataFrame) -> DataFrame:
         if os.path.exists(self.path):
-            return self.spark.read.parquet(self.path)
-        return like_df.limit(0)
+            # mergeSchema: buckets rewritten after a schema evolution carry
+            # the new columns while untouched buckets don't.
+            return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        return like_df.limit(0).withColumn(BUCKET_COL, F.lit(0))
 
     def write_batch(self, env_batch: DataFrame, epoch_id: int | None = None) -> None:
         flat_like = extract_new_record_state(
@@ -122,12 +152,65 @@ class ParquetMergeSink:
                     target = target.withColumn(
                         c, F.lit(None).cast(flat_like.schema[c].dataType)
                     )
+
+        # Affected buckets: the Delta-MERGE-style pruning step. The set is
+        # bounded by num_buckets (driver cost O(num_buckets), never O(rows)).
+        has_truncate = not env_batch.filter(F.col("op") == OP_TRUNCATE).isEmpty()
+        if has_truncate:
+            affected = None  # whole table rewrite (truncate clears it anyway)
+            target_sub = target.drop(BUCKET_COL)
+        else:
+            affected = [
+                r[0]
+                for r in env_batch.select(
+                    F.pmod(F.hash(*[F.col(f"key.{c}") for c in self.pk_cols]),
+                           F.lit(self.num_buckets)).alias("b")
+                ).distinct().collect()
+            ]
+            # Partition filter → parquet reads only the touched buckets.
+            target_sub = target.filter(
+                F.col(BUCKET_COL).isin(affected)
+            ).drop(BUCKET_COL)
+
         merged = merge_changes(
-            target, env_batch, self.pk_cols, insert_mode=self.insert_mode
+            target_sub,
+            env_batch,
+            self.pk_cols,
+            insert_mode=self.insert_mode,
+            broadcast_changes=True,  # a micro-batch by construction
         )
-        # Idempotent rewrite: localCheckpoint breaks lineage on the old files
-        # so the overwrite is safe to re-run (exactly-once with checkpointing).
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
+        out = merged.withColumn(BUCKET_COL, self._bucket_of())
+
+        # Idempotent rewrite of only the touched partitions: localCheckpoint
+        # breaks lineage on the files being replaced, and an empty partition
+        # is re-written explicitly so a bucket whose last row was deleted
+        # does not keep stale data (dynamic overwrite skips absent keys).
+        out = out.localCheckpoint(eager=True)
+        writer = out.write.mode("overwrite")
+        if has_truncate or not os.path.exists(self.path):
+            writer.partitionBy(BUCKET_COL).parquet(self.path)
+        else:
+            writer.option("partitionOverwriteMode", "dynamic").partitionBy(
+                BUCKET_COL
+            ).parquet(self.path)
+            # A bucket whose rows were all deleted produces no output
+            # partition, and dynamic overwrite leaves absent partitions
+            # untouched — drop those directories so stale rows don't revive.
+            import shutil
+
+            written = {r[0] for r in out.select(BUCKET_COL).distinct().collect()}
+            for b in set(affected) - written:
+                pdir = os.path.join(self.path, f"{BUCKET_COL}={b}")
+                if os.path.isdir(pdir):
+                    shutil.rmtree(pdir)
+
+    def read(self) -> DataFrame:
+        """The materialized table (without the bucketing column)."""
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self.path)
+            .drop(BUCKET_COL)
+        )
 
     def __call__(self, env_batch: DataFrame, epoch_id: int) -> None:
         self.write_batch(env_batch, epoch_id)

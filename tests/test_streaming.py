@@ -1,0 +1,193 @@
+"""Golden streaming runs: snapshot→stream handoff, restart idempotence,
+offset resume, truncate handling — the 🔶 semantics from SURVEY §5.
+
+Mirrors the reference's integration-test pattern (fixtures → DML → assert
+golden sequences, e.g. MySqlConnectorIT.java) with Trigger.AvailableNow.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.sinks.merge import ParquetMergeSink
+from debezium_spark.sources.changefeed import accounts_changefeed, accounts_snapshot
+from debezium_spark.streaming import ChangeDataPipeline, replay_feed
+
+
+def _expected_final(spark, sf_dir):
+    from debezium_spark.suite import load_all
+
+    qs = load_all()
+    return sorted(
+        (r.id, r.status, r.balance)
+        for r in qs["k1_merge_upsert"].fn(spark, sf_dir).collect()
+    )
+
+
+def _materialized(sink):
+    return sorted(
+        (r.id, r.status, r.balance)
+        for r in sink.read().select("id", "status", "balance").collect()
+    )
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "feed": str(tmp_path / "feed"),
+        "target": str(tmp_path / "target"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    yield d
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _make_pipeline(spark, dirs, env_schema, **kw):
+    sink = ParquetMergeSink(spark, dirs["target"], ["id"], num_buckets=8)
+    pipe = ChangeDataPipeline(
+        spark,
+        feed_dir=dirs["feed"],
+        envelope_schema=env_schema,
+        sink=sink,
+        checkpoint_dir=dirs["ckpt"],
+        **kw,
+    )
+    return sink, pipe
+
+
+def test_snapshot_stream_handoff_matches_batch(spark, sf_dir, dirs):
+    """P3: snapshot batch + chunked stream replay == one-shot batch merge."""
+    env = accounts_changefeed(spark, sf_dir)
+    sink, pipe = _make_pipeline(spark, dirs, env.schema)
+
+    pipe.run_snapshot(accounts_snapshot(spark, sf_dir))
+    replay_feed(env, dirs["feed"], num_chunks=4)
+    pipe.run_available()
+
+    assert pipe.batches_seen >= 4  # maxFilesPerTrigger=1 → one batch per file
+    assert _materialized(sink) == _expected_final(spark, sf_dir)
+
+
+def test_restart_is_idempotent(spark, sf_dir, dirs):
+    """P8: re-running with the same checkpoint processes nothing new, and
+    re-applying the final batch by hand changes nothing (idempotent MERGE)."""
+    env = accounts_changefeed(spark, sf_dir)
+    sink, pipe = _make_pipeline(spark, dirs, env.schema)
+    pipe.run_snapshot(accounts_snapshot(spark, sf_dir))
+    files = replay_feed(env, dirs["feed"], num_chunks=3)
+    pipe.run_available()
+    expected = _materialized(sink)
+
+    # Restart 1: same checkpoint — no files to process.
+    pipe2_sink, pipe2 = _make_pipeline(spark, dirs, env.schema)
+    pipe2.run_available()
+    assert pipe2.batches_seen == 0
+    assert _materialized(pipe2_sink) == expected
+
+    # Crash-replay: the last chunk applied twice must be a no-op.
+    last_chunk = spark.read.schema(env.schema).parquet(files[-1])
+    sink.write_batch(last_chunk)
+    assert _materialized(sink) == expected
+
+
+def test_offset_resume_processes_only_new_files(spark, sf_dir, dirs):
+    """P8: files appended after a run are picked up on the next run; the
+    combined result equals the full-feed batch answer."""
+    env = accounts_changefeed(spark, sf_dir)
+    median = (
+        env.select(F.col("source.pos").alias("pos")).approxQuantile("pos", [0.5], 0.0)[0]
+    )
+    first, second = (
+        env.filter(F.col("source.pos") <= median),
+        env.filter(F.col("source.pos") > median),
+    )
+
+    sink, pipe = _make_pipeline(spark, dirs, env.schema)
+    pipe.run_snapshot(accounts_snapshot(spark, sf_dir))
+    replay_feed(first, dirs["feed"], num_chunks=2)
+    pipe.run_available()
+    n_first = pipe.batches_seen
+
+    replay_feed(second, dirs["feed"], num_chunks=2, start_chunk=2)
+    pipe.run_available()
+    assert pipe.batches_seen >= n_first + 2
+
+    assert _materialized(sink) == _expected_final(spark, sf_dir)
+
+
+def test_truncate_clears_target(spark, sf_dir, dirs):
+    """K1 truncate routing: a 't' event clears all earlier state; later
+    events in the same batch survive (DeduplicatingBuffer.java:39-52)."""
+    env = accounts_changefeed(spark, sf_dir)
+    base = env.filter(F.col("source.pos") < 100)
+    sink, _ = _make_pipeline(spark, dirs, env.schema)
+    sink.write_batch(base)
+    assert len(_materialized(sink)) > 0
+
+    big_pos = 10**12
+    trunc = env.limit(1).select(
+        F.lit(None).cast(env.schema["key"].dataType).alias("key"),
+        F.lit(None).cast(env.schema["before"].dataType).alias("before"),
+        F.lit(None).cast(env.schema["after"].dataType).alias("after"),
+        F.lit("t").alias("op"),
+        F.col("source").withField("pos", F.lit(big_pos).cast("long")).alias("source"),
+        F.col("transaction"),
+        F.col("ts_ms"),
+    )
+    survivor = env.filter(F.col("op") == "c").orderBy("source.pos").limit(1)
+    survivor = survivor.select(
+        "key",
+        "before",
+        "after",
+        "op",
+        F.col("source").withField("pos", F.lit(big_pos + 1).cast("long")).alias(
+            "source"
+        ),
+        "transaction",
+        "ts_ms",
+    )
+    sink.write_batch(trunc.unionByName(survivor))
+
+    rows = _materialized(sink)
+    assert len(rows) == 1  # only the post-truncate create survives
+
+
+def test_bucket_pruned_rewrite_touches_only_affected_partitions(
+    spark, sf_dir, dirs, tmp_path
+):
+    """The scale contract: a small batch rewrites only the buckets its keys
+    hash into; untouched bucket files on disk stay byte-identical."""
+    import os
+
+    env = accounts_changefeed(spark, sf_dir)
+    sink, _ = _make_pipeline(spark, dirs, env.schema)
+    sink.write_batch(env.filter(F.col("source.pos") <= 500))
+
+    def snapshot_files():
+        out = {}
+        for root, _, files in os.walk(dirs["target"]):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = snapshot_files()
+    one = env.filter((F.col("op") == "u")).orderBy(F.col("source.pos").desc()).limit(1)
+    one = one.select(
+        "key", "before", "after", "op",
+        F.col("source").withField("pos", F.lit(10**12).cast("long")).alias("source"),
+        "transaction", "ts_ms",
+    )
+    sink.write_batch(one)
+    after = snapshot_files()
+
+    untouched_before = {
+        p: t for p, t in before.items() if p in after and after[p] == t
+    }
+    # At least one bucket rewritten, and at least one left alone.
+    assert len(untouched_before) > 0
+    assert any(p not in after or after[p] != t for p, t in before.items())
