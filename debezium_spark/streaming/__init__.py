@@ -17,3 +17,8 @@ from debezium_spark.streaming.pipeline import (  # noqa: F401
     ChangeDataPipeline,
     replay_feed,
 )
+from debezium_spark.streaming.signals import (  # noqa: F401
+    FileSignalChannel,
+    IncrementalSnapshotter,
+    NotificationLog,
+)

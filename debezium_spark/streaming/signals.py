@@ -1,0 +1,245 @@
+"""P6 signals + P7 notifications + the signal-driven S3 chunk loop.
+
+Reference control plane:
+
+* ``SignalProcessor`` polls channels for actions
+  (debezium-connector-common/.../pipeline/signal/SignalProcessor.java:45,117,147);
+  the file channel (``FileSignalChannel``) is the shape used here — signals
+  are JSON lines ``{"id","type","data"}`` appended to a control file.
+* ``ExecuteSnapshot`` starts an incremental snapshot for named collections
+  (.../signal/actions/snapshotting/ExecuteSnapshot.java:37,53); stop/pause/
+  resume mirror StopSnapshot/PauseIncrementalSnapshot/ResumeIncrementalSnapshot.
+* Notifications (.../pipeline/notification/Notification.java:21) surface
+  snapshot progress; here they append to a JSON-lines log.
+
+The chunk loop is the DBLog algorithm
+(AbstractIncrementalSnapshotChangeEventSource.java:245-352): each micro-batch
+processes one PK-ordered chunk; stream events win over buffered chunk rows.
+With a static source-table stand-in (no live DB in the container), the dedup
+window is "every key the stream has touched since the signal" — tracked in a
+small keys table under the checkpoint dir — which preserves the invariant
+that a snapshot row never overwrites newer streamed state (including
+deletes), exactly the read-only variant's behavior
+(BinlogReadOnlyIncrementalSnapshotChangeEventSource.java:116-175).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class NotificationLog:
+    """P7: append-only progress log (Notification.java:21)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+
+    def emit(self, aggregate: str, typ: str, **extra) -> None:
+        rec = {"ts_ms": int(time.time() * 1000), "aggregate": aggregate,
+               "type": typ, **extra}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def read(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+
+class FileSignalChannel:
+    """P6: JSON-lines control file polled once per micro-batch.
+
+    Supported actions (SignalProcessor.java:306 registry):
+    ``execute-snapshot`` {"data-collections": [...]},
+    ``stop-snapshot``, ``pause-snapshot``, ``resume-snapshot``,
+    ``log`` {"message": ...}.
+    """
+
+    def __init__(
+        self,
+        signal_file: str,
+        state_dir: str,
+        *,
+        snapshotter: "IncrementalSnapshotter | None" = None,
+        notifications: NotificationLog | None = None,
+    ):
+        self.signal_file = signal_file
+        self.state_dir = state_dir
+        self.snapshotter = snapshotter
+        self.notifications = notifications
+        os.makedirs(state_dir, exist_ok=True)
+        self._state_file = os.path.join(state_dir, "signal_state.json")
+
+    # -- signal I/O -------------------------------------------------------
+    def send(self, sig_id: str, sig_type: str, data: dict | None = None) -> None:
+        os.makedirs(os.path.dirname(self.signal_file), exist_ok=True)
+        with open(self.signal_file, "a") as f:
+            f.write(json.dumps({"id": sig_id, "type": sig_type,
+                                "data": data or {}}) + "\n")
+
+    def _load_state(self) -> dict:
+        if os.path.exists(self._state_file):
+            with open(self._state_file) as f:
+                return json.load(f)
+        return {"processed": [], "paused": False}
+
+    def _save_state(self, st: dict) -> None:
+        with open(self._state_file, "w") as f:
+            json.dump(st, f)
+
+    def pending(self) -> list[dict]:
+        if not os.path.exists(self.signal_file):
+            return []
+        st = self._load_state()
+        out = []
+        with open(self.signal_file) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                sig = json.loads(line)
+                if sig["id"] not in st["processed"]:
+                    out.append(sig)
+        return out
+
+    # -- per-batch hook (called by ChangeDataPipeline._dispatch) ----------
+    def poll(self, pipeline, batch_df: DataFrame, epoch_id: int) -> None:
+        st = self._load_state()
+        for sig in self.pending():
+            typ, data = sig["type"], sig.get("data", {})
+            if typ == "log":
+                if self.notifications:
+                    self.notifications.emit("log", "MESSAGE",
+                                            message=data.get("message", ""))
+            elif typ == "execute-snapshot" and self.snapshotter:
+                self.snapshotter.begin(data.get("data-collections", []))
+                if self.notifications:
+                    self.notifications.emit("incremental_snapshot", "STARTED",
+                                            collections=data.get("data-collections"))
+            elif typ == "stop-snapshot" and self.snapshotter:
+                self.snapshotter.stop()
+                if self.notifications:
+                    self.notifications.emit("incremental_snapshot", "ABORTED")
+            elif typ == "pause-snapshot":
+                st["paused"] = True
+            elif typ == "resume-snapshot":
+                st["paused"] = False
+            st["processed"].append(sig["id"])
+        self._save_state(st)
+
+        if self.snapshotter is not None and not st["paused"]:
+            self.snapshotter.advance(pipeline, batch_df)
+
+
+class IncrementalSnapshotter:
+    """The S3 chunk loop, driven one chunk per micro-batch.
+
+    ``source_loader`` returns the current source table as a flat DataFrame
+    (pk + value columns) — the stand-in for the chunk SELECT
+    (AbstractChunkQueryBuilder.java:49-119 keyset pagination). Progress
+    (next chunk lower bound) persists under the checkpoint dir so restarts
+    resume mid-snapshot (OffsetContext-style, BaseSourceTask.java:364).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        source_loader: Callable[[], DataFrame],
+        wrap_chunk: Callable[[DataFrame], DataFrame],
+        pk_col: str,
+        state_dir: str,
+        chunk_size: int = 1024,
+        notifications: NotificationLog | None = None,
+    ):
+        self.spark = spark
+        self.source_loader = source_loader
+        self.wrap_chunk = wrap_chunk
+        self.pk_col = pk_col
+        self.chunk_size = chunk_size
+        self.state_dir = state_dir
+        self.notifications = notifications
+        os.makedirs(state_dir, exist_ok=True)
+        self._progress_file = os.path.join(state_dir, "snapshot_progress.json")
+        self._touched_dir = os.path.join(state_dir, "touched_keys")
+
+    # -- progress state ---------------------------------------------------
+    def _progress(self) -> dict:
+        if os.path.exists(self._progress_file):
+            with open(self._progress_file) as f:
+                return json.load(f)
+        return {"active": False, "bound": None}
+
+    def _save(self, p: dict) -> None:
+        with open(self._progress_file, "w") as f:
+            json.dump(p, f)
+
+    def begin(self, collections: list[str]) -> None:
+        self._save({"active": True, "bound": None, "collections": collections})
+
+    def stop(self) -> None:
+        self._save({"active": False, "bound": None})
+
+    @property
+    def active(self) -> bool:
+        return self._progress()["active"]
+
+    # -- dedup window -----------------------------------------------------
+    def _record_touched(self, batch_df: DataFrame) -> None:
+        keys = (
+            batch_df.filter(F.col("op").isNotNull())
+            .select(F.col(f"key.{self.pk_col}").alias(self.pk_col))
+            .distinct()
+        )
+        keys.write.mode("append").parquet(self._touched_dir)
+
+    def _touched(self) -> DataFrame | None:
+        if os.path.exists(self._touched_dir):
+            return self.spark.read.parquet(self._touched_dir)
+        return None
+
+    # -- one chunk per micro-batch ---------------------------------------
+    def advance(self, pipeline, batch_df: DataFrame) -> None:
+        """Record the batch's keys into the dedup window; if a snapshot is
+        active, emit the next chunk's surviving rows through the sink."""
+        self._record_touched(batch_df)
+        p = self._progress()
+        if not p["active"]:
+            return
+
+        src = self.source_loader()
+        if p["bound"] is not None:
+            src = src.filter(F.col(self.pk_col) > p["bound"])
+        # Keyset chunk: TopK by pk, no full sort (ChunkBoundaryCalculator.java:56).
+        chunk = src.orderBy(F.col(self.pk_col)).limit(self.chunk_size)
+        chunk = chunk.localCheckpoint(eager=True)  # stable across the two uses
+        n = chunk.count()
+        if n == 0:
+            self.stop()
+            if self.notifications:
+                self.notifications.emit("incremental_snapshot", "COMPLETED")
+            return
+
+        touched = self._touched()
+        survivors = chunk
+        if touched is not None:
+            # No broadcast hint: the touched-keys side grows with stream
+            # history; AQE picks broadcast while it's small and falls back
+            # to a shuffled join when it isn't.
+            survivors = chunk.join(touched.distinct(), [self.pk_col], "left_anti")
+        pipeline.sink.write_batch(self.wrap_chunk(survivors))
+
+        new_bound = chunk.agg(F.max(self.pk_col)).collect()[0][0]
+        p["bound"] = new_bound
+        self._save(p)
+        if self.notifications:
+            self.notifications.emit(
+                "incremental_snapshot", "IN_PROGRESS", bound=new_bound
+            )

@@ -1,0 +1,153 @@
+"""P6/P7 golden runs: signal-triggered incremental snapshot (S3 chunk loop)
+interleaved with streaming changes; stream events win over chunk rows.
+
+Mirrors the reference's IncrementalSnapshotIT pattern: start streaming with
+no initial snapshot, send an execute-snapshot signal, keep streaming, and
+assert the final materialized table equals the batch answer.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.envelope import wrap_snapshot
+from debezium_spark.sinks.merge import ParquetMergeSink
+from debezium_spark.sources.changefeed import accounts_changefeed
+from debezium_spark.streaming import (
+    ChangeDataPipeline,
+    FileSignalChannel,
+    IncrementalSnapshotter,
+    NotificationLog,
+    replay_feed,
+)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in
+         ("feed", "target", "ckpt", "state", "notif", "sig")}
+    yield d
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _accounts_source(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("status"),
+        F.col("c_acctbal").alias("balance"),
+    )
+
+
+def _expected_final(spark, sf_dir):
+    from debezium_spark.suite import load_all
+
+    qs = load_all()
+    return sorted(
+        (r.id, r.status, r.balance)
+        for r in qs["k1_merge_upsert"].fn(spark, sf_dir).collect()
+    )
+
+
+def _build(spark, sf_dir, dirs, chunk_size=40):
+    notif = NotificationLog(dirs["notif"] + "/notifications.jsonl")
+    snapshotter = IncrementalSnapshotter(
+        spark,
+        source_loader=lambda: _accounts_source(spark, sf_dir),
+        wrap_chunk=lambda df: wrap_snapshot(df, ["id"], db="testdb",
+                                            table="accounts"),
+        pk_col="id",
+        state_dir=dirs["state"],
+        chunk_size=chunk_size,
+        notifications=notif,
+    )
+    signals = FileSignalChannel(
+        dirs["sig"] + "/signals.jsonl",
+        dirs["state"],
+        snapshotter=snapshotter,
+        notifications=notif,
+    )
+    sink = ParquetMergeSink(spark, dirs["target"], ["id"], num_buckets=8)
+    env_schema = accounts_changefeed(spark, sf_dir).schema
+    pipe = ChangeDataPipeline(
+        spark,
+        feed_dir=dirs["feed"],
+        envelope_schema=env_schema,
+        sink=sink,
+        checkpoint_dir=dirs["ckpt"],
+        signals=signals,
+        notifications=notif,
+    )
+    return pipe, sink, signals, snapshotter, notif
+
+
+def test_signal_snapshot_interleaved_with_stream(spark, sf_dir, dirs):
+    env = accounts_changefeed(spark, sf_dir)
+    pipe, sink, signals, snapshotter, notif = _build(spark, sf_dir, dirs)
+
+    # Phase 1: stream the first half — no snapshot yet.
+    median = env.select(F.col("source.pos").alias("p")).approxQuantile(
+        "p", [0.5], 0.0
+    )[0]
+    replay_feed(env.filter(F.col("source.pos") <= median), dirs["feed"],
+                num_chunks=2)
+    pipe.run_available()
+    assert not snapshotter.active
+
+    # Phase 2: signal an ad-hoc incremental snapshot, keep streaming. The
+    # chunk loop (150 customers / 40 per chunk) interleaves with 2 more
+    # change batches and finishes on subsequent empty-feed polls.
+    signals.send("adhoc-1", "execute-snapshot",
+                 {"data-collections": ["testdb.accounts"]})
+    replay_feed(env.filter(F.col("source.pos") > median), dirs["feed"],
+                num_chunks=2, start_chunk=2)
+    pipe.run_available()
+    # Drain remaining chunks: AvailableNow with no new files still triggers
+    # no batches, so push empty-feed polls via direct advance calls (the
+    # continuous-mode trigger would do this on its own).
+    while snapshotter.active:
+        snapshotter.advance(pipe, env.limit(0))
+
+    got = sorted(
+        (r.id, r.status, r.balance)
+        for r in sink.read().select("id", "status", "balance").collect()
+    )
+    assert got == _expected_final(spark, sf_dir)
+
+    # P7: notifications tell the story in order.
+    types = [(n["aggregate"], n["type"]) for n in notif.read()]
+    assert ("incremental_snapshot", "STARTED") in types
+    assert ("incremental_snapshot", "COMPLETED") in types
+    started = types.index(("incremental_snapshot", "STARTED"))
+    completed = types.index(("incremental_snapshot", "COMPLETED"))
+    assert started < completed
+    assert ("incremental_snapshot", "IN_PROGRESS") in types
+
+
+def test_stop_and_pause_signals(spark, sf_dir, dirs):
+    env = accounts_changefeed(spark, sf_dir)
+    pipe, sink, signals, snapshotter, notif = _build(spark, sf_dir, dirs)
+
+    replay_feed(env, dirs["feed"], num_chunks=1)
+    signals.send("s1", "execute-snapshot",
+                 {"data-collections": ["testdb.accounts"]})
+    signals.send("s2", "pause-snapshot")
+    pipe.run_available()
+    # Paused: signal consumed, snapshot begun but no chunk advanced.
+    assert snapshotter.active
+    assert snapshotter._progress()["bound"] is None
+
+    signals.send("s3", "resume-snapshot")
+    signals.send("s4", "log", {"message": "resuming now"})
+    pipe2, sink2, signals2, snapshotter2, notif2 = _build(spark, sf_dir, dirs)
+    pipe2.run_available()  # no new files -> no batches -> no poll; drive poll:
+    signals2.poll(pipe2, env.limit(0), epoch_id=0)
+    assert snapshotter2._progress()["bound"] is not None  # chunk advanced
+
+    signals2.send("s5", "stop-snapshot")
+    signals2.poll(pipe2, env.limit(0), epoch_id=1)
+    assert not snapshotter2.active
+    msgs = [n for n in notif2.read() if n["type"] == "MESSAGE"]
+    assert any("resuming now" in n.get("message", "") for n in msgs)
