@@ -1,0 +1,105 @@
+"""Schema history / evolution registry (§1.2) + T13 ExtractSchemaToNewRecord.
+
+Reference: ``SchemaHistory.record()/recover()`` (debezium-connector-common/
+src/main/java/io/debezium/relational/history/SchemaHistory.java:34,183-224)
+persists every DDL-induced schema version keyed by stream position so a
+restart can reconstruct the schema in effect at any offset; the file backend
+(debezium-storage/debezium-storage-file/.../FileSchemaHistory.java) is the
+shape used here. ``ExtractSchemaToNewRecord`` (debezium-connect-plugins/.../
+transforms/ExtractSchemaToNewRecord.java:53) copies the source schema
+metadata into each record.
+
+Spark shape: the registry is an append-only table (parquet in tests, Delta
+in production) of ``(table, version, columns_json, valid_from_pos)``; the
+"schema at position" lookup is a broadcast range join — the registry is
+always tiny relative to the stream, so version attachment costs no shuffle
+on the event side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class SchemaRegistry:
+    """Append-only schema-version store (SchemaHistory.java:34,183-224)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def record(
+        self, table: str, version: int, columns: list[str], valid_from_pos: int
+    ) -> None:
+        """SchemaHistory.record: append one version row."""
+        row = [(table, version, json.dumps(columns), valid_from_pos)]
+        df = self.spark.createDataFrame(
+            row, "table string, version int, columns_json string, valid_from_pos long"
+        )
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def recover(self) -> DataFrame:
+        """SchemaHistory.recover: the full version history."""
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame(
+                [],
+                "table string, version int, columns_json string, valid_from_pos long",
+            )
+        return self.spark.read.parquet(self.path)
+
+    def schema_at(self, table: str, pos: int) -> list[str]:
+        """Columns in effect for ``table`` at stream position ``pos``."""
+        rows = (
+            self.recover()
+            .filter((F.col("table") == table) & (F.col("valid_from_pos") <= pos))
+            .orderBy(F.col("valid_from_pos").desc())
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise KeyError(f"no schema recorded for {table} at pos {pos}")
+        return json.loads(rows[0]["columns_json"])
+
+
+def registry_with_validity(registry_df: DataFrame) -> DataFrame:
+    """Add ``valid_to_pos`` (exclusive) per version via a lead window —
+    turns the append log into range-joinable intervals."""
+    w = Window.partitionBy("table").orderBy("valid_from_pos")
+    return registry_df.withColumn(
+        "valid_to_pos",
+        F.coalesce(F.lead("valid_from_pos").over(w), F.lit(2**62)),
+    )
+
+
+def attach_schema_version(
+    env_df: DataFrame,
+    registry_df: DataFrame,
+    *,
+    table_col: str = "source.table",
+    pos_col: str = "source.pos",
+) -> DataFrame:
+    """T13: join each event to the schema version in effect at its position
+    (ExtractSchemaToNewRecord.java:53 — schema metadata into the record).
+
+    Broadcast range join: the registry side is versions-per-table (tiny);
+    the event side keeps its partitioning — no shuffle of the stream.
+    """
+    reg = registry_with_validity(registry_df).select(
+        F.col("table").alias("__t"),
+        F.col("version").alias("__schema_version"),
+        F.col("columns_json").alias("__schema_columns"),
+        "valid_from_pos",
+        "valid_to_pos",
+    )
+    joined = env_df.join(
+        F.broadcast(reg),
+        (F.col(table_col) == F.col("__t"))
+        & (F.col(pos_col) >= F.col("valid_from_pos"))
+        & (F.col(pos_col) < F.col("valid_to_pos")),
+        "left",
+    )
+    return joined.drop("__t", "valid_from_pos", "valid_to_pos")

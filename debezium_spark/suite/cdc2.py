@@ -1,0 +1,452 @@
+"""Round-2 operator registrations: T2/T11(json)/T12/T13/T14/T15/T19,
+S6/S12, K6 schema evolution, F1 CloudEvents — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_spark.formats.cloudevents import (
+    from_cloudevents_json,
+    to_cloudevents_json,
+)
+from debezium_spark.operators.convert import (
+    apply_custom_converters,
+    tinyint_one_to_boolean,
+    zero_date_fallback,
+)
+from debezium_spark.operators.document import extract_new_document_state
+from debezium_spark.operators.filter import schema_change_filter
+from debezium_spark.operators.geometry import (
+    geometry_format,
+    point_wkb_from_hex_coords,
+    swap_point_coordinates,
+)
+from debezium_spark.operators.misc import enforce_record_size
+from debezium_spark.operators.unwrap import extract_new_record_state
+from debezium_spark.schema.history import attach_schema_version
+from debezium_spark.sinks.merge import merge_changes
+from debezium_spark.sources.changefeed import (
+    CHANGES_CTE,
+    SNAPSHOT_CTE,
+    accounts_changefeed,
+    accounts_snapshot,
+)
+from debezium_spark.sources.snapshot import should_snapshot
+from debezium_spark.suite import register
+
+# Stream position where "DDL" adds the `tier` column in the K6/T13 fixtures.
+DDL_POS = 5000
+
+
+# ---------------------------------------------------------------------------
+# T2 — ExtractNewDocumentState (document-store unwrap via from_json)
+# ---------------------------------------------------------------------------
+@register(
+    "t2_extract_new_document_state",
+    oracle="""
+    SELECT event_id AS pos,
+           user_id AS id,
+           event_type AS status,
+           value AS balance,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_type <> 'error'
+    """,
+)
+def t2_extract_new_document_state(spark, sf_dir):
+    """Mongo-style feed: the document arrives as a JSON *string*; unwrap is
+    parse+flatten (ExtractNewDocumentState.java:55). The feed serializes the
+    row to JSON and T2 must recover it exactly (round-trip through text)."""
+    from debezium_spark.sources.changefeed import _events
+
+    ev = _events(spark, sf_dir)
+    doc = F.to_json(
+        F.struct(
+            F.col("user_id").alias("id"),
+            F.col("event_type").alias("status"),
+            F.col("value").alias("balance"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    feed = ev.select(
+        F.col("event_id").alias("pos"),
+        F.when(F.col("event_type") != "error", doc).alias("after_json"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("balance", T.DoubleType()),
+            T.StructField("k", T.LongType()),
+        ]
+    )
+    return extract_new_document_state(feed, schema, keep=("pos",))
+
+
+# ---------------------------------------------------------------------------
+# T11 — EnforceRecordSize, real serialized-size path
+# ---------------------------------------------------------------------------
+@register(
+    "t11_record_size_json",
+    oracle="""
+    SELECT doc_id,
+           strlen(CAST(to_json(struct_pack(
+               doc_id := doc_id, text := text, lang := lang,
+               source := source, n_chars := n_chars)) AS VARCHAR)) AS json_bytes
+    FROM documents
+    WHERE strlen(CAST(to_json(struct_pack(
+               doc_id := doc_id, text := text, lang := lang,
+               source := source, n_chars := n_chars)) AS VARCHAR)) <= 400
+    """,
+)
+def t11_record_size_json(spark, sf_dir):
+    """The to_json sizing path (EnforceRecordSize.java:48) — measured on the
+    actual serialized bytes, not a precomputed length column."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = enforce_record_size(docs, 400)
+    return kept.select(
+        "doc_id",
+        F.octet_length(F.to_json(F.struct(*docs.columns))).alias("json_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T12 — SchemaChangeEventFilter
+# ---------------------------------------------------------------------------
+@register(
+    "t12_schema_change_filter",
+    oracle="""
+    SELECT event_id,
+           CASE event_type WHEN 'signup' THEN 'CREATE'
+                           WHEN 'error' THEN 'DROP'
+                           ELSE 'ALTER' END AS ddl_type
+    FROM events
+    WHERE CASE event_type WHEN 'signup' THEN 'CREATE'
+                          WHEN 'error' THEN 'DROP'
+                          ELSE 'ALTER' END IN ('CREATE', 'ALTER')
+    """,
+)
+def t12_schema_change_filter(spark, sf_dir):
+    """Schema-change stream filtered by DDL type
+    (SchemaChangeEventFilter.java:36); the DDL stream is synthesized
+    deterministically from the event feed."""
+    from debezium_spark.sources.changefeed import _events
+
+    ev = _events(spark, sf_dir)
+    ddl = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "signup", "CREATE")
+        .when(F.col("event_type") == "error", "DROP")
+        .otherwise("ALTER")
+        .alias("ddl_type"),
+    )
+    return schema_change_filter(ddl, ["CREATE", "ALTER"])
+
+
+# ---------------------------------------------------------------------------
+# T13 — ExtractSchemaToNewRecord via the schema-history registry
+# ---------------------------------------------------------------------------
+@register(
+    "t13_schema_to_record",
+    oracle=f"""
+    SELECT event_id AS pos,
+           CASE WHEN event_id >= {DDL_POS} THEN 2 ELSE 1 END AS __schema_version,
+           CASE WHEN event_id >= {DDL_POS}
+                THEN '["id", "status", "balance", "tier"]'
+                ELSE '["id", "status", "balance"]' END AS __schema_columns
+    FROM events
+    """,
+)
+def t13_schema_to_record(spark, sf_dir):
+    """Schema metadata copied into each record
+    (ExtractSchemaToNewRecord.java:53): version = the registry interval
+    covering the event's position; broadcast range join, no stream shuffle."""
+    env = accounts_changefeed(spark, sf_dir)
+    registry = spark.createDataFrame(
+        [
+            ("accounts", 1, '["id", "status", "balance"]', 0),
+            ("accounts", 2, '["id", "status", "balance", "tier"]', DDL_POS),
+        ],
+        "table string, version int, columns_json string, valid_from_pos long",
+    )
+    out = attach_schema_version(env, registry)
+    return out.select(
+        F.col("source.pos").alias("pos"), "__schema_version", "__schema_columns"
+    )
+
+
+# ---------------------------------------------------------------------------
+# T14 — geometry SMTs on WKB POINT columns
+# ---------------------------------------------------------------------------
+_XH = "substr(md5('x:' || CAST(event_id AS VARCHAR)), 1, 16)"
+_YH = "substr(md5('y:' || CAST(event_id AS VARCHAR)), 1, 16)"
+
+
+@register(
+    "t14_geometry_swap",
+    oracle=f"""
+    SELECT event_id,
+           '0101000000' || {_XH} || {_YH} AS wkb_hex,
+           '0101000000' || {_YH} || {_XH} AS swapped_hex,
+           to_base64(unhex('0101000000' || {_XH} || {_YH})) AS wkb_b64
+    FROM events
+    WHERE event_id % 20 = 0
+    """,
+)
+def t14_geometry_swap(spark, sf_dir):
+    """WKB POINT byte-level coordinate swap + re-encode
+    (SwapGeometryCoordinates.java:33, GeometryFormatTransformer.java:30).
+    Geometry stays an opaque binary column end-to-end — native
+    substring/concat/hex/base64, nothing leaves the JVM."""
+    from debezium_spark.sources.changefeed import _events
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 20 == 0)
+    xh = F.substring(F.md5(F.concat(F.lit("x:"), F.col("event_id").cast("string"))), 1, 16)
+    yh = F.substring(F.md5(F.concat(F.lit("y:"), F.col("event_id").cast("string"))), 1, 16)
+    pts = ev.select(
+        "event_id", point_wkb_from_hex_coords(xh, yh).alias("wkb")
+    )
+    return pts.select(
+        "event_id",
+        geometry_format(F.col("wkb"), "hex").alias("wkb_hex"),
+        geometry_format(swap_point_coordinates(F.col("wkb")), "hex").alias(
+            "swapped_hex"
+        ),
+        geometry_format(F.col("wkb"), "base64").alias("wkb_b64"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T15 — VectorToJsonConverter (round-trip fidelity, portable compare)
+# ---------------------------------------------------------------------------
+@register(
+    "t15_vector_to_json",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n,
+           array_to_string(list_transform(embedding,
+               x -> printf('%.4f', CAST(x AS DOUBLE))), ',') AS vals
+    FROM embeddings
+    """,
+)
+def t15_vector_to_json(spark, sf_dir):
+    """T15 serializes the vector to JSON (VectorToJsonConverter.java:48);
+    fidelity is checked by parsing the JSON back and formatting the values
+    portably (engine JSON float spellings differ; the parsed values must
+    not)."""
+    from debezium_spark.operators.misc import vector_to_json
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    js = vector_to_json(emb, "embedding", out_col="vec_json")
+    parsed = F.from_json(F.col("vec_json"), T.ArrayType(T.FloatType()))
+    return js.select(
+        "vec_id",
+        F.size(parsed).cast("long").alias("n"),
+        F.concat_ws(
+            ",",
+            F.transform(parsed, lambda x: F.format_string("%.4f", x.cast("double"))),
+        ).alias("vals"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T19 — custom converters SPI
+# ---------------------------------------------------------------------------
+@register(
+    "t19_custom_converters",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_custkey % 2 AS INT) = 1 AS vip_flag,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           o_totalprice
+    FROM orders
+    """,
+)
+def t19_custom_converters(spark, sf_dir):
+    """Column-level converter rules folded into one projection
+    (CustomConverter.java:18,48; TinyIntOneToBooleanConverter,
+    ZeroDateFallbackConverter)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 2).cast("int").alias("vip_flag"),
+        F.col("o_orderdate").alias("order_date"),
+        "o_totalprice",
+    )
+    out = apply_custom_converters(
+        df,
+        {
+            "vip_flag": tinyint_one_to_boolean(F.col("vip_flag")),
+            "order_date": zero_date_fallback(F.col("order_date")),
+        },
+    )
+    # Dates hash-compare as strings (pandas date vs duckdb datetime64 repr).
+    return out.withColumn(
+        "order_date", F.date_format("order_date", "yyyy-MM-dd")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6 — snapshot-mode policy matrix
+# ---------------------------------------------------------------------------
+@register(
+    "s6_snapshot_modes",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('always',      false, false, true),  ('always',      false, true, true),
+      ('always',      true,  false, true),  ('always',      true,  true, true),
+      ('initial',     false, false, true),  ('initial',     false, true, true),
+      ('initial',     true,  false, false), ('initial',     true,  true, false),
+      ('no_data',     false, false, false), ('no_data',     false, true, false),
+      ('no_data',     true,  false, false), ('no_data',     true,  true, false),
+      ('when_needed', false, false, true),  ('when_needed', false, true, true),
+      ('when_needed', true,  false, true),  ('when_needed', true,  true, false)
+    ) AS t(mode, checkpoint_exists, data_exists, snapshots)
+    """,
+)
+def s6_snapshot_modes(spark, sf_dir):
+    """The Snapshotter SPI decision table (snapshot/mode/*.java,
+    debezium-api/.../spi/snapshot/Snapshotter.java:28-56), evaluated through
+    the real policy function against the hand-written truth table."""
+    rows = [
+        (mode, ckpt, data, should_snapshot(mode, ckpt, data))
+        for mode in ("always", "initial", "no_data", "when_needed")
+        for ckpt in (False, True)
+        for data in (False, True)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "mode string, checkpoint_exists boolean, data_exists boolean, snapshots boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S12 — snapshot SELECT overrides
+# ---------------------------------------------------------------------------
+@register(
+    "s12_snapshot_override",
+    oracle="""
+    SELECT o_orderkey AS id, o_totalprice AS total, 'r' AS op
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def s12_snapshot_override(spark, sf_dir):
+    """Per-table custom snapshot SELECT
+    (RelationalSnapshotChangeEventSource.java:562,591): the override is a
+    projection+predicate pushed into the scan; rows still emit as op='r'
+    envelopes."""
+    from debezium_spark.envelope import wrap_snapshot
+
+    sel = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(
+            F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("total")
+        )
+    )
+    env = wrap_snapshot(sel, ["id"], db="testdb", table="orders_override")
+    return env.select(F.col("after.id").alias("id"),
+                      F.col("after.total").alias("total"), "op")
+
+
+# ---------------------------------------------------------------------------
+# K6 — sink schema evolution (column add mid-stream)
+# ---------------------------------------------------------------------------
+@register(
+    "k6_schema_evolution",
+    oracle=f"""
+    WITH {CHANGES_CTE}, {SNAPSHOT_CTE},
+    latest AS (
+        SELECT id,
+               CASE WHEN op = 'd' THEN NULL ELSE status END AS status,
+               CASE WHEN op = 'd' THEN NULL ELSE balance END AS balance,
+               CASE WHEN op = 'd' OR pos < {DDL_POS} THEN NULL
+                    ELSE upper(substr(status, 1, 1)) END AS tier,
+               pos, op
+        FROM changes
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY pos DESC) = 1
+    )
+    SELECT id, status, balance, CAST(NULL AS VARCHAR) AS tier
+    FROM snap ANTI JOIN latest USING (id)
+    UNION ALL
+    SELECT id, status, balance, tier FROM latest WHERE op <> 'd'
+    """,
+)
+def k6_schema_evolution(spark, sf_dir):
+    """Schema evolution `basic` (JdbcSinkConnectorConfig.java:158-163,
+    JdbcChangeEventSink.java:195-238): events after the DDL position carry a
+    new `tier` field; the sink adds the column as nullable and earlier rows
+    (and the snapshot) read NULL."""
+    env = accounts_changefeed(spark, sf_dir)
+    evolved = env.withColumn(
+        "after",
+        F.when(
+            F.col("after").isNotNull(),
+            F.col("after").withField(
+                "tier",
+                F.when(
+                    F.col("source.pos") >= DDL_POS,
+                    F.upper(F.substring(F.col("after.status"), 1, 1)),
+                ),
+            ),
+        ),
+    ).withColumn(
+        # The before image evolves too (same physical row schema).
+        "before",
+        F.when(
+            F.col("before").isNotNull(),
+            F.col("before").withField("tier", F.lit(None).cast("string")),
+        ),
+    )
+    target = extract_new_record_state(
+        accounts_snapshot(spark, sf_dir), delete_handling="drop"
+    )
+    # K6 evolution step: add the missing optional column to the target.
+    target = target.withColumn("tier", F.lit(None).cast("string"))
+    return merge_changes(target, evolved, ["id"], insert_mode="upsert")
+
+
+# ---------------------------------------------------------------------------
+# F1 — CloudEvents envelope round-trip
+# ---------------------------------------------------------------------------
+@register(
+    "f1_cloudevents_roundtrip",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT pos,
+           'name:testdb.accounts;pos:' || CAST(pos AS VARCHAR) AS ce_id,
+           'io.debezium.accounts.datachangeevent' AS ce_type,
+           strftime(make_timestamp(ts_ms * 1000), '%Y-%m-%dT%H:%M:%S.%fZ') AS ce_time,
+           op AS ce_op,
+           CASE WHEN op = 'd' THEN NULL ELSE id END AS data_id,
+           CASE WHEN op = 'd' THEN NULL ELSE status END AS data_status,
+           CASE WHEN op = 'd' THEN NULL ELSE balance END AS data_balance
+    FROM (
+        SELECT c.id, c.status, c.balance, c.pos, c.op,
+               epoch_ms(CAST(e.ts AS TIMESTAMP)) AS ts_ms
+        FROM changes c JOIN events e ON e.event_id = c.pos
+    )
+    """,
+)
+def f1_cloudevents_roundtrip(spark, sf_dir):
+    """CloudEvents wrap → JSON → parse back (CloudEventsConverter.java):
+    the consume side must recover id/type/time/op and the full data payload
+    from the serialized text alone."""
+    env = accounts_changefeed(spark, sf_dir)
+    ser = to_cloudevents_json(env)
+    parsed = from_cloudevents_json(
+        ser.select(F.col("source.pos").alias("pos"), "cloudevent_json"),
+        env.schema["after"].dataType,
+    )
+    return parsed.select(
+        "pos",
+        F.col("cloudevent.id").alias("ce_id"),
+        F.col("cloudevent.type").alias("ce_type"),
+        F.col("cloudevent.time").alias("ce_time"),
+        F.col("cloudevent.iodebeziumop").alias("ce_op"),
+        F.col("cloudevent.data.id").alias("data_id"),
+        F.col("cloudevent.data.status").alias("data_status"),
+        F.col("cloudevent.data.balance").alias("data_balance"),
+    )
