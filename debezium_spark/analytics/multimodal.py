@@ -1,0 +1,142 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Bridges the reference's AI SMTs — ``FieldToDocling``
+(debezium-ai/debezium-ai-docling/src/main/java/io/debezium/ai/docling/
+FieldToDocling.java: document bytes → markdown through an external service)
+and ``FieldToEmbedding`` (debezium-ai/debezium-ai-embeddings/.../
+FieldToEmbedding.java:51) — to the training-data-pipeline shape: blobs ride
+along as ``BinaryType`` columns with metadata structs; per-blob compute runs
+in Arrow-batched ``mapInPandas`` so bytes never cross the JVM↔Python
+boundary row-at-a-time.
+
+The actual codecs (PIL/ffmpeg/docling) are NOT in this container, so the
+decode step is stubbed: ``decode_image`` raises ``NotImplementedError``
+while everything Spark-side — schema, batch iteration, partitioning, output
+contract — is real and exercised by deterministic header/byte analysis that
+an oracle can reproduce.
+
+Synthetic blob layout (``synthesize_image_blob``):
+  bytes [0:4)  magic 'IMG1'
+  bytes [4:6)  width  (big-endian u16)
+  bytes [6:8)  height (big-endian u16)
+  bytes [8:24) payload: md5 digest of the id (the "pixel data")
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"IMG1"
+MAGIC_HEX = MAGIC.hex()
+
+
+def synthesize_image_blob(id_col: Column) -> Column:
+    """Deterministic fake image blob (both engines can rebuild it from hex)."""
+    width = 16 + F.pmod(id_col, F.lit(64))  # 16..79
+    height = 16 + F.pmod(id_col * 7, F.lit(48))  # 16..63
+    hex_str = F.concat(
+        F.lit(MAGIC_HEX),
+        F.lpad(F.conv(width.cast("string"), 10, 16), 4, "0"),
+        F.lpad(F.conv(height.cast("string"), 10, 16), 4, "0"),
+        F.md5(F.concat(F.lit("img:"), id_col.cast("string"))),
+    )
+    return F.unhex(hex_str)
+
+
+def decode_image(blob: bytes):  # pragma: no cover - stub by design
+    """Real image decode (PIL/libvips). Not available in this container."""
+    raise NotImplementedError(
+        "image codecs are not installed; production deployments plug a "
+        "decoder in here — the Spark plumbing around it is already real"
+    )
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("is_valid", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload_bytes", T.IntegerType()),
+        T.StructField("byte_sum", T.LongType()),
+    ]
+)
+
+
+def extract_image_meta(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Header parse + byte stats per blob via Arrow-batched ``mapInPandas``
+    — the exact shape a real feature extractor (decode → resize → embed)
+    uses; only the per-blob function body would change."""
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            valid, widths, heights, plens, sums = [], [], [], [], []
+            for b in blobs:
+                b = bytes(b) if b is not None else b""
+                ok = len(b) >= 8 and b[:4] == MAGIC
+                valid.append(ok)
+                widths.append(int.from_bytes(b[4:6], "big") if ok else None)
+                heights.append(int.from_bytes(b[6:8], "big") if ok else None)
+                payload = b[8:] if ok else b""
+                plens.append(len(payload))
+                sums.append(sum(payload))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "is_valid": valid,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "payload_bytes": pd.array(plens, dtype="Int32"),
+                    "byte_sum": sums,
+                }
+            )
+
+    return df.mapInPandas(analyze, IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    blob_col: str = "blob",
+    *,
+    frame_bytes: int = 4,
+    every_nth: int = 2,
+) -> DataFrame:
+    """Video-style frame sampling over the payload, natively: split the
+    payload into fixed-size "frames" and keep every Nth — array expressions
+    only, no Python. A real implementation swaps the byte-slice for a
+    container-format keyframe index; the plan shape is identical."""
+    payload = F.expr(f"substring({blob_col}, 9, 2147483647)")
+    n_frames = F.floor(F.length(payload) / F.lit(frame_bytes)).cast("int")
+    idx = F.sequence(F.lit(0), n_frames - 1)
+    frames = F.transform(
+        F.filter(idx, lambda i: i % every_nth == 0),
+        lambda i: F.expr(
+            f"substring({blob_col}, 9, 2147483647)"
+        ).substr(i * frame_bytes + 1, F.lit(frame_bytes)),
+    )
+    return df.withColumn("frames", frames).withColumn(
+        "n_frames_sampled", F.size("frames")
+    )
+
+
+def docling_markdown(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """T21 FieldToDocling stand-in: document → markdown. The reference calls
+    a docling service (FieldToDocling.java); the deterministic stub renders
+    a markdown skeleton so the conversion contract (schema, batching) is
+    testable without the service."""
+
+    @F.pandas_udf(T.StringType())
+    def to_md(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return "# Document " + ids.astype(str) + "\n\n" + texts.fillna("")
+
+    return df.withColumn("markdown", to_md(F.col(id_col), F.col(text_col)))

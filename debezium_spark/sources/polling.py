@@ -1,0 +1,88 @@
+"""S10 — LSN-windowed incremental polling (SQL Server CDC pattern) and
+S4 read-only watermarks.
+
+Reference: ``SqlServerStreamingChangeEventSource``
+(debezium-connector-sqlserver/src/main/java/io/debezium/connector/sqlserver/
+SqlServerStreamingChangeEventSource.java:69): each poll reads
+``cdc.fn_cdc_get_all_changes_*`` between the last committed LSN and the
+current max LSN (SqlServerConnection.java:75-78), advancing the offset after
+each window. Read-only incremental watermarks (S4,
+BinlogReadOnlyIncrementalSnapshotChangeEventSource.java:116-175) use the
+same "position fence" idea: a watermark is just the max position observed.
+
+Spark shape: a micro-batch JDBC/parquet read with a half-open window
+predicate ``low < lsn AND lsn <= high`` — pushed into the scan — driven by a
+Trigger.AvailableNow-style loop. Offsets persist like the streaming
+checkpoint (JSON under the state dir).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def window_read(
+    source_df: DataFrame, lsn_col: str, low: int | None, high: int
+) -> DataFrame:
+    """One CDC poll: rows with ``low < lsn <= high`` (half-open window —
+    SqlServerConnection.java:75-78). Both bounds are literals so the
+    predicate pushes into the parquet/JDBC scan."""
+    cond = F.col(lsn_col) <= F.lit(high)
+    if low is not None:
+        cond = (F.col(lsn_col) > F.lit(low)) & cond
+    return source_df.filter(cond)
+
+
+class PollingSource:
+    """The Trigger.AvailableNow loop around :func:`window_read`, with a
+    persisted offset (the ``lsn_time_mapping`` bookkeeping analog)."""
+
+    def __init__(
+        self,
+        load_source: Callable[[], DataFrame],
+        lsn_col: str,
+        state_dir: str,
+        *,
+        max_window: int | None = None,
+    ):
+        self.load_source = load_source
+        self.lsn_col = lsn_col
+        self.max_window = max_window
+        os.makedirs(state_dir, exist_ok=True)
+        self._offset_file = os.path.join(state_dir, "poll_offset.json")
+
+    @property
+    def committed_lsn(self) -> int | None:
+        if os.path.exists(self._offset_file):
+            with open(self._offset_file) as f:
+                return json.load(f)["lsn"]
+        return None
+
+    def _commit(self, lsn: int) -> None:
+        with open(self._offset_file, "w") as f:
+            json.dump({"lsn": lsn}, f)
+
+    def poll(self) -> DataFrame | None:
+        """Read the next window; None when caught up. The window cap keeps
+        each micro-batch bounded (ChangeEventQueue.maxBatchSize analog)."""
+        src = self.load_source()
+        low = self.committed_lsn
+        row = src.agg(
+            F.min(self.lsn_col).alias("lo"), F.max(self.lsn_col).alias("hi")
+        ).collect()[0]
+        max_lsn = row["hi"]
+        if max_lsn is None or (low is not None and max_lsn <= low):
+            return None
+        if low is None:
+            low = row["lo"] - 1  # first poll: fence just below the log start
+        high = max_lsn
+        if self.max_window is not None:
+            high = min(max_lsn, low + self.max_window)
+        batch = window_read(src, self.lsn_col, low, high)
+        self._commit(high)
+        return batch

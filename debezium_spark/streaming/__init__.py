@@ -22,3 +22,10 @@ from debezium_spark.streaming.signals import (  # noqa: F401
     IncrementalSnapshotter,
     NotificationLog,
 )
+from debezium_spark.streaming.reliability import (  # noqa: F401
+    GuardrailViolation,
+    Heartbeat,
+    RetriableError,
+    run_with_retries,
+    validate_guardrails,
+)

@@ -106,6 +106,7 @@ class ChangeDataPipeline:
         max_files_per_trigger: int | None = 1,
         signals=None,
         notifications=None,
+        heartbeat=None,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -116,6 +117,7 @@ class ChangeDataPipeline:
         self.max_files_per_trigger = max_files_per_trigger
         self.signals = signals
         self.notifications = notifications
+        self.heartbeat = heartbeat
         self.batches_seen = 0
 
     # -- phase 1: snapshot ------------------------------------------------
@@ -137,6 +139,13 @@ class ChangeDataPipeline:
         for t in self.transforms:
             out = t(out)
         self.sink.write_batch(out, epoch_id)
+        if self.heartbeat is not None:
+            # Offsets advance with the committed batch; the heartbeat records
+            # liveness + the high-water position (HeartbeatImpl.java:84-92).
+            agg = out.agg(
+                F.max("source.pos").alias("p"), F.count("*").alias("n")
+            ).collect()[0]
+            self.heartbeat.maybe_emit(pos=agg["p"], rows_in_batch=agg["n"])
 
     def stream_df(self) -> DataFrame:
         reader = self.spark.readStream.schema(self.envelope_schema)

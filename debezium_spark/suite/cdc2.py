@@ -450,3 +450,146 @@ def f1_cloudevents_roundtrip(spark, sf_dir):
         F.col("cloudevent.data.status").alias("data_status"),
         F.col("cloudevent.data.balance").alias("data_balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S4 — read-only incremental snapshot (watermark = observed position fence)
+# ---------------------------------------------------------------------------
+WATERMARK_POS = 5000
+
+
+@register(
+    "s4_readonly_incremental",
+    oracle=f"""
+    WITH {CHANGES_CTE}, {SNAPSHOT_CTE},
+    w AS (SELECT * FROM changes WHERE pos <= {WATERMARK_POS}),
+    latest AS (
+        SELECT id,
+               CASE WHEN op = 'd' THEN NULL ELSE status END AS status,
+               CASE WHEN op = 'd' THEN NULL ELSE balance END AS balance,
+               op
+        FROM w
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY pos DESC) = 1
+    )
+    SELECT id, status, balance FROM snap ANTI JOIN latest USING (id)
+    UNION ALL
+    SELECT id, status, balance FROM latest WHERE op <> 'd'
+    """,
+)
+def s4_readonly_incremental(spark, sf_dir):
+    """S4 (BinlogReadOnlyIncrementalSnapshotChangeEventSource.java:116-175):
+    watermarks are observed-position fences, not signal-table writes — the
+    dedup window is every change at pos <= watermark; chunk rows for those
+    keys are evicted (stream wins), matching the GTID-set variant."""
+    from debezium_spark.operators.incremental import incremental_snapshot
+
+    env = accounts_changefeed(spark, sf_dir)
+    flat = env.filter(F.col("source.pos") <= WATERMARK_POS).select(
+        F.col("key.id").alias("id"),
+        F.col("after.status").alias("status"),
+        F.col("after.balance").alias("balance"),
+        "op",
+        F.col("source.pos").alias("pos"),
+    )
+    from debezium_spark.suite.cdc import _snapshot_flat
+
+    return incremental_snapshot(_snapshot_flat(spark, sf_dir), flat, ["id"])
+
+
+# ---------------------------------------------------------------------------
+# S9 — LogMiner-style commit-ordered emission
+# ---------------------------------------------------------------------------
+@register(
+    "s9_commit_ordered",
+    oracle=f"""
+    WITH {CHANGES_CTE}
+    SELECT pos, tx_id,
+           max(pos) OVER (PARTITION BY tx_id) AS commit_pos,
+           CAST(row_number() OVER (PARTITION BY tx_id ORDER BY pos)
+                AS INT) AS seq_in_tx
+    FROM changes
+    """,
+)
+def s9_commit_ordered(spark, sf_dir):
+    """S9 buffered emission (BufferedLogMinerStreamingChangeEventSource):
+    events buffer per transaction and emit at COMMIT, ordered by commit
+    position then intra-tx order. Spark shape: two windows on the tx key —
+    one shuffle; total emission order is (commit_pos, pos) without a global
+    rank (which would serialize through one partition)."""
+    from pyspark.sql import Window
+
+    env = accounts_changefeed(spark, sf_dir)
+    base = env.select(
+        F.col("source.pos").alias("pos"), F.col("source.tx_id").alias("tx_id")
+    )
+    wtx = Window.partitionBy("tx_id")
+    worder = Window.partitionBy("tx_id").orderBy("pos")
+    return base.select(
+        "pos",
+        "tx_id",
+        F.max("pos").over(wtx).alias("commit_pos"),
+        F.row_number().over(worder).alias("seq_in_tx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S10 — LSN-windowed CDC polling
+# ---------------------------------------------------------------------------
+@register(
+    "s10_lsn_window_poll",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_id > 2000 AND event_id <= 4000
+    """,
+)
+def s10_lsn_window_poll(spark, sf_dir):
+    """One CDC poll window (SqlServerStreamingChangeEventSource.java:69):
+    half-open (low, high] position predicate, pushed into the scan."""
+    from debezium_spark.sources.changefeed import _events
+    from debezium_spark.sources.polling import window_read
+
+    ev = _events(spark, sf_dir)
+    return window_read(ev, "event_id", 2000, 4000).select(
+        "event_id", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# K7 — collection naming strategies
+# ---------------------------------------------------------------------------
+@register(
+    "k7_naming_strategy",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('server1.testdb.accounts',
+       'sink_server1_testdb_accounts',
+       'server1_testdb_accounts',
+       'SERVER1_TESTDB_ACCOUNTS'),
+      ('server1.testdb.OrderLines',
+       'sink_server1_testdb_OrderLines',
+       'server1_testdb_order_lines',
+       'SERVER1_TESTDB_ORDERLINES'),
+      ('plain',
+       'sink_plain',
+       'plain',
+       'PLAIN')
+    ) AS t(topic, fmt_name, snake_name, upper_name)
+    """,
+)
+def k7_naming_strategy(spark, sf_dir):
+    """DefaultCollectionNamingStrategy: format templating + dot replacement
+    + case styles, evaluated through the real Column expressions."""
+    from debezium_spark.sinks.naming import collection_name
+
+    topics = spark.createDataFrame(
+        [("server1.testdb.accounts",), ("server1.testdb.OrderLines",),
+         ("plain",)],
+        "topic string",
+    )
+    return topics.select(
+        "topic",
+        collection_name(F.col("topic"), fmt="sink_${topic}").alias("fmt_name"),
+        collection_name(F.col("topic"), style="snake").alias("snake_name"),
+        collection_name(F.col("topic"), style="upper").alias("upper_name"),
+    )

@@ -1,0 +1,97 @@
+"""Multimodal-column correctness queries: opaque binary blobs + metadata,
+mapInPandas feature extraction, frame sampling, docling markdown (T21).
+
+The blob layout is deterministic hex (documented in analytics/multimodal.py)
+so the DuckDB oracle reproduces every byte without any codec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_spark.analytics.multimodal import (
+    docling_markdown,
+    extract_image_meta,
+    sample_frames,
+    synthesize_image_blob,
+)
+from debezium_spark.suite import register
+
+_MD5 = "md5('img:' || CAST(doc_id AS VARCHAR))"
+_BYTE = lambda hexpr, i: f"CAST(('0x' || substr({hexpr}, {2 * i - 1}, 2)) AS BIGINT)"  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# M1 — blob header parse + byte stats through mapInPandas
+# ---------------------------------------------------------------------------
+@register(
+    "m1_image_meta",
+    oracle=f"""
+    SELECT doc_id,
+           true AS is_valid,
+           CAST(16 + doc_id % 64 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 48 AS INT) AS height,
+           CAST(16 AS INT) AS payload_bytes,
+           list_aggregate(list_transform(generate_series(1, 16),
+               i -> CAST(('0x' || substr({_MD5}, 2 * i - 1, 2)) AS BIGINT)),
+               'sum') AS byte_sum
+    FROM documents
+    """,
+)
+def m1_image_meta(spark, sf_dir):
+    """Arrow-batched mapInPandas over a binary image column: header fields
+    (magic/width/height) + payload byte stats. The per-blob body is where a
+    real decoder plugs in (decode_image stub); the Spark contract — schema,
+    batch iteration, no row-at-a-time crossing — is what's under test."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = docs.select(
+        "doc_id", synthesize_image_blob(F.col("doc_id")).alias("blob")
+    )
+    return extract_image_meta(blobs)
+
+
+# ---------------------------------------------------------------------------
+# M2 — frame sampling (native byte slicing, no Python)
+# ---------------------------------------------------------------------------
+@register(
+    "m2_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_frames_sampled,
+           substr({_MD5}, 1, 8) || ',' || substr({_MD5}, 17, 8) AS frames_hex
+    FROM documents
+    """,
+)
+def m2_frame_sample(spark, sf_dir):
+    """Every-Nth fixed-size frame extraction over the blob payload — array
+    expressions only; the video analog keeps this plan shape with a
+    container-aware keyframe index."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = docs.select(
+        "doc_id", synthesize_image_blob(F.col("doc_id")).alias("blob")
+    )
+    sampled = sample_frames(blobs, frame_bytes=4, every_nth=2)
+    return sampled.select(
+        "doc_id",
+        "n_frames_sampled",
+        F.concat_ws(
+            ",", F.transform("frames", lambda b: F.lower(F.hex(b)))
+        ).alias("frames_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T21 — FieldToDocling (document → markdown) stub contract
+# ---------------------------------------------------------------------------
+@register(
+    "t21_docling_markdown",
+    oracle="""
+    SELECT doc_id,
+           '# Document ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+               || text AS markdown
+    FROM documents
+    """,
+)
+def t21_docling_markdown(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docling_markdown(docs).select("doc_id", "markdown")

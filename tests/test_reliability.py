@@ -1,0 +1,112 @@
+"""P5 heartbeats, P10 guardrails, P11 retry loop, S10 polling offsets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.sources.changefeed import accounts_changefeed
+from debezium_spark.sources.polling import PollingSource
+from debezium_spark.streaming import (
+    GuardrailViolation,
+    Heartbeat,
+    RetriableError,
+    run_with_retries,
+    validate_guardrails,
+)
+
+
+def test_heartbeat_emits_on_quiet_and_respects_interval(tmp_path):
+    hb = Heartbeat(str(tmp_path / "hb" / "heartbeat.jsonl"), interval_ms=0)
+    assert hb.maybe_emit(pos=41, rows_in_batch=0)
+    hb.interval_ms = 10**9  # effectively never again
+    assert not hb.maybe_emit(pos=42, rows_in_batch=5)
+    recs = hb.read()
+    assert len(recs) == 1 and recs[0]["pos"] == 41
+
+
+def test_heartbeat_advances_through_pipeline(spark, sf_dir, tmp_path):
+    from debezium_spark.sinks.merge import ParquetMergeSink
+    from debezium_spark.streaming import ChangeDataPipeline, replay_feed
+
+    env = accounts_changefeed(spark, sf_dir)
+    hb = Heartbeat(str(tmp_path / "hb.jsonl"), interval_ms=0)
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    pipe = ChangeDataPipeline(
+        spark,
+        feed_dir=str(tmp_path / "feed"),
+        envelope_schema=env.schema,
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        heartbeat=hb,
+        max_files_per_trigger=None,
+    )
+    replay_feed(env, str(tmp_path / "feed"), num_chunks=1)
+    pipe.run_available()
+    recs = hb.read()
+    assert recs and recs[-1]["pos"] == env.agg(F.max("source.pos")).collect()[0][0]
+
+
+def test_guardrails():
+    ok = validate_guardrails(["a", "b"], max_collections=2)
+    assert ok == ["a", "b"]
+    with pytest.raises(GuardrailViolation):
+        validate_guardrails(["a", "b", "c"], max_collections=2)
+    warnings = []
+    validate_guardrails(
+        ["a", "b", "c"], max_collections=2, mode="warn", warn=warnings.append
+    )
+    assert len(warnings) == 1
+
+
+def test_retry_loop_retries_then_succeeds_and_propagates_fatal():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RetriableError("transient")
+
+    used = run_with_retries(flaky, max_retries=5, backoff_initial_ms=1)
+    assert used == 2 and calls["n"] == 3
+
+    with pytest.raises(ValueError):
+        run_with_retries(
+            lambda: (_ for _ in ()).throw(ValueError("fatal")),
+            max_retries=5,
+            backoff_initial_ms=1,
+        )
+
+    with pytest.raises(RetriableError):
+        run_with_retries(
+            lambda: (_ for _ in ()).throw(RetriableError("always")),
+            max_retries=2,
+            backoff_initial_ms=1,
+        )
+
+
+def test_polling_source_windows_and_offsets(spark, sf_dir, tmp_path):
+    from debezium_spark.sources.changefeed import _events
+
+    src = PollingSource(
+        lambda: _events(spark, sf_dir),
+        "event_id",
+        str(tmp_path / "state"),
+        max_window=400,
+    )
+    total = 0
+    polls = 0
+    while (batch := src.poll()) is not None:
+        n = batch.count()
+        assert n <= 400
+        total += n
+        polls += 1
+    expected = _events(spark, sf_dir).count()
+    assert total == expected
+    assert polls >= expected // 400
+    # Caught up: further polls are empty; offset survives a "restart".
+    assert src.poll() is None
+    src2 = PollingSource(
+        lambda: _events(spark, sf_dir), "event_id", str(tmp_path / "state")
+    )
+    assert src2.poll() is None
