@@ -32,6 +32,25 @@ LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
 ]
 
 
+def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition when the input arrives in fewer partitions than ``target``.
+
+    A small parquet file scans as ONE partition, which serializes any
+    CPU-heavy per-row stage (hashing, UDFs) on a single core. The shuffle
+    this inserts is O(input) — worth it exactly when per-row compute
+    dominates; at real scale inputs already arrive well-partitioned and
+    this is a no-op. For Pandas-UDF stages pass a smaller ``target``
+    (Python worker startup is ~100ms each; measured optimum here is ~8 for
+    small inputs, while JVM codegen stages want all cores).
+    """
+    sc = df.sparkSession.sparkContext
+    if target is None:
+        target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def portable_hash64(col: Column, seed: str = "") -> Column:
     """60-bit positive hash reproducible in ANSI SQL.
 
@@ -171,6 +190,7 @@ def minhash_signature(
     than per-hash md5 at sf0.1).
     """
     assert num_hashes <= 8, "slice scheme provides 8 hash functions"
+    df = ensure_parallelism(df)
     sh = F.array_distinct(shingles(F.col(text_col), k))
     md5cat = F.transform(
         sh,

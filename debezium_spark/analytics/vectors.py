@@ -155,4 +155,8 @@ def field_to_embedding(
     def embed(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: _embed_text(t or "", dim))
 
-    return df.withColumn(out_col, embed(F.col(text_col)))
+    from debezium_spark.analytics.text import ensure_parallelism
+
+    return ensure_parallelism(df, target=8).withColumn(
+        out_col, embed(F.col(text_col))
+    )
