@@ -1,0 +1,81 @@
+"""Plan-shape regression tests: the 100 TB contract, asserted on explain().
+
+These lock in the scale properties the operators were designed around:
+filters reach the parquet scan, projections prune columns, small sides
+broadcast, and nothing degenerates into an unhinted cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def qs(spark):
+    from debezium_spark.suite import load_all
+
+    return load_all()
+
+
+def _plan(spark, qs, name):
+    return qs[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_window_poll_pushes_bounds_into_scan(spark, qs):
+    plan = _plan(spark, qs, "s10_lsn_window_poll")
+    assert "GreaterThan(event_id,2000)" in plan
+    assert "LessThanOrEqual(event_id,4000)" in plan
+    # Column pruning: only the three projected columns are read.
+    assert "ReadSchema: struct<event_id:bigint,event_type:string,value:double>" in plan
+
+
+def test_lsh_pipeline_has_no_cartesian_and_single_scan(spark, qs):
+    plan = _plan(spark, qs, "x6_lsh_candidates")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # Signature is computed on ONE scan of documents (the self-join rewrite
+    # would show two) and only doc_id+text are read.
+    assert plan.count("FileScan parquet") == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_knn_broadcasts_queries_not_cartesian(spark, qs):
+    plan = _plan(spark, qs, "a2_knn_bruteforce")
+    # The intended O(corpus x queries) compute rides a BROADCAST nested loop
+    # (query side tiny by construction) — never a shuffled cartesian.
+    assert "BroadcastNestedLoop" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_reselect_lookup_join_broadcasts(spark, qs):
+    plan = _plan(spark, qs, "t18_reselect_columns")
+    assert "BroadcastHashJoin" in plan
+    # Lookup side reads only the key + reselected column.
+    assert "ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>" in plan
+
+
+def test_snapshot_scan_prunes_columns(spark, qs):
+    plan = _plan(spark, qs, "s1_snapshot_envelope")
+    # customer has 8 columns; the envelope needs exactly three.
+    assert (
+        "ReadSchema: struct<c_custkey:bigint,c_acctbal:double,c_mktsegment:string>"
+        in plan
+    )
+
+
+def test_schema_version_attach_is_broadcast_range_join(spark, qs):
+    plan = _plan(spark, qs, "t13_schema_to_record")
+    assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_has_no_full_table_shuffle_on_probe_side(spark, qs):
+    # k1 merges a 10k-event feed into a 1.5k snapshot: the KEY joins must be
+    # hash joins — a nested-loop there would be O(n*m). The single allowed
+    # BroadcastNestedLoopJoin is the one-row truncate-flag cross join.
+    plan = _plan(spark, qs, "k1_merge_upsert")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("BroadcastHashJoin") >= 1
