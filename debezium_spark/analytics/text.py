@@ -167,6 +167,16 @@ def shingles(col: Column, k: int = 5) -> Column:
     return F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
 
 
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """Word n-grams over whitespace tokens (the n-gram-Jaccard dedup unit)."""
+    toks = tokenize(col)
+    cnt = F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1))
+    return F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
 def oracle_shingles(expr: str, k: int = 5) -> str:
     norm = ORACLE_NORMALIZE.format(c=expr)
     return (

@@ -119,10 +119,22 @@ class FileSignalChannel:
                     self.notifications.emit("log", "MESSAGE",
                                             message=data.get("message", ""))
             elif typ == "execute-snapshot" and self.snapshotter:
-                self.snapshotter.begin(data.get("data-collections", []))
-                if self.notifications:
-                    self.notifications.emit("incremental_snapshot", "STARTED",
-                                            collections=data.get("data-collections"))
+                if data.get("type", "INCREMENTAL").upper() == "BLOCKING":
+                    # S5 (ChangeEventSourceCoordinator.java:270-271): the
+                    # stream is paused at this point in the batch cycle, the
+                    # full snapshot re-runs, then streaming resumes — the
+                    # current batch applies after and wins per-key.
+                    if self.notifications:
+                        self.notifications.emit("blocking_snapshot", "STARTED")
+                    self.snapshotter.blocking(pipeline)
+                    if self.notifications:
+                        self.notifications.emit("blocking_snapshot", "COMPLETED")
+                else:
+                    self.snapshotter.begin(data.get("data-collections", []))
+                    if self.notifications:
+                        self.notifications.emit(
+                            "incremental_snapshot", "STARTED",
+                            collections=data.get("data-collections"))
             elif typ == "stop-snapshot" and self.snapshotter:
                 self.snapshotter.stop()
                 if self.notifications:
@@ -186,6 +198,12 @@ class IncrementalSnapshotter:
 
     def stop(self) -> None:
         self._save({"active": False, "bound": None})
+
+    def blocking(self, pipeline) -> None:
+        """S5 blocking snapshot: one-shot full re-read through the sink —
+        no chunk loop, no dedup window (streaming is paused by batch
+        ordering)."""
+        pipeline.sink.write_batch(self.wrap_chunk(self.source_loader()))
 
     @property
     def active(self) -> bool:

@@ -246,3 +246,50 @@ def a5_embed_similarity(spark, sf_dir):
     nonzero = emb.filter(norm > 0)
     queries = nonzero.filter(F.col("vec_id") % 50 == 0)
     return knn_bruteforce(nonzero, queries, k=3)
+
+
+# ---------------------------------------------------------------------------
+# A6 — embedding-cosine near-duplicate pairs (LSH-bucketed)
+# ---------------------------------------------------------------------------
+@register(
+    "a6_cosine_near_dup",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding, {_bucket('embedding')} AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               {_cosine('a.embedding', 'b.embedding')} AS sim
+        FROM e a JOIN e b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT a, b, round(sim, 6) AS sim
+    FROM scored WHERE sim >= 0.3
+    """,
+)
+def a6_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup: candidate pairs restricted to sign-LSH
+    buckets (never all-pairs), verified by exact cosine ≥ threshold — the
+    embedding-space analog of x7's MinHash→Jaccard pipeline."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(
+        "vec_id", "embedding",
+        sign_lsh_bucket(F.col("embedding"), 4).alias("bucket"),
+    )
+    a, b = e.alias("ea"), e.alias("eb")
+    pairs = a.join(
+        b,
+        (F.col("ea.bucket") == F.col("eb.bucket"))
+        & (F.col("ea.vec_id") < F.col("eb.vec_id")),
+    )
+    sim = cosine_similarity(F.col("ea.embedding"), F.col("eb.embedding"))
+    return (
+        pairs.select(
+            F.col("ea.vec_id").alias("a"),
+            F.col("eb.vec_id").alias("b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+        .withColumn("sim", F.round("sim", 6))
+    )

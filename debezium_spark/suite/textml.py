@@ -256,3 +256,104 @@ _SIMHASH_VOTES = " + ".join(
 def x8_simhash(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash(docs).select("doc_id", "simhash")
+
+
+# ---------------------------------------------------------------------------
+# X9 — composite quality filter (pre-training document gating)
+# ---------------------------------------------------------------------------
+@register(
+    "x9_quality_filter",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               list_aggregate(list_transform({_TOKS},
+                   t -> CASE WHEN t IN ('the','a','and','of','to','is','in','that')
+                        THEN 1 ELSE 0 END), 'sum')::BIGINT AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+           round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio
+    FROM s
+    WHERE n_tokens >= 5 AND n_tokens <= 1000
+      AND CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) < 0.2
+    """,
+)
+def x9_quality_filter(spark, sf_dir):
+    """Composite pre-training quality gate: token-count band + punctuation
+    ceiling, emitting the gating features — the standard shape of a corpus
+    filter stage (all codegen; the filter runs in the same scan pass)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = text_stats(docs)
+    out = (
+        s.withColumn(
+            "punct_ratio",
+            F.round(F.col("n_punct").cast("double")
+                    / F.col("n_chars_calc").cast("double"), 6),
+        )
+        .withColumn(
+            "stop_ratio",
+            F.round(F.col("n_stopwords").cast("double")
+                    / F.col("n_tokens").cast("double"), 6),
+        )
+        .filter(
+            (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 1000)
+            & (F.col("n_punct").cast("double")
+               / F.col("n_chars_calc").cast("double") < 0.2)
+        )
+    )
+    return out.select("doc_id", "n_tokens", "punct_ratio", "stop_ratio")
+
+
+# ---------------------------------------------------------------------------
+# X10 — word-n-gram Jaccard verification of LSH candidates
+# ---------------------------------------------------------------------------
+_WG = (
+    f"list_transform(generate_series(1, greatest(1, len({_TOKS}) - 1)),"
+    f" i -> {_TOKS}[i] || ' ' || {_TOKS}[i + 1])"
+)
+
+
+@register(
+    "x10_word_ngram_jaccard",
+    oracle=f"""
+    WITH {_SIG_CTE}, {_BANDS_CTE},
+    pairs AS ({_PAIRS_SQL}),
+    sets AS (SELECT doc_id, list_distinct({_WG}) AS wset FROM documents)
+    SELECT p.a, p.b,
+           round(CAST(len(list_intersect(sa.wset, sb.wset)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sa.wset, sb.wset))) AS DOUBLE),
+                 4) AS jaccard
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.a
+    JOIN sets sb ON sb.doc_id = p.b
+    WHERE round(CAST(len(list_intersect(sa.wset, sb.wset)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(sa.wset, sb.wset))) AS DOUBLE),
+                4) >= 0.2
+    """,
+)
+def x10_word_ngram_jaccard(spark, sf_dir):
+    """n-gram-Jaccard near-dup at the WORD level: LSH candidates verified
+    against distinct word-bigram sets (same bucket-join scale shape as x7,
+    different dedup unit)."""
+    from debezium_spark.analytics.text import word_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = lsh_candidate_pairs(docs)
+    sets_df = docs.select(
+        "doc_id", F.array_distinct(word_ngrams(F.col("text"), 2)).alias("wset")
+    )
+    a, b = sets_df.alias("sa"), sets_df.alias("sb")
+    joined = (
+        cands.join(a, cands["a"] == F.col("sa.doc_id"))
+        .join(b, cands["b"] == F.col("sb.doc_id"))
+    )
+    inter = F.size(F.array_intersect(F.col("sa.wset"), F.col("sb.wset")))
+    union = F.size(F.array_union(F.col("sa.wset"), F.col("sb.wset")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    return joined.select("a", "b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.2
+    )

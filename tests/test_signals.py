@@ -151,3 +151,44 @@ def test_stop_and_pause_signals(spark, sf_dir, dirs):
     assert not snapshotter2.active
     msgs = [n for n in notif2.read() if n["type"] == "MESSAGE"]
     assert any("resuming now" in n.get("message", "") for n in msgs)
+
+
+def test_blocking_snapshot_signal(spark, sf_dir, dirs):
+    """S5: a blocking re-snapshot mid-stream resets key coverage to the
+    source table; subsequent changes re-apply on top. Final state equals a
+    fresh merge of (full snapshot, phase-2 changes only)."""
+    from debezium_spark.operators.unwrap import extract_new_record_state
+    from debezium_spark.sinks.merge import merge_changes
+    from debezium_spark.sources.changefeed import accounts_snapshot
+
+    env = accounts_changefeed(spark, sf_dir)
+    pipe, sink, signals, snapshotter, notif = _build(spark, sf_dir, dirs)
+
+    median = env.select(F.col("source.pos").alias("p")).approxQuantile(
+        "p", [0.5], 0.0
+    )[0]
+    phase1 = env.filter(F.col("source.pos") <= median)
+    phase2 = env.filter(F.col("source.pos") > median)
+
+    replay_feed(phase1, dirs["feed"], num_chunks=1)
+    pipe.run_available()
+
+    signals.send("blk-1", "execute-snapshot", {"type": "BLOCKING"})
+    replay_feed(phase2, dirs["feed"], num_chunks=1, start_chunk=1)
+    pipe.run_available()
+
+    got = sorted(
+        (r.id, r.status, r.balance)
+        for r in sink.read().select("id", "status", "balance").collect()
+    )
+    snap_flat = extract_new_record_state(
+        accounts_snapshot(spark, sf_dir), delete_handling="drop"
+    )
+    expected = sorted(
+        (r.id, r.status, r.balance)
+        for r in merge_changes(snap_flat, phase2, ["id"]).collect()
+    )
+    assert got == expected
+    types = [(n["aggregate"], n["type"]) for n in notif.read()]
+    assert ("blocking_snapshot", "STARTED") in types
+    assert ("blocking_snapshot", "COMPLETED") in types
