@@ -46,7 +46,7 @@ def load_all() -> dict[str, Q]:
     import sys
     import traceback
 
-    for mod in ("cdc", "cdc2", "analytics", "textml", "multimodal"):
+    for mod in ("cdc", "cdc2", "analytics", "textml", "multimodal", "warehouse"):
         try:
             importlib.import_module(f"debezium_spark.suite.{mod}")
         except Exception:  # pragma: no cover - defensive

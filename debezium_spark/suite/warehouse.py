@@ -1,0 +1,313 @@
+"""Analytic-surface queries on the materialized tables (SURVEY §2.6).
+
+The reference has no joins/aggregations/windows; on Spark they arrive as
+built-ins and this engine exposes them on the tables the CDC layer
+materializes. These registrations prove that surface against the DuckDB
+oracle on the TPC-H-ish fixtures.
+
+Float discipline for aggregates: money columns are cast to DECIMAL **before
+summing** (decimal addition is exact and associative, so hash-agg ordering
+differences between engines can't change a bit); averages/ratios convert the
+exact decimal result to double at the very end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from debezium_spark.operators.asof import asof_join
+from debezium_spark.suite import register
+
+_DEC = "decimal(18,2)"
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# W1 — pricing summary (TPC-H Q1 shape: scan + hash agg, exact decimals)
+# ---------------------------------------------------------------------------
+@register(
+    "w1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def w1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — shipping-priority top-k (join + agg + rank: TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "w2_top_revenue_orders",
+    oracle="""
+    WITH rev AS (
+        SELECT o.o_orderkey,
+               strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY 1, 2
+    )
+    SELECT o_orderkey, orderdate, revenue,
+           CAST(row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS INT) AS rk
+    FROM rev
+    QUALIFY rk <= 10
+    """,
+)
+def w2_top_revenue_orders(spark, sf_dir):
+    """Broadcast the filtered dimension (customer segment), shuffle-agg the
+    fact side once, then a top-k window — the canonical star-join shape."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1) - F.col("l_discount").cast(_DEC))
+            ).cast("double").alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — forecast revenue (filter + global sum: TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "w3_revenue_filter",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def w3_revenue_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * F.col("l_discount").cast(_DEC)
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — windowed share-of-group (analytic window functions)
+# ---------------------------------------------------------------------------
+@register(
+    "w4_share_window",
+    oracle="""
+    WITH t AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS spend
+        FROM orders GROUP BY 1
+    )
+    SELECT o_custkey,
+           CAST(spend AS DOUBLE) AS spend,
+           round(CAST(spend AS DOUBLE)
+                 / CAST(sum(spend) OVER () AS DOUBLE), 8) AS share,
+           CAST(rank() OVER (ORDER BY spend DESC, o_custkey) AS INT) AS rk
+    FROM t
+    """,
+)
+def w4_share_window(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(28,2)").alias("spend")
+    )
+    wall = Window.partitionBy()
+    wrk = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        F.col("spend").cast("double").alias("spend"),
+        F.round(
+            F.col("spend").cast("double")
+            / F.sum("spend").over(wall).cast("double"),
+            8,
+        ).alias("share"),
+        F.rank().over(wrk).alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — rollup (grouping sets)
+# ---------------------------------------------------------------------------
+@register(
+    "w5_rollup_counts",
+    oracle="""
+    SELECT coalesce(r_name, '<all>') AS region,
+           coalesce(n_name, '<all>') AS nation,
+           count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def w5_rollup_counts(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    ).join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return (
+        joined.rollup("r_name", "n_name")
+        .count()
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            F.col("count").alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6 — set operations
+# ---------------------------------------------------------------------------
+@register(
+    "w6_set_ops",
+    oracle="""
+    SELECT c_custkey FROM customer
+    INTERSECT
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def w6_set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    from debezium_spark.sources.changefeed import _events
+
+    err = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("c_custkey"))
+    )
+    return c.intersect(o).exceptAll(err).distinct()
+
+
+# ---------------------------------------------------------------------------
+# W7 — exact + approximate distinct aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "w7_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY 1
+    """,
+)
+def w7_distinct_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W8 — as-of join (custom operator vs DuckDB's native ASOF JOIN)
+# ---------------------------------------------------------------------------
+@register(
+    "w8_asof_join",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns, event_type, value
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, epoch_ns(ts)
+                                   ORDER BY event_id DESC) = 1
+    ),
+    l AS (
+        SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) * 1000 AS od_ns
+        FROM orders
+    )
+    SELECT l.o_orderkey, l.o_custkey,
+           r.event_type AS event_type_asof, r.value AS value_asof
+    FROM l ASOF LEFT JOIN r
+      ON l.o_custkey = r.user_id AND l.od_ns >= r.ts_ns
+    """,
+)
+def w8_asof_join(spark, sf_dir):
+    """Temporal enrichment: each order picks up the latest event state at or
+    before its date. The union/window formulation costs one key shuffle
+    regardless of side sizes; DuckDB's native ASOF JOIN is the oracle."""
+    from debezium_spark.sources.changefeed import _events
+
+    ev = _events(spark, sf_dir).withColumn("ts_ns", F.col("ts"))
+    w_dedup = Window.partitionBy("user_id", "ts_ns").orderBy(
+        F.col("event_id").desc()
+    )
+    right = (
+        ev.withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts_ns", "event_type", "value")
+    )
+    left = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 1000).alias(
+            "od_ns"
+        ),
+    )
+    joined = asof_join(
+        left.withColumnRenamed("o_custkey", "user_id"),
+        right,
+        on=["user_id"],
+        left_ts="od_ns",
+        right_ts="ts_ns",
+        right_cols=["event_type", "value"],
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("user_id").alias("o_custkey"),
+        F.col("event_type_asof"),
+        F.col("value_asof"),
+    )
