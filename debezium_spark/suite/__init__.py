@@ -46,7 +46,15 @@ def load_all() -> dict[str, Q]:
     import sys
     import traceback
 
-    for mod in ("cdc", "cdc2", "analytics", "textml", "multimodal", "warehouse"):
+    for mod in (
+        "cdc",
+        "cdc2",
+        "analytics",
+        "textml",
+        "multimodal",
+        "warehouse",
+        "windows",
+    ):
         try:
             importlib.import_module(f"debezium_spark.suite.{mod}")
         except Exception:  # pragma: no cover - defensive

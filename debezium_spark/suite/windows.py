@@ -1,0 +1,141 @@
+"""Event-time windowed aggregation queries (tumbling / sliding / session).
+
+The reference has no event-time semantics (SURVEY §2.6); Structured
+Streaming provides them natively and this engine exposes them over the
+change stream's event time. Batch registrations here prove value semantics
+against DuckDB; the watermark/late-data *streaming* behavior is covered by
+tests/test_event_time.py.
+
+The event timestamp is rebuilt from the fixture's nanos column
+(`ts_utc = timestamp_micros(ts div 1000)`, sources/changefeed.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from debezium_spark.sources.changefeed import events_with_ts
+from debezium_spark.suite import register
+
+_DEC = "decimal(18,6)"
+
+
+# ---------------------------------------------------------------------------
+# E1 — tumbling windows
+# ---------------------------------------------------------------------------
+@register(
+    "e1_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def e1_tumbling_window(spark, sf_dir):
+    ev = events_with_ts(spark, sf_dir)
+    win = F.window(F.col("ts_utc"), "1 day")
+    return ev.groupBy(win, "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    ).select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2 — sliding windows (1 day every 12 hours → each event in 2 windows)
+# ---------------------------------------------------------------------------
+@register(
+    "e2_sliding_window",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(ts AS TIMESTAMP) AS t, value FROM events
+    ),
+    assigned AS (
+        SELECT to_timestamp(
+                   (epoch(t)::BIGINT // 43200) * 43200 - s.off
+               ) AS win_start,
+               t, value
+        FROM base,
+             (SELECT unnest([0, 43200]) AS off) s
+        WHERE epoch(to_timestamp((epoch(t)::BIGINT // 43200) * 43200 - s.off))
+              + 86400 > epoch(t)
+    )
+    SELECT strftime(win_start AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def e2_sliding_window(spark, sf_dir):
+    """window(ts, '1 day', '12 hours'): each event lands in the two sliding
+    windows covering it; the oracle materializes the same two bucket starts
+    arithmetically."""
+    ev = events_with_ts(spark, sf_dir)
+    win = F.window(F.col("ts_utc"), "1 day", "12 hours")
+    return ev.groupBy(win).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    ).select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "n",
+        "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3 — session windows (gaps-and-islands equivalence)
+# ---------------------------------------------------------------------------
+@register(
+    "e3_session_window",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+    ),
+    flagged AS (
+        SELECT user_id, t,
+               CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                         > INTERVAL 1 HOUR
+                    OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, t,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(t), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(t) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def e3_session_window(spark, sf_dir):
+    """session_window(ts, '1 hour') per user — Spark's native session
+    semantics (start = first event, end = last event + gap) checked against
+    the classic gaps-and-islands SQL formulation."""
+    ev = events_with_ts(spark, sf_dir)
+    sw = F.session_window(F.col("ts_utc"), "1 hour")
+    return ev.groupBy(sw, "user_id").agg(F.count("*").alias("n_events")).select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+    )

@@ -1,0 +1,79 @@
+"""Event-time semantics under streaming execution: watermarks close windows
+and drop late data (append mode) — the behavior the batch window queries
+(suite/windows.py) can't show.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _write_chunk(spark, rows, path, seq):
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    tmp = f"{path}/__tmp_{seq}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    data = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    final = f"{path}/chunk_{seq:03d}.parquet"
+    os.replace(os.path.join(tmp, data), final)
+    import shutil
+
+    shutil.rmtree(tmp)
+    mtime = time.time() + seq * 0.01
+    os.utime(final, (mtime, mtime))
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    t = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    # Batch 1: three events inside the 10:00-10:30 window.
+    _write_chunk(
+        spark,
+        [(1, t(10, 0), 1.0), (1, t(10, 10), 1.0), (2, t(10, 20), 1.0)],
+        feed,
+        0,
+    )
+    # Batch 2: an 11:05 event pushes the watermark to 10:55.
+    _write_chunk(spark, [(3, t(11, 5), 1.0)], feed, 1)
+    # Batch 3: watermark propagation — Spark's late-event filter uses the
+    # PREVIOUS batch's watermark (watermarkForLateEvents), so one more batch
+    # must pass before 10:55 gates late arrivals; eviction (with the current
+    # watermark) emits the closed 10:00 window during this batch.
+    _write_chunk(spark, [(4, t(11, 6), 1.0)], feed, 2)
+    # Batch 4: a 10:15 straggler arrives BEHIND the late-event watermark →
+    # dropped (it would otherwise re-open the already-emitted window).
+    _write_chunk(spark, [(9, t(10, 15), 99.0)], feed, 3)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_windows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = {
+        r["window"]["start"].strftime("%H:%M"): (r["n"], r["sv"])
+        for r in spark.sql("SELECT * FROM wm_windows").collect()
+    }
+    # The 10:00 window emitted exactly once, WITHOUT the late straggler
+    # (n=3, sum=3.0 — not 4/102.0). The 11:00 window is still open (append
+    # mode emits only closed windows), so it's absent.
+    assert rows == {"10:00": (3, 3.0)}
