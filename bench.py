@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline queries: the flagship CDC materialization path, the heaviest
-# stateful/windowed operators, and the LLM-pipeline operators.
+# stateful/windowed operators, the LLM-pipeline operators, and the
+# analytic surface (joins/aggs/windows/as-of).
 HEADLINE = [
     "k1_merge_upsert",
     "k4_reduce_last_per_key",
@@ -32,6 +33,12 @@ HEADLINE = [
     "x8_simhash",
     "a2_knn_bruteforce",
     "a4_field_to_embedding",
+    "a6_cosine_near_dup",
+    "w1_pricing_summary",
+    "w2_top_revenue_orders",
+    "w8_asof_join",
+    "e1_tumbling_window",
+    "e3_session_window",
 ]
 
 

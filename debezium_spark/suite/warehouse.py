@@ -311,3 +311,29 @@ def w8_asof_join(spark, sf_dir):
         F.col("event_type_asof"),
         F.col("value_asof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W9 — salted skew join (must equal the plain join)
+# ---------------------------------------------------------------------------
+@register(
+    "w9_salted_join",
+    oracle="""
+    SELECT e.event_id, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def w9_salted_join(spark, sf_dir):
+    """Hot-key defense: the skewed side salted n ways, the other side
+    replicated n ways (operators/skew.py) — result identical to the plain
+    join, shuffle fan-out per hot key n tasks instead of 1."""
+    from debezium_spark.operators.skew import salted_join
+    from debezium_spark.sources.changefeed import _events
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return salted_join(
+        ev, cust, ["user_id"], num_salts=8, salt_source="event_id"
+    ).select("event_id", "c_mktsegment")

@@ -1,0 +1,107 @@
+"""CdcEngine builder facade, DLQ quarantine writer, salted join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.engine import CdcEngine
+from debezium_spark.operators.skew import salted_join
+from debezium_spark.sinks.dlq import (
+    DeadLetterQueue,
+    ProcessingFailure,
+    handle_failures,
+)
+from debezium_spark.sources.changefeed import accounts_changefeed, accounts_snapshot
+from debezium_spark.streaming import replay_feed
+
+
+def test_engine_builder_end_to_end(spark, sf_dir, tmp_path):
+    env = accounts_changefeed(spark, sf_dir)
+    feed = str(tmp_path / "feed")
+    replay_feed(env, feed, num_chunks=2)
+
+    pipe = (
+        CdcEngine(spark)
+        .source(feed_dir=feed, envelope_schema=env.schema)
+        .snapshot(accounts_snapshot(spark, sf_dir))
+        .sink(path=str(tmp_path / "target"), pk_cols=["id"], num_buckets=4)
+        .checkpoint(str(tmp_path / "ckpt"))
+        .build()
+    )
+    pipe.run_available()
+
+    from debezium_spark.suite import load_all
+
+    expected = sorted(
+        (r.id, r.status, r.balance)
+        for r in load_all()["k1_merge_upsert"].fn(spark, sf_dir).collect()
+    )
+    got = sorted(
+        (r.id, r.status, r.balance)
+        for r in pipe.sink.read().select("id", "status", "balance").collect()
+    )
+    assert got == expected
+
+
+def test_engine_notifying_consumer(spark, sf_dir, tmp_path):
+    env = accounts_changefeed(spark, sf_dir)
+    feed = str(tmp_path / "feed")
+    replay_feed(env, feed, num_chunks=3)
+    seen = []
+    pipe = (
+        CdcEngine(spark)
+        .source(feed_dir=feed, envelope_schema=env.schema)
+        .transform(lambda df: df.filter(F.col("op") == "c"))
+        .notifying(lambda batch, epoch: seen.append(batch.count()))
+        .checkpoint(str(tmp_path / "ckpt"))
+        .build()
+    )
+    pipe.run_available()
+    assert len(seen) >= 3
+    assert sum(seen) == env.filter(F.col("op") == "c").count()
+
+
+def test_engine_builder_validates():
+    with pytest.raises(ValueError, match="source"):
+        CdcEngine(None).build()
+
+
+def test_dlq_quarantine_and_modes(spark, sf_dir, tmp_path):
+    ev = accounts_changefeed(spark, sf_dir)
+    dlq = DeadLetterQueue(spark, str(tmp_path / "dlq"))
+    valid = F.col("key.id") % 10 != 3  # deterministic poison subset
+
+    good = handle_failures(ev, valid, mode="skip", dlq=dlq, reason="neg balance",
+                           epoch_id=7)
+    n_bad = ev.filter(~valid).count()
+    assert good.count() == ev.count() - n_bad
+    q = dlq.read()
+    assert q.count() == n_bad
+    assert set(q.select("__error").distinct().toPandas()["__error"]) == {
+        "neg balance"
+    }
+    assert q.select("__epoch").first()[0] == 7
+
+    with pytest.raises(ProcessingFailure):
+        handle_failures(ev, valid, mode="fail")
+
+    warnings = []
+    handle_failures(ev, valid, mode="warn", dlq=dlq, warn=warnings.append)
+    assert warnings
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = ev.join(cust, "user_id").select("event_id", "c_mktsegment")
+    salted = salted_join(
+        ev, cust, ["user_id"], num_salts=8, salt_source="event_id"
+    ).select("event_id", "c_mktsegment")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
