@@ -1,0 +1,74 @@
+"""§1.3 config-driven value-handling modes (the decoder cast layer).
+
+Reference:
+* ``DecimalHandlingMode`` precise/double/string —
+  debezium-connector-common/.../relational/RelationalDatabaseConnectorConfig.java:69
+* ``BinaryHandlingMode`` bytes/base64/hex —
+  .../config/CommonConnectorConfig.java:213
+* ``TemporalPrecisionMode`` adaptive/µs/isostring/connect —
+  .../jdbc/TemporalPrecisionMode.java:31-59
+
+In the reference these modes steer ``JdbcValueConverters`` (1,558 LoC of
+java.sql.Types dispatch); on Spark each mode is a single cast/encoding
+expression applied in the decode projection — the whole class collapses to
+this module (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def decimal_mode(col: Column, mode: str, *, precision: int = 18, scale: int = 2) -> Column:
+    """precise → DecimalType (exact); double → float64; string → display text."""
+    if mode == "precise":
+        return col.cast(f"decimal({precision},{scale})")
+    if mode == "double":
+        return col.cast("double")
+    if mode == "string":
+        return col.cast(f"decimal({precision},{scale})").cast("string")
+    raise ValueError(f"unknown decimal handling mode: {mode}")
+
+
+def binary_mode(col: Column, mode: str) -> Column:
+    """bytes → BinaryType passthrough; base64/hex → encoded strings."""
+    if mode == "bytes":
+        return col
+    if mode == "base64":
+        return F.base64(col)
+    if mode == "hex":
+        return F.lower(F.hex(col))
+    raise ValueError(f"unknown binary handling mode: {mode}")
+
+
+def temporal_mode(ts_micros: Column, mode: str) -> Column:
+    """From a µs-since-epoch axis: adaptive → TIMESTAMP; microseconds →
+    int64 µs (MicroTimestamp); isostring → ISO-8601 text; connect →
+    int64 millis (Kafka Connect Timestamp)."""
+    if mode == "adaptive":
+        return F.timestamp_micros(ts_micros)
+    if mode == "microseconds":
+        return ts_micros.cast("long")
+    if mode == "isostring":
+        return F.date_format(
+            F.timestamp_micros(ts_micros), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+        )
+    if mode == "connect":
+        return (ts_micros / 1000).cast("long")
+    raise ValueError(f"unknown temporal precision mode: {mode}")
+
+
+def table_include_exclude(
+    df, *, table_col: str = "source.table",
+    include: str | None = None, exclude: str | None = None,
+):
+    """§1.2 RelationalTableFilters (.../relational/RelationalTableFilters.java:42-59):
+    regex include/exclude over the captured-table axis, applied as an early
+    filter so it rides the scan."""
+    out = df
+    if include is not None:
+        out = out.filter(F.col(table_col).rlike(include))
+    if exclude is not None:
+        out = out.filter(~F.col(table_col).rlike(exclude))
+    return out

@@ -593,3 +593,77 @@ def k7_naming_strategy(spark, sf_dir):
         collection_name(F.col("topic"), style="snake").alias("snake_name"),
         collection_name(F.col("topic"), style="upper").alias("upper_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# H1 — §1.3 value-handling modes (decimal / binary / temporal)
+# ---------------------------------------------------------------------------
+@register(
+    "h1_handling_modes",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS dec_double,
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS dec_string,
+           to_base64(unhex(substr(md5(CAST(event_id AS VARCHAR)), 1, 16))) AS bin_b64,
+           substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS bin_hex,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_micro,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%fZ') AS ts_iso,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_connect
+    FROM events
+    WHERE event_id % 10 = 0
+    """,
+)
+def h1_handling_modes(spark, sf_dir):
+    """DecimalHandlingMode / BinaryHandlingMode / TemporalPrecisionMode as
+    decode-projection casts (the JdbcValueConverters dispatch collapsed,
+    SURVEY §1.3)."""
+    from debezium_spark.operators.handling import (
+        binary_mode,
+        decimal_mode,
+        temporal_mode,
+    )
+    from debezium_spark.sources.changefeed import _events
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
+    blob = F.unhex(F.substring(F.md5(F.col("event_id").cast("string")), 1, 16))
+    ts_us = F.expr("ts div 1000")
+    return ev.select(
+        "event_id",
+        decimal_mode(F.col("value"), "double").alias("dec_double"),
+        decimal_mode(F.col("value"), "string").alias("dec_string"),
+        binary_mode(blob, "base64").alias("bin_b64"),
+        binary_mode(blob, "hex").alias("bin_hex"),
+        temporal_mode(ts_us, "microseconds").alias("ts_micro"),
+        temporal_mode(ts_us, "isostring").alias("ts_iso"),
+        temporal_mode(ts_us, "connect").alias("ts_connect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# H2 — §1.2 table include/exclude filters on a multiplexed stream
+# ---------------------------------------------------------------------------
+@register(
+    "h2_table_filters",
+    oracle="""
+    SELECT user_id AS id, event_id AS pos, 'accounts' AS tbl FROM events
+    WHERE event_id % 3 != 0
+    """,
+)
+def h2_table_filters(spark, sf_dir):
+    """RelationalTableFilters: regex include/exclude over a multiplexed
+    (multi-table) change stream; the filter applies before any wide op."""
+    from debezium_spark.operators.handling import table_include_exclude
+    from debezium_spark.sources.changefeed import _events
+
+    ev = _events(spark, sf_dir)
+    # Multiplexed stand-in: route a third of events to an 'audit' table.
+    muxed = ev.select(
+        F.col("user_id").alias("id"),
+        F.col("event_id").alias("pos"),
+        F.when(F.col("event_id") % 3 == 0, "audit_log")
+        .otherwise("accounts")
+        .alias("tbl"),
+    )
+    return table_include_exclude(
+        muxed, table_col="tbl", include="^acc.*", exclude="audit.*"
+    )
