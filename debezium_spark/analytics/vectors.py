@@ -38,9 +38,19 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine of two float vectors via in-order double folds (portable)."""
     da, db = _dvec(a), _dvec(b)
     dot = _fold_sum(F.zip_with(da, db, lambda x, y: x * y))
-    na = F.sqrt(_fold_sum(F.transform(da, lambda x: x * x)))
-    nb = F.sqrt(_fold_sum(F.transform(db, lambda x: x * x)))
-    return dot / (na * nb)
+    return dot / (l2_norm(a) * l2_norm(b))
+
+
+def l2_norm(a: Column) -> Column:
+    """L2 norm as the same in-order fold the oracle uses. In join paths,
+    compute this per ROW before the join (see knn_*) — recomputing both
+    norms per PAIR triples the fold work for nothing."""
+    da = _dvec(a)
+    return F.sqrt(_fold_sum(F.transform(da, lambda x: x * x)))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(_dvec(a), _dvec(b), lambda x, y: x * y))
 
 
 def knn_bruteforce(
@@ -59,15 +69,23 @@ def knn_bruteforce(
     |corpus|·|queries| slim rows. For large query sets use :func:`knn_lsh`.
     """
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
     )
     c = vectors.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        l2_norm(F.col(vec_col)).alias("nnorm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("nid") != F.col("qid"))
-        .withColumn("sim", cosine_similarity(F.col("qvec"), F.col("nvec")))
+        .withColumn(
+            "sim",
+            dot_product(F.col("qvec"), F.col("nvec"))
+            / (F.col("qnorm") * F.col("nnorm")),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
@@ -104,17 +122,23 @@ def knn_lsh(
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
         sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     c = vectors.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nvec"),
+        l2_norm(F.col(vec_col)).alias("nnorm"),
         sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("nid") != F.col("qid"))
-        .withColumn("sim", cosine_similarity(F.col("qvec"), F.col("nvec")))
+        .withColumn(
+            "sim",
+            dot_product(F.col("qvec"), F.col("nvec"))
+            / (F.col("qnorm") * F.col("nnorm")),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
