@@ -1,0 +1,83 @@
+"""MERGE edge semantics from SURVEY §7.3: PK-change updates (d on old key +
+c on new key in ONE batch) and empty/degenerate batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_spark.sinks.merge import ParquetMergeSink
+from debezium_spark.sources.changefeed import accounts_changefeed
+
+
+def _mk_event(env, *, key_id, op, pos, status="gold", balance=1.0):
+    """Build a one-row envelope by rewriting a template row."""
+    row = env.limit(1)
+    after = F.when(
+        F.lit(op).isin("c", "u", "r"),
+        F.struct(
+            F.lit(key_id).cast("long").alias("id"),
+            F.lit(status).alias("status"),
+            F.lit(balance).cast("double").alias("balance"),
+        ),
+    )
+    before = F.when(
+        F.lit(op).isin("u", "d"),
+        F.struct(
+            F.lit(key_id).cast("long").alias("id"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("double").alias("balance"),
+        ),
+    )
+    return row.select(
+        F.struct(F.lit(key_id).cast("long").alias("id")).alias("key"),
+        before.alias("before"),
+        after.alias("after"),
+        F.lit(op).alias("op"),
+        F.col("source").withField("pos", F.lit(pos).cast("long")).alias("source"),
+        F.col("transaction"),
+        F.col("ts_ms"),
+    )
+
+
+def test_pk_change_update_applies_both_halves(spark, sf_dir, tmp_path):
+    """An UPDATE that changes the primary key arrives as DELETE(old) +
+    CREATE(new) in the same batch (RelationalChangeRecordEmitter.java:123-131)
+    — after the merge the old key is gone and the new key exists."""
+    env = accounts_changefeed(spark, sf_dir)
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+
+    seed = _mk_event(env, key_id=777001, op="c", pos=1, status="orig")
+    sink.write_batch(seed)
+
+    pk_change = _mk_event(env, key_id=777001, op="d", pos=100).unionByName(
+        _mk_event(env, key_id=777002, op="c", pos=101, status="moved")
+    )
+    sink.write_batch(pk_change)
+
+    rows = {r.id: r.status for r in sink.read().collect()}
+    assert 777001 not in rows
+    assert rows[777002] == "moved"
+
+
+def test_empty_and_tombstone_only_batches_are_noops(spark, sf_dir, tmp_path):
+    env = accounts_changefeed(spark, sf_dir)
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), ["id"], num_buckets=4)
+    sink.write_batch(_mk_event(env, key_id=1, op="c", pos=1))
+    before = sorted(map(tuple, sink.read().collect()))
+
+    sink.write_batch(env.limit(0))  # empty batch
+    assert sorted(map(tuple, sink.read().collect())) == before
+
+    # Tombstone: key present, everything else null (op = null).
+    tomb = env.limit(1).select(
+        F.struct(F.lit(1).cast("long").alias("id")).alias("key"),
+        F.lit(None).cast(env.schema["before"].dataType).alias("before"),
+        F.lit(None).cast(env.schema["after"].dataType).alias("after"),
+        F.lit(None).cast("string").alias("op"),
+        F.col("source"),
+        F.col("transaction"),
+        F.col("ts_ms"),
+    )
+    sink.write_batch(tomb)
+    assert sorted(map(tuple, sink.read().collect())) == before
