@@ -54,6 +54,20 @@ def incremental_snapshot(
     """
     from debezium_spark.operators.reduce import reduce_last_per_key
 
+    if {"key", "op", "source"}.issubset(set(stream_df.columns)):
+        # Envelope input (the engine's own changefeed): flatten to the
+        # documented contract — pk/value columns + op + pos.
+        value_fields = [f.name for f in stream_df.schema["after"].dataType.fields]
+        stream_df = stream_df.select(
+            *[F.col(f"key.{c}").alias(c) for c in pk_cols],
+            *[
+                F.col(f"after.{c}").alias(c)
+                for c in value_fields
+                if c not in pk_cols
+            ],
+            "op",
+            F.col("source.pos").alias(pos_col),
+        )
     latest = reduce_last_per_key(
         stream_df, tuple(pk_cols), order_col=pos_col
     )

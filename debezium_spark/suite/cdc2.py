@@ -667,3 +667,99 @@ def h2_table_filters(spark, sf_dir):
     return table_include_exclude(
         muxed, table_col="tbl", include="^acc.*", exclude="audit.*"
     )
+
+
+# ---------------------------------------------------------------------------
+# S7 — binlog event dispatch table
+# ---------------------------------------------------------------------------
+@register(
+    "s7_binlog_dispatch",
+    oracle="""
+    WITH raw AS (
+        SELECT event_id,
+               CASE event_type WHEN 'signup' THEN 'WRITE_ROWS'
+                               WHEN 'error' THEN 'DELETE_ROWS'
+                               WHEN 'purchase' THEN 'UPDATE_ROWS'
+                               WHEN 'click' THEN (CASE WHEN event_id % 50 = 0
+                                                       THEN 'XID' ELSE 'UPDATE_ROWS' END)
+                               ELSE (CASE WHEN event_id % 97 = 0 THEN 'QUERY'
+                                          ELSE 'UPDATE_ROWS' END) END AS event_kind
+        FROM events
+    )
+    SELECT event_id, event_kind,
+           CASE event_kind WHEN 'WRITE_ROWS' THEN 'data'
+                           WHEN 'UPDATE_ROWS' THEN 'data'
+                           WHEN 'DELETE_ROWS' THEN 'data'
+                           WHEN 'QUERY' THEN 'schema'
+                           WHEN 'XID' THEN 'tx_commit'
+                           ELSE 'skip' END AS route,
+           CASE event_kind WHEN 'WRITE_ROWS' THEN 'c'
+                           WHEN 'UPDATE_ROWS' THEN 'u'
+                           WHEN 'DELETE_ROWS' THEN 'd' END AS op
+    FROM raw
+    """,
+)
+def s7_binlog_dispatch(spark, sf_dir):
+    """The binlog handler dispatch table
+    (BinlogStreamingChangeEventSource.java:201-222): raw event kinds
+    synthesized from the feed, routed to data/schema/tx-commit streams with
+    op codes — one scan feeds every route."""
+    from debezium_spark.sources.changefeed import _events
+    from debezium_spark.sources.decode import binlog_dispatch
+
+    ev = _events(spark, sf_dir)
+    raw = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "signup", "WRITE_ROWS")
+        .when(F.col("event_type") == "error", "DELETE_ROWS")
+        .when(F.col("event_type") == "purchase", "UPDATE_ROWS")
+        .when(
+            F.col("event_type") == "click",
+            F.when(F.col("event_id") % 50 == 0, "XID").otherwise("UPDATE_ROWS"),
+        )
+        .otherwise(
+            F.when(F.col("event_id") % 97 == 0, "QUERY").otherwise("UPDATE_ROWS")
+        )
+        .alias("event_kind"),
+    )
+    return binlog_dispatch(raw)
+
+
+# ---------------------------------------------------------------------------
+# S8 — pgoutput-style text message decode (round trip)
+# ---------------------------------------------------------------------------
+@register(
+    "s8_pgoutput_decode",
+    oracle="""
+    SELECT event_id,
+           CASE event_type WHEN 'signup' THEN 'I'
+                           WHEN 'error' THEN 'D' ELSE 'U' END AS op_code,
+           'accounts' AS "table",
+           user_id AS id,
+           event_type AS status,
+           value AS balance
+    FROM events
+    """,
+)
+def s8_pgoutput_decode(spark, sf_dir):
+    """Logical-decoding text messages round-tripped: the feed renders
+    test-decoding-style lines, the decoder parses them back with one regexp
+    projection (PgOutputMessageDecoder.java:84-113). Balance survives the
+    text round trip because Spark renders doubles shortest-repr and casts
+    them back exactly."""
+    from debezium_spark.sources.changefeed import _events
+    from debezium_spark.sources.decode import decode_pgoutput, format_pgoutput_line
+
+    ev = _events(spark, sf_dir)
+    msg = format_pgoutput_line(
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U"),
+        F.lit("accounts"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    lines = ev.select("event_id", msg.alias("msg"))
+    out = decode_pgoutput(lines)
+    return out.select("event_id", "op_code", "table", "id", "status", "balance")
