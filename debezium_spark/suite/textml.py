@@ -357,3 +357,56 @@ def x10_word_ngram_jaccard(spark, sf_dir):
     return joined.select("a", "b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= 0.2
     )
+
+
+# ---------------------------------------------------------------------------
+# X11 — end-to-end corpus curation: quality gate → exact dedup → near-dedup
+# ---------------------------------------------------------------------------
+@register(
+    "x11_corpus_pipeline",
+    oracle=f"""
+    WITH {_SIG_CTE}, {_BANDS_CTE},
+    pairs AS ({_PAIRS_SQL}),
+    sets AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sset FROM documents),
+    near AS (
+        SELECT p.b AS drop_id
+        FROM pairs p
+        JOIN sets sa ON sa.doc_id = p.a
+        JOIN sets sb ON sb.doc_id = p.b
+        WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE)
+              >= 0.5
+    ),
+    quality AS (
+        SELECT doc_id FROM documents
+        WHERE len({_TOKS}) BETWEEN 5 AND 1000
+    ),
+    exact AS (
+        SELECT min(doc_id) AS doc_id
+        FROM (SELECT doc_id, {_ohash(_NORM, "fp:")} AS fp FROM documents)
+        WHERE doc_id IN (SELECT doc_id FROM quality)
+        GROUP BY fp
+    )
+    SELECT doc_id FROM exact
+    WHERE doc_id NOT IN (SELECT drop_id FROM near)
+    """,
+)
+def x11_corpus_pipeline(spark, sf_dir):
+    """The full training-corpus curation DAG in one plan: quality gate →
+    exact dedup (keep lowest id per fingerprint) → near-dup removal (drop
+    the higher id of each verified pair). Each stage is one of the already-
+    verified operators; this query checks their COMPOSITION — the shape a
+    real 100 TB curation job runs nightly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    quality = text_stats(docs).filter(
+        (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 1000)
+    ).select("doc_id")
+    gated = docs.join(quality, "doc_id", "left_semi")
+
+    kept_exact = exact_dedup(gated).select("doc_id")
+
+    near = near_dup_pairs(docs, threshold=0.5).select(
+        F.col("b").alias("doc_id")
+    ).distinct()
+    return kept_exact.join(near, "doc_id", "left_anti")

@@ -81,3 +81,22 @@ def test_empty_and_tombstone_only_batches_are_noops(spark, sf_dir, tmp_path):
     )
     sink.write_batch(tomb)
     assert sorted(map(tuple, sink.read().collect())) == before
+
+
+def test_merge_is_order_insensitive_to_batch_row_order(spark, sf_dir, tmp_path):
+    """Ordering comes from source.pos, never batch row order (SURVEY §7.3):
+    shuffling the batch's physical row order must not change the result."""
+    from debezium_spark.sinks.merge import merge_changes
+    from debezium_spark.operators.unwrap import extract_new_record_state
+    from debezium_spark.sources.changefeed import accounts_snapshot
+
+    env = accounts_changefeed(spark, sf_dir)
+    target = extract_new_record_state(
+        accounts_snapshot(spark, sf_dir), delete_handling="drop"
+    )
+    straight = merge_changes(target, env, ["id"])
+    shuffled_env = env.orderBy(F.rand(seed=42))
+    shuffled = merge_changes(target, shuffled_env, ["id"])
+    assert sorted(map(tuple, straight.collect())) == sorted(
+        map(tuple, shuffled.collect())
+    )
