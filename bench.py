@@ -68,6 +68,10 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # Streaming-pipeline throughput (BASELINE targets: >=2048 events per
+    # micro-batch sustained; snapshot read parallelism >= 4).
+    pipeline_stats = _pipeline_throughput(spark)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_total",
@@ -75,7 +79,64 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        **pipeline_stats,
     }))
+
+
+def _pipeline_throughput(spark) -> dict:
+    """End-to-end CDC pipeline at the current SF: snapshot (>=4 partitions)
+    then the change feed replayed in 4096-event files through
+    readStream -> foreachBatch MERGE with checkpointing."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sinks.merge import ParquetMergeSink
+    from debezium_spark.sources.changefeed import (
+        accounts_changefeed,
+        accounts_snapshot,
+    )
+    from debezium_spark.streaming import ChangeDataPipeline, replay_feed
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        env = accounts_changefeed(spark, SF_DIR)
+        n_events = env.count()
+        batch_events = 4096
+        num_chunks = max(1, n_events // batch_events)
+
+        snap = accounts_snapshot(spark, SF_DIR).repartition(8)
+        sink = ParquetMergeSink(spark, f"{tmp}/target", ["id"], num_buckets=16)
+        pipe = ChangeDataPipeline(
+            spark,
+            feed_dir=f"{tmp}/feed",
+            envelope_schema=env.schema,
+            sink=sink,
+            checkpoint_dir=f"{tmp}/ckpt",
+            max_files_per_trigger=1,
+        )
+        t0 = time.time()
+        pipe.run_snapshot(snap)
+        snap_sec = time.time() - t0
+
+        replay_feed(env, f"{tmp}/feed", num_chunks=num_chunks)
+        t0 = time.time()
+        pipe.run_available()
+        stream_sec = time.time() - t0
+        return {
+            "pipeline": {
+                "events": n_events,
+                "events_per_batch": n_events // max(1, pipe.batches_seen),
+                "batches": pipe.batches_seen,
+                "snapshot_partitions": snap.rdd.getNumPartitions(),
+                "snapshot_sec": round(snap_sec, 3),
+                "stream_sec": round(stream_sec, 3),
+                "events_per_sec": round(n_events / max(stream_sec, 1e-9)),
+            }
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

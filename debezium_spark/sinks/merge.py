@@ -136,9 +136,17 @@ class ParquetMergeSink:
 
     def _read_target(self, like_df: DataFrame) -> DataFrame:
         if os.path.exists(self.path):
-            # mergeSchema: buckets rewritten after a schema evolution carry
-            # the new columns while untouched buckets don't.
-            return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+            # Explicit schema (event schema + bucket column): no footer
+            # merging pass, and buckets written before a schema evolution
+            # read the new columns as NULL — same effect as mergeSchema at
+            # a fraction of the planning cost.
+            import pyspark.sql.types as T
+
+            schema = T.StructType(
+                [*like_df.schema.fields,
+                 T.StructField(BUCKET_COL, T.IntegerType())]
+            )
+            return self.spark.read.schema(schema).parquet(self.path)
         return like_df.limit(0).withColumn(BUCKET_COL, F.lit(0))
 
     def write_batch(self, env_batch: DataFrame, epoch_id: int | None = None) -> None:
@@ -153,20 +161,26 @@ class ParquetMergeSink:
                         c, F.lit(None).cast(flat_like.schema[c].dataType)
                     )
 
-        # Affected buckets: the Delta-MERGE-style pruning step. The set is
-        # bounded by num_buckets (driver cost O(num_buckets), never O(rows)).
-        has_truncate = not env_batch.filter(F.col("op") == OP_TRUNCATE).isEmpty()
+        # Affected buckets + truncate flag in ONE aggregation job: the
+        # Delta-MERGE-style pruning step, driver cost O(num_buckets), never
+        # O(rows).
+        stats = env_batch.agg(
+            F.max(
+                F.when(F.col("op") == OP_TRUNCATE, 1).otherwise(0)
+            ).alias("has_trunc"),
+            F.collect_set(
+                F.pmod(
+                    F.hash(*[F.col(f"key.{c}") for c in self.pk_cols]),
+                    F.lit(self.num_buckets),
+                )
+            ).alias("buckets"),
+        ).collect()[0]
+        has_truncate = bool(stats["has_trunc"])
         if has_truncate:
             affected = None  # whole table rewrite (truncate clears it anyway)
             target_sub = target.drop(BUCKET_COL)
         else:
-            affected = [
-                r[0]
-                for r in env_batch.select(
-                    F.pmod(F.hash(*[F.col(f"key.{c}") for c in self.pk_cols]),
-                           F.lit(self.num_buckets)).alias("b")
-                ).distinct().collect()
-            ]
+            affected = stats["buckets"]
             # Partition filter → parquet reads only the touched buckets.
             target_sub = target.filter(
                 F.col(BUCKET_COL).isin(affected)
