@@ -195,28 +195,36 @@ class ParquetMergeSink:
         )
         out = merged.withColumn(BUCKET_COL, self._bucket_of())
 
-        # Idempotent rewrite of only the touched partitions: localCheckpoint
-        # breaks lineage on the files being replaced, and an empty partition
-        # is re-written explicitly so a bucket whose last row was deleted
-        # does not keep stale data (dynamic overwrite skips absent keys).
-        out = out.localCheckpoint(eager=True)
-        writer = out.write.mode("overwrite")
-        if has_truncate or not os.path.exists(self.path):
-            writer.partitionBy(BUCKET_COL).parquet(self.path)
-        else:
-            writer.option("partitionOverwriteMode", "dynamic").partitionBy(
-                BUCKET_COL
-            ).parquet(self.path)
-            # A bucket whose rows were all deleted produces no output
-            # partition, and dynamic overwrite leaves absent partitions
-            # untouched — drop those directories so stale rows don't revive.
-            import shutil
+        # Stage-then-swap: ONE job writes the merged buckets to a staging
+        # dir (reading the live target is safe — nothing is overwritten),
+        # then bucket directories move into place with driver fs renames.
+        # This replaces the localCheckpoint + dynamic-overwrite + cleanup
+        # job chain (2 jobs/batch total instead of 4), stays idempotent
+        # (a replayed batch re-derives the same buckets), and the written
+        # bucket set falls out of listdir for free — a bucket whose rows
+        # were all deleted is simply removed so stale data can't revive.
+        import shutil
 
-            written = {r[0] for r in out.select(BUCKET_COL).distinct().collect()}
-            for b in set(affected) - written:
-                pdir = os.path.join(self.path, f"{BUCKET_COL}={b}")
-                if os.path.isdir(pdir):
-                    shutil.rmtree(pdir)
+        staging = f"{self.path}.staging-{epoch_id if epoch_id is not None else 'x'}"
+        shutil.rmtree(staging, ignore_errors=True)
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+
+        if has_truncate or not os.path.exists(self.path):
+            shutil.rmtree(self.path, ignore_errors=True)
+            os.replace(staging, self.path)
+            return
+        written = set()
+        for entry in os.listdir(staging):
+            if entry.startswith(f"{BUCKET_COL}="):
+                written.add(int(entry.split("=", 1)[1]))
+                dst = os.path.join(self.path, entry)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(os.path.join(staging, entry), dst)
+        for b in set(affected) - written:
+            pdir = os.path.join(self.path, f"{BUCKET_COL}={b}")
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir)
+        shutil.rmtree(staging, ignore_errors=True)
 
     def read(self) -> DataFrame:
         """The materialized table (without the bucketing column)."""

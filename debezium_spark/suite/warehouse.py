@@ -337,3 +337,58 @@ def w9_salted_join(spark, sf_dir):
     return salted_join(
         ev, cust, ["user_id"], num_salts=8, salt_source="event_id"
     ).select("event_id", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# W10 — percentiles (continuous interpolation)
+# ---------------------------------------------------------------------------
+@register(
+    "w10_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def w10_percentiles(spark, sf_dir):
+    """Exact continuous percentiles (linear interpolation — the same
+    formula in both engines, so values match to the bit before the display
+    round)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W11 — pivot (dimension → columns)
+# ---------------------------------------------------------------------------
+@register(
+    "w11_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def w11_pivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F").alias("qty_F"),
+        F.col("O").alias("qty_O"),
+    )
