@@ -123,6 +123,8 @@ class ParquetMergeSink:
         insert_mode: str = "upsert",
         schema_evolution: str = "basic",
         num_buckets: int = 16,
+        schema_registry=None,
+        table_name: str = "target",
     ):
         self.spark = spark
         self.path = path
@@ -130,6 +132,9 @@ class ParquetMergeSink:
         self.insert_mode = insert_mode
         self.schema_evolution = schema_evolution
         self.num_buckets = num_buckets
+        self.schema_registry = schema_registry
+        self.table_name = table_name
+        self._schema_version = 0
 
     def _bucket_of(self) -> F.Column:
         return F.pmod(F.hash(*self.pk_cols), F.lit(self.num_buckets))
@@ -155,11 +160,33 @@ class ParquetMergeSink:
         )
         target = self._read_target(flat_like)
         if self.schema_evolution == "basic":
-            for c in flat_like.columns:
-                if c not in target.columns:
-                    target = target.withColumn(
-                        c, F.lit(None).cast(flat_like.schema[c].dataType)
-                    )
+            # Evolution detection against the ON-DISK schema (one footer
+            # read) — the schema-filled target read above can't show it.
+            if os.path.exists(self.path):
+                disk_cols = {
+                    f.name for f in self.spark.read.parquet(self.path).schema.fields
+                }
+            else:
+                disk_cols = set(flat_like.columns)
+            added = [c for c in flat_like.columns if c not in disk_cols]
+            for c in added:
+                target = target.withColumn(
+                    c, F.lit(None).cast(flat_like.schema[c].dataType)
+                )
+            if added and self.schema_registry is not None:
+                # K6 → schema history: record the evolved column set keyed
+                # by this batch's position (SchemaHistory.record,
+                # SchemaHistory.java:183-224).
+                self._schema_version += 1
+                pos = (
+                    env_batch.agg(F.min("source.pos")).collect()[0][0] or 0
+                )
+                self.schema_registry.record(
+                    self.table_name,
+                    self._schema_version,
+                    [*target.columns],
+                    int(pos),
+                )
 
         # Affected buckets + truncate flag in ONE aggregation job: the
         # Delta-MERGE-style pruning step, driver cost O(num_buckets), never

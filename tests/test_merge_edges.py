@@ -100,3 +100,37 @@ def test_merge_is_order_insensitive_to_batch_row_order(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, straight.collect())) == sorted(
         map(tuple, shuffled.collect())
     )
+
+
+def test_schema_evolution_records_to_registry(spark, sf_dir, tmp_path):
+    """K6 wired to the schema-history registry: a mid-stream column add
+    appends a version row; schema_at() recovers the evolved column list."""
+    from debezium_spark.schema.history import SchemaRegistry
+
+    env = accounts_changefeed(spark, sf_dir)
+    reg = SchemaRegistry(spark, str(tmp_path / "registry"))
+    sink = ParquetMergeSink(
+        spark, str(tmp_path / "t"), ["id"], num_buckets=4,
+        schema_registry=reg, table_name="accounts",
+    )
+    sink.write_batch(_mk_event(env, key_id=1, op="c", pos=1))
+
+    evolved = _mk_event(env, key_id=2, op="c", pos=50).withColumn(
+        "after", F.col("after").withField("tier", F.lit("T1"))
+    ).withColumn(
+        "before",
+        F.when(
+            F.col("before").isNotNull(),
+            F.col("before").withField("tier", F.lit(None).cast("string")),
+        ),
+    )
+    sink.write_batch(evolved)
+
+    cols = reg.schema_at("accounts", 50)
+    assert "tier" in cols
+    hist = reg.recover().collect()
+    assert len(hist) == 1 and hist[0]["valid_from_pos"] == 50
+    got = sink.read()
+    assert "tier" in got.columns
+    rows = {r.id: r.tier for r in got.collect()}
+    assert rows[2] == "T1" and rows[1] is None
