@@ -185,45 +185,76 @@ def oracle_shingles(expr: str, k: int = 5) -> str:
     )
 
 
+# MinHash arithmetic scheme (shared with the DuckDB oracle — the SQL is
+# generated from these same constants): shingle base hash = degree-(k-1)
+# polynomial over char codes with base 131 mod P; hash function j is the
+# 2-universal affine map (A_j·base + B_j) mod P. Pure 64-bit integer
+# arithmetic — bit-identical across engines and ~7× faster than md5.
+MINHASH_PRIME = 1_000_000_007
+SHINGLE_POLY_BASE = 131
+MINHASH_A = (
+    961748927, 982451653, 899809343, 824633749,
+    752882729, 678910987, 514229213, 433494437,
+)
+MINHASH_B = (
+    15485863, 32452843, 49979687, 67867967,
+    86028121, 104395301, 122949823, 141650939,
+)
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", num_hashes: int = 8, k: int = 5
 ) -> DataFrame:
     """K MinHash values per document over character k-shingles.
 
-    One row per document, computed map-side with no shuffle. Cost control
-    (this is the hot loop of 100 TB dedup): only TWO md5 calls per distinct
-    shingle — the K hash functions are 8-hex-char slices of md5(seedA‖s) ‖
-    md5(seedB‖s), and because fixed-width lowercase hex sorts like the
-    number, the per-slice min runs on the hex strings inside a single
-    aggregate fold (the md5 array expression appears exactly once, so
-    Catalyst cannot duplicate it via project collapse — measured 3× faster
-    than per-hash md5 at sf0.1).
+    One row per document, computed map-side with no shuffle. The hot loop
+    of 100 TB dedup is pure integer arithmetic: one polynomial base hash
+    per shingle position (char codes extracted once per document), K affine
+    maps per distinct base, all minima taken inside a single aggregate fold
+    so nothing is re-evaluated by project collapse. Requires ≥k chars after
+    normalization (true of any real document corpus).
     """
-    assert num_hashes <= 8, "slice scheme provides 8 hash functions"
+    assert num_hashes <= len(MINHASH_A)
     df = ensure_parallelism(df)
-    sh = F.array_distinct(shingles(F.col(text_col), k))
-    md5cat = F.transform(
-        sh,
-        lambda s: F.concat(
-            F.md5(F.concat(F.lit("mhA:"), s)), F.md5(F.concat(F.lit("mhB:"), s))
-        ),
+    P = MINHASH_PRIME
+    pows = [SHINGLE_POLY_BASE ** (k - 1 - i) % P for i in range(k)]
+
+    norm = normalize_text(F.col(text_col))
+    n = F.greatest(F.lit(1), F.length(norm) - F.lit(k - 1))
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(norm)),
+        lambda i: F.ascii(norm.substr(i, F.lit(1))).cast("long"),
     )
-    slices = lambda m: F.transform(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: m.substr(j * 8 + 1, F.lit(8)),
+    out = df.withColumn("__c", codes)
+    bases = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda p: sum(
+                F.element_at(F.col("__c"), p + i) * F.lit(pows[i])
+                for i in range(k)
+            ) % P,
+        )
+    )
+    consts = F.array(
+        *[
+            F.struct(
+                F.lit(MINHASH_A[j]).alias("a"), F.lit(MINHASH_B[j]).alias("b")
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    hash_all = lambda base: F.transform(  # noqa: E731
+        consts, lambda t: (t["a"] * base + t["b"]) % P
     )
     sig = F.aggregate(
-        md5cat,
-        F.array_repeat(F.lit("g"), num_hashes),  # 'g' > any hex digit
-        lambda acc, m: F.zip_with(acc, slices(m), lambda a, b: F.least(a, b)),
+        bases,
+        F.array_repeat(F.lit(P).cast("long"), num_hashes),
+        lambda acc, b: F.zip_with(acc, hash_all(b), lambda x, y: F.least(x, y)),
     )
-    out = df.withColumn("__sig", sig)
+    out = out.withColumn("__sig", sig).drop("__c")
     return out.select(
         "*",
-        *[
-            F.conv(F.col("__sig")[j], 16, 10).cast("long").alias(f"mh{j}")
-            for j in range(num_hashes)
-        ],
+        *[F.col("__sig")[j].alias(f"mh{j}") for j in range(num_hashes)],
     ).drop("__sig")
 
 

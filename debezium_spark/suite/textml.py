@@ -38,12 +38,28 @@ _SHINGLES = (
     f" i -> substr({_NORM}, i, 5))"
 )
 
-# Per-doc minhash signature CTE: doc_id, mh0..mh7. Mirrors
-# analytics.text.minhash_signature's slice scheme: two md5s per distinct
-# shingle, hash j = hex slice [8j, 8j+8), min taken lexicographically on the
-# fixed-width hex (equals the numeric min), converted to bigint once.
+# Per-doc minhash signature CTE: doc_id, mh0..mh7. Generated from the SAME
+# constants as analytics.text.minhash_signature (single source of truth):
+# polynomial base hash over char codes, then 2-universal affine maps — pure
+# BIGINT arithmetic, bit-identical across engines.
+from debezium_spark.analytics.text import (  # noqa: E402
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_PRIME as _P,
+    SHINGLE_POLY_BASE as _PB,
+)
+
+_POWS = [_PB ** (5 - 1 - i) % _P for i in range(5)]
+_BASE_EXPR = (
+    "("
+    + " + ".join(
+        f"CAST(ord(substr(norm, p + {i}, 1)) AS BIGINT) * {_POWS[i]}"
+        for i in range(5)
+    )
+    + f") % {_P}"
+)
 _MH_COLS = ",\n           ".join(
-    f"CAST(('0x' || list_aggregate(list_transform(m, x -> substr(x, {8 * j + 1}, 8)), 'min')) AS BIGINT) AS mh{j}"
+    f"list_aggregate(list_transform(bases, b -> ({MINHASH_A[j]} * b + {MINHASH_B[j]}) % {_P}), 'min') AS mh{j}"
     for j in range(8)
 )
 _SIG_CTE = f"""
@@ -52,9 +68,10 @@ sig AS (
            {_MH_COLS}
     FROM (
         SELECT doc_id,
-               list_transform(list_distinct(sh),
-                              s -> md5('mhA:' || s) || md5('mhB:' || s)) AS m
-        FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+               list_distinct(list_transform(
+                   generate_series(1, greatest(1, length(norm) - 4)),
+                   p -> {_BASE_EXPR})) AS bases
+        FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
     )
 )"""
 
