@@ -105,3 +105,26 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_salted_join_under_extreme_skew(spark, sf_dir):
+    """90% of rows on one hot key: the salted join still matches the plain
+    join (correctness under the skew defense; AQE handles the plain side)."""
+    from debezium_spark.operators.skew import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.when(F.col("event_id") % 10 != 0, F.lit(7)).otherwise(
+            F.col("user_id")
+        ).alias("user_id"),
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = ev.join(cust, "user_id").select("event_id", "c_mktsegment")
+    salted = salted_join(
+        ev, cust, ["user_id"], num_salts=16, salt_source="event_id"
+    ).select("event_id", "c_mktsegment")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
