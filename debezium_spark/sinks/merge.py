@@ -226,10 +226,14 @@ class ParquetMergeSink:
         # dir (reading the live target is safe — nothing is overwritten),
         # then bucket directories move into place with driver fs renames.
         # This replaces the localCheckpoint + dynamic-overwrite + cleanup
-        # job chain (2 jobs/batch total instead of 4), stays idempotent
-        # (a replayed batch re-derives the same buckets), and the written
+        # job chain (2 jobs/batch total instead of 4), and the written
         # bucket set falls out of listdir for free — a bucket whose rows
         # were all deleted is simply removed so stale data can't revive.
+        # Crash safety: the swap is not atomic across buckets, but a replay
+        # of the same batch against ANY mix of old/new buckets re-derives
+        # the same per-bucket output (upsert of the same final state;
+        # deleted keys already absent) — so checkpoint-driven re-delivery
+        # converges, which is the exactly-once-in-effect contract.
         import shutil
 
         staging = f"{self.path}.staging-{epoch_id if epoch_id is not None else 'x'}"
