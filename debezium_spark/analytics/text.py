@@ -360,16 +360,33 @@ def near_dup_pairs(
     )
 
 
+def token_hash(tok: Column) -> Column:
+    """Polynomial rolling hash of a token's char codes (mod MINHASH_PRIME),
+    mixed through one affine map — same arithmetic family as minhash, so
+    the oracle reproduces it with list_reduce + ord()."""
+    P = MINHASH_PRIME
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(tok)),
+        lambda i: F.ascii(tok.substr(i, F.lit(1))).cast("long"),
+    )
+    base = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * SHINGLE_POLY_BASE + c) % P,
+    )
+    return (base * MINHASH_A[0] + MINHASH_B[0]) % P
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", bits: int = 16
 ) -> DataFrame:
     """SimHash over whitespace tokens: per-bit signed vote, sign → bit.
 
     Expressed as `bits` fold-sums over the token array — per-row compute,
-    no shuffle, oracle-reproducible (the token hash is md5-based).
+    no shuffle, oracle-reproducible (arithmetic token hash, no md5).
     """
     toks = tokenize(F.col(text_col))
-    hashed = F.transform(toks, lambda t: portable_hash64(t, seed="sh:"))
+    hashed = F.transform(toks, token_hash)
     out = df.withColumn("__th", hashed)
     def bit_voter(j):
         return lambda a, h: a + F.when(

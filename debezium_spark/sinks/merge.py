@@ -267,3 +267,37 @@ class ParquetMergeSink:
 
     def __call__(self, env_batch: DataFrame, epoch_id: int) -> None:
         self.write_batch(env_batch, epoch_id)
+
+
+class MultiTableSink:
+    """K1 multi-table dispatch: one multiplexed envelope stream fans out to
+    per-table MERGE sinks (JdbcChangeEventSink routes per collection,
+    JdbcChangeEventSink.java:89-186; topic→table naming is K7's job).
+
+    The per-batch table set is a tiny distinct on `source.table` (bounded by
+    the captured-collection count, P10's guardrail axis); each table's slice
+    then follows its own bucket-pruned merge. Unknown tables can be dropped
+    or quarantined via the optional DLQ.
+    """
+
+    def __init__(self, sinks: dict[str, ParquetMergeSink], *, dlq=None):
+        self.sinks = sinks
+        self.dlq = dlq
+
+    def write_batch(self, env_batch: DataFrame, epoch_id: int | None = None) -> None:
+        tables = [
+            r[0]
+            for r in env_batch.select(F.col("source.table")).distinct().collect()
+        ]
+        for t in tables:
+            part = env_batch.filter(F.col("source.table") == t)
+            sink = self.sinks.get(t)
+            if sink is not None:
+                sink.write_batch(part, epoch_id)
+            elif self.dlq is not None:
+                self.dlq.quarantine(
+                    part, reason=f"no sink for table {t}", epoch_id=epoch_id
+                )
+
+    def __call__(self, env_batch: DataFrame, epoch_id: int) -> None:
+        self.write_batch(env_batch, epoch_id)

@@ -259,12 +259,20 @@ _SIMHASH_VOTES = " + ".join(
 )
 
 
+_TOKEN_HASH = (
+    "(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, length(t)), "
+    "i -> CAST(ord(substr(t, i, 1)) AS BIGINT))), "
+    f"(acc, c) -> (acc * {_PB} + c) % {_P}) * 961748927 + 15485863) % {_P}"
+)
+
+
 @register(
     "x8_simhash",
     oracle=f"""
     WITH th AS (
         SELECT doc_id,
-               list_transform({_TOKS}, t -> {_ohash('t', 'sh:')}) AS th
+               list_transform({_TOKS}, t -> {_TOKEN_HASH}) AS th
         FROM documents
     )
     SELECT doc_id, {_SIMHASH_VOTES} AS simhash FROM th

@@ -255,3 +255,60 @@ def test_continuous_trigger_mode(spark, sf_dir, dirs):
         q.awaitTermination()
     assert pipe.batches_seen >= 2
     assert _materialized(sink) == expected
+
+
+def test_multi_table_pipeline_fans_out(spark, sf_dir, dirs, tmp_path):
+    """One multiplexed feed, two tables, two targets: each materializes to
+    its own per-table batch-merge answer; unknown tables hit the DLQ."""
+    from debezium_spark.sinks.dlq import DeadLetterQueue
+    from debezium_spark.sinks.merge import MultiTableSink
+
+    env = accounts_changefeed(spark, sf_dir)
+    # Route a deterministic slice to a second virtual table, and a sliver
+    # to an uncaptured one.
+    mod = F.col("source.pos") % 10
+    muxed = env.withColumn(
+        "source",
+        F.col("source").withField(
+            "table",
+            F.when(mod <= 6, "accounts")
+            .when(mod <= 8, "audit")
+            .otherwise("uncaptured"),
+        ),
+    )
+    sink_a = ParquetMergeSink(spark, str(tmp_path / "ta"), ["id"], num_buckets=4)
+    sink_b = ParquetMergeSink(spark, str(tmp_path / "tb"), ["id"], num_buckets=4)
+    dlq = DeadLetterQueue(spark, str(tmp_path / "dlq"))
+    mts = MultiTableSink({"accounts": sink_a, "audit": sink_b}, dlq=dlq)
+
+    pipe = ChangeDataPipeline(
+        spark,
+        feed_dir=dirs["feed"],
+        envelope_schema=muxed.schema,
+        sink=mts,
+        checkpoint_dir=dirs["ckpt"],
+        max_files_per_trigger=2,
+    )
+    replay_feed(muxed, dirs["feed"], num_chunks=4)
+    pipe.run_available()
+
+    from debezium_spark.sinks.merge import merge_changes
+
+    for tbl, sink in (("accounts", sink_a), ("audit", sink_b)):
+        part = muxed.filter(F.col("source.table") == tbl)
+        flat_like = part.limit(0)
+        expected_df = merge_changes(
+            spark.createDataFrame(
+                [], "id long, status string, balance double"
+            ),
+            part,
+            ["id"],
+        )
+        expected = sorted(map(tuple, expected_df.collect()))
+        got = sorted(
+            map(tuple, sink.read().select("id", "status", "balance").collect())
+        )
+        assert got == expected, tbl
+
+    n_uncaptured = muxed.filter(F.col("source.table") == "uncaptured").count()
+    assert dlq.read().count() == n_uncaptured
