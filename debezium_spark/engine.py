@@ -104,6 +104,34 @@ class CdcEngine:
         self._heartbeat = hb
         return self
 
+    # -- config-driven construction (connector-properties analog) ---------
+    @classmethod
+    def from_config(cls, spark: SparkSession, config: dict) -> "CdcEngine":
+        """Build from a flat properties dict — the shape of a Debezium
+        connector config (DebeziumEngine.using(props)). Recognized keys:
+
+        feed.dir, envelope.schema (a StructType), checkpoint.dir,
+        sink.path, sink.pk (list or comma-string), sink.insert.mode,
+        sink.num.buckets, max.batch.files.
+        """
+        eng = cls(spark)
+        eng.source(
+            feed_dir=config["feed.dir"], envelope_schema=config["envelope.schema"]
+        )
+        pk = config["sink.pk"]
+        if isinstance(pk, str):
+            pk = [c.strip() for c in pk.split(",")]
+        eng.sink(
+            path=config["sink.path"],
+            pk_cols=pk,
+            insert_mode=config.get("sink.insert.mode", "upsert"),
+            num_buckets=int(config.get("sink.num.buckets", 16)),
+        )
+        eng.checkpoint(config["checkpoint.dir"])
+        if "max.batch.files" in config:
+            eng.max_batch_files(int(config["max.batch.files"]))
+        return eng
+
     # -- terminal ---------------------------------------------------------
     def build(self) -> ChangeDataPipeline:
         if self._feed_dir is None or self._schema is None:

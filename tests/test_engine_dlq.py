@@ -128,3 +128,44 @@ def test_salted_join_under_extreme_skew(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_engine_from_config(spark, sf_dir, tmp_path):
+    """Connector-properties-style construction (DebeziumEngine.using)."""
+    env = accounts_changefeed(spark, sf_dir)
+    feed = str(tmp_path / "feed")
+    replay_feed(env, feed, num_chunks=2)
+    pipe = CdcEngine.from_config(
+        spark,
+        {
+            "feed.dir": feed,
+            "envelope.schema": env.schema,
+            "checkpoint.dir": str(tmp_path / "ckpt"),
+            "sink.path": str(tmp_path / "target"),
+            "sink.pk": "id",
+            "sink.insert.mode": "upsert",
+            "sink.num.buckets": 4,
+            "max.batch.files": 2,
+        },
+    ).build()
+    pipe.run_snapshot(accounts_snapshot(spark, sf_dir))
+    pipe.run_available()
+    from debezium_spark.suite import load_all
+
+    expected = sorted(
+        (r.id, r.status, r.balance)
+        for r in load_all()["k1_merge_upsert"].fn(spark, sf_dir).collect()
+    )
+    got = sorted(
+        (r.id, r.status, r.balance)
+        for r in pipe.sink.read().select("id", "status", "balance").collect()
+    )
+    assert got == expected
+
+
+def test_kafka_source_gated(spark):
+    from debezium_spark.sources.kafka import kafka_available
+
+    # No broker/package in this container — the probe must say so cleanly
+    # rather than raise.
+    assert kafka_available(spark) in (True, False)
