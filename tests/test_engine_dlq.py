@@ -169,3 +169,64 @@ def test_kafka_source_gated(spark):
     # No broker/package in this container — the probe must say so cleanly
     # rather than raise.
     assert kafka_available(spark) in (True, False)
+
+
+def test_config_driven_transform_chain(spark, sf_dir, tmp_path):
+    """Kafka-Connect-style `transforms=` property chain: skip truncates,
+    filter creates, unwrap, mask a column — in declared order."""
+    from debezium_spark.operators.chain import chain_from_config
+
+    chain = chain_from_config(
+        {
+            "transforms": "drops,only_creates,unwrap,hide",
+            "transforms.drops.type": "skip-ops",
+            "transforms.drops.skipped.operations": "t,d",
+            "transforms.only_creates.type": "filter",
+            "transforms.only_creates.condition": "op = 'c'",
+            "transforms.unwrap.type": "unwrap",
+            "transforms.unwrap.delete.handling.mode": "drop",
+            "transforms.hide.type": "mask",
+            "transforms.hide.columns": "status",
+        }
+    )
+    env = accounts_changefeed(spark, sf_dir)
+    out = env
+    for t in chain:
+        out = t(out)
+    rows = out.collect()
+    n_creates = env.filter(F.col("op") == "c").count()
+    assert len(rows) == n_creates
+    assert {r["status"] for r in rows} == {"***"}
+    assert "balance" in out.columns and "id" in out.columns
+
+    # Unknown type → clear error.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown transform"):
+        chain_from_config({"transforms": "x", "transforms.x.type": "nope"})
+
+
+def test_chain_through_engine_notifying(spark, sf_dir, tmp_path):
+    from debezium_spark.operators.chain import chain_from_config
+
+    env = accounts_changefeed(spark, sf_dir)
+    feed = str(tmp_path / "feed")
+    replay_feed(env, feed, num_chunks=2)
+    chain = chain_from_config(
+        {
+            "transforms": "u",
+            "transforms.u.type": "unwrap",
+            "transforms.u.delete.handling.mode": "drop",
+        }
+    )
+    seen = []
+    pipe = (
+        CdcEngine(spark)
+        .source(feed_dir=feed, envelope_schema=env.schema)
+        .transforms(chain)
+        .notifying(lambda batch, epoch: seen.append(batch.count()))
+        .checkpoint(str(tmp_path / "ckpt"))
+        .build()
+    )
+    pipe.run_available()
+    assert sum(seen) == env.filter(F.col("op") != "d").count()
