@@ -392,3 +392,77 @@ def w11_pivot(spark, sf_dir):
         F.col("F").alias("qty_F"),
         F.col("O").alias("qty_O"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W12 — multi-join chain (TPC-H Q5 shape: 5-way star with broadcasts)
+# ---------------------------------------------------------------------------
+@register(
+    "w12_region_revenue",
+    oracle="""
+    SELECT r.r_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def w12_region_revenue(spark, sf_dir):
+    """Five-way star: fact side keeps its partitioning; every dimension
+    broadcasts (nation/region are tiny, customer fits comfortably)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("r_name").agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1) - F.col("l_discount").cast(_DEC))
+        ).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W13 — EXISTS / NOT EXISTS (semi/anti join semantics)
+# ---------------------------------------------------------------------------
+@register(
+    "w13_exists_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM events e
+                      WHERE e.user_id = c.c_custkey
+                        AND e.event_type = 'error')
+    """,
+)
+def w13_exists_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    from debezium_spark.sources.changefeed import _events
+
+    err = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("c_custkey"))
+    )
+    return (
+        c.join(o, "c_custkey", "left_semi")
+        .join(err, "c_custkey", "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
