@@ -93,46 +93,47 @@ def main() -> None:
 def _pipeline_throughput(spark) -> dict:
     """End-to-end CDC pipeline at the current SF: snapshot (>=4 partitions)
     then the change feed replayed in 4096-event files through
-    readStream -> foreachBatch MERGE with checkpointing."""
+    readStream -> foreachBatch MERGE with checkpointing. Measured twice:
+    once with the copy-on-write bucket-pruned ParquetMergeSink and once
+    with the merge-on-read LogMergeSink (O(batch) writes + compaction)."""
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from debezium_spark.sinks.merge import ParquetMergeSink
+    from debezium_spark.sinks.mor import LogMergeSink
     from debezium_spark.sources.changefeed import (
         accounts_changefeed,
         accounts_snapshot,
     )
     from debezium_spark.streaming import ChangeDataPipeline, replay_feed
 
-    tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
-    try:
-        env = accounts_changefeed(spark, SF_DIR)
-        n_events = env.count()
-        batch_events = 4096
-        num_chunks = max(1, n_events // batch_events)
+    env = accounts_changefeed(spark, SF_DIR)
+    n_events = env.count()
+    batch_events = 4096
+    num_chunks = max(1, n_events // batch_events)
 
-        snap = accounts_snapshot(spark, SF_DIR).repartition(8)
-        sink = ParquetMergeSink(spark, f"{tmp}/target", ["id"], num_buckets=16)
-        pipe = ChangeDataPipeline(
-            spark,
-            feed_dir=f"{tmp}/feed",
-            envelope_schema=env.schema,
-            sink=sink,
-            checkpoint_dir=f"{tmp}/ckpt",
-            max_files_per_trigger=1,
-        )
-        t0 = time.time()
-        pipe.run_snapshot(snap)
-        snap_sec = time.time() - t0
+    def run(sink_factory) -> dict:
+        tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
+        try:
+            snap = accounts_snapshot(spark, SF_DIR).repartition(8)
+            sink = sink_factory(tmp)
+            pipe = ChangeDataPipeline(
+                spark,
+                feed_dir=f"{tmp}/feed",
+                envelope_schema=env.schema,
+                sink=sink,
+                checkpoint_dir=f"{tmp}/ckpt",
+                max_files_per_trigger=1,
+            )
+            t0 = time.time()
+            pipe.run_snapshot(snap)
+            snap_sec = time.time() - t0
 
-        replay_feed(env, f"{tmp}/feed", num_chunks=num_chunks)
-        t0 = time.time()
-        pipe.run_available()
-        stream_sec = time.time() - t0
-        return {
-            "pipeline": {
+            replay_feed(env, f"{tmp}/feed", num_chunks=num_chunks)
+            t0 = time.time()
+            pipe.run_available()
+            stream_sec = time.time() - t0
+            return {
                 "events": n_events,
                 "events_per_batch": n_events // max(1, pipe.batches_seen),
                 "batches": pipe.batches_seen,
@@ -141,9 +142,21 @@ def _pipeline_throughput(spark) -> dict:
                 "stream_sec": round(stream_sec, 3),
                 "events_per_sec": round(n_events / max(stream_sec, 1e-9)),
             }
-        }
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return {
+        "pipeline": run(
+            lambda tmp: ParquetMergeSink(
+                spark, f"{tmp}/target", ["id"], num_buckets=16
+            )
+        ),
+        "pipeline_mor": run(
+            lambda tmp: LogMergeSink(
+                spark, f"{tmp}/target", ["id"], compact_every=8
+            )
+        ),
+    }
 
 
 if __name__ == "__main__":

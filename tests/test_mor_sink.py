@@ -1,0 +1,127 @@
+"""LogMergeSink (merge-on-read) semantics: equivalence with the
+copy-on-write MERGE, replay idempotence, compaction, and truncate handling.
+The sink contract under test is still JdbcChangeEventSink.java:89-186 —
+only the materialization strategy differs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.sinks.mor import LogMergeSink
+from debezium_spark.sources.changefeed import accounts_changefeed, accounts_snapshot
+from debezium_spark.streaming import ChangeDataPipeline, replay_feed
+
+from tests.test_merge_edges import _mk_event
+
+
+def _state(sink):
+    return sorted(
+        (r.id, r.status, r.balance)
+        for r in sink.read().select("id", "status", "balance").collect()
+    )
+
+
+def _expected_final(spark, sf_dir):
+    from debezium_spark.suite import load_all
+
+    qs = load_all()
+    return sorted(
+        (r.id, r.status, r.balance)
+        for r in qs["k1_merge_upsert"].fn(spark, sf_dir).collect()
+    )
+
+
+def test_mor_pipeline_matches_batch_merge(spark, sf_dir, tmp_path):
+    """Snapshot + chunked stream through the MOR sink == one-shot batch
+    MERGE (the k1 golden), including read-time delete/last-wins merging."""
+    env = accounts_changefeed(spark, sf_dir)
+    sink = LogMergeSink(spark, str(tmp_path / "t"), ["id"], compact_every=3)
+    pipe = ChangeDataPipeline(
+        spark,
+        feed_dir=str(tmp_path / "feed"),
+        envelope_schema=env.schema,
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    pipe.run_snapshot(accounts_snapshot(spark, sf_dir))
+    replay_feed(env, str(tmp_path / "feed"), num_chunks=4)
+    pipe.run_available()
+    assert _state(sink) == _expected_final(spark, sf_dir)
+
+
+def test_mor_replay_idempotent(spark, sf_dir, tmp_path):
+    """Re-delivery of a checkpointed epoch (crash between sink write and
+    offset commit) rewrites the identical delta — state unchanged."""
+    env = accounts_changefeed(spark, sf_dir)
+    sink = LogMergeSink(spark, str(tmp_path / "t"), ["id"], compact_every=0)
+    sink.write_batch(_mk_event(env, key_id=1, op="c", pos=1, status="a"), 0)
+    batch2 = _mk_event(env, key_id=1, op="u", pos=2, status="b").unionByName(
+        _mk_event(env, key_id=2, op="c", pos=3, status="x")
+    )
+    sink.write_batch(batch2, 1)
+    before = _state(sink)
+    sink.write_batch(batch2, 1)  # replay
+    assert _state(sink) == before
+    assert {r.id: r.status for r in sink.read().collect()} == {1: "b", 2: "x"}
+
+
+def test_mor_compaction_preserves_state_and_prunes_dirs(spark, sf_dir, tmp_path):
+    env = accounts_changefeed(spark, sf_dir)
+    path = str(tmp_path / "t")
+    sink = LogMergeSink(spark, path, ["id"], compact_every=0)
+    sink.write_batch(_mk_event(env, key_id=1, op="c", pos=1, status="a"), 0)
+    sink.write_batch(_mk_event(env, key_id=2, op="c", pos=2, status="b"), 1)
+    sink.write_batch(_mk_event(env, key_id=1, op="d", pos=3), 2)
+    before = _state(sink)
+    sink.compact()
+    assert _state(sink) == before
+    assert os.path.isdir(os.path.join(path, "base-2"))
+    assert sink._delta_epochs() == []
+    # post-compaction batches keep merging on top of the new base
+    sink.write_batch(_mk_event(env, key_id=2, op="u", pos=4, status="c"), 3)
+    assert {r.id: r.status for r in sink.read().collect()} == {2: "c"}
+
+
+def test_mor_truncate_drops_prior_epochs(spark, sf_dir, tmp_path):
+    """A truncate marker kills base + earlier deltas at read time; events
+    after the truncate in the same batch survive (apply_truncates)."""
+    env = accounts_changefeed(spark, sf_dir)
+    sink = LogMergeSink(spark, str(tmp_path / "t"), ["id"], compact_every=0)
+    sink.write_batch(_mk_event(env, key_id=1, op="c", pos=1, status="old"), 0)
+    sink.write_batch(_mk_event(env, key_id=2, op="c", pos=2, status="old"), 1)
+    trunc_batch = _mk_event(env, key_id=0, op="t", pos=10).unionByName(
+        _mk_event(env, key_id=3, op="c", pos=11, status="fresh")
+    )
+    sink.write_batch(trunc_batch, 2)
+    assert {r.id: r.status for r in sink.read().collect()} == {3: "fresh"}
+    # compaction folds the truncate away; state identical after
+    sink.compact()
+    assert {r.id: r.status for r in sink.read().collect()} == {3: "fresh"}
+
+
+def test_mor_rejects_non_upsert_modes(spark, tmp_path):
+    with pytest.raises(ValueError):
+        LogMergeSink(spark, str(tmp_path / "t"), ["id"], insert_mode="insert")
+
+
+def test_mor_schema_evolution_union(spark, sf_dir, tmp_path):
+    """A delta carrying a new column merges: old rows read NULL for it."""
+    env = accounts_changefeed(spark, sf_dir)
+    sink = LogMergeSink(spark, str(tmp_path / "t"), ["id"], compact_every=0)
+    sink.write_batch(_mk_event(env, key_id=1, op="c", pos=1, status="a"), 0)
+    evolved = _mk_event(env, key_id=2, op="c", pos=2, status="b").select(
+        F.col("key"),
+        F.col("before").withField("tier", F.lit(None).cast("string")).alias("before"),
+        F.col("after").withField("tier", F.lit("vip")).alias("after"),
+        "op",
+        "source",
+        "transaction",
+        "ts_ms",
+    )
+    sink.write_batch(evolved, 1)
+    rows = {r.id: (r.status, r.tier) for r in sink.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b", "vip")}
