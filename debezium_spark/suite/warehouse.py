@@ -466,3 +466,192 @@ def w13_exists_anti(spark, sf_dir):
         .join(err, "c_custkey", "left_anti")
         .select("c_custkey", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# W14 — local supplier volume (TPC-H Q5 shape: 6-way join, same-nation filter)
+# ---------------------------------------------------------------------------
+@register(
+    "w14_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+                   AND s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def w14_local_supplier_volume(spark, sf_dir):
+    """Q5: revenue where the supplier sits in the customer's nation. The
+    fact table keeps its partitioning; orders is the only shuffle join
+    (fact-to-fact on orderkey), every dimension broadcasts, and the
+    same-nation predicate rides the broadcast joins for free."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(n),
+            (c["c_nationkey"] == n["n_nationkey"])
+            & (s["s_nationkey"] == n["n_nationkey"]),
+        )
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1) - F.col("l_discount").cast(_DEC))
+        ).cast("double").alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W15 — returned-item top customers (TPC-H Q10 shape: agg + top-k)
+# ---------------------------------------------------------------------------
+@register(
+    "w15_returned_top_customers",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, c_name, n_name, revenue,
+           CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS INT) AS rk
+    FROM rev
+    QUALIFY rk <= 20
+    """,
+)
+def w15_returned_top_customers(spark, sf_dir):
+    """Q10: who returned the most revenue. Return-flag filter pushes to the
+    lineitem scan; one shuffle agg on custkey; global top-20 via a single
+    window (tie-broken on the key so the result is deterministic)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1) - F.col("l_discount").cast(_DEC))
+            ).cast("double").alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return rev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+
+
+# ---------------------------------------------------------------------------
+# W16 — min-cost supplier per part (TPC-H Q2 shape: correlated min subquery)
+# ---------------------------------------------------------------------------
+@register(
+    "w16_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               min(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   / CAST(l.l_quantity AS DECIMAL(18,2))) AS unit_cost
+        FROM lineitem l
+        GROUP BY 1, 2
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name,
+           CAST(c.unit_cost AS DOUBLE) AS unit_cost
+    FROM cost c
+    JOIN part p     ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    WHERE p.p_size <= 5
+      AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                         WHERE c2.l_partkey = c.l_partkey)
+    """,
+)
+def w16_min_cost_supplier(spark, sf_dir):
+    """Q2's correlated `= (SELECT min(...))` decorrelates into a window
+    min over the part key — one shuffle instead of a rejoin, and exact
+    DECIMAL division so the equality predicate is bit-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = _t(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.col("l_extendedprice").cast(_DEC) / F.col("l_quantity").cast(_DEC)
+        ).alias("unit_cost")
+    )
+    wmin = F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    best = cost.withColumn("__best", wmin).filter(
+        F.col("unit_cost") == F.col("__best")
+    )
+    return (
+        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("unit_cost").cast("double").alias("unit_cost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W17 — small-quantity revenue (TPC-H Q17 shape: correlated avg filter)
+# ---------------------------------------------------------------------------
+@register(
+    "w17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'BRAND#1'
+      AND l.l_quantity < (SELECT 0.2 * avg(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def w17_small_quantity_revenue(spark, sf_dir):
+    """Q17's correlated average decorrelates into a window avg partitioned
+    by partkey — the brand filter broadcasts into the fact scan first so
+    the window only shuffles the brand's rows."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "BRAND#1")
+    li = _t(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    avg_qty = F.avg(F.col("l_quantity").cast(_DEC)).over(
+        Window.partitionBy("l_partkey")
+    )
+    small = branded.withColumn("__avg", avg_qty).filter(
+        F.col("l_quantity") < 0.2 * F.col("__avg")
+    )
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast(_DEC) / F.lit(7.0)
+        ).cast("double").alias("avg_yearly"),
+        F.count("*").alias("n_items"),
+    )
