@@ -32,6 +32,7 @@ HEADLINE = [
     "x6_lsh_candidates",
     "x8_simhash",
     "a2_knn_bruteforce",
+    "a8_ivf_search",
     "a4_field_to_embedding",
     "a6_cosine_near_dup",
     "w1_pricing_summary",

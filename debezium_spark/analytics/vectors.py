@@ -184,3 +184,138 @@ def field_to_embedding(
     return ensure_parallelism(df, target=8).withColumn(
         out_col, embed(F.col(text_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF — trained inverted-file ANN (the FAISS-style scale path)
+# ---------------------------------------------------------------------------
+
+def ivf_train(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+) -> DataFrame:
+    """Train IVF centroids: deterministic seeds + one Lloyd step.
+
+    Returns (cell, cvec: array<double>, n_members). Every step is
+    engine-portable so the DuckDB oracle reproduces centroids bit-for-bit:
+
+    * **Seeds** — the ``n_cells`` rows with the smallest portable hash of
+      their id (a deterministic pseudo-random sample); selection is a
+      distributed TakeOrdered, not a full sort.
+    * **Assignment** — max-cosine over the broadcast seed set, ties broken
+      by cell id.
+    * **Update** — per-dimension means over components quantized to 1e-6
+      by ``floor`` (no rounding-tie rule to disagree on): integer sums are
+      associative, so the result is independent of partitioning/order —
+      the property a 1000-executor aggregation needs anyway.
+    """
+    from debezium_spark.analytics.text import portable_hash64
+
+    seeds = (
+        vectors.select(
+            F.col(id_col).alias("__sid"),
+            F.col(vec_col).alias("cvec"),
+            portable_hash64(F.col(id_col).cast("string"), seed="ivf:").alias("__h"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_cells)
+    )
+    w = Window.orderBy("__h", "__sid")
+    seeds = seeds.withColumn("cell", F.row_number().over(w) - 1).select(
+        "cell", "cvec"
+    )
+    member = _nearest_cells(vectors, seeds, id_col, vec_col, nprobe=1)
+    dims = member.select(
+        "cell",
+        F.posexplode(vec_col).alias("pos0", "val"),
+    ).select(
+        "cell",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast("long").alias("q"),
+    )
+    per_dim = dims.groupBy("cell", "pos").agg(
+        (F.sum("q").cast("double") / F.lit(1000000.0) / F.count("*")).alias("cmean"),
+        F.count("*").alias("n_members"),
+    )
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cmean"))),
+            lambda s: s["cmean"],
+        ).alias("cvec"),
+        F.first("n_members").alias("n_members"),
+    )
+
+
+def _nearest_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    nprobe: int,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` max-cosine cells (broadcast
+    centroid set; one window shuffle on the vector id)."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "__csim", cosine_similarity(F.col(vec_col), F.col("cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__crn", F.row_number().over(w))
+        .filter(F.col("__crn") <= nprobe)
+        .drop("__csim", "__crn", "cvec", "n_members")
+    )
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in their nearest cell; each query probes
+    its ``nprobe`` nearest cells and ranks exact cosine inside them.
+
+    Scale shape: training touches the corpus twice (seed sample + one
+    assignment pass); search shuffles only cell-matched candidate pairs —
+    ~|corpus|·nprobe/n_cells per query instead of |corpus|. Centroids are
+    localCheckpointed (8 rows) so corpus- and query-assignment don't
+    re-run the training subtree.
+    """
+    cents = ivf_train(
+        vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+    ).localCheckpoint(eager=True)
+    corpus = _nearest_cells(vectors, cents, id_col, vec_col, nprobe=1).select(
+        F.col("cell"),
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        l2_norm(F.col(vec_col)).alias("nnorm"),
+    )
+    probes = _nearest_cells(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col("cell"),
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn(
+            "sim",
+            dot_product(F.col("qvec"), F.col("nvec"))
+            / (F.col("qnorm") * F.col("nnorm")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("sim", 6).alias("sim"))
+    )

@@ -306,3 +306,114 @@ def a6_cosine_near_dup(spark, sf_dir):
         .filter(F.col("sim") >= 0.3)
         .withColumn("sim", F.round("sim", 6))
     )
+
+
+# ---------------------------------------------------------------------------
+# A7/A8 — trained IVF: centroids (one Lloyd step) + inverted-file ANN search
+# ---------------------------------------------------------------------------
+from debezium_spark.analytics.text import oracle_hash64  # noqa: E402
+from debezium_spark.analytics.vectors import ivf_train, knn_ivf  # noqa: E402
+
+# Shared training CTEs: deterministic hash-sampled seeds, max-cosine
+# assignment, floor-quantized (tie-rule-free) per-dimension means.
+_IVF_CTE = f"""
+    seeds0 AS (
+        SELECT vec_id AS sid, embedding AS cvec,
+               {oracle_hash64("CAST(vec_id AS VARCHAR)", "ivf:")} AS h
+        FROM embeddings
+        ORDER BY h, sid LIMIT 8
+    ),
+    seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, sid) AS INT) - 1 AS cell,
+               cvec
+        FROM seeds0
+    ),
+    massign AS (
+        SELECT e.vec_id, e.embedding, s.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cosine('e.embedding', 's.cvec')} DESC, s.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    member AS (SELECT vec_id, embedding, cell FROM massign WHERE rn = 1),
+    dims AS (
+        SELECT cell,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               unnest(embedding) AS val
+        FROM member
+    ),
+    perdim AS (
+        SELECT cell, CAST(pos AS INT) AS pos,
+               CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 / count(*) AS cmean,
+               count(*) AS n_members
+        FROM dims GROUP BY 1, 2
+    ),
+    cents AS (
+        SELECT cell, list(cmean ORDER BY pos) AS cvec,
+               any_value(n_members) AS n_members
+        FROM perdim GROUP BY 1
+    )"""
+
+
+@register(
+    "a7_ivf_centroids",
+    oracle=f"""
+    WITH {_IVF_CTE}
+    SELECT cell, pos, round(cmean, 6) AS cmean, n_members
+    FROM perdim
+    """,
+)
+def a7_ivf_centroids(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train(emb, n_cells=8)
+    return cents.select(
+        "cell", "n_members", F.posexplode("cvec").alias("pos0", "cmean")
+    ).select(
+        "cell",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.round("cmean", 6).alias("cmean"),
+        "n_members",
+    )
+
+
+@register(
+    "a8_ivf_search",
+    oracle=f"""
+    WITH {_IVF_CTE},
+    corp AS (
+        SELECT e.vec_id AS nid, e.embedding AS nvec, s.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cosine('e.embedding', 's.cvec')} DESC, s.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents s
+    ),
+    probes AS (
+        SELECT e.vec_id AS qid, e.embedding AS qvec, s.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cosine('e.embedding', 's.cvec')} DESC, s.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents s
+        WHERE e.{_QFILTER}
+    ),
+    scored AS (
+        SELECT p.qid, c.nid, {_cosine('p.qvec', 'c.nvec')} AS sim
+        FROM corp c JOIN probes p USING (cell)
+        WHERE c.rn = 1 AND p.rn <= 2 AND c.nid <> p.qid
+    ),
+    ranked AS (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        FROM scored
+    )
+    SELECT qid, nid, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def a8_ivf_search(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.expr(_QFILTER))
+    return knn_ivf(emb, queries, k=5, n_cells=8, nprobe=2)
