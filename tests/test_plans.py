@@ -79,3 +79,19 @@ def test_merge_has_no_full_table_shuffle_on_probe_side(spark, qs):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_minhash_numpy_matches_expression_variant(spark, sf_dir):
+    """The Arrow/numpy MinHash fast path is bit-identical to the
+    pure-Catalyst expression variant (same arithmetic, same sentinel for
+    short docs)."""
+    from debezium_spark.analytics.text import (
+        minhash_signature,
+        minhash_signature_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = ["doc_id"] + [f"mh{j}" for j in range(8)]
+    a = minhash_signature(docs).select(*cols)
+    b = minhash_signature_expr(docs).select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
