@@ -18,6 +18,8 @@ from debezium_spark.analytics.text import (
     near_dup_pairs,
     simhash,
     text_stats,
+    tokenize,
+    word_ngrams,
 )
 from debezium_spark.suite import register
 
@@ -435,3 +437,208 @@ def x11_corpus_pipeline(spark, sf_dir):
         F.col("b").alias("doc_id")
     ).distinct()
     return kept_exact.join(near, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# X11 — token-window chunking (training-sample construction)
+# ---------------------------------------------------------------------------
+_CHUNK = 32
+
+
+@register(
+    "x11_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks, CAST(len({_TOKS}) AS BIGINT) AS n
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(1, CAST(ceil(n / {_CHUNK}.0) AS BIGINT))) AS i
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           array_to_string(list_slice(toks, (i - 1) * {_CHUNK} + 1,
+                                      least(i * {_CHUNK}, n)), ' ') AS chunk_text,
+           CAST(least(i * {_CHUNK}, n) - (i - 1) * {_CHUNK} AS BIGINT)
+               AS n_chunk_tokens
+    FROM e
+    """,
+)
+def x11_chunk_documents(spark, sf_dir):
+    """Fixed-token-window chunker: one narrow projection + an in-row
+    sequence explode — no shuffle; chunk rows land in the same partition
+    as their document, which is exactly what a downstream tokenize/pack
+    stage wants."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokenize(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    t = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.ceil(F.col("n") / F.lit(float(_CHUNK))).cast("int"))
+        ).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("toks"), (F.col("chunk_id") - 1) * _CHUNK + 1, _CHUNK)
+    return t.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        (
+            F.least(F.col("chunk_id") * _CHUNK, F.col("n"))
+            - (F.col("chunk_id") - 1) * _CHUNK
+        )
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X12 — deterministic train/val split (stratified audit by language)
+# ---------------------------------------------------------------------------
+@register(
+    "x12_train_val_split",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang,
+               CASE WHEN {_ohash("CAST(doc_id AS VARCHAR)", "split:")} % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM s GROUP BY 1, 2
+    """,
+)
+def x12_train_val_split(spark, sf_dir):
+    """Hash-mod split: assignment is a pure per-row function of the stable
+    id (reproducible across runs/engines, no sampling state), audited per
+    language stratum. The 90/10 gate is the portable 60-bit hash, so the
+    DuckDB oracle lands every doc in the same split."""
+    from debezium_spark.analytics.text import portable_hash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = F.when(
+        portable_hash64(F.col("doc_id").cast("string"), seed="split:") % 100 < 90,
+        "train",
+    ).otherwise("val")
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X13 — repetition ratio (Gopher-style duplicate-n-gram quality signal)
+# ---------------------------------------------------------------------------
+_WG2 = (
+    f"list_transform(generate_series(1, greatest(1, len({_TOKS}) - 1)),"
+    f" i -> {_TOKS}[i] || ' ' || {_TOKS}[i + 1])"
+)
+
+
+@register(
+    "x13_repetition_ratio",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_WG2}) AS BIGINT) AS n_bigrams,
+           round(1.0 - CAST(len(list_distinct({_WG2})) AS DOUBLE)
+                     / CAST(len({_WG2}) AS DOUBLE), 6) AS rep_ratio
+    FROM documents
+    """,
+)
+def x13_repetition_ratio(spark, sf_dir):
+    """Duplicate-bigram fraction per document (the Gopher repetition
+    filters' core signal) — entirely in-row array ops, no explode, no
+    shuffle: at 100 TB this runs at scan speed."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = word_ngrams(F.col("text"), 2)
+    n = F.size(grams)
+    nd = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_bigrams"),
+        F.round(
+            F.lit(1.0) - nd.cast("double") / n.cast("double"), 6
+        ).alias("rep_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X14 — priority dedup: keep the highest-quality copy per fingerprint
+# ---------------------------------------------------------------------------
+@register(
+    "x14_priority_dedup",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, {_ohash(_NORM, "fp:")} AS fp,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, fp, n_tokens,
+               row_number() OVER (PARTITION BY fp
+                                  ORDER BY n_tokens DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY fp) AS n_copies
+        FROM fp
+    )
+    SELECT doc_id, fp, n_tokens, n_copies FROM ranked WHERE rn = 1
+    """,
+)
+def x14_priority_dedup(spark, sf_dir):
+    """Exact dedup that keeps the *best* copy (here: most tokens, id as
+    tie-break) instead of the lowest id — the shape real corpus curation
+    uses when copies differ in truncation. Same single hash-shuffle as
+    x4."""
+    from debezium_spark.analytics.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(tokenize(F.col("text"))).cast("long")
+    fp = fingerprint(docs).withColumn("n_tokens", toks)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "fp", "n_tokens", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X15 — vocabulary builder: global top-k token counts (tokenizer training)
+# ---------------------------------------------------------------------------
+@register(
+    "x15_vocabulary_topk",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    cnt AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+    ranked AS (
+        SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        FROM cnt
+    )
+    SELECT token, cnt, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 50
+    """,
+)
+def x15_vocabulary_topk(spark, sf_dir):
+    """The 100 TB word count: explode tokens, partial-aggregate map-side
+    (Spark's hash agg combines before the shuffle, so the exchange carries
+    one row per distinct token per partition, not one per token
+    occurrence), then a top-k."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("token", "cnt", F.col("rank").cast("int").alias("rank"))
+    )
