@@ -634,11 +634,14 @@ def x15_vocabulary_topk(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tok = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
     cnt = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    # orderBy+limit is a distributed TakeOrdered (each partition keeps its
+    # local 50, the driver merges) — a global rank window here would drag
+    # the whole vocabulary into ONE partition. The rank is then assigned
+    # on the 50 survivors.
+    top = cnt.orderBy(F.col("cnt").desc(), F.col("token")).limit(50)
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    return (
-        cnt.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .select("token", "cnt", F.col("rank").cast("int").alias("rank"))
+    return top.select(
+        "token", "cnt", F.row_number().over(w).cast("int").alias("rank")
     )
