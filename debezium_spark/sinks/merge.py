@@ -139,8 +139,37 @@ class ParquetMergeSink:
     def _bucket_of(self) -> F.Column:
         return F.pmod(F.hash(*self.pk_cols), F.lit(self.num_buckets))
 
+    def _has_buckets(self) -> bool:
+        return os.path.exists(self.path) and any(
+            e.startswith(f"{BUCKET_COL}=") for e in os.listdir(self.path)
+        )
+
+    def _write_schema_sidecar(self, schema) -> None:
+        """Persist the flat row schema so a table whose every row has been
+        deleted (zero bucket dirs — partitioned writes emit no files for an
+        empty result) still reads as an empty table, not an error."""
+        import json
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, "_schema.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(schema.jsonValue(), f)
+        os.replace(tmp, os.path.join(self.path, "_schema.json"))
+
+    def _sidecar_schema(self):
+        import json
+
+        import pyspark.sql.types as T
+
+        p = os.path.join(self.path, "_schema.json")
+        try:
+            with open(p) as f:
+                return T.StructType.fromJson(json.load(f))
+        except (OSError, ValueError, KeyError):
+            return None
+
     def _read_target(self, like_df: DataFrame) -> DataFrame:
-        if os.path.exists(self.path):
+        if self._has_buckets():
             # Explicit schema (event schema + bucket column): no footer
             # merging pass, and buckets written before a schema evolution
             # read the new columns as NULL — same effect as mergeSchema at
@@ -162,7 +191,7 @@ class ParquetMergeSink:
         if self.schema_evolution == "basic":
             # Evolution detection against the ON-DISK schema (one footer
             # read) — the schema-filled target read above can't show it.
-            if os.path.exists(self.path):
+            if self._has_buckets():
                 disk_cols = {
                     f.name for f in self.spark.read.parquet(self.path).schema.fields
                 }
@@ -240,9 +269,10 @@ class ParquetMergeSink:
         shutil.rmtree(staging, ignore_errors=True)
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
 
-        if has_truncate or not os.path.exists(self.path):
+        if has_truncate or not self._has_buckets():
             shutil.rmtree(self.path, ignore_errors=True)
             os.replace(staging, self.path)
+            self._write_schema_sidecar(flat_like.schema)
             return
         written = set()
         for entry in os.listdir(staging):
@@ -256,9 +286,14 @@ class ParquetMergeSink:
             if os.path.isdir(pdir):
                 shutil.rmtree(pdir)
         shutil.rmtree(staging, ignore_errors=True)
+        self._write_schema_sidecar(flat_like.schema)
 
     def read(self) -> DataFrame:
         """The materialized table (without the bucketing column)."""
+        if not self._has_buckets():
+            schema = self._sidecar_schema()
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
         return (
             self.spark.read.option("mergeSchema", "true")
             .parquet(self.path)
