@@ -246,9 +246,14 @@ def test_continuous_trigger_mode(spark, sf_dir, dirs):
         replay_feed(env.filter(F.col("source.pos") > 500), dirs["feed"],
                     num_chunks=1, start_chunk=1)
         # Wait for convergence, not batch counts — stopping mid-write races.
+        # The poll read itself can race a bucket-dir swap (file moved out
+        # from under the scan): treat that as "not converged yet".
         while time.time() < deadline:
-            if pipe.batches_seen >= 2 and _materialized(sink) == expected:
-                break
+            try:
+                if pipe.batches_seen >= 2 and _materialized(sink) == expected:
+                    break
+            except Exception:
+                pass
             time.sleep(0.5)
     finally:
         q.stop()
