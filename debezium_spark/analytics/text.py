@@ -437,9 +437,59 @@ def simhash(
 ) -> DataFrame:
     """SimHash over whitespace tokens: per-bit signed vote, sign → bit.
 
-    Expressed as `bits` fold-sums over the token array — per-row compute,
-    no shuffle, oracle-reproducible (arithmetic token hash, no md5).
+    Arrow-batched numpy path, bit-identical to :func:`simhash_expr` (the
+    pure-expression form evaluates `bits` interpreted fold passes over the
+    token array — 16 re-walks per row). Here each *distinct* token in the
+    batch is hashed once (Zipf makes the cache hit rate high), votes are
+    one vectorized sign-sum per document, and the big-int polynomial is
+    reduced mod P only at the end (identical arithmetic: mod distributes
+    over the fold).
     """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    P = MINHASH_PRIME
+    A0, B0 = MINHASH_A[0], MINHASH_B[0]
+    jbits = np.arange(bits, dtype=np.int64)
+    pow2 = (1 << jbits).astype(np.int64)
+
+    def tok_hash(tok: str) -> int:
+        base = 0
+        for c in tok:
+            base = (base * SHINGLE_POLY_BASE + ord(c)) % P
+        return (base * A0 + B0) % P
+
+    def sim_of(s, cache):
+        if s is None:
+            return None
+        toks = re.split(r"\s+", s.strip())  # Spark split() parity: "" → [""]
+        hs = np.empty(len(toks), dtype=np.int64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = tok_hash(t)
+                cache[t] = h
+            hs[i] = h
+        votes = (((hs[:, None] >> jbits) & 1) * 2 - 1).sum(axis=0)
+        return int(pow2[votes > 0].sum())
+
+    @pandas_udf(LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+        return texts.map(lambda t: sim_of(t, cache))
+
+    df = ensure_parallelism(df, target=8)
+    return df.withColumn("simhash", sh(F.col(text_col)))
+
+
+def simhash_expr(
+    df: DataFrame, text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Pure-Catalyst SimHash (no Python workers) — same bits as
+    :func:`simhash`; kept as the zero-dependency fallback and the shape
+    the DuckDB oracle mirrors."""
     toks = tokenize(F.col(text_col))
     hashed = F.transform(toks, token_hash)
     out = df.withColumn("__th", hashed)

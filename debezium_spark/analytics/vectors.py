@@ -177,7 +177,27 @@ def field_to_embedding(
 
     @pandas_udf(ArrayType(FloatType()))
     def embed(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: _embed_text(t or "", dim))
+        # Distinct tokens are md5'd once per batch (Zipf → high hit rate);
+        # the per-doc work is then dict lookups + bucket adds.
+        cache: dict[str, int] = {}
+
+        def h_of(tok: str) -> int:
+            h = cache.get(tok)
+            if h is None:
+                h = int(
+                    hashlib.md5(f"t20:{tok}".encode()).hexdigest()[:15], 16
+                )
+                cache[tok] = h
+            return h
+
+        def emb(t: str) -> list[float]:
+            vec = [0.0] * dim
+            for tok in (t or "").strip().split():
+                h = h_of(tok)
+                vec[h % dim] += -1.0 if (h >> 4) & 1 else 1.0
+            return vec
+
+        return texts.map(emb)
 
     from debezium_spark.analytics.text import ensure_parallelism
 

@@ -95,3 +95,12 @@ def test_minhash_numpy_matches_expression_variant(spark, sf_dir):
     a = minhash_signature(docs).select(*cols)
     b = minhash_signature_expr(docs).select(*cols)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_simhash_numpy_matches_expression_variant(spark, sf_dir):
+    from debezium_spark.analytics.text import simhash, simhash_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = simhash(docs).select("doc_id", "simhash")
+    b = simhash_expr(docs).select("doc_id", "simhash")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
