@@ -317,6 +317,60 @@ def t7_outbox_router(spark, sf_dir):
     return routed.withColumn("k_value", F.col("k_value").cast("int"))
 
 
+@register(
+    "t7b_outbox_config_surface",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           CASE WHEN event_id % 10 = 0 THEN NULL ELSE props END AS payload,
+           'app.' || event_type || '.events' AS __topic,
+           event_id AS __pos,
+           CASE WHEN event_id % 10 = 0 THEN NULL
+                ELSE CAST(event_id AS VARCHAR) END AS event_uuid,
+           event_type AS h_type
+    FROM events
+    """,
+)
+def t7b_outbox_config_surface(spark, sf_dir):
+    """T7 config parity: ${routedByValue} topic template, additional-field
+    placements (envelope + header), and DELETE->tombstone (key+topic kept,
+    payload/envelope extras nulled) - EventRouterConfigDefinition.java:239-342,
+    EventRouterDelegate.java:59. Every 10th outbox row arrives as a DELETE."""
+    ev = t(spark, sf_dir, "events")
+    is_del = F.col("event_id") % 10 == 0
+    img = F.struct(
+        F.col("event_id").cast("string").alias("id"),
+        F.col("event_type").alias("aggregatetype"),
+        F.col("user_id").cast("string").alias("aggregateid"),
+        F.col("props").alias("payload"),
+    )
+    outbox_rows = ev.select(
+        F.struct(F.col("event_id").alias("id")).alias("key"),
+        F.when(is_del, img).alias("before"),
+        F.when(~is_del, img).alias("after"),
+        F.when(is_del, F.lit("d")).otherwise("c").alias("op"),
+        F.struct(
+            F.lit("testdb").alias("db"),
+            F.lit("outbox").alias("table"),
+            F.col("event_id").alias("pos"),
+            F.lit(None).cast("string").alias("tx_id"),
+            F.lit(None).cast("string").alias("snapshot"),
+        ).alias("source"),
+    )
+    routed = outbox_event_router(
+        outbox_rows,
+        route_topic_replacement="app.${routedByValue}.events",
+        additional_fields=(
+            ("id", "envelope", "event_uuid"),
+            ("aggregatetype", "header", "h_type"),
+        ),
+        delete_handling="tombstone",
+    )
+    return routed.select(
+        "key", "payload", "__topic", "__pos", "event_uuid",
+        F.col("__headers")["h_type"].alias("h_type"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # T8 — header to value
 # ---------------------------------------------------------------------------
