@@ -104,3 +104,33 @@ def test_simhash_numpy_matches_expression_variant(spark, sf_dir):
     a = simhash(docs).select("doc_id", "simhash")
     b = simhash_expr(docs).select("doc_id", "simhash")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_q5_star_join_broadcasts_all_dimensions(spark, qs):
+    """w14: lineitem-orders is the only shuffle join; customer/supplier/
+    nation/region ride broadcasts; the date filter reaches the orders scan."""
+    plan = _plan(spark, qs, "w14_local_supplier_volume")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_ivf_search_has_no_cartesian_on_corpus(spark, qs):
+    """a8: the only nested-loop joins are the 8-row broadcast centroid
+    assignments; candidate scoring is a hash join on the cell key."""
+    plan = _plan(spark, qs, "a8_ivf_search")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_chunker_is_shuffle_free(spark, qs):
+    """x11: chunking is scan + in-row explode — no exchange anywhere."""
+    plan = _plan(spark, qs, "x11_chunk_documents")
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_repetition_ratio_is_shuffle_free(spark, qs):
+    plan = _plan(spark, qs, "x13_repetition_ratio")
+    assert "Exchange" not in plan
