@@ -655,3 +655,202 @@ def w17_small_quantity_revenue(spark, sf_dir):
         ).cast("double").alias("avg_yearly"),
         F.count("*").alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W18 — priority split per return flag (TPC-H Q12 shape: conditional agg)
+# ---------------------------------------------------------------------------
+@register(
+    "w18_priority_split",
+    oracle="""
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def w18_priority_split(spark, sf_dir):
+    """Q12: conditional aggregation — both counters come out of ONE pass
+    over the joined fact (no second scan, no second shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W19 — promo revenue share (TPC-H Q14 shape: ratio of conditional sums)
+# ---------------------------------------------------------------------------
+@register(
+    "w19_promo_revenue_share",
+    oracle="""
+    SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS DOUBLE) AS promo_share
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+)
+def w19_promo_revenue_share(spark, sf_dir):
+    """Q14: numerator and denominator in one aggregation over a broadcast
+    dimension join; exact decimal sums, double only at the final ratio."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast(_DEC)
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).cast("double").alias("promo_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W20 — large-quantity orders (TPC-H Q18 shape: HAVING over fact agg)
+# ---------------------------------------------------------------------------
+@register(
+    "w20_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    )
+    SELECT c.c_custkey, c.c_name, b.l_orderkey, o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def w20_large_orders(spark, sf_dir):
+    """Q18: the HAVING filter shrinks the fact agg *before* any join —
+    orders/customer then join the survivors (both effectively broadcast
+    at that point)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__q"))
+        .filter(F.col("__q") > 120)
+        .select("l_orderkey", F.col("__q").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "l_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W21 — disjunctive predicate join (TPC-H Q19 shape: OR-of-ANDs pushdown)
+# ---------------------------------------------------------------------------
+@register(
+    "w21_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'BRAND#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 30)
+       OR (p.p_brand = 'BRAND#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+    """,
+)
+def w21_disjunctive_revenue(spark, sf_dir):
+    """Q19: OR-of-ANDs across both join sides. The per-side conjuncts
+    Catalyst can factor out (p_brand IN (...), quantity range) prune
+    before the join; the cross-side disjunction evaluates post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond1 = (
+        (F.col("p_brand") == "BRAND#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 30)
+    )
+    cond2 = (
+        (F.col("p_brand") == "BRAND#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond1 | cond2)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1) - F.col("l_discount").cast(_DEC))
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W22 — dormant rich customers (TPC-H Q22 shape: scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+@register(
+    "w22_dormant_customers",
+    oracle="""
+    WITH threshold AS (
+        SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) AS t
+        FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0
+    )
+    SELECT c.c_nationkey,
+           count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, threshold
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) > threshold.t
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def w22_dormant_customers(spark, sf_dir):
+    """Q22: the global-average threshold is a one-row broadcast (scalar
+    subquery shape), never-ordered customers come from a left-anti join
+    on the orders key set."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    bal = F.col("c_acctbal").cast(_DEC)
+    thr = c.filter(bal > 0).agg(F.avg(bal).alias("t"))
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(bal > F.col("t"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
