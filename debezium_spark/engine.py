@@ -64,12 +64,24 @@ class CdcEngine:
 
     def sink(
         self, *, path: str, pk_cols: list[str], insert_mode: str = "upsert",
-        num_buckets: int = 16,
+        num_buckets: int = 16, storage: str = "cow", compact_every: int = 8,
     ) -> "CdcEngine":
-        self._sink = ParquetMergeSink(
-            self.spark, path, pk_cols, insert_mode=insert_mode,
-            num_buckets=num_buckets,
-        )
+        """``storage``: ``cow`` = bucket-pruned rewrite (`ParquetMergeSink`),
+        ``mor`` = merge-on-read delta log (`LogMergeSink`, upsert only)."""
+        if storage == "mor":
+            from debezium_spark.sinks.mor import LogMergeSink
+
+            self._sink = LogMergeSink(
+                self.spark, path, pk_cols, insert_mode=insert_mode,
+                compact_every=compact_every,
+            )
+        elif storage == "cow":
+            self._sink = ParquetMergeSink(
+                self.spark, path, pk_cols, insert_mode=insert_mode,
+                num_buckets=num_buckets,
+            )
+        else:
+            raise ValueError(f"unknown sink storage: {storage}")
         return self
 
     def notifying(self, handler: Callable[[DataFrame, int], None]) -> "CdcEngine":
@@ -112,7 +124,10 @@ class CdcEngine:
 
         feed.dir, envelope.schema (a StructType), checkpoint.dir,
         sink.path, sink.pk (list or comma-string), sink.insert.mode,
-        sink.num.buckets, max.batch.files.
+        sink.num.buckets, sink.storage (cow|mor), sink.compact.every,
+        max.batch.files, plus the ``transforms=`` SMT-chain surface
+        (``transforms.<name>.type`` / ``transforms.<name>.<key>``,
+        operators/chain.py).
         """
         eng = cls(spark)
         eng.source(
@@ -126,10 +141,16 @@ class CdcEngine:
             pk_cols=pk,
             insert_mode=config.get("sink.insert.mode", "upsert"),
             num_buckets=int(config.get("sink.num.buckets", 16)),
+            storage=config.get("sink.storage", "cow"),
+            compact_every=int(config.get("sink.compact.every", 8)),
         )
         eng.checkpoint(config["checkpoint.dir"])
         if "max.batch.files" in config:
             eng.max_batch_files(int(config["max.batch.files"]))
+        if config.get("transforms"):
+            from debezium_spark.operators.chain import chain_from_config
+
+            eng.transforms(chain_from_config(config))
         return eng
 
     # -- terminal ---------------------------------------------------------

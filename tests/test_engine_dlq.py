@@ -230,3 +230,50 @@ def test_chain_through_engine_notifying(spark, sf_dir, tmp_path):
     )
     pipe.run_available()
     assert sum(seen) == env.filter(F.col("op") != "d").count()
+
+
+def test_engine_from_config_mor_with_transforms(spark, sf_dir, tmp_path):
+    """from_config wires the transforms= chain and the MOR sink choice:
+    the materialized table reflects the SMT chain (truncates skipped) and
+    the sink is a LogMergeSink."""
+    from debezium_spark.engine import CdcEngine
+    from debezium_spark.sinks.mor import LogMergeSink
+    from debezium_spark.sources.changefeed import accounts_changefeed
+    from debezium_spark.streaming import replay_feed
+
+    env = accounts_changefeed(spark, sf_dir)
+    pipe = CdcEngine.from_config(
+        spark,
+        {
+            "feed.dir": str(tmp_path / "feed"),
+            "envelope.schema": env.schema,
+            "checkpoint.dir": str(tmp_path / "ckpt"),
+            "sink.path": str(tmp_path / "target"),
+            "sink.pk": "id",
+            "sink.storage": "mor",
+            "sink.compact.every": "3",
+            "transforms": "drops",
+            "transforms.drops.type": "skip-ops",
+            "transforms.drops.skipped.operations": "m",
+        },
+    ).build()
+    assert isinstance(pipe.sink, LogMergeSink)
+    assert pipe.sink.compact_every == 3
+    assert len(pipe.transforms) == 1
+
+    from debezium_spark.sources.changefeed import accounts_snapshot
+
+    pipe.run_snapshot(accounts_snapshot(spark, sf_dir))
+    replay_feed(env, str(tmp_path / "feed"), num_chunks=3)
+    pipe.run_available()
+    got = sorted(
+        (r.id, r.status) for r in pipe.sink.read().select("id", "status").collect()
+    )
+    from debezium_spark.suite import load_all
+
+    want = sorted(
+        (r.id, r.status)
+        for r in load_all()["k1_merge_upsert"].fn(spark, sf_dir)
+        .select("id", "status").collect()
+    )
+    assert got == want
