@@ -54,11 +54,31 @@ class NotificationLog:
             return [json.loads(line) for line in f if line.strip()]
 
 
+def _condition_of(data: dict) -> str | None:
+    """Extract the signal's additional-condition predicate.
+
+    Accepts both the reference's list form
+    (``additional-conditions: [{"data-collection": ..., "filter": ...}]``,
+    ExecuteSnapshot.java:37,53) and a plain string shortcut. Single-table
+    snapshotter: the first entry's filter applies.
+    """
+    conds = data.get("additional-conditions")
+    if not conds:
+        return None
+    if isinstance(conds, str):
+        return conds
+    first = conds[0]
+    if isinstance(first, dict):
+        return first.get("filter")
+    return str(first)
+
+
 class FileSignalChannel:
     """P6: JSON-lines control file polled once per micro-batch.
 
     Supported actions (SignalProcessor.java:306 registry):
-    ``execute-snapshot`` {"data-collections": [...]},
+    ``execute-snapshot`` {"data-collections": [...],
+    "additional-conditions": [{"data-collection": ..., "filter": ...}]},
     ``stop-snapshot``, ``pause-snapshot``, ``resume-snapshot``,
     ``log`` {"message": ...}.
     """
@@ -126,11 +146,17 @@ class FileSignalChannel:
                     # current batch applies after and wins per-key.
                     if self.notifications:
                         self.notifications.emit("blocking_snapshot", "STARTED")
-                    self.snapshotter.blocking(pipeline)
+                    self.snapshotter.blocking(
+                        pipeline,
+                        condition=_condition_of(data),
+                    )
                     if self.notifications:
                         self.notifications.emit("blocking_snapshot", "COMPLETED")
                 else:
-                    self.snapshotter.begin(data.get("data-collections", []))
+                    self.snapshotter.begin(
+                        data.get("data-collections", []),
+                        condition=_condition_of(data),
+                    )
                     if self.notifications:
                         self.notifications.emit(
                             "incremental_snapshot", "STARTED",
@@ -193,17 +219,30 @@ class IncrementalSnapshotter:
         with open(self._progress_file, "w") as f:
             json.dump(p, f)
 
-    def begin(self, collections: list[str]) -> None:
-        self._save({"active": True, "bound": None, "collections": collections})
+    def begin(self, collections: list[str], condition: str | None = None) -> None:
+        """``condition`` is the signal's ``additional-conditions`` filter
+        (ExecuteSnapshot.java:37,53 / AbstractChunkQueryBuilder additional
+        condition): a SQL predicate ANDed into every chunk SELECT."""
+        self._save(
+            {
+                "active": True,
+                "bound": None,
+                "collections": collections,
+                "condition": condition,
+            }
+        )
 
     def stop(self) -> None:
         self._save({"active": False, "bound": None})
 
-    def blocking(self, pipeline) -> None:
+    def blocking(self, pipeline, condition: str | None = None) -> None:
         """S5 blocking snapshot: one-shot full re-read through the sink —
         no chunk loop, no dedup window (streaming is paused by batch
         ordering)."""
-        pipeline.sink.write_batch(self.wrap_chunk(self.source_loader()))
+        src = self.source_loader()
+        if condition:
+            src = src.filter(F.expr(condition))
+        pipeline.sink.write_batch(self.wrap_chunk(src))
 
     @property
     def active(self) -> bool:
@@ -233,6 +272,10 @@ class IncrementalSnapshotter:
             return
 
         src = self.source_loader()
+        if p.get("condition"):
+            # The additional-condition reaches the chunk SELECT itself, so
+            # filtered-out rows are never read, chunked, or deduped.
+            src = src.filter(F.expr(p["condition"]))
         if p["bound"] is not None:
             src = src.filter(F.col(self.pk_col) > p["bound"])
         # Keyset chunk: TopK by pk, no full sort (ChunkBoundaryCalculator.java:56).

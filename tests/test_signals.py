@@ -192,3 +192,29 @@ def test_blocking_snapshot_signal(spark, sf_dir, dirs):
     types = [(n["aggregate"], n["type"]) for n in notif.read()]
     assert ("blocking_snapshot", "STARTED") in types
     assert ("blocking_snapshot", "COMPLETED") in types
+
+
+def test_snapshot_additional_condition_filters_chunks(spark, sf_dir, dirs):
+    """ExecuteSnapshot additional-conditions (ExecuteSnapshot.java:37,53):
+    the predicate reaches the chunk SELECT, so only matching rows are
+    snapshotted — unmatched rows never enter the sink."""
+    env = accounts_changefeed(spark, sf_dir)
+    pipe, sink, signals, snapshotter, notif = _build(spark, sf_dir, dirs)
+
+    signals.send(
+        "cond-1",
+        "execute-snapshot",
+        {
+            "data-collections": ["testdb.accounts"],
+            "additional-conditions": [
+                {"data-collection": "testdb.accounts", "filter": "id % 2 = 0"}
+            ],
+        },
+    )
+    # Empty feed: drive the chunk loop directly (continuous mode would).
+    signals.poll(pipe, env.limit(0), 0)
+    while snapshotter.active:
+        snapshotter.advance(pipe, env.limit(0))
+
+    rows = sink.read().select("id").collect()
+    assert rows and all(r.id % 2 == 0 for r in rows)
