@@ -134,3 +134,48 @@ def test_chunker_is_shuffle_free(spark, qs):
 def test_repetition_ratio_is_shuffle_free(spark, qs):
     plan = _plan(spark, qs, "x13_repetition_ratio")
     assert "Exchange" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """The co-located-join story from SCALE.md, proven on real bucketed
+    tables: both sides bucketed+sorted on the join key → SortMergeJoin
+    with NO shuffle exchange on either side (only the bucketed scans)."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    # The in-memory catalog forgets tables across sessions but their dirs
+    # persist in the scratch warehouse; clear them so re-creation works.
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_customer"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    (o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("b_orders"))
+    (c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("b_customer"))
+    try:
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_customer").hint("merge"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # The join itself is exchange-free: no repartitioning on either
+        # join key; the only exchange is the post-join groupBy's.
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
