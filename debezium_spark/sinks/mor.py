@@ -173,10 +173,25 @@ class LogMergeSink:
             self.compact()
 
     # -- read path --------------------------------------------------------
-    def read(self) -> DataFrame:
-        """Merged current state: base ∪ live deltas, last epoch wins."""
+    def read(self, as_of_epoch: int | None = None) -> DataFrame:
+        """Merged state: base ∪ live deltas, last epoch wins.
+
+        ``as_of_epoch`` time-travels to that epoch (inclusive). History is
+        bounded below by the compaction marker — exactly like retained
+        versions in a lakehouse; raise ``compact_every`` to keep more.
+        """
         m = self._marker_epoch()
-        epochs = [e for e in self._delta_epochs() if m is None or e > m]
+        if as_of_epoch is not None and m is not None and as_of_epoch < m:
+            raise ValueError(
+                f"epoch {as_of_epoch} predates compaction marker {m}; "
+                "raise compact_every to retain more history"
+            )
+        epochs = [
+            e
+            for e in self._delta_epochs()
+            if (m is None or e > m)
+            and (as_of_epoch is None or e <= as_of_epoch)
+        ]
         parts = []
         if m is not None:
             parts.append(
@@ -223,6 +238,35 @@ class LogMergeSink:
             live.withColumn("__rn", F.row_number().over(w))
             .filter((F.col("__rn") == 1) & ~F.col("__deleted"))
             .select(*value_cols)
+        )
+
+    def changes_since(self, epoch: int) -> DataFrame:
+        """The change stream OUT of the materialized table (the Delta CDF /
+        Hudi incremental-query analog): one reduced row per (key, epoch)
+        for every on-disk epoch > ``epoch``, ``__deleted`` marking deletes,
+        ``__epoch`` ordering the stream. O(deltas read) — no merge window.
+        Consumers must keep up within ``compact_every`` batches, the same
+        retention contract a lakehouse changelog has."""
+        m = self._marker_epoch()
+        if m is not None and epoch < m:
+            raise ValueError(
+                f"epoch {epoch} predates compaction marker {m}; "
+                "changelog history has been folded into the base"
+            )
+        live = [e for e in self._delta_epochs() if e > epoch]
+        if not live:
+            raise FileNotFoundError("no changes past the requested epoch")
+        deltas = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self._delta_root)
+            .parquet(
+                *[os.path.join(self._delta_root, f"epoch={e}") for e in live]
+            )
+            .withColumn("__epoch", F.col("epoch").cast("long"))
+            .drop("epoch")
+        )
+        return deltas.filter(
+            F.col("__op").isNull() | (F.col("__op") != OP_TRUNCATE)
         )
 
     # -- compaction -------------------------------------------------------
