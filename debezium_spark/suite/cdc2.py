@@ -763,3 +763,59 @@ def s8_pgoutput_decode(spark, sf_dir):
     lines = ev.select("event_id", msg.alias("msg"))
     out = decode_pgoutput(lines)
     return out.select("event_id", "op_code", "table", "id", "status", "balance")
+
+
+# ---------------------------------------------------------------------------
+# S13 — snapshot-diff changefeed (bootstrap CDC from two table versions)
+# ---------------------------------------------------------------------------
+from debezium_spark.operators.diff import snapshot_diff  # noqa: E402
+from debezium_spark.suite import register as _register_s13  # noqa: E402
+
+
+@_register_s13(
+    "s13_snapshot_diff",
+    oracle="""
+    WITH old_v AS (
+        SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_custkey % 7 != 0
+    ),
+    new_v AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % 5 = 0
+                    THEN CAST(c_acctbal AS DOUBLE) + 10.0
+                    ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal
+        FROM customer WHERE c_custkey % 11 != 0
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'c'
+                WHEN n.c_custkey IS NULL THEN 'd'
+                ELSE 'u' END AS op,
+           o.c_acctbal AS before_acctbal,
+           n.c_acctbal AS after_acctbal
+    FROM old_v o FULL OUTER JOIN new_v n USING (c_custkey)
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+       OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+    """,
+)
+def s13_snapshot_diff(spark, sf_dir):
+    """Two deterministic versions of `customer` (rows %7 missing from old
+    = creates; rows %11 missing from new = deletes; %5 balance bump =
+    updates) diffed into a changefeed (operators/diff.py)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double")
+    )
+    old_v = c.filter(F.col("c_custkey") % 7 != 0)
+    new_v = c.filter(F.col("c_custkey") % 11 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 10.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    d = snapshot_diff(old_v, new_v, ["c_custkey"])
+    return d.select(
+        "c_custkey",
+        "op",
+        F.col("before.c_acctbal").alias("before_acctbal"),
+        F.col("after.c_acctbal").alias("after_acctbal"),
+    )
