@@ -21,6 +21,7 @@ from debezium_spark.streaming.signals import (  # noqa: F401
     FileSignalChannel,
     IncrementalSnapshotter,
     NotificationLog,
+    SourceSignalChannel,
 )
 from debezium_spark.streaming.reliability import (  # noqa: F401
     GuardrailViolation,

@@ -196,11 +196,13 @@ class IncrementalSnapshotter:
         state_dir: str,
         chunk_size: int = 1024,
         notifications: NotificationLog | None = None,
+        table: str | None = None,
     ):
         self.spark = spark
         self.source_loader = source_loader
         self.wrap_chunk = wrap_chunk
         self.pk_col = pk_col
+        self.table = table
         self.chunk_size = chunk_size
         self.state_dir = state_dir
         self.notifications = notifications
@@ -250,8 +252,14 @@ class IncrementalSnapshotter:
 
     # -- dedup window -----------------------------------------------------
     def _record_touched(self, batch_df: DataFrame) -> None:
+        scoped = batch_df.filter(F.col("op").isNotNull())
+        if self.table is not None:
+            # Only the captured collection's keys belong in the dedup
+            # window — a multiplexed feed also carries signal-table rows
+            # (SourceSignalChannel) whose keys are a different type.
+            scoped = scoped.filter(F.col("source.table") == self.table)
         keys = (
-            batch_df.filter(F.col("op").isNotNull())
+            scoped
             .select(F.col(f"key.{self.pk_col}").alias(self.pk_col))
             .distinct()
         )
@@ -304,3 +312,55 @@ class IncrementalSnapshotter:
             self.notifications.emit(
                 "incremental_snapshot", "IN_PROGRESS", bound=new_bound
             )
+
+
+class SourceSignalChannel(FileSignalChannel):
+    """P6 via the stream itself: the reference's ``signal.data.collection``
+    path, where INSERTs into a signal *table* arrive as ordinary change
+    events in the log (SignalProcessor.java:147 source-channel;
+    MySQL read-only incremental snapshots depend on it).
+
+    Each micro-batch is scanned for ``op='c'`` rows of the signal
+    collection; their (id, type, data-JSON) payloads are appended to the
+    durable signal file (dedup by signal id survives restarts) and then the
+    normal action registry runs. Signals are therefore processed at the
+    exact log position where they were written — the property that makes
+    the DBLog watermark windows correct.
+
+    The multiplexed envelope's ``after`` struct must carry the signal
+    columns (``id``, ``type``, ``data``); pair with a routing/filter
+    transform if the signal table should not reach the sink.
+    """
+
+    def __init__(
+        self,
+        signal_file: str,
+        state_dir: str,
+        *,
+        signal_collection: str = "signals",
+        **kw,
+    ):
+        super().__init__(signal_file, state_dir, **kw)
+        self.signal_collection = signal_collection
+
+    def poll(self, pipeline, batch_df: DataFrame, epoch_id: int) -> None:
+        rows = (
+            batch_df.filter(
+                (F.col("source.table") == self.signal_collection)
+                & (F.col("op") == "c")
+            )
+            .select(
+                F.col("after.id").alias("id"),
+                F.col("after.type").alias("type"),
+                F.col("after.data").alias("data"),
+            )
+            .collect()
+        )
+        if rows:
+            st = self._load_state()
+            for r in rows:
+                if r.id in st["processed"]:
+                    continue
+                data = json.loads(r.data) if r.data else {}
+                self.send(r.id, r.type, data)
+        super().poll(pipeline, batch_df, epoch_id)

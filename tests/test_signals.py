@@ -62,6 +62,7 @@ def _build(spark, sf_dir, dirs, chunk_size=40):
         state_dir=dirs["state"],
         chunk_size=chunk_size,
         notifications=notif,
+        table="accounts",
     )
     signals = FileSignalChannel(
         dirs["sig"] + "/signals.jsonl",
@@ -218,3 +219,58 @@ def test_snapshot_additional_condition_filters_chunks(spark, sf_dir, dirs):
 
     rows = sink.read().select("id").collect()
     assert rows and all(r.id % 2 == 0 for r in rows)
+
+
+def test_source_signal_channel_processes_in_stream_signals(spark, sf_dir, dirs):
+    """P6 source channel (signal.data.collection): an INSERT into the
+    signal table arriving IN the change stream starts the snapshot at that
+    log position; re-delivery of the same signal id is a no-op."""
+    from debezium_spark.streaming import SourceSignalChannel
+
+    pipe, sink, _file_signals, snapshotter, notif = _build(spark, sf_dir, dirs)
+    signals = SourceSignalChannel(
+        dirs["sig"] + "/stream_signals.jsonl",
+        dirs["state"],
+        signal_collection="signals",
+        snapshotter=snapshotter,
+        notifications=notif,
+    )
+    env = accounts_changefeed(spark, sf_dir)
+    # A signal-table INSERT as an ordinary change event: after struct
+    # carries (id, type, data-JSON); the account columns ride along null.
+    import json as _json
+
+    sig_after = F.struct(
+        F.lit("sig-42").alias("id"),
+        F.lit("execute-snapshot").alias("type"),
+        F.lit(_json.dumps({
+            "data-collections": ["testdb.accounts"],
+            "additional-conditions": [{"filter": "id % 2 = 1"}],
+        })).alias("data"),
+    )
+    sig_batch = env.limit(1).select(
+        F.struct(F.lit("sig-42").alias("id")).alias("key"),
+        F.lit(None).cast("struct<id:string,type:string,data:string>").alias("before"),
+        sig_after.alias("after"),
+        F.lit("c").alias("op"),
+        F.struct(
+            F.lit("testdb").alias("db"),
+            F.lit("signals").alias("table"),
+            F.lit(1).cast("long").alias("pos"),
+            F.lit(None).cast("string").alias("tx_id"),
+            F.lit(None).cast("string").alias("snapshot"),
+        ).alias("source"),
+    )
+    signals.poll(pipe, sig_batch, 0)
+    assert snapshotter.active
+
+    while snapshotter.active:
+        snapshotter.advance(pipe, sig_batch.limit(0))
+    rows = sink.read().select("id").collect()
+    assert rows and all(r.id % 2 == 1 for r in rows)
+
+    # same signal id re-delivered (batch replay) → processed exactly once
+    n_before = len(sink.read().collect())
+    signals.poll(pipe, sig_batch, 1)
+    assert not snapshotter.active  # not restarted
+    assert len(sink.read().collect()) == n_before
