@@ -503,3 +503,93 @@ def simhash_expr(
         vote = F.aggregate(F.col("__th"), F.lit(0), bit_voter(j))
         acc = acc + F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(0)
     return out.withColumn("simhash", acc).drop("__th")
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog — the sketch operator class (approximate distinct)
+# ---------------------------------------------------------------------------
+def hll_sketch(
+    df: DataFrame, col: str, *, p: int = 9, group_by: list[str] | None = None
+) -> DataFrame:
+    """Engine-portable HyperLogLog distinct-count estimate.
+
+    Spark's ``approx_count_distinct`` and DuckDB's HLL use different hash
+    functions, so their estimates can never hash-match. This sketch is the
+    same algorithm over the portable md5-derived 60-bit hash: bucket = low
+    ``p`` bits, remainder = the other ``60-p`` bits, register = leading-zero
+    rank of the remainder (computed bit-exactly via base-2 string length —
+    float log2 is not portable), per-bucket MAX (associative → map-side
+    combinable, the property that makes sketches THE 100 TB distinct-count
+    tool), then the bias-corrected harmonic estimate with small-range
+    correction.
+
+    Returns ``group_by…, n_est (long)``.
+    """
+    m = 1 << p
+    bits = 60 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = portable_hash64(F.col(col).cast("string"), seed="hll:")
+    bucket = F.pmod(h, F.lit(m))
+    rest = F.shiftright(h, p)  # exact: h < 2^60 is a positive long
+    bit_len = F.length(F.conv(rest.cast("string"), 10, 2))
+    rank = F.when(rest == 0, F.lit(bits + 1)).otherwise(
+        F.lit(bits) - bit_len + 1
+    ).cast("long")
+    keys = list(group_by or [])
+    regs = df.groupBy(*keys, bucket.alias("__b")).agg(
+        F.max(rank).alias("__r")
+    )
+    # Sum over ALL m buckets: absent buckets contribute 2^-0 = 1 each.
+    agg = regs.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("__r"))).alias("__z"),
+        F.count("*").alias("__nb"),
+    )
+    z = F.col("__z") + (F.lit(m) - F.col("__nb")).cast("double")
+    raw = F.lit(alpha * m * m) / z
+    zeros = F.lit(m) - F.col("__nb")
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), small).otherwise(raw)
+    return agg.select(*keys, F.floor(est).cast("long").alias("n_est"))
+
+
+def oracle_hll_sql(
+    col_expr: str, *, p: int = 9, src: str = "__SRC__", group_keys: str = ""
+) -> str:
+    """DuckDB twin of :func:`hll_sketch` (same hash, same bit-exact rank,
+    same estimate)."""
+    m = 1 << p
+    bits = 60 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = oracle_hash64(f"CAST({col_expr} AS VARCHAR)", "hll:")
+    sel = f"{group_keys}, " if group_keys else ""
+    grp = f"{group_keys}, " if group_keys else ""
+    grp_all = f"GROUP BY {group_keys}" if group_keys else ""
+    return f"""
+    hashed AS (
+        SELECT {sel}{h} % {m} AS b, ({h} >> {p}) AS rest
+        FROM {src}
+    ),
+    regs AS (
+        SELECT {sel}b,
+               max(CASE WHEN rest = 0 THEN {bits + 1}
+                        ELSE {bits} - length(bin(rest)) + 1
+                   END) AS r
+        FROM hashed GROUP BY {grp}b
+    ),
+    hagg AS (
+        SELECT {sel}sum(power(2.0, -r)) AS z, count(*) AS nb
+        FROM regs {grp_all}
+    ),
+    hest AS (
+        SELECT {sel}CAST(floor(
+            CASE WHEN (CAST({alpha} AS DOUBLE) * {m} * {m})
+                          / (z + ({m} - nb)) <= 2.5 * {m}
+                      AND ({m} - nb) > 0
+                 THEN CAST({m} AS DOUBLE)
+                      * ln(CAST({m} AS DOUBLE) / CAST({m} - nb AS DOUBLE))
+                 ELSE (CAST({alpha} AS DOUBLE) * {m} * {m})
+                          / (z + ({m} - nb)) END
+        ) AS BIGINT) AS n_est
+        FROM hagg
+    )
+"""

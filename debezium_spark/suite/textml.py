@@ -645,3 +645,35 @@ def x15_vocabulary_topk(spark, sf_dir):
     return top.select(
         "token", "cnt", F.row_number().over(w).cast("int").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# X16 — portable HyperLogLog distinct count (the sketch operator class)
+# ---------------------------------------------------------------------------
+from debezium_spark.analytics.text import hll_sketch, oracle_hll_sql  # noqa: E402
+
+
+@register(
+    "x16_hll_distinct_users",
+    oracle=f"""
+    WITH __SRC__ AS (SELECT event_type, user_id FROM events),
+    {oracle_hll_sql("user_id", p=9, group_keys="event_type")},
+    exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type, h.n_est, e.n_exact
+    FROM hest h JOIN exact e USING (event_type)
+    """,
+)
+def x16_hll_distinct_users(spark, sf_dir):
+    """Approximate distinct users per event type via the portable HLL
+    (map-side-combinable MAX registers — the sketch shape that replaces
+    count(DISTINCT) at 100 TB), alongside the exact count so the estimate
+    error is visible in the result."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = hll_sketch(ev, "user_id", p=9, group_by=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type")
