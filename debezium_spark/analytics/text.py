@@ -593,3 +593,62 @@ def oracle_hll_sql(
         FROM hagg
     )
 """
+
+
+# ---------------------------------------------------------------------------
+# Portable count-min sketch — frequency estimation / heavy hitters
+# ---------------------------------------------------------------------------
+CM_DEPTH = 4
+
+
+def cm_sketch_counts(
+    df: DataFrame, col: str, *, w: int = 1024, d: int = CM_DEPTH
+) -> DataFrame:
+    """Count-min sketch registers: one (j, bucket, cnt) row per non-empty
+    cell. Like :func:`hll_sketch`, plain SUM aggregation → map-side
+    combinable and mergeable across partitions/days; d independent hash
+    rows come from seeding the portable hash. O(d·w) cells regardless of
+    cardinality — the frequency-table shape that fits in memory at 100 TB.
+    """
+    rows = df.select(
+        F.col(col).cast("string").alias("__item"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+    )
+    bucket = F.pmod(
+        portable_hash64(
+            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("__item")),
+            seed="cm:",
+        ),
+        F.lit(w),
+    )
+    return rows.groupBy("j", bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, items: DataFrame, item_col: str, *, w: int = 1024,
+    d: int = CM_DEPTH,
+) -> DataFrame:
+    """Point-query the sketch: estimate = MIN over the d rows' cells.
+    Broadcast-joins the candidate set against the tiny register table."""
+    probes = items.select(
+        F.col(item_col),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            portable_hash64(
+                F.concat(
+                    F.col("j").cast("string"), F.lit(":"),
+                    F.col(item_col).cast("string"),
+                ),
+                seed="cm:",
+            ),
+            F.lit(w),
+        ),
+    )
+    joined = probes.join(F.broadcast(sketch), ["j", "bucket"], "left").select(
+        item_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(item_col).agg(F.min("cnt").alias("cnt_est"))

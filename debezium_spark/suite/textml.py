@@ -677,3 +677,53 @@ def x16_hll_distinct_users(spark, sf_dir):
         F.countDistinct("user_id").alias("n_exact")
     )
     return est.join(exact, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# X17 — count-min sketch heavy hitters (frequency estimation)
+# ---------------------------------------------------------------------------
+from debezium_spark.analytics.text import cm_estimate, cm_sketch_counts  # noqa: E402
+
+_CM_W, _CM_D = 1024, 4
+_CM_HASH = _ohash("CAST(j AS VARCHAR) || ':' || token", "cm:")
+
+
+@register(
+    "x17_cm_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    exact AS (SELECT token, count(*) AS cnt_exact FROM tok GROUP BY 1),
+    probes AS (
+        SELECT token, unnest(generate_series(0, {_CM_D - 1})) AS j FROM exact
+    ),
+    cells AS (
+        SELECT t.token AS item, p.j, {_CM_HASH.replace('token', 't.token')} % {_CM_W} AS bucket
+        FROM tok t CROSS JOIN (SELECT unnest(generate_series(0, {_CM_D - 1})) AS j) p
+    ),
+    sketch AS (
+        SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT p.token, min(coalesce(s.cnt, 0)) AS cnt_est
+        FROM (SELECT token, j, {_CM_HASH} % {_CM_W} AS bucket FROM probes) p
+        LEFT JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+        GROUP BY 1
+    )
+    SELECT e.token, e.cnt_exact, CAST(est.cnt_est AS BIGINT) AS cnt_est
+    FROM exact e JOIN est USING (token)
+    WHERE e.cnt_exact >= 100
+    """,
+)
+def x17_cm_heavy_hitters(spark, sf_dir):
+    """Count-min register table + point queries for every token that is a
+    true heavy hitter (exact >= 100) — estimates always >= exact (the CM
+    one-sided error), bit-identical to the oracle's sketch."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    sketch = cm_sketch_counts(tok, "token", w=_CM_W, d=_CM_D)
+    exact = tok.groupBy("token").agg(F.count("*").alias("cnt_exact"))
+    hh = exact.filter(F.col("cnt_exact") >= 100)
+    est = cm_estimate(sketch, hh.select("token"), "token", w=_CM_W, d=_CM_D)
+    return hh.join(est, "token").select(
+        "token", "cnt_exact", F.col("cnt_est").cast("long").alias("cnt_est")
+    )
