@@ -89,3 +89,43 @@ def handle_failures(
     if mode == "warn":
         warn(f"quarantined batch rows: {reason}")
     return good
+
+
+def reprocess(
+    dlq: DeadLetterQueue,
+    sink,
+    *,
+    transform=None,
+    is_valid: Column | None = None,
+    epoch_id: int | None = None,
+) -> tuple[int, int]:
+    """Drain the quarantine back through a sink after the cause is fixed —
+    the operational other-half of a DLQ (the reference leaves replay to
+    tooling around ErrorReporter; here it is one call).
+
+    ``transform`` optionally repairs rows first; rows passing ``is_valid``
+    (all rows when omitted) go through ``sink.write_batch`` as one batch,
+    the rest are re-quarantined. Returns ``(replayed, remaining)``.
+    """
+    import shutil
+
+    q = dlq.read()
+    env_cols = [c for c in q.columns if not c.startswith("__")]
+    cand = q.select(*env_cols)
+    if transform is not None:
+        cand = transform(cand)
+    if is_valid is not None:
+        good, bad = split_on_validity(cand, is_valid)
+    else:
+        good, bad = cand, cand.limit(0)
+    # Materialize both branches BEFORE the quarantine dir is rewritten.
+    good = good.localCheckpoint(eager=True)
+    bad = bad.localCheckpoint(eager=True)
+    n_good, n_bad = good.count(), bad.count()
+    if n_good:
+        sink.write_batch(good, epoch_id)
+    shutil.rmtree(dlq.path, ignore_errors=True)
+    if n_bad:
+        dlq.quarantine(bad, reason="still invalid after reprocess",
+                       epoch_id=epoch_id)
+    return n_good, n_bad

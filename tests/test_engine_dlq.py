@@ -277,3 +277,38 @@ def test_engine_from_config_mor_with_transforms(spark, sf_dir, tmp_path):
         .select("id", "status").collect()
     )
     assert got == want
+
+
+def test_dlq_reprocess_drains_fixed_rows(spark, sf_dir, tmp_path):
+    """After repair, reprocess() replays fixable quarantined envelopes
+    through the sink and re-quarantines the rest."""
+    from debezium_spark.sinks.dlq import DeadLetterQueue, reprocess
+    from debezium_spark.sinks.mor import LogMergeSink
+    from tests.test_merge_edges import _mk_event
+
+    env = accounts_changefeed(spark, sf_dir)
+    dlq = DeadLetterQueue(spark, str(tmp_path / "dlq"))
+    sink = LogMergeSink(spark, str(tmp_path / "t"), ["id"], compact_every=0)
+    sink.write_batch(_mk_event(env, key_id=1, op="c", pos=1, status="ok"), 0)
+
+    # two poison rows: one repairable (status null), one not (negative key)
+    bad = _mk_event(env, key_id=2, op="c", pos=2, status="ok").withColumn(
+        "after", F.col("after").withField("status", F.lit(None).cast("string"))
+    ).unionByName(_mk_event(env, key_id=-9, op="c", pos=3, status="ok"))
+    dlq.quarantine(bad, reason="validation failed", epoch_id=0)
+
+    fix = lambda df: df.withColumn(  # noqa: E731
+        "after",
+        F.when(
+            F.col("after.status").isNull(),
+            F.col("after").withField("status", F.lit("repaired")),
+        ).otherwise(F.col("after")),
+    )
+    replayed, remaining = reprocess(
+        dlq, sink, transform=fix, is_valid=F.col("key.id") > 0, epoch_id=1
+    )
+    assert (replayed, remaining) == (1, 1)
+    assert {r.id: r.status for r in sink.read().collect()} == {
+        1: "ok", 2: "repaired"
+    }
+    assert dlq.read().count() == 1  # the unrepairable row stays
