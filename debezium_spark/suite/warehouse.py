@@ -854,3 +854,72 @@ def w22_dormant_customers(spark, sf_dir):
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W23 — running total (cumulative frame: ROWS UNBOUNDED PRECEDING)
+# ---------------------------------------------------------------------------
+@register(
+    "w23_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def w23_running_total(spark, sf_dir):
+    """Cumulative spend per customer: one shuffle on the partition key;
+    the frame accumulates within the sorted partition (exact decimal sum,
+    deterministic tie-break on the order key)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w)
+        .cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W24 — order-gap analysis (LAG frame: consecutive-row deltas)
+# ---------------------------------------------------------------------------
+@register(
+    "w24_order_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS d,
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev_d
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(d - prev_d AS BIGINT) AS days_since_prev
+    FROM g WHERE prev_d IS NOT NULL
+    """,
+)
+def w24_order_gaps(spark, sf_dir):
+    """Days between consecutive orders per customer (lag over the same
+    sorted partition as w23 — at scale these share one exchange)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.to_date("o_orderdate")
+    prev = F.lag(d).over(w)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(d, prev).cast("long").alias("days_since_prev"),
+        )
+        .filter(F.col("days_since_prev").isNotNull())
+    )
