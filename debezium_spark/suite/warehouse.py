@@ -923,3 +923,26 @@ def w24_order_gaps(spark, sf_dir):
         )
         .filter(F.col("days_since_prev").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# W25 — CUBE aggregation (all grouping-set combinations)
+# ---------------------------------------------------------------------------
+@register(
+    "w25_cube_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def w25_cube_counts(spark, sf_dir):
+    """CUBE = all 2^k grouping sets in one pass: Spark expands the sets
+    map-side and aggregates once (complements w5's ROLLUP)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
+    )
