@@ -583,7 +583,7 @@ def w15_returned_top_customers(spark, sf_dir):
         GROUP BY 1, 2
     )
     SELECT p.p_partkey, p.p_brand, s.s_name,
-           CAST(c.unit_cost AS DOUBLE) AS unit_cost
+           round(CAST(c.unit_cost AS DOUBLE), 6) AS unit_cost
     FROM cost c
     JOIN part p     ON c.l_partkey = p.p_partkey
     JOIN supplier s ON c.l_suppkey = s.s_suppkey
@@ -615,7 +615,7 @@ def w16_min_cost_supplier(spark, sf_dir):
             "p_partkey",
             "p_brand",
             "s_name",
-            F.col("unit_cost").cast("double").alias("unit_cost"),
+            F.round(F.col("unit_cost").cast("double"), 6).alias("unit_cost"),
         )
     )
 
