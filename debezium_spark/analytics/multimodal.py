@@ -140,3 +140,70 @@ def docling_markdown(
         return "# Document " + ids.astype(str) + "\n\n" + texts.fillna("")
 
     return df.withColumn("markdown", to_md(F.col(id_col), F.col(text_col)))
+
+
+AUDIO_MAGIC = b"AUD1"
+
+
+def synthesize_audio_blob(id_col: Column) -> Column:
+    """Deterministic fake audio blob: magic 'AUD1', sample-rate u16,
+    32 bytes of "PCM" payload (two md5 digests) — both engines can rebuild
+    it from hex, like :func:`synthesize_image_blob`."""
+    rate = 8000 + F.pmod(id_col, F.lit(8)) * 1000
+    hex_str = F.concat(
+        F.lit(AUDIO_MAGIC.hex()),
+        F.lpad(F.conv(rate.cast("string"), 10, 16), 4, "0"),
+        F.md5(F.concat(F.lit("aud-a:"), id_col.cast("string"))),
+        F.md5(F.concat(F.lit("aud-b:"), id_col.cast("string"))),
+    )
+    return F.unhex(hex_str)
+
+
+AUDIO_SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_segments", T.IntegerType()),
+        T.StructField("energies", T.StringType()),
+    ]
+)
+
+
+def segment_audio(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    *,
+    window: int = 8,
+    hop: int = 4,
+) -> DataFrame:
+    """Sliding-window segmentation with per-segment energy (byte sum) via
+    Arrow-batched ``mapInPandas`` — the librosa/ffmpeg-resample shape; a
+    real deployment swaps the byte-sum for an actual DSP kernel, the
+    Spark plumbing (schema, batching, partitioning) stays identical."""
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, counts, energies = [], [], []
+            for b in pdf[blob_col]:
+                b = bytes(b) if b is not None else b""
+                ok = len(b) >= 6 and b[:4] == AUDIO_MAGIC
+                rate = int.from_bytes(b[4:6], "big") if ok else None
+                payload = b[6:] if ok else b""
+                segs = [
+                    sum(payload[i : i + window])
+                    for i in range(0, max(len(payload) - window, 0) + 1, hop)
+                ]
+                rates.append(rate)
+                counts.append(len(segs))
+                energies.append(",".join(str(e) for e in segs))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_segments": pd.array(counts, dtype="Int32"),
+                    "energies": energies,
+                }
+            )
+
+    return df.mapInPandas(analyze, AUDIO_SEGMENT_SCHEMA)

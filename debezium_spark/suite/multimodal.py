@@ -95,3 +95,51 @@ def m2_frame_sample(spark, sf_dir):
 def t21_docling_markdown(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docling_markdown(docs).select("doc_id", "markdown")
+
+
+# ---------------------------------------------------------------------------
+# M3 — audio segmentation (sliding-window energy over binary payload)
+# ---------------------------------------------------------------------------
+_AUD_HEX = (
+    "md5('aud-a:' || CAST(doc_id AS VARCHAR))"
+    " || md5('aud-b:' || CAST(doc_id AS VARCHAR))"
+)
+# byte i (1-based) of the 32-byte payload
+_AUD_BYTE = f"CAST(('0x' || substr({_AUD_HEX}, 2 * i - 1, 2)) AS INT)"
+
+
+@register(
+    "m3_audio_segments",
+    oracle=f"""
+    WITH seg AS (
+        SELECT doc_id,
+               CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+               list_transform(
+                   generate_series(0, 24, 4),
+                   s -> list_aggregate(
+                       list_transform(generate_series(s + 1, s + 8),
+                                      i -> {_AUD_BYTE}),
+                       'sum')
+               ) AS es
+        FROM documents
+    )
+    SELECT doc_id, sample_rate,
+           CAST(len(es) AS INT) AS n_segments,
+           array_to_string(es, ',') AS energies
+    FROM seg
+    """,
+)
+def m3_audio_segments(spark, sf_dir):
+    """Audio as opaque binary + typed metadata: synthesize a deterministic
+    blob, then sliding-window (8-byte window, 4-byte hop) energy via
+    Arrow-batched mapInPandas — the resample/DSP plumbing contract."""
+    from debezium_spark.analytics.multimodal import (
+        segment_audio,
+        synthesize_audio_blob,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = docs.select(
+        "doc_id", synthesize_audio_blob(F.col("doc_id")).alias("blob")
+    )
+    return segment_audio(blobs, window=8, hop=4)
