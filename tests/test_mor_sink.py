@@ -155,3 +155,29 @@ def test_mor_time_travel_and_changelog(spark, sf_dir, tmp_path):
         sink.read(as_of_epoch=0)
     with _pytest.raises(ValueError):
         sink.changes_since(0)
+
+
+def test_mor_crash_mid_compaction_leaves_valid_state(spark, sf_dir, tmp_path):
+    """Compaction order is write-base -> flip-marker -> delete-old. A crash
+    after the base write but before the marker flip leaves an orphan
+    base-<E> dir; reads still serve old-base + all deltas (unchanged
+    state), and the next compaction garbage-collects the orphan."""
+    import os
+
+    env = accounts_changefeed(spark, sf_dir)
+    path = str(tmp_path / "t")
+    sink = LogMergeSink(spark, path, ["id"], compact_every=0)
+    sink.write_batch(_mk_event(env, key_id=1, op="c", pos=1, status="a"), 0)
+    sink.write_batch(_mk_event(env, key_id=2, op="c", pos=2, status="b"), 1)
+    before = _state(sink)
+
+    # Simulated crash: the new base exists, the marker was never flipped.
+    sink.read().write.mode("overwrite").parquet(os.path.join(path, "base-1"))
+    assert sink._marker_epoch() is None
+    assert _state(sink) == before  # orphan base is invisible
+
+    sink.write_batch(_mk_event(env, key_id=1, op="u", pos=3, status="c"), 2)
+    sink.compact()  # completes normally, GCs the orphan
+    assert os.path.isdir(os.path.join(path, "base-2"))
+    assert not os.path.isdir(os.path.join(path, "base-1"))
+    assert {r.id: r.status for r in sink.read().collect()} == {1: "c", 2: "b"}
