@@ -179,3 +179,31 @@ def test_bucketed_tables_join_without_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_bucketed_table_window_without_shuffle(spark):
+    """Window partitioned by the bucket key needs NO exchange on a
+    bucketed table — this is what makes the K4 reduce and the MOR
+    read-merge shuffle-free when sink storage is PK-bucketed."""
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS bw_orders")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/bw_orders", ignore_errors=True)
+    (o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("bw_orders"))
+    try:
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        df = spark.table("bw_orders").select(
+            "o_custkey", F.row_number().over(w).alias("rn")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        assert df.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bw_orders")
