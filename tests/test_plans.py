@@ -207,3 +207,16 @@ def test_bucketed_table_window_without_shuffle(spark):
         assert df.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS bw_orders")
+
+
+def test_no_query_in_registry_plans_a_cartesian_product(spark, qs):
+    """Blanket guarantee over the ENTIRE registry: no registered query's
+    physical plan contains an unhinted CartesianProduct. (Broadcast
+    nested-loop joins are allowed — they are the intended plan for tiny
+    broadcast sides like knn query sets and centroid tables.)"""
+    offenders = []
+    for name, q in sorted(qs.items()):
+        plan = q.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
