@@ -727,3 +727,46 @@ def x17_cm_heavy_hitters(spark, sf_dir):
     return hh.join(est, "token").select(
         "token", "cnt_exact", F.col("cnt_est").cast("long").alias("cnt_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# X18 — inverted-index posting lists (search-index build shape)
+# ---------------------------------------------------------------------------
+@register(
+    "x18_posting_lists",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest({_TOKS}) AS token FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS doc_freq,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM tok
+    GROUP BY 1
+    HAVING count(*) >= 200
+    """,
+)
+def x18_posting_lists(spark, sf_dir):
+    """Inverted-index construction: explode distinct (doc, token) pairs,
+    one shuffle on the token, sorted posting arrays per term. The HAVING
+    keeps only frequent terms so output stays bounded; at 100 TB the
+    posting arrays shard by (token, bucket) instead of one array per
+    term."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token")
+    ).distinct()
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= 200)
+    )

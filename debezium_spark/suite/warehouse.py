@@ -946,3 +946,36 @@ def w25_cube_counts(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W26 — excess-stock suppliers (TPC-H Q20 shape: semi join on HAVING agg)
+# ---------------------------------------------------------------------------
+@register(
+    "w26_excess_stock_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 5
+        GROUP BY l.l_suppkey
+        HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 500
+    )
+    """,
+)
+def w26_excess_stock_suppliers(spark, sf_dir):
+    """Q20: the IN-subquery decorrelates to agg → HAVING → left-semi join;
+    the tiny survivor set broadcasts into the supplier scan."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    heavy = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__q"))
+        .filter(F.col("__q") > 500)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return s.join(heavy, "s_suppkey", "left_semi").select("s_suppkey", "s_name")
