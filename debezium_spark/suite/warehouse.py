@@ -979,3 +979,36 @@ def w26_excess_stock_suppliers(spark, sf_dir):
         .select(F.col("l_suppkey").alias("s_suppkey"))
     )
     return s.join(heavy, "s_suppkey", "left_semi").select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# W27 — customer order-count distribution (TPC-H Q13: outer join + histogram)
+# ---------------------------------------------------------------------------
+@register(
+    "w27_order_count_histogram",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '5-LOW'
+        GROUP BY 1
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY 1
+    """,
+)
+def w27_order_count_histogram(spark, sf_dir):
+    """Q13: LEFT OUTER join keeps order-less customers (count=0 bucket),
+    then a second tiny aggregation histograms the counts — two shuffles,
+    the second over at most max-order-count distinct keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
