@@ -312,3 +312,26 @@ def test_dlq_reprocess_drains_fixed_rows(spark, sf_dir, tmp_path):
         1: "ok", 2: "repaired"
     }
     assert dlq.read().count() == 1  # the unrepairable row stays
+
+
+def test_lsh_survives_identical_document_cluster(spark):
+    """The dedup worst case: a cluster of identical documents collides in
+    EVERY band. The groupBy + array-side pair expansion keeps the blowup
+    local to one task (no join-side re-evaluation), and the pair count is
+    exactly C(n,2) for the cluster — the detector working as designed."""
+    from debezium_spark.analytics.text import lsh_candidate_pairs
+
+    n_dup, n_distinct = 800, 200
+    docs = spark.range(n_dup + n_distinct).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < n_dup, F.lit("same text repeated many times over")
+        ).otherwise(
+            F.concat(F.lit("unique document body "), F.col("id").cast("string"))
+        ).alias("text"),
+    )
+    pairs = lsh_candidate_pairs(docs)
+    cluster_pairs = pairs.filter(
+        (F.col("a") < n_dup) & (F.col("b") < n_dup)
+    ).count()
+    assert cluster_pairs == n_dup * (n_dup - 1) // 2
