@@ -770,3 +770,62 @@ def x18_posting_lists(spark, sf_dir):
         )
         .filter(F.col("doc_freq") >= 200)
     )
+
+
+# ---------------------------------------------------------------------------
+# X19 — character entropy (compression-proxy quality signal)
+# ---------------------------------------------------------------------------
+@register(
+    "x19_char_entropy",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length({_NORM})),
+                              i -> substr({_NORM}, i, 1)) AS cs
+        FROM documents
+    ),
+    dist AS (
+        SELECT doc_id, cs, list_distinct(cs) AS ds,
+               CAST(len(cs) AS DOUBLE) AS n
+        FROM chars
+    )
+    SELECT doc_id,
+           CAST(len(ds) AS BIGINT) AS n_distinct_chars,
+           round(-list_aggregate(
+               list_transform(ds,
+                   d -> (CAST(len(list_filter(cs, c -> c = d)) AS DOUBLE) / n)
+                        * log2(CAST(len(list_filter(cs, c -> c = d)) AS DOUBLE) / n)),
+               'sum'), 6) AS char_entropy
+    FROM dist
+    """,
+)
+def x19_char_entropy(spark, sf_dir):
+    """Shannon entropy of the normalized character distribution — the
+    compressibility proxy quality filters use (low entropy = repetitive /
+    boilerplate). All in-row array expressions: distinct chars, per-char
+    frequency, -sum p*log2 p. No shuffle, runs at scan speed."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from debezium_spark.analytics.text import normalize_text
+
+    norm = normalize_text(F.col("text"))
+    cs = F.transform(
+        F.sequence(F.lit(1), F.length(norm)), lambda i: norm.substr(i, F.lit(1))
+    )
+    t = docs.select("doc_id", cs.alias("cs")).select(
+        "doc_id", "cs", F.array_distinct("cs").alias("ds"),
+        F.size("cs").cast("double").alias("n"),
+    )
+    p_of = lambda d: (  # noqa: E731
+        F.size(F.filter(F.col("cs"), lambda c: c == d)).cast("double")
+        / F.col("n")
+    )
+    ent = -F.aggregate(
+        F.col("ds"),
+        F.lit(0.0),
+        lambda acc, d: acc + p_of(d) * F.log2(p_of(d)),
+    )
+    return t.select(
+        "doc_id",
+        F.size("ds").cast("long").alias("n_distinct_chars"),
+        F.round(ent, 6).alias("char_entropy"),
+    )
