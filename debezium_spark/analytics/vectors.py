@@ -216,8 +216,9 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 8,
+    iterations: int = 1,
 ) -> DataFrame:
-    """Train IVF centroids: deterministic seeds + one Lloyd step.
+    """Train IVF centroids: deterministic seeds + ``iterations`` Lloyd steps.
 
     Returns (cell, cvec: array<double>, n_members). Every step is
     engine-portable so the DuckDB oracle reproduces centroids bit-for-bit:
@@ -225,12 +226,15 @@ def ivf_train(
     * **Seeds** — the ``n_cells`` rows with the smallest portable hash of
       their id (a deterministic pseudo-random sample); selection is a
       distributed TakeOrdered, not a full sort.
-    * **Assignment** — max-cosine over the broadcast seed set, ties broken
-      by cell id.
+    * **Assignment** — max-cosine over the broadcast centroid set, ties
+      broken by cell id.
     * **Update** — per-dimension means over components quantized to 1e-6
       by ``floor`` (no rounding-tie rule to disagree on): integer sums are
       associative, so the result is independent of partitioning/order —
       the property a 1000-executor aggregation needs anyway.
+
+    Each iteration's centroids are localCheckpointed (n_cells rows) so the
+    next assignment pass does not re-run the whole training lineage.
     """
     from debezium_spark.analytics.text import portable_hash64
 
@@ -244,10 +248,19 @@ def ivf_train(
         .limit(n_cells)
     )
     w = Window.orderBy("__h", "__sid")
-    seeds = seeds.withColumn("cell", F.row_number().over(w) - 1).select(
+    assign_to = seeds.withColumn("cell", F.row_number().over(w) - 1).select(
         "cell", "cvec"
     )
-    member = _nearest_cells(vectors, seeds, id_col, vec_col, nprobe=1)
+    cents = None
+    for _ in range(iterations):
+        member = _nearest_cells(vectors, assign_to, id_col, vec_col, nprobe=1)
+        cents = _lloyd_update(member, vec_col)
+        assign_to = cents.localCheckpoint(eager=True)
+    return cents
+
+
+def _lloyd_update(member: DataFrame, vec_col: str) -> DataFrame:
+    """One centroid update: floor-quantized per-dimension integer means."""
     dims = member.select(
         "cell",
         F.posexplode(vec_col).alias("pos0", "val"),
@@ -299,6 +312,7 @@ def knn_ivf(
     k: int = 5,
     n_cells: int = 8,
     nprobe: int = 2,
+    iterations: int = 1,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their nearest cell; each query probes
     its ``nprobe`` nearest cells and ranks exact cosine inside them.
@@ -310,7 +324,8 @@ def knn_ivf(
     re-run the training subtree.
     """
     cents = ivf_train(
-        vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+        vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        iterations=iterations,
     ).localCheckpoint(eager=True)
     corpus = _nearest_cells(vectors, cents, id_col, vec_col, nprobe=1).select(
         F.col("cell"),

@@ -314,9 +314,16 @@ def a6_cosine_near_dup(spark, sf_dir):
 from debezium_spark.analytics.text import oracle_hash64  # noqa: E402
 from debezium_spark.analytics.vectors import ivf_train, knn_ivf  # noqa: E402
 
-# Shared training CTEs: deterministic hash-sampled seeds, max-cosine
-# assignment, floor-quantized (tie-rule-free) per-dimension means.
-_IVF_CTE = f"""
+# Shared training CTEs: deterministic hash-sampled seeds, then
+# ``_IVF_ITERS`` Lloyd iterations — max-cosine assignment against the
+# previous round's centroids, floor-quantized (tie-rule-free)
+# per-dimension means. Generated per iteration so the SQL mirrors the
+# Spark loop exactly.
+_IVF_ITERS = 2
+
+
+def _ivf_cte(iters: int = _IVF_ITERS) -> str:
+    parts = [f"""
     seeds0 AS (
         SELECT vec_id AS sid, embedding AS cvec,
                {oracle_hash64("CAST(vec_id AS VARCHAR)", "ivf:")} AS h
@@ -327,34 +334,45 @@ _IVF_CTE = f"""
         SELECT CAST(row_number() OVER (ORDER BY h, sid) AS INT) - 1 AS cell,
                cvec
         FROM seeds0
-    ),
-    massign AS (
+    )"""]
+    prev = "seeds"
+    for k in range(iters):
+        parts.append(f"""
+    massign{k} AS (
         SELECT e.vec_id, e.embedding, s.cell,
                row_number() OVER (
                    PARTITION BY e.vec_id
                    ORDER BY {_cosine('e.embedding', 's.cvec')} DESC, s.cell
                ) AS rn
-        FROM embeddings e CROSS JOIN seeds s
+        FROM embeddings e CROSS JOIN {prev} s
     ),
-    member AS (SELECT vec_id, embedding, cell FROM massign WHERE rn = 1),
-    dims AS (
+    member{k} AS (SELECT vec_id, embedding, cell FROM massign{k} WHERE rn = 1),
+    dims{k} AS (
         SELECT cell,
                unnest(range(1, len(embedding) + 1)) AS pos,
                unnest(embedding) AS val
-        FROM member
+        FROM member{k}
     ),
-    perdim AS (
+    perdim{k} AS (
         SELECT cell, CAST(pos AS INT) AS pos,
                CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT))
                     AS DOUBLE) / 1000000.0 / count(*) AS cmean,
                count(*) AS n_members
-        FROM dims GROUP BY 1, 2
+        FROM dims{k} GROUP BY 1, 2
     ),
-    cents AS (
+    cents{k} AS (
         SELECT cell, list(cmean ORDER BY pos) AS cvec,
                any_value(n_members) AS n_members
-        FROM perdim GROUP BY 1
-    )"""
+        FROM perdim{k} GROUP BY 1
+    )""")
+        prev = f"cents{k}"
+    parts.append(f"""
+    perdim AS (SELECT * FROM perdim{iters - 1}),
+    cents AS (SELECT * FROM cents{iters - 1})""")
+    return ",".join(parts)
+
+
+_IVF_CTE = _ivf_cte()
 
 
 @register(
@@ -367,7 +385,7 @@ _IVF_CTE = f"""
 )
 def a7_ivf_centroids(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = ivf_train(emb, n_cells=8)
+    cents = ivf_train(emb, n_cells=8, iterations=_IVF_ITERS)
     return cents.select(
         "cell", "n_members", F.posexplode("cvec").alias("pos0", "cmean")
     ).select(
@@ -416,4 +434,5 @@ def a7_ivf_centroids(spark, sf_dir):
 def a8_ivf_search(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.expr(_QFILTER))
-    return knn_ivf(emb, queries, k=5, n_cells=8, nprobe=2)
+    return knn_ivf(emb, queries, k=5, n_cells=8, nprobe=2,
+                   iterations=_IVF_ITERS)
