@@ -147,9 +147,22 @@ class ParquetMergeSink:
     def _write_schema_sidecar(self, schema) -> None:
         """Persist the flat row schema so a table whose every row has been
         deleted (zero bucket dirs — partitioned writes emit no files for an
-        empty result) still reads as an empty table, not an error."""
+        empty result) still reads as an empty table, not an error.
+
+        The persisted set is the UNION of all schemas ever written (basic
+        evolution only adds columns) — it is the authoritative known-column
+        set for evolution detection, so it must not shrink when one batch
+        happens to carry a narrower record schema."""
         import json
 
+        import pyspark.sql.types as T
+
+        prev = self._sidecar_schema()
+        if prev is not None:
+            have = {f.name for f in schema.fields}
+            schema = T.StructType(
+                [*schema.fields, *(f for f in prev.fields if f.name not in have)]
+            )
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, "_schema.json.tmp")
         with open(tmp, "w") as f:
@@ -189,19 +202,29 @@ class ParquetMergeSink:
         )
         target = self._read_target(flat_like)
         if self.schema_evolution == "basic":
-            # Evolution detection against the ON-DISK schema (one footer
-            # read) — the schema-filled target read above can't show it.
+            # Evolution detection against the authoritative on-disk column
+            # set: the _schema.json sidecar written after every batch. A
+            # bare spark.read.parquet(path).schema samples ONE footer; after
+            # an evolution the buckets are heterogeneous, and sampling a
+            # pre-evolution bucket would re-classify an existing column as
+            # "added". The explicit-schema target read above already
+            # surfaces genuinely-new columns as NULL for old buckets, so
+            # detection here only feeds the schema-history registry — it
+            # must never rewrite target columns.
             if self._has_buckets():
-                disk_cols = {
-                    f.name for f in self.spark.read.parquet(self.path).schema.fields
-                }
+                sidecar = self._sidecar_schema()
+                if sidecar is not None:
+                    disk_cols = {f.name for f in sidecar.fields}
+                else:  # pre-sidecar table: union ALL footers, not one
+                    disk_cols = {
+                        f.name
+                        for f in self.spark.read.option("mergeSchema", "true")
+                        .parquet(self.path)
+                        .schema.fields
+                    }
             else:
                 disk_cols = set(flat_like.columns)
             added = [c for c in flat_like.columns if c not in disk_cols]
-            for c in added:
-                target = target.withColumn(
-                    c, F.lit(None).cast(flat_like.schema[c].dataType)
-                )
             if added and self.schema_registry is not None:
                 # K6 → schema history: record the evolved column set keyed
                 # by this batch's position (SchemaHistory.record,

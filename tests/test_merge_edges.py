@@ -134,3 +134,61 @@ def test_schema_evolution_records_to_registry(spark, sf_dir, tmp_path):
     assert "tier" in got.columns
     rows = {r.id: r.tier for r in got.collect()}
     assert rows[2] == "T1" and rows[1] is None
+
+
+def test_evolved_column_survives_later_batches_in_other_buckets(
+    spark, sf_dir, tmp_path
+):
+    """Regression: evolution detection must use the authoritative known-column
+    set (sidecar union), never a single sampled parquet footer. After a column
+    add, buckets are heterogeneous; sampling a pre-evolution footer used to
+    re-classify the existing column as 'added' and NULL its real values in
+    every bucket the next batch rewrote."""
+    env = accounts_changefeed(spark, sf_dir)
+    n_buckets = 4
+
+    def bucket_of(key_id):
+        return (
+            spark.range(1)
+            .select(F.pmod(F.hash(F.lit(key_id).cast("long")), F.lit(n_buckets)))
+            .collect()[0][0]
+        )
+
+    # key_a alone in one bucket (stays pre-evolution on disk); key_b/key_c
+    # share a different bucket so the batch-3 rewrite covers key_b's row.
+    key_a = 1
+    key_b = next(k for k in range(2, 64) if bucket_of(k) != bucket_of(key_a))
+    key_c = next(
+        k
+        for k in range(key_b + 1, 256)
+        if bucket_of(k) == bucket_of(key_b)
+    )
+
+    def with_extra(ev, value):
+        return ev.withColumn(
+            "after", F.col("after").withField("extra", F.lit(value))
+        ).withColumn(
+            "before",
+            F.when(
+                F.col("before").isNotNull(),
+                F.col("before").withField("extra", F.lit(None).cast("string")),
+            ),
+        )
+
+    sink = ParquetMergeSink(
+        spark, str(tmp_path / "t"), ["id"], num_buckets=n_buckets
+    )
+    sink.write_batch(
+        _mk_event(env, key_id=key_a, op="c", pos=1).unionByName(
+            _mk_event(env, key_id=key_b, op="c", pos=2)
+        )
+    )
+    # batch 2 evolves the schema; only key_b's bucket is rewritten with it
+    sink.write_batch(with_extra(_mk_event(env, key_id=key_b, op="u", pos=10), "E_B"))
+    # batch 3 touches key_b's bucket again via key_c — key_b's value must survive
+    sink.write_batch(with_extra(_mk_event(env, key_id=key_c, op="c", pos=20), "E_C"))
+
+    rows = {r.id: r for r in sink.read().collect()}
+    assert rows[key_b].extra == "E_B"
+    assert rows[key_c].extra == "E_C"
+    assert rows[key_a].extra is None
