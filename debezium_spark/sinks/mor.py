@@ -59,7 +59,21 @@ class LogMergeSink:
         base-<E>/        compacted state through epoch E (current one named
                          by the marker; others are unreferenced garbage)
         delta/epoch=N/   one reduced, unwrapped delta per micro-batch
-        _compacted       JSON marker {"epoch": E} — atomically replaced
+        _compacted       JSON marker {"epoch": E, "neg_floor": F} —
+                         atomically replaced
+
+    Epoch namespaces: the streaming checkpoint owns the non-negative
+    epochs; out-of-band writes (incremental/blocking snapshot chunks,
+    ad-hoc ``write_batch(df)`` with no epoch) get *allocated* negative
+    epochs (-1, -2, …) via :meth:`allocate_oob_epoch`, so successive
+    chunks never clobber each other. Negative epochs sort below every
+    stream epoch in the last-epoch-wins merge — exactly the DBLog
+    contract, where a stream event for a key always supersedes a snapshot
+    chunk row (the snapshotter's dedup window already drops overlapping
+    chunk rows). The marker's ``neg_floor`` is the most negative epoch
+    folded into the base: a visible delta is ``e > epoch`` (stream side)
+    or ``e < neg_floor`` (snapshot side), so chunks written after a
+    compaction stay visible.
 
     ``compact_every``: fold deltas into a new base once this many live
     delta dirs exist (0 disables auto-compaction; call :meth:`compact`).
@@ -100,12 +114,23 @@ class LogMergeSink:
     def _marker_path(self) -> str:
         return os.path.join(self.path, "_compacted")
 
-    def _marker_epoch(self) -> int | None:
+    def _marker(self) -> tuple[int | None, int | None]:
+        """(max positive epoch folded, most negative epoch folded)."""
         try:
             with open(self._marker_path) as f:
-                return int(json.load(f)["epoch"])
+                d = json.load(f)
+            neg = d.get("neg_floor")
+            return int(d["epoch"]), (None if neg is None else int(neg))
         except (OSError, ValueError, KeyError):
-            return None
+            return None, None
+
+    def _marker_epoch(self) -> int | None:
+        return self._marker()[0]
+
+    def _is_visible(self, e: int, m: int | None, floor: int | None) -> bool:
+        if e >= 0:
+            return m is None or e > m
+        return floor is None or e < floor
 
     def _base_dir(self, epoch: int) -> str:
         return os.path.join(self.path, f"base-{epoch}")
@@ -148,8 +173,26 @@ class LogMergeSink:
         )
         return flat.unionByName(marker)
 
+    def allocate_oob_epoch(self) -> int:
+        """Next free epoch in the out-of-band (negative) namespace.
+
+        Callers that need replay idempotency (the incremental snapshotter)
+        should persist the allocated epoch alongside their own progress
+        before writing, then pass it to :meth:`write_batch` explicitly."""
+        _, floor = self._marker()
+        negs = [e for e in self._delta_epochs() if e < 0]
+        lo = min([0, *negs, *([floor] if floor is not None else [])])
+        return lo - 1
+
     def write_batch(self, env_batch: DataFrame, epoch_id: int | None = None) -> None:
-        epoch = -1 if epoch_id is None else int(epoch_id)
+        epoch = self.allocate_oob_epoch() if epoch_id is None else int(epoch_id)
+        m, floor = self._marker()
+        if m is not None and not self._is_visible(epoch, m, floor):
+            raise ValueError(
+                f"epoch {epoch} is already folded into the base "
+                f"(marker epoch={m}, neg_floor={floor}); a delta written "
+                "there would be invisible"
+            )
         delta = self._delta_frame(env_batch)
         if self.schema_registry is not None:
             cols = set(delta.columns)
@@ -180,7 +223,7 @@ class LogMergeSink:
         bounded below by the compaction marker — exactly like retained
         versions in a lakehouse; raise ``compact_every`` to keep more.
         """
-        m = self._marker_epoch()
+        m, floor = self._marker()
         if as_of_epoch is not None and m is not None and as_of_epoch < m:
             raise ValueError(
                 f"epoch {as_of_epoch} predates compaction marker {m}; "
@@ -189,8 +232,8 @@ class LogMergeSink:
         epochs = [
             e
             for e in self._delta_epochs()
-            if (m is None or e > m)
-            and (as_of_epoch is None or e <= as_of_epoch)
+            if self._is_visible(e, m, floor)
+            and (as_of_epoch is None or e <= as_of_epoch or e < 0)
         ]
         parts = []
         if m is not None:
@@ -247,13 +290,17 @@ class LogMergeSink:
         ``__epoch`` ordering the stream. O(deltas read) — no merge window.
         Consumers must keep up within ``compact_every`` batches, the same
         retention contract a lakehouse changelog has."""
-        m = self._marker_epoch()
-        if m is not None and epoch < m:
+        m, floor = self._marker()
+        if m is not None and 0 <= epoch < m:
             raise ValueError(
                 f"epoch {epoch} predates compaction marker {m}; "
                 "changelog history has been folded into the base"
             )
-        live = [e for e in self._delta_epochs() if e > epoch]
+        live = [
+            e
+            for e in self._delta_epochs()
+            if e > epoch and self._is_visible(e, m, floor)
+        ]
         if not live:
             raise FileNotFoundError("no changes past the requested epoch")
         deltas = (
@@ -279,20 +326,31 @@ class LogMergeSink:
         (2), leftover old dirs are garbage collected by the next compact.
         """
         epochs = self._delta_epochs()
-        old_m = self._marker_epoch()
-        live = [e for e in epochs if old_m is None or e > old_m]
-        if not live:
+        old_m, old_floor = self._marker()
+        pos = [e for e in epochs if e >= 0 and (old_m is None or e > old_m)]
+        if not pos:
+            # Folding only snapshot chunks would rewrite the current base
+            # dir in place (no new positive epoch to version it by) — not
+            # crash-safe; chunk counts are bounded by the snapshot itself,
+            # so leaving them as live deltas is fine.
             return
-        new_m = max(live)
+        negs = [
+            e for e in epochs if e < 0 and (old_floor is None or e < old_floor)
+        ]
+        new_m = max(pos)
+        new_floor = min(negs) if negs else old_floor
         self.read().write.mode("overwrite").parquet(self._base_dir(new_m))
 
         tmp = self._marker_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"epoch": new_m}, f)
+            json.dump({"epoch": new_m, "neg_floor": new_floor}, f)
         os.replace(tmp, self._marker_path)
 
+        folded_negs = set(negs)
         for e in epochs:
-            if e <= new_m:
+            if (0 <= e <= new_m) or e in folded_negs or (
+                e < 0 and old_floor is not None and e >= old_floor
+            ):
                 shutil.rmtree(
                     os.path.join(self._delta_root, f"epoch={e}"),
                     ignore_errors=True,

@@ -244,7 +244,19 @@ class IncrementalSnapshotter:
         src = self.source_loader()
         if condition:
             src = src.filter(F.expr(condition))
-        pipeline.sink.write_batch(self.wrap_chunk(src))
+        pipeline.sink.write_batch(
+            self.wrap_chunk(src), self._alloc_chunk_epoch(pipeline.sink)
+        )
+
+    def _alloc_chunk_epoch(self, sink) -> int | None:
+        """A distinct epoch for one out-of-band emission.
+
+        Sinks exposing ``allocate_oob_epoch`` (LogMergeSink) get a fresh
+        negative epoch per chunk — without it, every chunk would land on
+        the same default epoch and overwrite the previous one. Other sinks
+        (COW merge) ignore the epoch beyond staging-dir naming."""
+        alloc = getattr(sink, "allocate_oob_epoch", None)
+        return alloc() if alloc is not None else None
 
     @property
     def active(self) -> bool:
@@ -303,10 +315,21 @@ class IncrementalSnapshotter:
             # history; AQE picks broadcast while it's small and falls back
             # to a shuffled join when it isn't.
             survivors = chunk.join(touched.distinct(), [self.pk_col], "left_anti")
-        pipeline.sink.write_batch(self.wrap_chunk(survivors))
+        # Persist the allocated chunk epoch BEFORE writing: a crash between
+        # the write and the progress save replays the same chunk into the
+        # same epoch dir (idempotent overwrite) instead of a duplicate.
+        chunk_epoch = p.get("chunk_epoch")
+        if chunk_epoch is None:
+            chunk_epoch = self._alloc_chunk_epoch(pipeline.sink)
+            if chunk_epoch is not None:
+                p["chunk_epoch"] = chunk_epoch
+                self._save(p)
+        pipeline.sink.write_batch(self.wrap_chunk(survivors), chunk_epoch)
 
         new_bound = chunk.agg(F.max(self.pk_col)).collect()[0][0]
         p["bound"] = new_bound
+        if chunk_epoch is not None:
+            p["chunk_epoch"] = chunk_epoch - 1
         self._save(p)
         if self.notifications:
             self.notifications.emit(

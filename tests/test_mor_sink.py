@@ -181,3 +181,96 @@ def test_mor_crash_mid_compaction_leaves_valid_state(spark, sf_dir, tmp_path):
     assert os.path.isdir(os.path.join(path, "base-2"))
     assert not os.path.isdir(os.path.join(path, "base-1"))
     assert {r.id: r.status for r in sink.read().collect()} == {1: "c", 2: "b"}
+
+
+def test_oob_writes_get_distinct_epochs(spark, sf_dir, tmp_path):
+    """Regression: epochless writes (snapshot chunks) must each land in a
+    fresh negative epoch — the old fixed epoch=-1 made every chunk
+    overwrite the previous one, so only the last chunk survived."""
+    env = accounts_changefeed(spark, sf_dir)
+    sink = LogMergeSink(spark, str(tmp_path / "t"), ["id"], compact_every=0)
+    sink.write_batch(_mk_event(env, key_id=1, op="c", pos=1, status="c1"))
+    sink.write_batch(_mk_event(env, key_id=2, op="c", pos=2, status="c2"))
+    sink.write_batch(_mk_event(env, key_id=3, op="c", pos=3, status="c3"))
+    assert {r.id: r.status for r in sink.read().collect()} == {
+        1: "c1", 2: "c2", 3: "c3",
+    }
+    assert sorted(e for e in sink._delta_epochs()) == [-3, -2, -1]
+
+
+def test_snapshot_chunks_survive_compaction(spark, sf_dir, tmp_path):
+    """Chunks written before a compaction are folded into the base; chunks
+    written after stay visible via the marker's neg_floor — the old
+    ``e > marker`` filter made every post-compaction negative delta
+    silently invisible."""
+    env = accounts_changefeed(spark, sf_dir)
+    sink = LogMergeSink(spark, str(tmp_path / "t"), ["id"], compact_every=0)
+    sink.write_batch(_mk_event(env, key_id=1, op="c", pos=1, status="chunk1"))
+    sink.write_batch(_mk_event(env, key_id=10, op="c", pos=2, status="s0"), 0)
+    sink.write_batch(_mk_event(env, key_id=11, op="c", pos=3, status="s1"), 1)
+    sink.compact()
+    # post-compaction chunk (e.g. a blocking snapshot mid-stream)
+    sink.write_batch(_mk_event(env, key_id=2, op="c", pos=4, status="chunk2"))
+    sink.write_batch(_mk_event(env, key_id=12, op="c", pos=5, status="s2"), 2)
+    got = {r.id: r.status for r in sink.read().collect()}
+    assert got == {1: "chunk1", 2: "chunk2", 10: "s0", 11: "s1", 12: "s2"}
+    # stream row wins over a chunk row for the same key (DBLog contract)
+    sink.write_batch(_mk_event(env, key_id=2, op="u", pos=6, status="newer"), 3)
+    assert {r.id: r.status for r in sink.read().collect()}[2] == "newer"
+
+
+def test_write_to_folded_epoch_raises(spark, sf_dir, tmp_path):
+    env = accounts_changefeed(spark, sf_dir)
+    sink = LogMergeSink(spark, str(tmp_path / "t"), ["id"], compact_every=0)
+    sink.write_batch(_mk_event(env, key_id=1, op="c", pos=1, status="a"), 0)
+    sink.write_batch(_mk_event(env, key_id=2, op="c", pos=2, status="b"), 1)
+    sink.compact()
+    with pytest.raises(ValueError, match="folded"):
+        sink.write_batch(_mk_event(env, key_id=3, op="c", pos=3), 0)
+
+
+def test_incremental_snapshot_chunks_into_mor_sink(spark, sf_dir, tmp_path):
+    """End-to-end: the chunked incremental snapshotter paired with the MOR
+    sink — every chunk must survive (ADVICE r2: chunks used to clobber each
+    other at epoch -1 and vanish after compaction)."""
+    from debezium_spark.streaming.signals import IncrementalSnapshotter
+
+    env = accounts_changefeed(spark, sf_dir)
+    sink = LogMergeSink(spark, str(tmp_path / "t"), ["id"], compact_every=0)
+    pipe = ChangeDataPipeline(
+        spark,
+        feed_dir=str(tmp_path / "feed"),
+        envelope_schema=env.schema,
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    from debezium_spark.envelope import wrap_snapshot
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_mktsegment").alias("status"),
+            F.col("c_acctbal").alias("balance"),
+        )
+        .limit(50)
+        .localCheckpoint(eager=True)
+    )
+
+    snap = IncrementalSnapshotter(
+        spark,
+        source_loader=lambda: src,
+        wrap_chunk=lambda df: wrap_snapshot(df, ["id"], table="accounts"),
+        pk_col="id",
+        state_dir=str(tmp_path / "state"),
+        chunk_size=20,
+    )
+    snap.begin(["accounts"])
+    empty = env.limit(0)
+    for _ in range(5):
+        if not snap.active:
+            break
+        snap.advance(pipe, empty)
+    assert not snap.active
+    got = sorted(r.id for r in sink.read().collect())
+    assert got == sorted(r.id for r in src.collect())
