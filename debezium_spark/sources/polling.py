@@ -63,13 +63,20 @@ class PollingSource:
                 return json.load(f)["lsn"]
         return None
 
-    def _commit(self, lsn: int) -> None:
+    def _write_offset(self, lsn: int) -> None:
         with open(self._offset_file, "w") as f:
             json.dump({"lsn": lsn}, f)
 
     def poll(self) -> DataFrame | None:
         """Read the next window; None when caught up. The window cap keeps
-        each micro-batch bounded (ChangeEventQueue.maxBatchSize analog)."""
+        each micro-batch bounded (ChangeEventQueue.maxBatchSize analog).
+
+        The offset does NOT advance here: the returned DataFrame is a lazy
+        plan, and committing before the caller materializes and delivers it
+        would turn a crash into silent row loss. Call :meth:`commit` after
+        the sink write succeeds (BaseSourceTask.commit runs after delivery
+        — that ordering is the at-least-once contract). An uncommitted
+        window is simply re-returned by the next poll (re-delivery)."""
         src = self.load_source()
         low = self.committed_lsn
         row = src.agg(
@@ -84,5 +91,15 @@ class PollingSource:
         if self.max_window is not None:
             high = min(max_lsn, low + self.max_window)
         batch = window_read(src, self.lsn_col, low, high)
-        self._commit(high)
+        self._pending_high = high
         return batch
+
+    def commit(self, lsn: int | None = None) -> None:
+        """Durably advance the offset past the delivered window (defaults
+        to the high bound of the last :meth:`poll`)."""
+        if lsn is None:
+            lsn = getattr(self, "_pending_high", None)
+        if lsn is None:
+            raise ValueError("no delivered window to commit")
+        self._write_offset(lsn)
+        self._pending_high = None

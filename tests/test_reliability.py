@@ -101,6 +101,7 @@ def test_polling_source_windows_and_offsets(spark, sf_dir, tmp_path):
         assert n <= 400
         total += n
         polls += 1
+        src.commit()
     expected = _events(spark, sf_dir).count()
     assert total == expected
     assert polls >= expected // 400
@@ -110,3 +111,33 @@ def test_polling_source_windows_and_offsets(spark, sf_dir, tmp_path):
         lambda: _events(spark, sf_dir), "event_id", str(tmp_path / "state")
     )
     assert src2.poll() is None
+
+
+def test_polling_uncommitted_window_redelivers(spark, sf_dir, tmp_path):
+    """At-least-once: a crash after poll() but before delivery must NOT
+    advance the offset — the same window is re-returned on restart
+    (BaseSourceTask.commit runs after delivery, never before)."""
+    from debezium_spark.sources.changefeed import _events
+
+    src = PollingSource(
+        lambda: _events(spark, sf_dir),
+        "event_id",
+        str(tmp_path / "state2"),
+        max_window=100,
+    )
+    first = src.poll()
+    ids1 = sorted(r.event_id for r in first.select("event_id").collect())
+    # no commit — simulate crash before the sink write; "restart":
+    src2 = PollingSource(
+        lambda: _events(spark, sf_dir),
+        "event_id",
+        str(tmp_path / "state2"),
+        max_window=100,
+    )
+    again = src2.poll()
+    ids2 = sorted(r.event_id for r in again.select("event_id").collect())
+    assert ids1 == ids2
+    src2.commit()
+    nxt = src2.poll()
+    ids3 = sorted(r.event_id for r in nxt.select("event_id").collect())
+    assert ids3[0] > ids2[-1]
