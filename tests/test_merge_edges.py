@@ -192,3 +192,34 @@ def test_evolved_column_survives_later_batches_in_other_buckets(
     assert rows[key_b].extra == "E_B"
     assert rows[key_c].extra == "E_C"
     assert rows[key_a].extra is None
+
+
+def test_asof_join_null_in_matched_right_row_stays_null(spark):
+    """The matched right row travels as one struct: a NULL column in the
+    latest right row must NOT fall back to an older right row's value."""
+    from debezium_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k int, lts int")
+    right = spark.createDataFrame(
+        [(1, 10, "old-status", 5.0), (1, 50, None, 7.0)],
+        "k int, rts int, status string, score double",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["status", "score"],
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.score_asof == 7.0
+    assert row.status_asof is None  # per-column fill would say "old-status"
+
+
+def test_asof_join_no_match_yields_nulls(spark):
+    from debezium_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "k int, lts int")
+    right = spark.createDataFrame([(1, 10, "late")], "k int, rts int, v string")
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts", right_cols=["v"]
+    ).collect()
+    assert out[0].v_asof is None
