@@ -142,7 +142,10 @@ class ChangeDataPipeline:
         if self.heartbeat is not None:
             # Offsets advance with the committed batch; the heartbeat records
             # liveness + the high-water position (HeartbeatImpl.java:84-92).
-            agg = out.agg(
+            # Aggregated over the PRE-transform batch: the offset high-water
+            # mark belongs to the raw envelope stream, and unwrap-style
+            # transforms legitimately drop the source struct.
+            agg = batch_df.agg(
                 F.max("source.pos").alias("p"), F.count("*").alias("n")
             ).collect()[0]
             self.heartbeat.maybe_emit(pos=agg["p"], rows_in_batch=agg["n"])

@@ -141,3 +141,38 @@ def test_polling_uncommitted_window_redelivers(spark, sf_dir, tmp_path):
     nxt = src2.poll()
     ids3 = sorted(r.event_id for r in nxt.select("event_id").collect())
     assert ids3[0] > ids2[-1]
+
+def test_heartbeat_works_with_unwrap_transform_chain(spark, sf_dir, tmp_path):
+    """Regression: the heartbeat position is aggregated over the RAW
+    envelope batch — an unwrap SMT in the transform chain drops the source
+    struct, which used to make every micro-batch fail with
+    AnalysisException when a heartbeat was enabled."""
+    from debezium_spark.operators.unwrap import extract_new_record_state
+    from debezium_spark.streaming import ChangeDataPipeline, replay_feed
+
+    env = accounts_changefeed(spark, sf_dir)
+    hb = Heartbeat(str(tmp_path / "hb.jsonl"), interval_ms=0)
+
+    class FlatSink:
+        def __init__(self):
+            self.rows = 0
+
+        def write_batch(self, df, epoch_id=None):
+            self.rows += df.count()
+
+    sink = FlatSink()
+    pipe = ChangeDataPipeline(
+        spark,
+        feed_dir=str(tmp_path / "feed"),
+        envelope_schema=env.schema,
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        transforms=[lambda df: extract_new_record_state(df, delete_handling="drop")],
+        heartbeat=hb,
+        max_files_per_trigger=None,
+    )
+    replay_feed(env, str(tmp_path / "feed"), num_chunks=1)
+    pipe.run_available()
+    recs = hb.read()
+    assert recs and recs[-1]["pos"] == env.agg(F.max("source.pos")).collect()[0][0]
+    assert sink.rows > 0
