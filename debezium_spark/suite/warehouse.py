@@ -98,11 +98,13 @@ def w2_top_revenue_orders(spark, sf_dir):
             ).cast("double").alias("revenue")
         )
     )
+    # orderBy+limit = distributed TakeOrderedAndProject (per-partition local
+    # top-10, driver merge) — a global rank window before the filter would
+    # funnel every aggregated order through ONE partition. The rank is then
+    # assigned on the 10 survivors only.
+    top = rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-    return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-    )
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------
@@ -156,21 +158,29 @@ def w3_revenue_filter(spark, sf_dir):
     """,
 )
 def w4_share_window(spark, sf_dir):
+    """Share-of-total + full global rank, both scale-shaped: the total is a
+    one-row aggregate broadcast back (not an empty-partition window sum),
+    and the rank is the two-phase distributed global_rank — no task ever
+    holds more than one range slice."""
+    from debezium_spark.operators.rank import global_rank
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(28,2)").alias("spend")
     )
-    wall = Window.partitionBy()
-    wrk = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
-    return spend.select(
+    total = spend.agg(F.sum("spend").alias("__total"))
+    ranked = global_rank(
+        spend,
+        [F.col("spend").desc(), F.col("o_custkey")],
+        rank_col="rk",
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
         "o_custkey",
         F.col("spend").cast("double").alias("spend"),
         F.round(
-            F.col("spend").cast("double")
-            / F.sum("spend").over(wall).cast("double"),
-            8,
+            F.col("spend").cast("double") / F.col("__total").cast("double"), 8
         ).alias("share"),
-        F.rank().over(wrk).alias("rk"),
+        F.col("rk").cast("int").alias("rk"),
     )
 
 
@@ -547,8 +557,8 @@ def w14_local_supplier_volume(spark, sf_dir):
 )
 def w15_returned_top_customers(spark, sf_dir):
     """Q10: who returned the most revenue. Return-flag filter pushes to the
-    lineitem scan; one shuffle agg on custkey; global top-20 via a single
-    window (tie-broken on the key so the result is deterministic)."""
+    lineitem scan; one shuffle agg on custkey; distributed TakeOrdered
+    top-20 (tie-broken on the key so the result is deterministic)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -565,8 +575,11 @@ def w15_returned_top_customers(spark, sf_dir):
             ).cast("double").alias("revenue")
         )
     )
+    # Distributed TakeOrdered first; the global rank window only ever sees
+    # the 20 survivors (same pattern as w2 / x15_vocabulary_topk).
+    top = rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return rev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------

@@ -220,3 +220,42 @@ def test_no_query_in_registry_plans_a_cartesian_product(spark, qs):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_no_query_in_registry_uses_a_single_partition_window(spark, qs):
+    """Blanket guarantee: no registered query plans a Window with an empty
+    partition spec over unbounded input — the `WindowExec: No Partition
+    Defined` shape that drags the whole dataset through ONE task. An empty
+    partition spec is allowed only when a Limit bounds the window's input
+    (the TakeOrdered-then-rank-the-survivors pattern in w2/w15/x15)."""
+
+    def has_limit_below(node):
+        ch = node.children()
+        for i in range(ch.length()):
+            c = ch.apply(i)
+            if c.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit"):
+                return True
+            if has_limit_below(c):
+                return True
+        return False
+
+    def offending_windows(df):
+        bad = []
+
+        def walk(node):
+            if node.getClass().getSimpleName() == "Window":
+                if node.partitionSpec().isEmpty() and not has_limit_below(node):
+                    bad.append(node.simpleStringWithNodeId())
+            ch = node.children()
+            for i in range(ch.length()):
+                walk(ch.apply(i))
+
+        walk(df._jdf.queryExecution().optimizedPlan())
+        return bad
+
+    offenders = {}
+    for name, q in sorted(qs.items()):
+        bad = offending_windows(q.fn(spark, SF))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"single-partition windows in: {offenders}"
