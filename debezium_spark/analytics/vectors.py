@@ -290,16 +290,47 @@ def _nearest_cells(
     *,
     nprobe: int,
 ) -> DataFrame:
-    """Assign each vector to its ``nprobe`` max-cosine cells (broadcast
-    centroid set; one window shuffle on the vector id)."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "__csim", cosine_similarity(F.col(vec_col), F.col("cvec"))
+    """Assign each vector to its ``nprobe`` max-cosine cells — MAP-SIDE.
+
+    The centroid set is n_cells rows, so it ships as a literal array of
+    (cell, cvec) structs inside the plan; each vector scores all cells and
+    keeps its top-nprobe with an array sort. Zero shuffle and zero row
+    amplification — the previous crossJoin+window shape pushed
+    corpus x n_cells rows through an exchange just to argmax 8 numbers."""
+    rows = centroids.select("cell", "cvec").collect()
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell"])).alias("cell"),
+                F.array(*[F.lit(float(v)) for v in r["cvec"]]).alias("cvec"),
+            )
+            for r in sorted(rows, key=lambda r: r["cell"])
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("cell"))
+
+    def score(c):
+        return F.struct(
+            cosine_similarity(F.col(vec_col), c["cvec"]).alias("sim"),
+            c["cell"].alias("cell"),
+        )
+
+    def by_sim_desc_cell_asc(a, b):
+        return (
+            F.when(a["sim"] > b["sim"], -1)
+            .when(a["sim"] < b["sim"], 1)
+            .when(a["cell"] < b["cell"], -1)
+            .when(a["cell"] > b["cell"], 1)
+            .otherwise(0)
+        )
+
+    best = F.slice(
+        F.array_sort(F.transform(cent_arr, score), by_sim_desc_cell_asc),
+        1,
+        nprobe,
+    )
     return (
-        scored.withColumn("__crn", F.row_number().over(w))
-        .filter(F.col("__crn") <= nprobe)
-        .drop("__csim", "__crn", "cvec", "n_members")
+        vectors.withColumn("__probe", F.explode(best))
+        .select(*vectors.columns, F.col("__probe.cell").alias("cell"))
     )
 
 

@@ -259,3 +259,18 @@ def test_no_query_in_registry_uses_a_single_partition_window(spark, qs):
         if bad:
             offenders[name] = bad
     assert not offenders, f"single-partition windows in: {offenders}"
+
+
+def test_ivf_cell_assignment_is_shuffle_free(spark):
+    """The IVF assignment step ships centroids as a literal array and
+    argmaxes map-side — its plan must contain NO Exchange (the old shape
+    shuffled corpus x n_cells rows through a per-vector window)."""
+    from debezium_spark.analytics.vectors import _nearest_cells, ivf_train
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    cents = ivf_train(emb, n_cells=4).localCheckpoint(eager=True)
+    assigned = _nearest_cells(emb, cents, "vec_id", "embedding", nprobe=1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert assigned.count() == n
