@@ -33,11 +33,23 @@ OP_CASE_SQL = (
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS); Spark can only scan it as a
-    # long (nanos since epoch). Set the session conf here because the driver
-    # hands us ITS session, not one built by session.py.
+    # The fixture generator has shipped events.ts as both TIMESTAMP(NANOS)
+    # (scannable only as long nanos) and timestamp[us] (TIMESTAMP_NTZ).
+    # Normalize here to ONE canonical encoding — `ts` as long nanos since
+    # epoch, naive-UTC — so every downstream consumer and oracle sees the
+    # same value regardless of the fixture vintage. Session confs are set
+    # here because the driver hands us ITS session, not one from session.py.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    if ts_type != "bigint":
+        # timestamp / timestamp_ntz at µs precision; NTZ→TZ cast is
+        # wall-clock-preserving under the UTC session timezone above.
+        ev = ev.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return ev
 
 
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
