@@ -35,30 +35,40 @@ QUERIES: dict[str, Q] = {}
 # Everything not listed still registers (and is value-checked by the in-repo
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
-    # sources: snapshot / incremental / decode / polling / diff
+    # --- r4 rotation: the 17 ops below were green only in the r02 window (or
+    # never in any window: t21/m2/e2); they get current-cycle rows this round.
+    # Rotated OUT (all green in r03, still gate-checked): s2 s6 s13 t2 t5 t9
+    # t13 t17 t18 x5 x7 x8 x15 x16 w4 w14 w15. Every family keeps coverage.
+    # sources: snapshot / incremental / decode / polling
     "s1_snapshot_envelope",
-    "s2_chunked_snapshot",
     "s3_incremental_snapshot_dedup",
-    "s6_snapshot_modes",
+    "s4_readonly_incremental",
+    "s7_binlog_dispatch",
     "s8_pgoutput_decode",
+    "s9_commit_ordered",
     "s10_lsn_window_poll",
-    "s13_snapshot_diff",
-    # sinks: merge dispatch / insert modes / reduction / schema evolution
+    "s12_snapshot_override",
+    # sinks: merge dispatch / insert modes / reduction / evolution / naming
     "k1_merge_upsert",
     "k2_merge_insert_mode",
     "k4_reduce_last_per_key",
     "k6_schema_evolution",
+    "k7_naming_strategy",
     # SMTs (one row per transform family)
     "t1_extract_new_record_state",
-    "t2_extract_new_document_state",
+    "t3_extract_changed_record_state",
     "t4_filter_expression",
-    "t5_content_based_router",
+    "t6_logical_table_router",
     "t7_outbox_router",
-    "t9_timezone_converter",
-    "t13_schema_to_record",
+    "t8_header_to_value",
+    "t10_partition_routing",
+    "t11_enforce_record_size",
+    "t12_schema_change_filter",
     "t14_geometry_swap",
-    "t17_mask_columns",
-    "t18_reselect_columns",
+    "t15_vector_to_json",
+    "t19_custom_converters",
+    "t21_docling_markdown",
+    "t22_skipped_operations",
     # formats
     "f1_cloudevents_roundtrip",
     "f2_json_serde",
@@ -73,27 +83,21 @@ PRIORITY: tuple[str, ...] = (
     "a4_field_to_embedding",
     "a6_cosine_near_dup",
     "a8_ivf_search",
-    # LLM text pipeline: dedup family + quality + sketches
+    # LLM text pipeline: dedup family + quality
     "x2_language_id",
     "x4_exact_dedup",
-    "x5_minhash_signature",
     "x6_lsh_candidates",
-    "x7_near_dup_jaccard",
-    "x8_simhash",
-    "x15_vocabulary_topk",
-    "x16_hll_distinct_users",
     # warehouse / OLAP shapes
     "w1_pricing_summary",
     "w2_top_revenue_orders",
-    "w4_share_window",
     "w8_asof_join",
-    "w14_local_supplier_volume",
-    "w15_returned_top_customers",
     # event-time windows
     "e1_tumbling_window",
+    "e2_sliding_window",
     "e3_session_window",
     # multimodal
     "m1_image_meta",
+    "m2_frame_sample",
     "m3_audio_segments",
 )
 

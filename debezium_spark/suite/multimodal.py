@@ -32,9 +32,9 @@ _BYTE = lambda hexpr, i: f"CAST(('0x' || substr({hexpr}, {2 * i - 1}, 2)) AS BIG
            CAST(16 + doc_id % 64 AS INT) AS width,
            CAST(16 + (doc_id * 7) % 48 AS INT) AS height,
            CAST(16 AS INT) AS payload_bytes,
-           list_aggregate(list_transform(generate_series(1, 16),
+           CAST(list_aggregate(list_transform(generate_series(1, 16),
                i -> CAST(('0x' || substr({_MD5}, 2 * i - 1, 2)) AS BIGINT)),
-               'sum') AS byte_sum
+               'sum') AS BIGINT) AS byte_sum
     FROM documents
     """,
 )

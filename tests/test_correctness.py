@@ -68,4 +68,26 @@ def test_query_matches_oracle(spark, sf_dir, name):
         f"{name}: columns differ: {list(g.columns)} vs {list(e.columns)}"
     )
     assert len(g) == len(e), f"{name}: row count {len(g)} vs {len(e)}"
+    # Dtype-CLASS parity: the driver's value-hash distinguishes 1234 from
+    # 1234.0, so an int-vs-float skew between Spark and the oracle must fail
+    # here too (caught r3's m1_image_meta, where DuckDB list_aggregate
+    # returned DOUBLE against Spark's BIGINT).
+    for c in g.columns:
+        gk, ek = _dtype_class(g[c]), _dtype_class(e[c])
+        assert gk == ek, f"{name}.{c}: dtype class {gk} (spark) vs {ek} (oracle)"
     pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+
+
+def _dtype_class(s: pd.Series) -> str:
+    kind = s.dtype.kind  # i/u int, f float, b bool, M datetime, O object
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        # All-NaN or NaN-bearing int columns surface as float in pandas;
+        # treat a float column whose non-null values are all integral as a
+        # possible int carrier only when nulls exist (nullable-int lifting).
+        nonnull = s.dropna()
+        if len(nonnull) < len(s) and (nonnull % 1 == 0).all():
+            return "int"
+        return "float"
+    return {"b": "bool", "M": "datetime", "O": "object"}.get(kind, kind)
