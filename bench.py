@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -65,16 +66,16 @@ def main() -> None:
         df = qs[name].fn(spark, SF_DIR)
         # warm the input file listing/metadata so the measurement is compute
         df.schema  # noqa: B018 - analysis only
-        # Two timed passes, record the min: the first pass eats JIT/codegen
-        # warm-up and page-cache misses, which otherwise dominate short
-        # queries on a shared box (observed 5x run-to-run swings).
-        best = None
-        for _ in range(2):
+        # One untimed warm-up (JIT/codegen + page cache), then three timed
+        # passes reporting the MEDIAN — a single noisy run on a shared box
+        # can no longer masquerade as a regression (r3's a2 +70% artifact).
+        df.write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     # Streaming-pipeline throughput (BASELINE targets: >=2048 events per
     # micro-batch sustained; snapshot read parallelism >= 4).
