@@ -27,7 +27,17 @@ OP_MESSAGE = "m"
 
 DML_OPS = (OP_READ, OP_CREATE, OP_UPDATE, OP_DELETE)
 
-ENVELOPE_COLS = ("key", "before", "after", "op", "source", "transaction", "ts_ms")
+ENVELOPE_COLS = (
+    "key",
+    "before",
+    "after",
+    "op",
+    "source",
+    "transaction",
+    "ts_ms",
+    "ts_us",
+    "ts_ns",
+)
 
 
 def source_schema() -> T.StructType:
@@ -70,6 +80,8 @@ def envelope_schema(row_schema: T.StructType, key_schema: T.StructType) -> T.Str
             T.StructField("source", source_schema()),
             T.StructField("transaction", transaction_schema(), True),
             T.StructField("ts_ms", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("ts_ns", T.LongType()),
         ]
     )
 
@@ -86,6 +98,8 @@ def wrap_snapshot(
     table: str = "t",
     pos: int = 0,
     ts_ms: int = 0,
+    ts_us: int | None = None,
+    ts_ns: int | None = None,
     snapshot_flag: str = "true",
 ) -> DataFrame:
     """Wrap a batch table read into READ ('r') envelopes — the snapshot phase.
@@ -116,6 +130,15 @@ def wrap_snapshot(
         src.alias("source"),
         _null_struct(transaction_schema()).alias("transaction"),
         F.lit(ts_ms).cast("long").alias("ts_ms"),
+        # Three precisions per Envelope.java:90-128 (ts_ms/ts_us/ts_ns are all
+        # REQUIRED fields of the envelope schema); when the caller only knows
+        # milliseconds the finer fields are the exact-scale equivalents.
+        F.lit(ts_us if ts_us is not None else ts_ms * 1_000)
+        .cast("long")
+        .alias("ts_us"),
+        F.lit(ts_ns if ts_ns is not None else ts_ms * 1_000_000)
+        .cast("long")
+        .alias("ts_ns"),
     )
 
 
@@ -131,6 +154,8 @@ def make_envelope(
     pos: Column,
     tx_id: Column | None = None,
     ts_ms: Column | None = None,
+    ts_us: Column | None = None,
+    ts_ns: Column | None = None,
 ) -> DataFrame:
     """Generic envelope constructor for change feeds (Envelope.java:257-362)."""
     db_c = F.lit(db) if isinstance(db, str) else db
@@ -150,6 +175,20 @@ def make_envelope(
         src.alias("source"),
         _null_struct(transaction_schema()).alias("transaction"),
         (ts_ms if ts_ms is not None else F.lit(0)).cast("long").alias("ts_ms"),
+        (
+            ts_us
+            if ts_us is not None
+            else (ts_ms if ts_ms is not None else F.lit(0)) * F.lit(1_000)
+        )
+        .cast("long")
+        .alias("ts_us"),
+        (
+            ts_ns
+            if ts_ns is not None
+            else (ts_ms if ts_ms is not None else F.lit(0)) * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("ts_ns"),
     )
 
 
@@ -169,6 +208,8 @@ def tombstones_for_deletes(env_df: DataFrame) -> DataFrame:
         F.col("source"),
         F.col("transaction"),
         F.col("ts_ms"),
+        F.col("ts_us"),
+        F.col("ts_ns"),
     )
 
 

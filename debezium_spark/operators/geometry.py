@@ -70,3 +70,70 @@ def with_geometry_struct(
         out_col,
         F.struct(F.col(wkb_col).alias("wkb"), srid_c.cast("int").alias("srid")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Circle / Line logical types — the two PG geometric types with no WKB form
+# (Circle.java:24-46 struct{center: Point, radius f64}; Line.java:24-47
+# struct{a,b,c f64} for Ax + By + C = 0). Carried losslessly as nested
+# structs; sinks without a native type dispatch on the struct shape.
+# ---------------------------------------------------------------------------
+
+
+def circle_struct(x: Column, y: Column, radius: Column) -> Column:
+    """Circle logical value (Circle.java:59-67): true center + radius, no
+    lossy WKB approximation."""
+    center = F.struct(
+        x.cast("double").alias("x"), y.cast("double").alias("y")
+    )
+    return F.struct(center.alias("center"), radius.cast("double").alias("radius"))
+
+
+def line_struct(a: Column, b: Column, c: Column) -> Column:
+    """Line logical value (Line.java:59-66): coefficients of Ax + By + C = 0."""
+    return F.struct(
+        a.cast("double").alias("a"),
+        b.cast("double").alias("b"),
+        c.cast("double").alias("c"),
+    )
+
+
+def line_through_points(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """The infinite line through two points, as Line coefficients — the PG
+    two-point `line '[(x1,y1),(x2,y2)]'` constructor normalized to {a,b,c}."""
+    a = y2 - y1
+    b = x1 - x2
+    c = x2 * y1 - x1 * y2
+    return line_struct(a, b, c)
+
+
+def circle_contains_point(circle: Column, px: Column, py: Column) -> Column:
+    """PG `circle @> point`: squared-distance test, no sqrt (exact in f64
+    whenever the product terms are)."""
+    dx = px.cast("double") - circle["center"]["x"]
+    dy = py.cast("double") - circle["center"]["y"]
+    r = circle["radius"]
+    return (dx * dx + dy * dy) <= (r * r)
+
+
+def parse_pg_circle(text: Column) -> Column:
+    """Parse the PG text form ``<(x,y),r>`` into the Circle struct — the
+    decode path a circle column takes out of a text changefeed."""
+    num = r"(-?\d+(?:\.\d+)?)"
+    pat = rf"<\({num},{num}\),{num}>"
+    return circle_struct(
+        F.regexp_extract(text, pat, 1).cast("double"),
+        F.regexp_extract(text, pat, 2).cast("double"),
+        F.regexp_extract(text, pat, 3).cast("double"),
+    )
+
+
+def parse_pg_line(text: Column) -> Column:
+    """Parse the PG text form ``{a,b,c}`` into the Line struct."""
+    num = r"(-?\d+(?:\.\d+)?)"
+    pat = rf"\{{{num},{num},{num}\}}"
+    return line_struct(
+        F.regexp_extract(text, pat, 1).cast("double"),
+        F.regexp_extract(text, pat, 2).cast("double"),
+        F.regexp_extract(text, pat, 3).cast("double"),
+    )

@@ -37,18 +37,27 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (scannable only as long nanos) and timestamp[us] (TIMESTAMP_NTZ).
     # Normalize here to ONE canonical encoding — `ts` as long nanos since
     # epoch, naive-UTC — so every downstream consumer and oracle sees the
-    # same value regardless of the fixture vintage. Session confs are set
-    # here because the driver hands us ITS session, not one from session.py.
+    # same value regardless of the fixture vintage. nanosAsLong must be set
+    # on the caller's session (the driver hands us ITS session) and must stay
+    # set: executors consult it when decoding the nanos column at run time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = ev.schema["ts"].dataType.simpleString()
     if ts_type != "bigint":
-        # timestamp / timestamp_ntz at µs precision; NTZ→TZ cast is
-        # wall-clock-preserving under the UTC session timezone above.
-        ev = ev.withColumn(
-            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
-        )
+        # timestamp / timestamp_ntz at µs precision. The NTZ→TZ cast is
+        # wall-clock-preserving only under a UTC session timezone, so set it
+        # just long enough for analysis to bind the zone into the Cast node
+        # (forced via .schema below), then restore the caller's value —
+        # a non-UTC driver session must not see its timezone silently changed.
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            ev = ev.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+            ev.schema  # noqa: B018 - force analysis while the UTC conf holds
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return ev
 
 
@@ -88,6 +97,8 @@ def accounts_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos=F.col("event_id"),
         tx_id=(F.col("event_id") / 16).cast("long").cast("string"),
         ts_ms=F.expr("ts div 1000000"),
+        ts_us=F.expr("ts div 1000"),
+        ts_ns=F.col("ts"),
     )
 
 

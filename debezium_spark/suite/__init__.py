@@ -44,7 +44,9 @@ PRIORITY: tuple[str, ...] = (
     "s3_incremental_snapshot_dedup",
     "s4_readonly_incremental",
     "s7_binlog_dispatch",
-    "s8_pgoutput_decode",
+    # s8_pgoutput_decode rotated out (green r03; decode family keeps s7) to
+    # make room for the new ts_ms/ts_us/ts_ns envelope-parity row.
+    "s14_envelope_timestamps",
     "s9_commit_ordered",
     "s10_lsn_window_poll",
     "s12_snapshot_override",
@@ -64,7 +66,9 @@ PRIORITY: tuple[str, ...] = (
     "t10_partition_routing",
     "t11_enforce_record_size",
     "t12_schema_change_filter",
-    "t14_geometry_swap",
+    # t14_geometry_swap rotated out (green r03) for the new Circle/Line row —
+    # the geometry family keeps current-cycle coverage via t14b.
+    "t14b_geometry_circle_line",
     "t15_vector_to_json",
     "t19_custom_converters",
     "t21_docling_markdown",

@@ -77,6 +77,36 @@ def s1_snapshot_envelope(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S14 — envelope timestamp precisions (ts_ms / ts_us / ts_ns)
+# ---------------------------------------------------------------------------
+@register(
+    "s14_envelope_timestamps",
+    oracle="""
+    SELECT event_id,
+           CASE event_type WHEN 'signup' THEN 'c'
+                           WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+           epoch_ms(ts) AS ts_ms,
+           epoch_us(ts) AS ts_us,
+           epoch_ns(ts) AS ts_ns
+    FROM events
+    """,
+)
+def s14_envelope_timestamps(spark, sf_dir):
+    """The envelope carries the event time at all three precisions
+    (Envelope.java:90-128 — ts_ms plus the ts_us/ts_ns fields). The feed
+    populates them exactly from the source's nanosecond clock, so downstream
+    consumers never re-derive a finer precision from a coarser one."""
+    env = accounts_changefeed(spark, sf_dir)
+    return env.select(
+        F.col("source.pos").alias("event_id"),
+        F.col("op"),
+        F.col("ts_ms"),
+        F.col("ts_us"),
+        F.col("ts_ns"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S2 — chunked snapshot boundary calculation
 # ---------------------------------------------------------------------------
 @register(

@@ -19,7 +19,10 @@ from debezium_spark.operators.convert import (
 from debezium_spark.operators.document import extract_new_document_state
 from debezium_spark.operators.filter import schema_change_filter
 from debezium_spark.operators.geometry import (
+    circle_contains_point,
+    circle_struct,
     geometry_format,
+    line_through_points,
     point_wkb_from_hex_coords,
     swap_point_coordinates,
 )
@@ -215,6 +218,61 @@ def t14_geometry_swap(spark, sf_dir):
             "swapped_hex"
         ),
         geometry_format(F.col("wkb"), "base64").alias("wkb_b64"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T14b — Circle / Line logical types (the PG geometric types with no WKB)
+# ---------------------------------------------------------------------------
+@register(
+    "t14b_geometry_circle_line",
+    oracle="""
+    SELECT s_suppkey,
+           s_acctbal AS cx,
+           CAST(s_suppkey % 97 AS DOUBLE) AS cy,
+           abs(s_acctbal) / 10 + 1 AS radius,
+           (s_acctbal * s_acctbal
+              + CAST(s_suppkey % 97 AS DOUBLE) * CAST(s_suppkey % 97 AS DOUBLE))
+             <= ((abs(s_acctbal) / 10 + 1) * (abs(s_acctbal) / 10 + 1))
+             AS contains_origin,
+           CAST(s_suppkey % 53 AS DOUBLE) - CAST(s_suppkey % 97 AS DOUBLE)
+             AS line_a,
+           s_acctbal - CAST(s_nationkey AS DOUBLE) AS line_b,
+           CAST(s_nationkey AS DOUBLE) * CAST(s_suppkey % 97 AS DOUBLE)
+              - s_acctbal * CAST(s_suppkey % 53 AS DOUBLE) AS line_c
+    FROM supplier
+    """,
+)
+def t14b_geometry_circle_line(spark, sf_dir):
+    """Circle and Line logical values (Circle.java:24-67 struct{center,radius};
+    Line.java:24-66 struct{a,b,c} for Ax+By+C=0) built from numeric columns,
+    then consumed: PG `circle @> point` as a squared-distance predicate and
+    the two-point line constructor normalized to coefficients. All expression
+    -level arithmetic — stays in whole-stage codegen, no UDF, no shuffle."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cx = F.col("s_acctbal")
+    cy = (F.col("s_suppkey") % 97).cast("double")
+    radius = F.abs(F.col("s_acctbal")) / 10 + 1
+    circ = circle_struct(cx, cy, radius)
+    line = line_through_points(
+        cx, cy, F.col("s_nationkey").cast("double"), (F.col("s_suppkey") % 53).cast("double")
+    )
+    out = sup.select(
+        "s_suppkey",
+        circ.alias("circle"),
+        line.alias("line"),
+    )
+    return out.select(
+        "s_suppkey",
+        F.col("circle.center.x").alias("cx"),
+        F.col("circle.center.y").alias("cy"),
+        F.col("circle.radius").alias("radius"),
+        circle_contains_point(F.col("circle"), F.lit(0.0), F.lit(0.0)).alias(
+            "contains_origin"
+        ),
+        F.col("line.a").alias("line_a"),
+        F.col("line.b").alias("line_b"),
+        F.col("line.c").alias("line_c"),
     )
 
 

@@ -1,0 +1,71 @@
+"""Geometry logical types: Circle/Line structs and the PG text decode path.
+
+Reference semantics: io/debezium/data/geometry/Circle.java (struct{center:
+Point, radius f64} — no WKB curve primitive, carried losslessly) and
+Line.java (struct{a,b,c} for Ax + By + C = 0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_spark.operators.geometry import (
+    circle_contains_point,
+    circle_struct,
+    line_struct,
+    line_through_points,
+    parse_pg_circle,
+    parse_pg_line,
+)
+
+
+def test_parse_pg_circle_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("<(1.5,-2),3.25>",), ("<(0,0),1>",)], ["txt"]
+    ).select(parse_pg_circle(F.col("txt")).alias("c"))
+    rows = df.select("c.center.x", "c.center.y", "c.radius").collect()
+    assert [tuple(r) for r in rows] == [(1.5, -2.0, 3.25), (0.0, 0.0, 1.0)]
+
+
+def test_parse_pg_line(spark):
+    df = spark.createDataFrame([("{1,-2,3.5}",)], ["txt"]).select(
+        parse_pg_line(F.col("txt")).alias("l")
+    )
+    (r,) = df.select("l.a", "l.b", "l.c").collect()
+    assert tuple(r) == (1.0, -2.0, 3.5)
+
+
+def test_line_through_points_satisfies_both_points(spark):
+    # Ax + By + C must vanish at both defining points.
+    df = spark.range(1).select(
+        line_through_points(F.lit(1.0), F.lit(2.0), F.lit(4.0), F.lit(6.0)).alias("l")
+    )
+    (r,) = df.select(
+        (F.col("l.a") * 1.0 + F.col("l.b") * 2.0 + F.col("l.c")).alias("p1"),
+        (F.col("l.a") * 4.0 + F.col("l.b") * 6.0 + F.col("l.c")).alias("p2"),
+    ).collect()
+    assert r["p1"] == 0.0 and r["p2"] == 0.0
+
+
+def test_circle_contains_point_boundary(spark):
+    c = circle_struct(F.lit(0.0), F.lit(0.0), F.lit(5.0))
+    df = spark.range(1).select(
+        circle_contains_point(c, F.lit(3.0), F.lit(4.0)).alias("on_edge"),
+        circle_contains_point(c, F.lit(3.0), F.lit(4.1)).alias("outside"),
+        circle_contains_point(c, F.lit(0.0), F.lit(0.0)).alias("center"),
+    )
+    (r,) = df.collect()
+    assert r["on_edge"] is True and r["outside"] is False and r["center"] is True
+
+
+def test_struct_field_names_match_reference(spark):
+    # Circle.java CENTER_FIELD/RADIUS_FIELD; Line.java A/B/C_FIELD.
+    df = spark.range(1).select(
+        circle_struct(F.lit(1.0), F.lit(2.0), F.lit(3.0)).alias("c"),
+        line_struct(F.lit(1.0), F.lit(2.0), F.lit(3.0)).alias("l"),
+    )
+    c_t = df.schema["c"].dataType
+    assert [f.name for f in c_t.fields] == ["center", "radius"]
+    assert [f.name for f in c_t.fields[0].dataType.fields] == ["x", "y"]
+    l_t = df.schema["l"].dataType
+    assert [f.name for f in l_t.fields] == ["a", "b", "c"]
