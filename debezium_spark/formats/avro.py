@@ -40,7 +40,9 @@ def envelope_to_avro(col: Column) -> Column:
     if not _AVRO_IMPORTED:
         raise NotImplementedError(
             "spark-avro is not on the classpath; start the session with "
-            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>, "
+            "or use the pure-Python codec: formats.avro_codec.to_avro_py / "
+            "from_avro_py (same binary encoding, jar-free)"
         )
     return to_avro(col)
 
@@ -49,6 +51,8 @@ def envelope_from_avro(col: Column, json_schema: str) -> Column:
     if not _AVRO_IMPORTED:
         raise NotImplementedError(
             "spark-avro is not on the classpath; start the session with "
-            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>, "
+            "or use the pure-Python codec: formats.avro_codec.to_avro_py / "
+            "from_avro_py (same binary encoding, jar-free)"
         )
     return from_avro(col, json_schema)

@@ -75,7 +75,8 @@ PRIORITY: tuple[str, ...] = (
     "t22_skipped_operations",
     # formats
     "f1_cloudevents_roundtrip",
-    "f2_json_serde",
+    # f2_json_serde rotated out (green r03) for the new Avro-binary leg.
+    "f4_avro_roundtrip",
     # streaming infra + config handling
     "p4_transaction_metadata",
     "p9_dlq_quarantine",

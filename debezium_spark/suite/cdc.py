@@ -714,3 +714,33 @@ def f2_json_serde(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F4 — Avro binary envelope roundtrip (pure-Python codec)
+# ---------------------------------------------------------------------------
+@register(
+    "f4_avro_roundtrip",
+    oracle="""
+    SELECT c_custkey AS id, c_mktsegment AS status, c_acctbal AS balance,
+           'r' AS op
+    FROM customer
+    """,
+)
+def f4_avro_roundtrip(spark, sf_dir):
+    """F1's Avro leg without the spark-avro jar: each flattened snapshot
+    record is encoded to Avro binary (spec-conformant codec,
+    formats/avro_codec.py, goldens in tests/test_avro.py) and decoded back;
+    the oracle checks the decode equals the source. Reference format:
+    debezium-api/src/main/java/io/debezium/engine/format/Avro.java."""
+    from debezium_spark.formats.avro_codec import avro_roundtrip
+
+    env = accounts_snapshot(spark, sf_dir)
+    flat = env.select(
+        F.col("after.id").alias("id"),
+        F.col("after.status").alias("status"),
+        F.col("after.balance").alias("balance"),
+        F.col("op"),
+    )
+    rt = avro_roundtrip(flat, ["id", "status", "balance", "op"])
+    return rt.select("id", "status", "balance", "op")
