@@ -331,49 +331,76 @@ def lsh_candidate_pairs(
     """
     num_bands = num_hashes // rows_per_band
     sig = minhash_signature(df, text_col, num_hashes, k)
+    # Numeric band keys: rows_per_band hashes packed into one BIGINT
+    # (injective: each hash < P < 2^30), so the shuffle key is 8 bytes of
+    # codegen arithmetic instead of an md5 over a concat string.
+    assert rows_per_band == 2, "packing assumes 2 rows/band"
+
+    def bkey_of(b: int) -> Column:
+        return (
+            F.col(f"mh{b * rows_per_band}") * F.lit(1 << 30)
+            + F.col(f"mh{b * rows_per_band + 1}")
+        )
+
+    keys_arr = F.array(*[bkey_of(b) for b in range(num_bands)])
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        *[
-                            F.col(f"mh{b * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bkey"),
-            )
+            F.struct(F.lit(b).alias("band"), bkey_of(b).alias("bkey"))
             for b in range(num_bands)
         ]
     )
     bands = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        F.col(id_col), keys_arr.alias("keys"), F.explode(band_structs).alias("bb")
+    ).select(
+        id_col,
+        "keys",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").alias("bkey"),
+    )
     # Pair generation via ONE hash aggregation on the bucket key, emitting
     # each bucket's pairs array-side — a self-join here would re-evaluate the
     # whole signature subtree on both sides (Spark duplicates the subplan)
     # and shuffle it twice. Bucket members are sorted so pairs come out
-    # (a < b); cross-band duplicates removed by the final distinct.
+    # (a < b). Cross-band duplicates are suppressed at the SOURCE instead of
+    # by a global distinct: each member carries its full band-key array, and
+    # a pair is emitted only from the FIRST band where the two agree — no
+    # second shuffle, same pair set.
     buckets = (
         bands.groupBy("band", "bkey")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "keys"))
+            ).alias("ms")
         )
+        .filter(F.size("ms") > 1)
     )
-    return (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .distinct()
+
+    def first_match_is_current(x: Column, y: Column) -> Column:
+        earlier = F.slice(
+            F.zip_with(x["keys"], y["keys"], lambda u, v: u == v),
+            1,
+            F.col("band"),
+        )
+        return ~F.exists(earlier, lambda e: e)
+
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        x["id"].alias("a"),
+                        y["id"].alias("b"),
+                        first_match_is_current(x, y).alias("keep"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["keep"],
+    )
+    return buckets.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
 
 

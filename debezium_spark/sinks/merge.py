@@ -80,7 +80,20 @@ def merge_changes(
         # Caller knows the change side is a micro-batch; otherwise AQE's
         # runtime size estimate picks the join strategy.
         flat = F.broadcast(flat)
+    return merge_flat_changes(target_df, flat, pk_cols, insert_mode=insert_mode)
 
+
+def merge_flat_changes(
+    target_df: DataFrame,
+    flat: DataFrame,
+    pk_cols: list[str],
+    *,
+    insert_mode: str = "upsert",
+) -> DataFrame:
+    """The MERGE join itself, given an already-reduced flat change set
+    (row fields + ``__deleted`` + ``__op``, unique per key). Shared by the
+    distributed path (merge_changes) and the sink's inline micro-batch path,
+    so the join/union semantics exist exactly once."""
     keys = flat.select(*pk_cols)
     value_cols = target_df.columns
     new_state = flat.filter(~F.col("__deleted")).select(*value_cols)
@@ -125,6 +138,7 @@ class ParquetMergeSink:
         num_buckets: int = 16,
         schema_registry=None,
         table_name: str = "target",
+        inline_max_rows: int = 32768,
     ):
         self.spark = spark
         self.path = path
@@ -135,6 +149,13 @@ class ParquetMergeSink:
         self.schema_registry = schema_registry
         self.table_name = table_name
         self._schema_version = 0
+        # Micro-batches at or below this row count take the inline path:
+        # ONE collect materializes the batch driver-side, the K4 reduction
+        # runs in Python, and the MERGE joins against a broadcast local
+        # relation — 2 Spark jobs per batch instead of 3+, and the batch
+        # files are scanned once instead of once per plan subtree. Batches
+        # above the bound (backfills) keep the fully distributed plan.
+        self.inline_max_rows = inline_max_rows
 
     def _bucket_of(self) -> F.Column:
         return F.pmod(F.hash(*self.pk_cols), F.lit(self.num_buckets))
@@ -181,64 +202,170 @@ class ParquetMergeSink:
         except (OSError, ValueError, KeyError):
             return None
 
-    def _read_target(self, like_df: DataFrame) -> DataFrame:
+    def _read_target(self, row_schema) -> DataFrame:
+        import pyspark.sql.types as T
+
         if self._has_buckets():
             # Explicit schema (event schema + bucket column): no footer
             # merging pass, and buckets written before a schema evolution
             # read the new columns as NULL — same effect as mergeSchema at
             # a fraction of the planning cost.
-            import pyspark.sql.types as T
-
             schema = T.StructType(
-                [*like_df.schema.fields,
-                 T.StructField(BUCKET_COL, T.IntegerType())]
+                [*row_schema.fields, T.StructField(BUCKET_COL, T.IntegerType())]
             )
             return self.spark.read.schema(schema).parquet(self.path)
-        return like_df.limit(0).withColumn(BUCKET_COL, F.lit(0))
+        empty = self.spark.createDataFrame([], row_schema)
+        return empty.withColumn(BUCKET_COL, F.lit(0))
+
+    def _detect_evolution(self, row_cols: list[str], min_pos) -> None:
+        """K6 schema-evolution detection against the on-disk column set; see
+        write_batch for why the sidecar (not one sampled footer) is the
+        authority. ``min_pos`` is a callable returning the batch's min
+        source.pos, invoked only when a change is actually recorded."""
+        if self.schema_evolution != "basic":
+            return
+        if self._has_buckets():
+            sidecar = self._sidecar_schema()
+            if sidecar is not None:
+                disk_cols = {f.name for f in sidecar.fields}
+            else:  # pre-sidecar table: union ALL footers, not one
+                disk_cols = {
+                    f.name
+                    for f in self.spark.read.option("mergeSchema", "true")
+                    .parquet(self.path)
+                    .schema.fields
+                }
+        else:
+            disk_cols = set(row_cols)
+        added = [c for c in row_cols if c not in disk_cols]
+        if added and self.schema_registry is not None:
+            # K6 → schema history: record the evolved column set keyed by
+            # this batch's position (SchemaHistory.java:183-224).
+            self._schema_version += 1
+            self.schema_registry.record(
+                self.table_name,
+                self._schema_version,
+                [*row_cols, BUCKET_COL],
+                int(min_pos() or 0),
+            )
+
+    def _try_collect_inline(self, env_batch: DataFrame):
+        """Inline fast path: materialize the micro-batch driver-side in ONE
+        job (rows + their target bucket), or return None to take the
+        distributed path. Falls back for over-threshold batches (backfills
+        must never be collected) and for truncate-carrying batches (the
+        distributed plan owns the clear-target semantics)."""
+        if self.inline_max_rows <= 0:
+            return None
+        bucket = F.pmod(
+            F.hash(*[F.col(f"key.{c}") for c in self.pk_cols]),
+            F.lit(self.num_buckets),
+        )
+        rows = (
+            env_batch.filter(F.col("op").isNotNull())
+            .withColumn("__b", bucket)
+            .limit(self.inline_max_rows + 1)
+            .collect()
+        )
+        if len(rows) > self.inline_max_rows:
+            return None
+        if any(r["op"] == OP_TRUNCATE for r in rows):
+            return None
+        return rows
+
+    def _write_batch_inline(self, env_batch: DataFrame, rows, epoch_id) -> None:
+        import pyspark.sql.types as T
+
+        row_schema = T.StructType(env_batch.schema["after"].dataType.fields)
+        field_names = [f.name for f in row_schema.fields]
+        self._detect_evolution(
+            field_names, lambda: min(r["source"]["pos"] for r in rows)
+        )
+        if not rows:
+            if not self._has_buckets():
+                self._write_schema_sidecar(row_schema)
+            return
+
+        # K4 reduction (last event per key by stream position) in Python —
+        # the join logic itself is still merge_flat_changes, shared with the
+        # distributed path.
+        latest: dict = {}
+        for r in rows:
+            k = tuple(r["key"])
+            prev = latest.get(k)
+            if prev is None or r["source"]["pos"] >= prev["source"]["pos"]:
+                latest[k] = r
+        data = []
+        for r in latest.values():
+            deleted = r["op"] == "d"
+            state = r["before"] if deleted else r["after"]
+            vals = tuple(
+                None if state is None else state[f] for f in field_names
+            )
+            data.append((*vals, deleted, r["op"]))
+        flat_schema = T.StructType(
+            [
+                # Nullable regardless of the event schema: a delete-rewrite
+                # row legitimately carries NULL state fields.
+                *(T.StructField(f.name, f.dataType, True) for f in row_schema.fields),
+                T.StructField("__deleted", T.BooleanType(), False),
+                T.StructField("__op", T.StringType(), True),
+            ]
+        )
+        # Arrow conversion + a single partition: a 32-slice pickled local
+        # relation costs ~0.3s PER EVALUATION (and the merge plan evaluates
+        # the change side twice — broadcast build + union leg); one Arrow
+        # batch makes it effectively free. Fall back to the row-based
+        # conversion for types Arrow can't take from pandas (nested structs).
+        import pandas as pd
+
+        col_names = [f.name for f in flat_schema.fields]
+        try:
+            pdf = pd.DataFrame(data, columns=col_names)
+            flat_local = self.spark.createDataFrame(pdf, schema=flat_schema)
+        except Exception:
+            flat_local = self.spark.createDataFrame(data, flat_schema)
+        flat_local = flat_local.coalesce(1)
+
+        affected = sorted({r["__b"] for r in rows})
+        target = self._read_target(row_schema)
+        target_sub = target.filter(F.col(BUCKET_COL).isin(affected)).drop(
+            BUCKET_COL
+        )
+        merged = merge_flat_changes(
+            target_sub,
+            F.broadcast(flat_local),
+            self.pk_cols,
+            insert_mode=self.insert_mode,
+        )
+        out = merged.withColumn(BUCKET_COL, self._bucket_of())
+        self._stage_and_swap(
+            out, affected, has_truncate=False, row_schema=row_schema,
+            epoch_id=epoch_id,
+        )
 
     def write_batch(self, env_batch: DataFrame, epoch_id: int | None = None) -> None:
+        rows = self._try_collect_inline(env_batch)
+        if rows is not None:
+            self._write_batch_inline(env_batch, rows, epoch_id)
+            return
         flat_like = extract_new_record_state(
             env_batch.filter(F.col("op").isNotNull()), delete_handling="drop"
         )
-        target = self._read_target(flat_like)
-        if self.schema_evolution == "basic":
-            # Evolution detection against the authoritative on-disk column
-            # set: the _schema.json sidecar written after every batch. A
-            # bare spark.read.parquet(path).schema samples ONE footer; after
-            # an evolution the buckets are heterogeneous, and sampling a
-            # pre-evolution bucket would re-classify an existing column as
-            # "added". The explicit-schema target read above already
-            # surfaces genuinely-new columns as NULL for old buckets, so
-            # detection here only feeds the schema-history registry — it
-            # must never rewrite target columns.
-            if self._has_buckets():
-                sidecar = self._sidecar_schema()
-                if sidecar is not None:
-                    disk_cols = {f.name for f in sidecar.fields}
-                else:  # pre-sidecar table: union ALL footers, not one
-                    disk_cols = {
-                        f.name
-                        for f in self.spark.read.option("mergeSchema", "true")
-                        .parquet(self.path)
-                        .schema.fields
-                    }
-            else:
-                disk_cols = set(flat_like.columns)
-            added = [c for c in flat_like.columns if c not in disk_cols]
-            if added and self.schema_registry is not None:
-                # K6 → schema history: record the evolved column set keyed
-                # by this batch's position (SchemaHistory.record,
-                # SchemaHistory.java:183-224).
-                self._schema_version += 1
-                pos = (
-                    env_batch.agg(F.min("source.pos")).collect()[0][0] or 0
-                )
-                self.schema_registry.record(
-                    self.table_name,
-                    self._schema_version,
-                    [*target.columns],
-                    int(pos),
-                )
+        target = self._read_target(flat_like.schema)
+        # Evolution detection against the authoritative on-disk column set:
+        # the _schema.json sidecar written after every batch. A bare
+        # spark.read.parquet(path).schema samples ONE footer; after an
+        # evolution the buckets are heterogeneous, and sampling a
+        # pre-evolution bucket would re-classify an existing column as
+        # "added". The explicit-schema target read above already surfaces
+        # genuinely-new columns as NULL for old buckets, so detection here
+        # only feeds the schema-history registry — it must never rewrite
+        # target columns.
+        self._detect_evolution(
+            flat_like.columns,
+            lambda: env_batch.agg(F.min("source.pos")).collect()[0][0],
+        )
 
         # Affected buckets + truncate flag in ONE aggregation job: the
         # Delta-MERGE-style pruning step, driver cost O(num_buckets), never
@@ -273,7 +400,15 @@ class ParquetMergeSink:
             broadcast_changes=True,  # a micro-batch by construction
         )
         out = merged.withColumn(BUCKET_COL, self._bucket_of())
+        self._stage_and_swap(
+            out, affected, has_truncate=has_truncate,
+            row_schema=flat_like.schema, epoch_id=epoch_id,
+        )
 
+    def _stage_and_swap(
+        self, out: DataFrame, affected, *, has_truncate: bool, row_schema,
+        epoch_id,
+    ) -> None:
         # Stage-then-swap: ONE job writes the merged buckets to a staging
         # dir (reading the live target is safe — nothing is overwritten),
         # then bucket directories move into place with driver fs renames.
@@ -286,8 +421,17 @@ class ParquetMergeSink:
         # the same per-bucket output (upsert of the same final state;
         # deleted keys already absent) — so checkpoint-driven re-delivery
         # converges, which is the exactly-once-in-effect contract.
+        #
+        # The pre-write repartition on the bucket id bounds the table's file
+        # count: each touched bucket gets exactly ONE new file per batch
+        # (instead of files × tasks), so the next batch's target scan opens
+        # O(buckets) files no matter how many batches have run. The shuffle
+        # it introduces moves only the merged output — the same rows the
+        # write was already going to move.
         import shutil
 
+        nparts = len(affected) if affected else self.num_buckets
+        out = out.repartition(max(nparts, 1), F.col(BUCKET_COL))
         staging = f"{self.path}.staging-{epoch_id if epoch_id is not None else 'x'}"
         shutil.rmtree(staging, ignore_errors=True)
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
@@ -295,7 +439,7 @@ class ParquetMergeSink:
         if has_truncate or not self._has_buckets():
             shutil.rmtree(self.path, ignore_errors=True)
             os.replace(staging, self.path)
-            self._write_schema_sidecar(flat_like.schema)
+            self._write_schema_sidecar(row_schema)
             return
         written = set()
         for entry in os.listdir(staging):
@@ -309,7 +453,7 @@ class ParquetMergeSink:
             if os.path.isdir(pdir):
                 shutil.rmtree(pdir)
         shutil.rmtree(staging, ignore_errors=True)
-        self._write_schema_sidecar(flat_like.schema)
+        self._write_schema_sidecar(row_schema)
 
     def read(self) -> DataFrame:
         """The materialized table (without the bucketing column)."""
