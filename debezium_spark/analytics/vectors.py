@@ -247,10 +247,11 @@ def ivf_train(
         .orderBy("__h", "__sid")
         .limit(n_cells)
     )
-    w = Window.orderBy("__h", "__sid")
-    assign_to = seeds.withColumn("cell", F.row_number().over(w) - 1).select(
-        "cell", "cvec"
-    )
+    # seeds is a TakeOrdered result: one partition, already in (__h, __sid)
+    # order — the cell id is the row index, no rank window needed.
+    assign_to = seeds.withColumn(
+        "cell", F.monotonically_increasing_id().cast("int")
+    ).select("cell", "cvec")
     cents = None
     for _ in range(iterations):
         member = _nearest_cells(vectors, assign_to, id_col, vec_col, nprobe=1)

@@ -50,12 +50,19 @@ def replay_feed(
     """
     os.makedirs(feed_dir, exist_ok=True)
     spark = env_df.sparkSession
-    # ntile over pos → equal-size, order-respecting chunks.
-    from pyspark.sql import Window
-
-    chunked = env_df.withColumn(
-        "__chunk",
-        F.ntile(num_chunks).over(Window.orderBy(F.col(order_col))),
+    # Order-respecting, near-equal chunks: row index over ONE sorted
+    # partition (this is the test-feed generator — the coalesce is fine at
+    # fixture scale and avoids an empty-spec ntile window, keeping the
+    # WindowExec warning meaningful in bench output).
+    n = env_df.count()
+    chunked = (
+        env_df.coalesce(1)
+        .sortWithinPartitions(F.col(order_col))
+        .withColumn(
+            "__chunk",
+            (F.monotonically_increasing_id() * num_chunks / F.lit(max(n, 1)))
+            .cast("int") + 1,
+        )
     )
     chunked = chunked.localCheckpoint(eager=True)  # stable chunk assignment
     paths = []

@@ -639,11 +639,12 @@ def x15_vocabulary_topk(spark, sf_dir):
     # the whole vocabulary into ONE partition. The rank is then assigned
     # on the 50 survivors.
     top = cnt.orderBy(F.col("cnt").desc(), F.col("token")).limit(50)
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    # Row index over the single sorted TakeOrdered partition (see w2) —
+    # no rank window, no WindowExec warning in the bench tail.
     return top.select(
-        "token", "cnt", F.row_number().over(w).cast("int").alias("rank")
+        "token",
+        "cnt",
+        (F.monotonically_increasing_id() + 1).cast("int").alias("rank"),
     )
 
 

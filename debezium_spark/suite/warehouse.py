@@ -103,8 +103,13 @@ def w2_top_revenue_orders(spark, sf_dir):
     # funnel every aggregated order through ONE partition. The rank is then
     # assigned on the 10 survivors only.
     top = rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-    return top.withColumn("rk", F.row_number().over(w))
+    # TakeOrderedAndProject yields ONE partition in sort order, so the rank
+    # is just the row index — no rank window at all, which keeps the bench
+    # tail free of WindowExec warnings (a real unbounded window now stands
+    # out) and is locked by the oracle's rank values.
+    return top.withColumn(
+        "rk", (F.monotonically_increasing_id() + 1).cast("int")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -578,8 +583,10 @@ def w15_returned_top_customers(spark, sf_dir):
     # Distributed TakeOrdered first; the global rank window only ever sees
     # the 20 survivors (same pattern as w2 / x15_vocabulary_topk).
     top = rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return top.withColumn("rk", F.row_number().over(w))
+    # Row index over the single sorted TakeOrdered partition (see w2).
+    return top.withColumn(
+        "rk", (F.monotonically_increasing_id() + 1).cast("int")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -116,6 +116,29 @@ def test_q5_star_join_broadcasts_all_dimensions(spark, qs):
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
 
 
+def test_w12_star_join_broadcasts_all_dimensions(spark, qs):
+    """w12 (TPC-H Q5 shape): every dimension rides a broadcast regardless of
+    the session's autoBroadcastJoinThreshold — the suite hints explicitly,
+    so a conf change can't silently degrade the star into shuffle joins."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, qs, "w12_region_revenue")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_snapshot_override_pushes_predicate_into_scan(spark, qs):
+    """s12 (rotated into the r4 driver window): the per-table SELECT
+    override's predicate and projection must reach the parquet scan."""
+    plan = _plan(spark, qs, "s12_snapshot_override")
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)" in plan
+    assert "o_orderdate" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
 def test_ivf_search_has_no_cartesian_on_corpus(spark, qs):
     """a8: the only nested-loop joins are the 8-row broadcast centroid
     assignments; candidate scoring is a hash join on the cell key."""
@@ -223,11 +246,14 @@ def test_no_query_in_registry_plans_a_cartesian_product(spark, qs):
 
 
 def test_no_query_in_registry_uses_a_single_partition_window(spark, qs):
-    """Blanket guarantee: no registered query plans a Window with an empty
-    partition spec over unbounded input — the `WindowExec: No Partition
-    Defined` shape that drags the whole dataset through ONE task. An empty
-    partition spec is allowed only when a Limit bounds the window's input
-    (the TakeOrdered-then-rank-the-survivors pattern in w2/w15/x15)."""
+    """Blanket guarantee: no registered query plans a Window that funnels
+    unbounded input through ONE task. That shape is an empty partition spec
+    OR a spec of only foldable (literal) expressions — the suite uses
+    partitionBy(lit(0)) to silence the benign WindowExec warning on
+    limit-bounded ranks, and this audit must not let that idiom hide a real
+    unbounded window. Single-partition windows are allowed only when a
+    Limit bounds the window's input (the TakeOrdered-then-rank-the-
+    survivors pattern in w2/w15/x15)."""
 
     def has_limit_below(node):
         ch = node.children()
@@ -239,12 +265,21 @@ def test_no_query_in_registry_uses_a_single_partition_window(spark, qs):
                 return True
         return False
 
+    def single_partition_spec(node) -> bool:
+        spec = node.partitionSpec()
+        if spec.isEmpty():
+            return True
+        for i in range(spec.length()):
+            if not spec.apply(i).foldable():
+                return False
+        return True
+
     def offending_windows(df):
         bad = []
 
         def walk(node):
             if node.getClass().getSimpleName() == "Window":
-                if node.partitionSpec().isEmpty() and not has_limit_below(node):
+                if single_partition_spec(node) and not has_limit_below(node):
                     bad.append(node.simpleStringWithNodeId())
             ch = node.children()
             for i in range(ch.length()):
