@@ -442,6 +442,65 @@ def near_dup_pairs(
     )
 
 
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 5,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over the LSH candidate graph: every document that
+    has at least one near-dup candidate, labeled with its cluster id (= the
+    minimum doc id in its component). The canonical-document-selection step
+    of a dedup pipeline: keep ``doc_id == cluster`` as the representative.
+
+    Distributed shape: min-label propagation to fixpoint — each iteration is
+    ONE shuffle keyed on the node id (join labels to the symmetric edge
+    list, take the min incoming label). Converges in O(component diameter)
+    iterations; near-dup components are dense (almost-cliques from shared
+    LSH buckets), so 2-4 iterations is typical. The iterate-until-converged
+    loop localCheckpoints per iteration (same pattern as IVF Lloyd
+    iterations) so plan depth stays constant. For adversarial long-chain
+    graphs the large-star/small-star variant bounds rounds at O(log n);
+    diameter-bound propagation is the right trade for dedup graphs.
+    """
+    edges = lsh_candidate_pairs(
+        df, text_col, id_col,
+        num_hashes=num_hashes, rows_per_band=rows_per_band, k=k,
+    )
+    sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
+        edges.selectExpr("b AS src", "a AS dst")
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        msgs = sym.join(labels, sym["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
+
+
 def token_hash(tok: Column) -> Column:
     """Polynomial rolling hash of a token's char codes (mod MINHASH_PRIME),
     mixed through one affine map — same arithmetic family as minhash, so

@@ -76,11 +76,10 @@ def merge_changes(
     flat = extract_new_record_state(
         latest, delete_handling="rewrite", add_fields=("op",)
     )
-    if broadcast_changes:
-        # Caller knows the change side is a micro-batch; otherwise AQE's
-        # runtime size estimate picks the join strategy.
-        flat = F.broadcast(flat)
-    return merge_flat_changes(target_df, flat, pk_cols, insert_mode=insert_mode)
+    return merge_flat_changes(
+        target_df, flat, pk_cols, insert_mode=insert_mode,
+        broadcast=broadcast_changes,
+    )
 
 
 def merge_flat_changes(
@@ -89,12 +88,20 @@ def merge_flat_changes(
     pk_cols: list[str],
     *,
     insert_mode: str = "upsert",
+    broadcast: bool = False,
 ) -> DataFrame:
     """The MERGE join itself, given an already-reduced flat change set
     (row fields + ``__deleted`` + ``__op``, unique per key). Shared by the
     distributed path (merge_changes) and the sink's inline micro-batch path,
-    so the join/union semantics exist exactly once."""
+    so the join/union semantics exist exactly once.
+
+    ``broadcast`` hints only the JOIN side (the key set) — hinting the whole
+    change set would put a join hint on the union leg too, which Spark
+    rightly warns about. When False, AQE's runtime size estimate picks the
+    join strategy (a backfill batch can be the whole table)."""
     keys = flat.select(*pk_cols)
+    if broadcast:
+        keys = F.broadcast(keys)
     value_cols = target_df.columns
     new_state = flat.filter(~F.col("__deleted")).select(*value_cols)
 
@@ -334,9 +341,10 @@ class ParquetMergeSink:
         )
         merged = merge_flat_changes(
             target_sub,
-            F.broadcast(flat_local),
+            flat_local,
             self.pk_cols,
             insert_mode=self.insert_mode,
+            broadcast=True,
         )
         out = merged.withColumn(BUCKET_COL, self._bucket_of())
         self._stage_and_swap(

@@ -830,3 +830,38 @@ def x19_char_entropy(spark, sf_dir):
         F.size("ds").cast("long").alias("n_distinct_chars"),
         F.round(ent, 6).alias("char_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X20 — duplicate clusters: connected components over the LSH pair graph
+# ---------------------------------------------------------------------------
+@register(
+    "x20_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SIG_CTE}, {_BANDS_CTE},
+    pairs AS ({_PAIRS_SQL}),
+    edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs
+    ),
+    walk(node, root) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, min(root) AS cluster
+    FROM walk GROUP BY node
+    """,
+)
+def x20_dup_clusters(spark, sf_dir):
+    """Near-dup clustering for canonical-document selection: min-label
+    propagation over the banded-LSH candidate graph (one shuffle per
+    iteration, converges in O(component diameter) rounds — dedup components
+    are near-cliques, so 2-4). The oracle walks the same graph with a
+    recursive CTE. Cluster id = min doc_id of the component; keeping
+    doc_id == cluster picks one representative per duplicate group."""
+    from debezium_spark.analytics.text import duplicate_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_clusters(docs)
