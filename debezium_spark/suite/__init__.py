@@ -92,6 +92,9 @@ PRIORITY: tuple[str, ...] = (
     "x2_language_id",
     "x4_exact_dedup",
     "x6_lsh_candidates",
+    # New this round: near-dup clustering (connected components) — takes the
+    # slot of e3_session_window (green r03; event-time keeps e1/e2).
+    "x20_dup_clusters",
     # warehouse / OLAP shapes
     "w1_pricing_summary",
     "w2_top_revenue_orders",
@@ -99,7 +102,6 @@ PRIORITY: tuple[str, ...] = (
     # event-time windows
     "e1_tumbling_window",
     "e2_sliding_window",
-    "e3_session_window",
     # multimodal
     "m1_image_meta",
     "m2_frame_sample",
