@@ -35,3 +35,65 @@ def extract_new_document_state(
         out = out.filter(F.col(doc_col).isNotNull())
     parsed = out.withColumn("__doc", F.from_json(F.col(doc_col), doc_schema))
     return parsed.select(*keep, "__doc.*")
+
+
+def mongo_update_description(events: DataFrame) -> DataFrame:
+    """S11 — Mongo change-stream ``updateDescription`` semantics: each event
+    carries partial field updates (``updatedFields``) and removals
+    (``removedFields``); downstream state is the per-key fold of those
+    patches in stream order.
+
+    Reference: the Mongo connector's change-stream emitter publishes update
+    events as updateDescription patches rather than full post-images
+    (debezium-connector-mongodb ChangeStreamDefaultRecordEmitter /
+    ExtractNewDocumentState's updateDescription handling), and consumers
+    reconstruct state per key.
+
+    Feed mapping (deterministic, oracle-reproducible):
+      signup   → full document  {status, value, k}
+      purchase → $set {value};  click → $set {k};  view → $set {status}
+      error    → $unset {value}
+    ``value`` is canonicalized to integer cents via floor(value*100) — floor
+    is the one float→decimal bridge both engines compute identically.
+
+    Scale shape: ONE scan of the feed (the patch array is a when/otherwise
+    expression, exploded), one shuffle on (key, field) for the last-wins
+    fold (max_by on the stream position), one on key for document assembly.
+    """
+    et = F.col("event_type")
+
+    def entry(f: str, v, rm: bool = False):
+        return F.struct(
+            F.lit(f).alias("f"),
+            v.cast("string").alias("v"),
+            F.lit(rm).alias("rm"),
+        )
+
+    status_e = entry("status", et)
+    value_e = entry("value", F.floor(F.col("value") * 100).cast("long"))
+    k_e = entry("k", F.get_json_object("props", "$.k"))
+    rm_value = entry("value", F.lit(None).cast("string"), True)
+    arr = (
+        F.when(et == "signup", F.array(status_e, value_e, k_e))
+        .when(et == "purchase", F.array(value_e))
+        .when(et == "click", F.array(k_e))
+        .when(et == "view", F.array(status_e))
+        .when(et == "error", F.array(rm_value))
+        .otherwise(F.array().cast("array<struct<f:string,v:string,rm:boolean>>"))
+    )
+    upd = events.select(
+        "user_id", "event_id", F.explode(arr).alias("u")
+    ).select("user_id", "event_id", "u.f", "u.v", "u.rm")
+    last = upd.groupBy("user_id", "f").agg(
+        F.max_by("v", "event_id").alias("v"),
+        F.max_by("rm", "event_id").alias("rm"),
+    )
+    return (
+        last.filter(~F.col("rm"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.concat_ws("=", "f", "v"))), ","
+            ).alias("doc")
+        )
+    )

@@ -40,7 +40,9 @@ PRIORITY: tuple[str, ...] = (
     # Rotated OUT (all green in r03, still gate-checked): s2 s6 s13 t2 t5 t9
     # t13 t17 t18 x5 x7 x8 x15 x16 w4 w14 w15. Every family keeps coverage.
     # sources: snapshot / incremental / decode / polling
-    "s1_snapshot_envelope",
+    # s1_snapshot_envelope rotated out (green r02+r03; snapshot family keeps
+    # s3/s4/s12) for the new Mongo updateDescription row.
+    "s11_mongo_update_description",
     "s3_incremental_snapshot_dedup",
     "s4_readonly_incremental",
     "s7_binlog_dispatch",

@@ -877,3 +877,45 @@ def s13_snapshot_diff(spark, sf_dir):
         F.col("before.c_acctbal").alias("before_acctbal"),
         F.col("after.c_acctbal").alias("after_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S11 — Mongo change-stream updateDescription (partial-update reconstruction)
+# ---------------------------------------------------------------------------
+@register(
+    "s11_mongo_update_description",
+    oracle="""
+    WITH upd AS (
+        SELECT user_id, 'status' AS f, event_type AS v, FALSE AS rm, event_id
+        FROM events WHERE event_type IN ('signup', 'view')
+        UNION ALL
+        SELECT user_id, 'value',
+               CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR), FALSE,
+               event_id
+        FROM events WHERE event_type IN ('signup', 'purchase')
+        UNION ALL
+        SELECT user_id, 'value', NULL, TRUE, event_id
+        FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT user_id, 'k', json_extract_string(props, '$.k'), FALSE, event_id
+        FROM events WHERE event_type IN ('signup', 'click')
+    ),
+    last AS (
+        SELECT user_id, f,
+               arg_max(v, event_id) AS v,
+               arg_max(rm, event_id) AS rm
+        FROM upd GROUP BY user_id, f
+    )
+    SELECT user_id, string_agg(f || '=' || v, ',' ORDER BY f) AS doc
+    FROM last WHERE NOT rm GROUP BY user_id
+    """,
+)
+def s11_mongo_update_description(spark, sf_dir):
+    """Per-key document reconstruction from Mongo-style updateDescription
+    patches ($set / $unset), folded last-wins in stream order — the
+    change-stream semantics the reference's Mongo connector emits (see
+    operators/document.py:mongo_update_description for the mapping)."""
+    from debezium_spark.operators.document import mongo_update_description
+    from debezium_spark.sources.changefeed import _events
+
+    return mongo_update_description(_events(spark, sf_dir))
