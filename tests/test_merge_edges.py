@@ -223,3 +223,50 @@ def test_asof_join_no_match_yields_nulls(spark):
         left, right, on=["k"], left_ts="lts", right_ts="rts", right_cols=["v"]
     ).collect()
     assert out[0].v_asof is None
+
+
+def test_inline_and_distributed_paths_produce_identical_state(
+    spark, sf_dir, tmp_path
+):
+    """The inline micro-batch path (Python K4 reduce + Arrow local relation)
+    must be observably identical to the distributed plan — same final table
+    for the same batches, including deletes and multi-event keys."""
+    env = accounts_changefeed(spark, sf_dir)
+    lo = env.filter(F.col("source.pos") % 2 == 0)
+    hi = env.filter(F.col("source.pos") % 2 == 1)
+    inline = ParquetMergeSink(
+        spark, str(tmp_path / "inline"), ["id"], num_buckets=8
+    )
+    dist = ParquetMergeSink(
+        spark, str(tmp_path / "dist"), ["id"], num_buckets=8, inline_max_rows=0
+    )
+    for sink in (inline, dist):
+        sink.write_batch(lo, 0)
+        sink.write_batch(hi, 1)
+    ra = [tuple(r) for r in inline.read().orderBy("id").collect()]
+    rb = [tuple(r) for r in dist.read().orderBy("id").collect()]
+    assert ra == rb and len(ra) > 0
+
+
+def test_events_leaves_session_timezone_untouched(spark, sf_dir):
+    """_events must not permanently mutate the caller's session timezone
+    (it used to set UTC as a hidden side effect), and the canonical nanos
+    values must be identical under any session zone."""
+    from debezium_spark.sources.changefeed import _events
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    baseline = _events(spark, sf_dir).select("ts").orderBy("event_id").limit(5)
+    base_vals = [r["ts"] for r in baseline.collect()]
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ev = _events(spark, sf_dir)
+        assert (
+            spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        )
+        vals = [
+            r["ts"]
+            for r in ev.select("ts").orderBy("event_id").limit(5).collect()
+        ]
+        assert vals == base_vals
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
