@@ -170,18 +170,22 @@ def test_incremental_delivery_matches_one_shot(spark, events, splits):
 @given(events=_events, splits=_splits)
 def test_cow_and_mor_sinks_agree_with_model(spark, events, splits, tmp_path_factory):
     base = tmp_path_factory.mktemp("prop")
+    # Default cow takes the INLINE micro-batch path; cow_dist forces the
+    # fully distributed plan — both must agree with the model (and thus
+    # with each other) on every op interleaving hypothesis finds.
     cow = ParquetMergeSink(spark, str(base / "cow"), ["id"], num_buckets=4)
+    cow_dist = ParquetMergeSink(
+        spark, str(base / "cowd"), ["id"], num_buckets=4, inline_max_rows=0
+    )
     mor = LogMergeSink(spark, str(base / "mor"), ["id"], compact_every=2)
     for i, batch in enumerate(_batches(events, splits)):
         env = _env_df(spark, batch)
         cow.write_batch(env, i)
+        cow_dist.write_batch(env, i)
         mor.write_batch(env, i)
     expected = _model(events)
-    if not expected:
-        # Both sinks may legitimately hold an empty table; read() needs at
-        # least one write to define a schema, which has happened above.
-        assert _collect(cow.read().select("id", "status", "balance")) == []
-        assert _collect(mor.read().select("id", "status", "balance")) == []
-    else:
-        assert _collect(cow.read().select("id", "status", "balance")) == expected
-        assert _collect(mor.read().select("id", "status", "balance")) == expected
+    for sink in (cow, cow_dist, mor):
+        # An empty model still defines a schema (at least one write above).
+        assert (
+            _collect(sink.read().select("id", "status", "balance")) == expected
+        )
