@@ -59,6 +59,49 @@ def temporal_mode(ts_micros: Column, mode: str) -> Column:
     raise ValueError(f"unknown temporal precision mode: {mode}")
 
 
+# ---------------------------------------------------------------------------
+# io.debezium.time.* logical-type codecs — the named temporal encodings the
+# envelope carries over Connect primitives (Date.java int32 epoch days,
+# MicroTime.java int64 µs since midnight, ZonedTimestamp.java:94-104 ISO-8601
+# string with offset, Year.java int32, MicroDuration.java int64 µs).
+# ---------------------------------------------------------------------------
+
+
+def epoch_days(date_col: Column) -> Column:
+    """time.Date encoding: int32 days since epoch."""
+    return F.datediff(date_col, F.lit("1970-01-01").cast("date")).cast("int")
+
+
+def date_from_epoch_days(days: Column) -> Column:
+    """Inverse of :func:`epoch_days` (the sink-side decode)."""
+    return F.date_add(F.lit("1970-01-01").cast("date"), days)
+
+
+def micro_time(ts_col: Column) -> Column:
+    """time.MicroTime encoding: int64 microseconds since midnight."""
+    return (
+        F.unix_micros(ts_col) - F.unix_micros(F.date_trunc("DAY", ts_col))
+    ).cast("long")
+
+
+def zoned_timestamp(ts_col: Column) -> Column:
+    """time.ZonedTimestamp: ISO-8601 text with offset (ZonedTimestamp.java:
+    94-104). The feed normalizes to UTC, so the offset renders as 'Z' —
+    preserving a server-local offset is a formatting choice, not a data one.
+    """
+    return F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+
+
+def year_of(date_col: Column) -> Column:
+    """time.Year encoding: int32 calendar year."""
+    return F.year(date_col).cast("int")
+
+
+def micro_duration(start: Column, end: Column) -> Column:
+    """time.MicroDuration: int64 µs between two instants."""
+    return (F.unix_micros(end) - F.unix_micros(start)).cast("long")
+
+
 def table_include_exclude(
     df, *, table_col: str = "source.table",
     include: str | None = None, exclude: str | None = None,

@@ -82,7 +82,8 @@ PRIORITY: tuple[str, ...] = (
     # streaming infra + config handling
     "p4_transaction_metadata",
     "p9_dlq_quarantine",
-    "h1_handling_modes",
+    # h1_handling_modes rotated out (green r03) for the new time.* codec row.
+    "h3_temporal_logical_types",
     "h2_table_filters",
     # ANN / embeddings
     "a2_knn_bruteforce",

@@ -919,3 +919,58 @@ def s11_mongo_update_description(spark, sf_dir):
     from debezium_spark.sources.changefeed import _events
 
     return mongo_update_description(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# H3 — io.debezium.time.* logical-type codecs (epoch days / µs-since-midnight
+# / ZonedTimestamp ISO-8601 / Year / MicroDuration)
+# ---------------------------------------------------------------------------
+@register(
+    "h3_temporal_logical_types",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                AS INTEGER) AS epoch_days,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS roundtrip_date,
+           CAST((o_orderkey % 86400) * 1000000 AS BIGINT) AS micro_time,
+           strftime(o_orderdate + INTERVAL (o_orderkey % 86400) SECOND,
+                    '%Y-%m-%dT%H:%M:%S.%fZ') AS zoned_ts,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+           CAST((o_orderkey % 86400) * 1000000 AS BIGINT) AS dur_us
+    FROM orders
+    """,
+)
+def h3_temporal_logical_types(spark, sf_dir):
+    """The named temporal encodings of §1.3 (io.debezium.time.Date int32
+    epoch days; MicroTime int64 µs since midnight; ZonedTimestamp ISO-8601
+    text; Year int32; MicroDuration int64 µs) — encode and decode as pure
+    column expressions over a constructed instant, checked against the
+    oracle's independent arithmetic."""
+    from debezium_spark.operators.handling import (
+        date_from_epoch_days,
+        epoch_days,
+        micro_duration,
+        micro_time,
+        year_of,
+        zoned_timestamp,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = F.to_date("o_orderdate")
+    days = epoch_days(d)
+    # Midnight-UTC instant + a deterministic intra-day offset: exercises the
+    # sub-day codecs without depending on the fixture's (midnight) times.
+    base = F.timestamp_micros(days.cast("long") * 86_400_000_000)
+    ts2 = F.timestamp_micros(
+        (days.cast("long") * 86_400 + F.col("o_orderkey") % 86_400)
+        * F.lit(1_000_000)
+    )
+    return o.select(
+        "o_orderkey",
+        days.alias("epoch_days"),
+        date_from_epoch_days(days).cast("string").alias("roundtrip_date"),
+        micro_time(ts2).alias("micro_time"),
+        zoned_timestamp(ts2).alias("zoned_ts"),
+        year_of(d).alias("yr"),
+        micro_duration(base, ts2).alias("dur_us"),
+    )
