@@ -115,3 +115,65 @@ def table_include_exclude(
     if exclude is not None:
         out = out.filter(~F.col(table_col).rlike(exclude))
     return out
+
+
+# ---------------------------------------------------------------------------
+# io.debezium.data.* special logical types — VariableScaleDecimal
+# (VariableScaleDecimal.java:25 struct{scale int32, value bytes BE unscaled}),
+# Bits (Bits.java:22 little-endian bytes), Uuid (Uuid.java:21 canonical
+# string), Enum (Enum.java:22 string + allowed-values parameter).
+# ---------------------------------------------------------------------------
+
+
+def variable_scale_decimal(unscaled: Column, scale: Column) -> Column:
+    """Encode the VariableScaleDecimal struct: big-endian unscaled bytes +
+    scale (non-negative unscaled values; the feed's domain)."""
+    value_bytes = F.unhex(F.lpad(F.hex(unscaled.cast("long")), 16, "0"))
+    return F.struct(
+        scale.cast("int").alias("scale"), value_bytes.alias("value")
+    )
+
+
+def decode_variable_scale_decimal(vsd: Column) -> Column:
+    """Decode to a double: unscaled / 10^scale (exact for the small-integer
+    domain both engines agree on)."""
+    unscaled = F.conv(F.hex(vsd["value"]), 16, 10).cast("long")
+    return unscaled / F.pow(F.lit(10.0), vsd["scale"].cast("double"))
+
+
+def bits_le(value: Column, n_bytes: int = 2) -> Column:
+    """Encode an integer as Bits: little-endian bytes (Bits.java:22)."""
+    parts = [
+        F.lpad(F.hex((value.cast("long") / (256**i)).cast("long") % 256), 2, "0")
+        for i in range(n_bytes)
+    ]
+    return F.unhex(F.concat(*parts))
+
+
+def decode_bits_le(bits: Column, n_bytes: int = 2) -> Column:
+    """Decode little-endian Bits bytes back to an integer."""
+    total = F.lit(0).cast("long")
+    for i in range(n_bytes):
+        byte_i = F.conv(F.hex(F.substring(bits, i + 1, 1)), 16, 10).cast("long")
+        total = total + byte_i * F.lit(256**i).cast("long")
+    return total
+
+
+def uuid_from_hash(col: Column) -> Column:
+    """Deterministic canonical-format UUID string (Uuid.java:21) derived
+    from the md5 of the input — the feed's stand-in for a DB uuid column."""
+    h = F.md5(col.cast("string"))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+def enum_value(col: Column, allowed: tuple[str, ...]) -> Column:
+    """Enum semantics (Enum.java:22): values outside the allowed set are
+    nulled (the warn/skip handling-mode analog for bad enum literals)."""
+    return F.when(col.isin(*allowed), col)

@@ -63,7 +63,8 @@ PRIORITY: tuple[str, ...] = (
     "t3_extract_changed_record_state",
     "t4_filter_expression",
     "t6_logical_table_router",
-    "t7_outbox_router",
+    # t7_outbox_router rotated out (green r03) for the h4 special-types row.
+    "h4_special_value_types",
     "t8_header_to_value",
     "t10_partition_routing",
     "t11_enforce_record_size",

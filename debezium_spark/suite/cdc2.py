@@ -974,3 +974,61 @@ def h3_temporal_logical_types(spark, sf_dir):
         year_of(d).alias("yr"),
         micro_duration(base, ts2).alias("dur_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# H4 — io.debezium.data.* special logical types (VariableScaleDecimal / Bits
+# / Uuid / Enum)
+# ---------------------------------------------------------------------------
+@register(
+    "h4_special_value_types",
+    oracle="""
+    SELECT o_orderkey,
+           upper(printf('%016x', o_orderkey % 100000)) AS vsd_hex,
+           CAST(o_orderkey % 5 AS INTEGER) AS vsd_scale,
+           (o_orderkey % 100000) / power(10, o_orderkey % 5) AS vsd_value,
+           upper(printf('%02x%02x',
+                        (o_orderkey % 65536) % 256,
+                        ((o_orderkey % 65536) // 256) % 256)) AS bits_hex,
+           CAST(o_orderkey % 65536 AS BIGINT) AS bits_value,
+           substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) || '-' ||
+           substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 4) || '-' ||
+           substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 4) || '-' ||
+           substr(md5(CAST(o_orderkey AS VARCHAR)), 17, 4) || '-' ||
+           substr(md5(CAST(o_orderkey AS VARCHAR)), 21, 12) AS uuid,
+           CASE WHEN o_orderstatus IN ('O', 'F')
+                THEN o_orderstatus END AS status_enum
+    FROM orders
+    """,
+)
+def h4_special_value_types(spark, sf_dir):
+    """§1.3 special logical types round-tripped: VariableScaleDecimal
+    (struct{scale, BE unscaled bytes} encoded and decoded back to the
+    numeric value), Bits (little-endian byte order proven by the hex
+    rendering), canonical-format Uuid, and Enum allowed-set nulling —
+    all pure column expressions (VariableScaleDecimal.java:25, Bits.java:22,
+    Uuid.java:21, Enum.java:22)."""
+    from debezium_spark.operators.handling import (
+        bits_le,
+        decode_bits_le,
+        decode_variable_scale_decimal,
+        enum_value,
+        uuid_from_hash,
+        variable_scale_decimal,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    vsd = variable_scale_decimal(
+        F.col("o_orderkey") % 100000, F.col("o_orderkey") % 5
+    )
+    bits = bits_le(F.col("o_orderkey") % 65536)
+    return o.select(
+        "o_orderkey",
+        F.hex(vsd["value"]).alias("vsd_hex"),
+        vsd["scale"].alias("vsd_scale"),
+        decode_variable_scale_decimal(vsd).alias("vsd_value"),
+        F.hex(bits).alias("bits_hex"),
+        decode_bits_le(bits).alias("bits_value"),
+        uuid_from_hash(F.col("o_orderkey")).alias("uuid"),
+        enum_value(F.col("o_orderstatus"), ("O", "F")).alias("status_enum"),
+    )
