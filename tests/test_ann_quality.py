@@ -38,3 +38,39 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     # nprobe=4 of 8 cells scans ~half the corpus; recall must be well above
     # the ~0.5 a random half would give. Observed ~0.8+ on the fixtures.
     assert mean_recall >= 0.6, f"IVF mean recall@{K} = {mean_recall:.2f}"
+
+
+def test_lsh_banding_recall_vs_true_jaccard(spark, sf_dir):
+    """The banded-MinHash candidate generator must capture nearly all truly
+    similar pairs (high-Jaccard pairs collide in some band with high
+    probability). Ground truth is the exact all-pairs shingle Jaccard at
+    test scale — tractable here, never run at real scale."""
+    from debezium_spark.analytics.text import lsh_candidate_pairs, shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = {
+        (r["a"], r["b"]) for r in lsh_candidate_pairs(docs).collect()
+    }
+    sets_df = docs.select(
+        "doc_id",
+        F.array_distinct(shingles(F.col("text"), 5)).alias("ss"),
+    )
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
+    union = F.size(F.array_union(F.col("a.ss"), F.col("b.ss")))
+    true_pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("j", inter / union)
+        .filter(F.col("j") >= 0.7)
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .collect()
+    )
+    truth = {(r["x"], r["y"]) for r in true_pairs}
+    assert truth, "fixture should contain at least one true near-dup pair"
+    recall = len(truth & cands) / len(truth)
+    # 4 bands x 2 rows: P(collide | j=0.7) = 1-(1-0.49)^4 ~ 0.93 per the
+    # standard banding S-curve; the fixture's dups are mostly j~1 where the
+    # probability is ~1. Floor set safely below.
+    assert recall >= 0.8, f"LSH banding recall for j>=0.7 pairs = {recall:.2f}"
