@@ -286,7 +286,8 @@ class ParquetMergeSink:
         row_schema = T.StructType(env_batch.schema["after"].dataType.fields)
         field_names = [f.name for f in row_schema.fields]
         self._detect_evolution(
-            field_names, lambda: min(r["source"]["pos"] for r in rows)
+            field_names,
+            lambda: min((r["source"]["pos"] for r in rows), default=0),
         )
         if not rows:
             if not self._has_buckets():
