@@ -334,16 +334,20 @@ def lsh_candidate_pairs(
     """
     num_bands = num_hashes // rows_per_band
     sig = minhash_signature(df, text_col, num_hashes, k)
-    # Numeric band keys: rows_per_band hashes packed into one BIGINT
-    # (injective: each hash < P < 2^30), so the shuffle key is 8 bytes of
-    # codegen arithmetic instead of an md5 over a concat string.
-    assert rows_per_band == 2, "packing assumes 2 rows/band"
-
+    # Numeric band keys when they fit: rows_per_band ≤ 2 hashes pack into
+    # one BIGINT (injective: each hash < P < 2^30), so the shuffle key is
+    # 8 bytes of codegen arithmetic. Wider bands fall back to an md5 of the
+    # concatenated hashes — same collision semantics, string key.
     def bkey_of(b: int) -> Column:
-        return (
-            F.col(f"mh{b * rows_per_band}") * F.lit(1 << 30)
-            + F.col(f"mh{b * rows_per_band + 1}")
-        )
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        if rows_per_band <= 2:
+            packed = cols[0]
+            for c in cols[1:]:
+                packed = packed * F.lit(1 << 30) + c
+            return packed
+        return F.md5(F.concat_ws("-", *[c.cast("string") for c in cols]))
 
     keys_arr = F.array(*[bkey_of(b) for b in range(num_bands)])
     band_structs = F.array(

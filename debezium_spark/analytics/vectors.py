@@ -247,11 +247,16 @@ def ivf_train(
         .orderBy("__h", "__sid")
         .limit(n_cells)
     )
-    # seeds is a TakeOrdered result: one partition, already in (__h, __sid)
-    # order — the cell id is the row index, no rank window needed.
-    assign_to = seeds.withColumn(
-        "cell", F.monotonically_increasing_id().cast("int")
-    ).select("cell", "cvec")
+    # n_cells rows: collect and number them driver-side. Plan-independent
+    # (a mono-id over the TakeOrdered output would silently corrupt cell
+    # ids if the plan ever stopped being a single partition-0 result), and
+    # the local relation skips re-running the seed-sampling lineage in
+    # every subsequent assignment pass.
+    seed_rows = seeds.collect()  # already in (__h, __sid) order
+    assign_to = vectors.sparkSession.createDataFrame(
+        [(i, r["cvec"]) for i, r in enumerate(seed_rows)],
+        f"cell int, cvec {vectors.schema[vec_col].dataType.simpleString()}",
+    ).coalesce(1)
     cents = None
     for _ in range(iterations):
         member = _nearest_cells(vectors, assign_to, id_col, vec_col, nprobe=1)

@@ -70,6 +70,10 @@ def avro_schema_json(st: T.StructType, name: str = "Envelope") -> str:
 
 def _write_long(buf: bytearray, n: int) -> None:
     # zigzag then base-128 varint, little-endian groups of 7 bits.
+    if not -(2**63) <= n < 2**63:
+        # Python ints are unbounded; silently emitting an 11-byte varint
+        # would corrupt the record for any conformant reader.
+        raise OverflowError(f"Avro long out of 64-bit range: {n}")
     n = (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
     while True:
         b = n & 0x7F
@@ -96,7 +100,11 @@ def _read_long(data: bytes, pos: int) -> tuple[int, int]:
 
 def _encode_value(buf: bytearray, schema, v) -> None:
     if isinstance(schema, list):  # ["null", T] union
-        if v is None or (isinstance(v, float) and v != v):  # None / pandas NaN
+        # Only true None selects the null branch — a genuine NaN double is a
+        # VALUE and must round-trip as NaN (spark-avro preserves it). The
+        # pandas NaN-means-null mapping happens at the UDF boundary, where
+        # that ambiguity actually lives.
+        if v is None:
             _write_long(buf, 0)
             return
         _write_long(buf, 1)
@@ -179,7 +187,18 @@ def to_avro_py(struct_col: Column, struct_type: T.StructType) -> Column:
     @pandas_udf(T.BinaryType())
     def _enc(s: pd.Series) -> pd.Series:
         # A struct column arrives as a pandas DataFrame (one column per field).
+        # pandas represents SQL NULL as NaN in float columns, so NaN here is
+        # mapped to the null branch — a genuine NaN double entering through
+        # this UDF is indistinguishable from NULL (Arrow/pandas limitation);
+        # use encode_record directly where that distinction matters.
         rows = s.to_dict("records") if isinstance(s, pd.DataFrame) else list(s)
+        rows = [
+            {
+                k: None if isinstance(x, float) and x != x else x
+                for k, x in r.items()
+            }
+            for r in rows
+        ]
         return pd.Series([encode_record(schema, r) for r in rows])
 
     return _enc(struct_col)

@@ -89,7 +89,11 @@ def mongo_update_description(events: DataFrame) -> DataFrame:
         F.max_by("rm", "event_id").alias("rm"),
     )
     return (
-        last.filter(~F.col("rm"))
+        # A field whose last $set value is NULL is dropped like a removal —
+        # concat_ws would otherwise emit a bare field name, which no JSON
+        # document rendering has (and the SQL twin's `f || '=' || v` agrees:
+        # NULL concatenation removes the field).
+        last.filter(~F.col("rm") & F.col("v").isNotNull())
         .groupBy("user_id")
         .agg(
             F.array_join(

@@ -86,10 +86,11 @@ def micro_time(ts_col: Column) -> Column:
 
 def zoned_timestamp(ts_col: Column) -> Column:
     """time.ZonedTimestamp: ISO-8601 text with offset (ZonedTimestamp.java:
-    94-104). The feed normalizes to UTC, so the offset renders as 'Z' —
-    preserving a server-local offset is a formatting choice, not a data one.
-    """
-    return F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    94-104). ``date_format`` renders the SESSION zone's wall clock, so the
+    offset is emitted with the XXX pattern — 'Z' under UTC, the true offset
+    otherwise — and the string always denotes the correct instant (a
+    hardcoded 'Z' would misstate it under a non-UTC session)."""
+    return F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
 
 
 def year_of(date_col: Column) -> Column:
@@ -142,9 +143,16 @@ def decode_variable_scale_decimal(vsd: Column) -> Column:
 
 
 def bits_le(value: Column, n_bytes: int = 2) -> Column:
-    """Encode an integer as Bits: little-endian bytes (Bits.java:22)."""
+    """Encode an integer as Bits: little-endian bytes (Bits.java:22).
+
+    Pure integer arithmetic — arithmetic shift + pmod yields the exact
+    two's-complement byte at every position, so large and negative values
+    encode correctly at any ``n_bytes`` (float division would lose low bits
+    past 2^53 and truncate negatives toward zero).
+    """
+    v = value.cast("long")
     parts = [
-        F.lpad(F.hex((value.cast("long") / (256**i)).cast("long") % 256), 2, "0")
+        F.lpad(F.hex(F.pmod(F.shiftright(v, 8 * i), F.lit(256))), 2, "0")
         for i in range(n_bytes)
     ]
     return F.unhex(F.concat(*parts))

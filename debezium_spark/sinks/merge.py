@@ -298,8 +298,12 @@ class ParquetMergeSink:
         # the join logic itself is still merge_flat_changes, shared with the
         # distributed path.
         latest: dict = {}
+        n_key = len(self.pk_cols)
         for r in rows:
-            k = tuple(r["key"])
+            # A keyless event (op 'm' message / schema-change) groups under
+            # the all-null key, mirroring the distributed window's null-key
+            # partition.
+            k = tuple(r["key"]) if r["key"] is not None else (None,) * n_key
             prev = latest.get(k)
             if prev is None or r["source"]["pos"] >= prev["source"]["pos"]:
                 latest[k] = r
@@ -324,11 +328,19 @@ class ParquetMergeSink:
         # relation costs ~0.3s PER EVALUATION (and the merge plan evaluates
         # the change side twice — broadcast build + union leg); one Arrow
         # batch makes it effectively free. Fall back to the row-based
-        # conversion for types Arrow can't take from pandas (nested structs).
+        # conversion for types Arrow can't take from pandas (nested structs)
+        # AND when a genuine NaN is present — pandas can't distinguish NaN
+        # from NULL in a float column, so the Arrow path would turn a real
+        # NaN value into NULL (the tuple path preserves both).
         import pandas as pd
 
+        has_nan = any(
+            isinstance(v, float) and v != v for row in data for v in row
+        )
         col_names = [f.name for f in flat_schema.fields]
         try:
+            if has_nan:
+                raise ValueError("NaN present: pandas would conflate with null")
             pdf = pd.DataFrame(data, columns=col_names)
             flat_local = self.spark.createDataFrame(pdf, schema=flat_schema)
         except Exception:
