@@ -449,6 +449,44 @@ def near_dup_pairs(
     )
 
 
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus document, the number of
+    distinct word n-grams it shares with ANY benchmark document — the
+    n-gram-overlap check training pipelines run before evaluation so test
+    data never leaks into the training set. Docs with hits above a policy
+    threshold get dropped or audited.
+
+    Scale shape: the benchmark n-gram set is small by construction
+    (benchmarks are thousands of docs, the corpus is billions), so the
+    semi-join broadcasts when it fits and AQE decides otherwise; the corpus
+    side explodes its DISTINCT n-grams once — one shuffle on the gram for
+    the join, one aggregation on the doc id. Never all-pairs.
+    """
+
+    def grams(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("g"),
+        )
+
+    bench_grams = grams(benchmark).select("g").distinct()
+    return (
+        grams(corpus)
+        .join(bench_grams, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 def duplicate_clusters(
     df: DataFrame,
     text_col: str = "text",

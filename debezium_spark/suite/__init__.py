@@ -93,7 +93,8 @@ PRIORITY: tuple[str, ...] = (
     "a6_cosine_near_dup",
     "a8_ivf_search",
     # LLM text pipeline: dedup family + quality
-    "x2_language_id",
+    # x2_language_id rotated out (green r03) for the new decontamination row.
+    "x21_decontamination",
     "x4_exact_dedup",
     "x6_lsh_candidates",
     # New this round: near-dup clustering (connected components) — takes the

@@ -865,3 +865,39 @@ def x20_dup_clusters(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return duplicate_clusters(docs)
+
+
+# ---------------------------------------------------------------------------
+# X21 — benchmark decontamination (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+_WG3 = (
+    f"list_transform(generate_series(1, greatest(1, len({_TOKS}) - 2)),"
+    f" i -> {_TOKS}[i] || ' ' || {_TOKS}[i + 1] || ' ' || {_TOKS}[i + 2])"
+)
+
+
+@register(
+    "x21_decontamination",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, unnest(list_distinct({_WG3})) AS g FROM documents
+    ),
+    b AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    t AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM t JOIN b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+)
+def x21_decontamination(spark, sf_dir):
+    """Train/benchmark overlap audit: every 50th document stands in as the
+    held-out benchmark; corpus docs report how many distinct word trigrams
+    they share with it (the n-gram decontamination pass training pipelines
+    run before evaluation). Benchmark gram set semi-joined — broadcastable,
+    never all-pairs."""
+    from debezium_spark.analytics.text import contamination_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_hits(corpus, bench)
