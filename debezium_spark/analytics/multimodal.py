@@ -102,6 +102,73 @@ def extract_image_meta(
     return df.mapInPandas(analyze, IMAGE_META_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_image_blob(
+    df: DataFrame,
+    target: int = 32,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Aspect-preserving resize over the opaque blob column — the thumbnail
+    / normalize step of an image pipeline, as Arrow-batched ``mapInPandas``
+    (bytes never travel row-at-a-time). With no codecs in the container the
+    "pixels" are the synthetic payload: dims scale so max(w,h)==target and
+    the payload is cut proportionally to the area ratio — every byte of the
+    output is a pure function of the input, so the whole operator is
+    oracle-checkable end-to-end. A real deployment swaps ONLY the per-blob
+    body for PIL/libvips; schema, batching, and partitioning stay as-is.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "new_width", "new_height",
+                    "resized")}
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(b) if b is not None else b""
+                if len(b) < 8 or b[:4] != MAGIC:
+                    row = (i, None, None, None, None, None)
+                else:
+                    w = int.from_bytes(b[4:6], "big")
+                    h = int.from_bytes(b[6:8], "big")
+                    m = max(w, h)
+                    nw, nh = w * target // m, h * target // m
+                    payload = b[8:]
+                    k = max(1, len(payload) * nw * nh // (w * h))
+                    nb = (
+                        MAGIC
+                        + nw.to_bytes(2, "big")
+                        + nh.to_bytes(2, "big")
+                        + payload[:k]
+                    )
+                    row = (i, w, h, nw, nh, nb)
+                for key, v in zip(out, row):
+                    out[key].append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "new_width": pd.array(out["new_width"], dtype="Int32"),
+                    "new_height": pd.array(out["new_height"], dtype="Int32"),
+                    "resized": out["resized"],
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     blob_col: str = "blob",

@@ -110,7 +110,8 @@ PRIORITY: tuple[str, ...] = (
     # multimodal
     "m1_image_meta",
     "m2_frame_sample",
-    "m3_audio_segments",
+    # m3_audio_segments rotated out (green r03) for the new resize leg.
+    "m4_image_resize",
 )
 
 

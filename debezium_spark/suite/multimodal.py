@@ -143,3 +143,54 @@ def m3_audio_segments(spark, sf_dir):
         "doc_id", synthesize_audio_blob(F.col("doc_id")).alias("blob")
     )
     return segment_audio(blobs, window=8, hop=4)
+
+
+# ---------------------------------------------------------------------------
+# M4 — aspect-preserving resize (thumbnail/normalize step), byte-exact
+# ---------------------------------------------------------------------------
+@register(
+    "m4_image_resize",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               16 + doc_id % 64 AS w,
+               16 + (doc_id * 7) % 48 AS h
+        FROM documents
+    ),
+    scaled AS (
+        SELECT doc_id, w, h,
+               (w * 32) // greatest(w, h) AS nw,
+               (h * 32) // greatest(w, h) AS nh
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(nw AS INT) AS new_width, CAST(nh AS INT) AS new_height,
+           upper('494d4731'
+                 || printf('%04x', nw) || printf('%04x', nh)
+                 || substr({_MD5}, 1,
+                           2 * greatest(1, (16 * nw * nh) // (w * h))))
+             AS resized_hex
+    FROM scaled
+    """,
+)
+def m4_image_resize(spark, sf_dir):
+    """Resize leg of the image pipeline (decode -> RESIZE -> embed): dims
+    scale so max(w,h)=32 and the payload cut follows the area ratio —
+    byte-exact against the oracle's closed-form reconstruction, proving the
+    mapInPandas plumbing end-to-end (analytics/multimodal.py:
+    resize_image_blob; a real deployment swaps only the per-blob body)."""
+    from debezium_spark.analytics.multimodal import (
+        resize_image_blob,
+        synthesize_image_blob,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = docs.select(
+        "doc_id", synthesize_image_blob(F.col("doc_id")).alias("blob")
+    )
+    rs = resize_image_blob(blobs, target=32)
+    return rs.select(
+        "doc_id", "width", "height", "new_width", "new_height",
+        F.hex(F.col("resized")).alias("resized_hex"),
+    )
