@@ -159,11 +159,15 @@ def bits_le(value: Column, n_bytes: int = 2) -> Column:
 
 
 def decode_bits_le(bits: Column, n_bytes: int = 2) -> Column:
-    """Decode little-endian Bits bytes back to an integer."""
+    """Decode little-endian Bits bytes back to an integer.
+
+    Reassembled with shift+OR (never multiply/add): bit ops wrap instead of
+    raising under ANSI mode, and a full 8-byte value round-trips to the
+    exact signed two's-complement long it encoded."""
     total = F.lit(0).cast("long")
     for i in range(n_bytes):
         byte_i = F.conv(F.hex(F.substring(bits, i + 1, 1)), 16, 10).cast("long")
-        total = total + byte_i * F.lit(256**i).cast("long")
+        total = total.bitwiseOR(F.shiftleft(byte_i, 8 * i))
     return total
 
 

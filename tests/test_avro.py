@@ -88,3 +88,26 @@ def test_spark_roundtrip_with_nulls(spark):
     assert rows == [(1, "a", 2.5), (2, None, None), (3, "c", -0.0)]
     # encoded length is reported and positive
     assert all(r["avro_len"] >= 3 for r in rt.collect())
+
+
+def test_overflow_rejected():
+    with pytest.raises(OverflowError):
+        encode_record(LONG, {"v": 2**63})
+    with pytest.raises(OverflowError):
+        encode_record(LONG, {"v": -(2**63) - 1})
+    # boundary values still encode
+    for v in (2**63 - 1, -(2**63)):
+        assert decode_record(LONG, encode_record(LONG, {"v": v})) == {"v": v}
+
+
+def test_nan_double_is_a_value_not_null():
+    import math
+
+    sch = {
+        "type": "record",
+        "name": "N",
+        "fields": [{"name": "d", "type": ["null", "double"]}],
+    }
+    out = decode_record(sch, encode_record(sch, {"d": float("nan")}))
+    assert math.isnan(out["d"])
+    assert decode_record(sch, encode_record(sch, {"d": None})) == {"d": None}

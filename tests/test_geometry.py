@@ -69,3 +69,18 @@ def test_struct_field_names_match_reference(spark):
     assert [f.name for f in c_t.fields[0].dataType.fields] == ["x", "y"]
     l_t = df.schema["l"].dataType
     assert [f.name for f in l_t.fields] == ["a", "b", "c"]
+
+
+def test_bits_le_large_and_negative(spark):
+    from pyspark.sql import functions as F
+
+    from debezium_spark.operators.handling import bits_le, decode_bits_le
+
+    vals = [(2**60 + 1,), (-1,), (-2**40,), (65535,), (0,)]
+    df = spark.createDataFrame(vals, "v long")
+    out = df.select(
+        "v", decode_bits_le(bits_le(F.col("v"), 8), 8).alias("rt")
+    ).collect()
+    for r in out:
+        # full-width decode reassembles the exact signed two's-complement long
+        assert r["rt"] == r["v"]
