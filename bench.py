@@ -60,6 +60,9 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    # All three timed runs per query, so a future reader can tell noise
+    # (one outlier run) from a real regression without re-running anything.
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -76,6 +79,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        spreads[name] = [round(r, 3) for r in runs]
 
     # Streaming-pipeline throughput (BASELINE targets: >=2048 events per
     # micro-batch sustained; snapshot read parallelism >= 4).
@@ -87,6 +91,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_runs": spreads,
         "sf": sf,
         **pipeline_stats,
     }))
@@ -95,9 +100,14 @@ def main() -> None:
 def _pipeline_throughput(spark) -> dict:
     """End-to-end CDC pipeline at the current SF: snapshot (>=4 partitions)
     then the change feed replayed in 4096-event files through
-    readStream -> foreachBatch MERGE with checkpointing. Measured twice:
-    once with the copy-on-write bucket-pruned ParquetMergeSink and once
-    with the merge-on-read LogMergeSink (O(batch) writes + compaction)."""
+    readStream -> foreachBatch MERGE with checkpointing. Measured for the
+    copy-on-write bucket-pruned ParquetMergeSink and the merge-on-read
+    LogMergeSink (O(batch) writes + compaction).
+
+    Same discipline as the query bench: one untimed warm-up run per sink
+    then the MEDIAN of three timed runs, with all three stream times
+    reported so noise is visible. MOR runs FIRST (r4 ran it second and its
+    unexplained -28% could have been ordering/page-cache effects)."""
     import shutil
     import tempfile
 
@@ -114,14 +124,20 @@ def _pipeline_throughput(spark) -> dict:
     batch_events = 4096
     num_chunks = max(1, n_events // batch_events)
 
-    def run(sink_factory) -> dict:
-        tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
+    root = tempfile.mkdtemp(prefix="bench_pipeline_")
+    # The feed is identical across runs and sinks: write it once.
+    feed_dir = os.path.join(root, "feed")
+    replay_feed(env, feed_dir, num_chunks=num_chunks)
+    snap = accounts_snapshot(spark, SF_DIR).repartition(8)
+
+    def one_run(sink_factory, tag: str) -> dict:
+        tmp = os.path.join(root, tag)
+        os.makedirs(tmp, exist_ok=True)
         try:
-            snap = accounts_snapshot(spark, SF_DIR).repartition(8)
             sink = sink_factory(tmp)
             pipe = ChangeDataPipeline(
                 spark,
-                feed_dir=f"{tmp}/feed",
+                feed_dir=feed_dir,
                 envelope_schema=env.schema,
                 sink=sink,
                 checkpoint_dir=f"{tmp}/ckpt",
@@ -130,35 +146,50 @@ def _pipeline_throughput(spark) -> dict:
             t0 = time.time()
             pipe.run_snapshot(snap)
             snap_sec = time.time() - t0
-
-            replay_feed(env, f"{tmp}/feed", num_chunks=num_chunks)
             t0 = time.time()
             pipe.run_available()
             stream_sec = time.time() - t0
             return {
-                "events": n_events,
-                "events_per_batch": n_events // max(1, pipe.batches_seen),
+                "snap_sec": snap_sec,
+                "stream_sec": stream_sec,
                 "batches": pipe.batches_seen,
-                "snapshot_partitions": snap.rdd.getNumPartitions(),
-                "snapshot_sec": round(snap_sec, 3),
-                "stream_sec": round(stream_sec, 3),
-                "events_per_sec": round(n_events / max(stream_sec, 1e-9)),
             }
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    return {
-        "pipeline": run(
-            lambda tmp: ParquetMergeSink(
-                spark, f"{tmp}/target", ["id"], num_buckets=16
-            )
-        ),
-        "pipeline_mor": run(
+    def run(sink_factory, tag: str) -> dict:
+        one_run(sink_factory, f"{tag}_warmup")
+        runs = [one_run(sink_factory, f"{tag}_{i}") for i in range(3)]
+        stream_secs = sorted(r["stream_sec"] for r in runs)
+        med = stream_secs[1]
+        rep = next(r for r in runs if r["stream_sec"] == med)
+        return {
+            "events": n_events,
+            "events_per_batch": n_events // max(1, rep["batches"]),
+            "batches": rep["batches"],
+            "snapshot_partitions": snap.rdd.getNumPartitions(),
+            "snapshot_sec": round(rep["snap_sec"], 3),
+            "stream_sec": round(med, 3),
+            "stream_sec_runs": [round(r["stream_sec"], 3) for r in runs],
+            "events_per_sec": round(n_events / max(med, 1e-9)),
+        }
+
+    try:
+        mor = run(
             lambda tmp: LogMergeSink(
                 spark, f"{tmp}/target", ["id"], compact_every=8
-            )
-        ),
-    }
+            ),
+            "mor",
+        )
+        cow = run(
+            lambda tmp: ParquetMergeSink(
+                spark, f"{tmp}/target", ["id"], num_buckets=16
+            ),
+            "cow",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return {"pipeline": cow, "pipeline_mor": mor}
 
 
 if __name__ == "__main__":

@@ -189,3 +189,106 @@ def enum_value(col: Column, allowed: tuple[str, ...]) -> Column:
     """Enum semantics (Enum.java:22): values outside the allowed set are
     nulled (the warn/skip handling-mode analog for bad enum literals)."""
     return F.when(col.isin(*allowed), col)
+
+
+# ---------------------------------------------------------------------------
+# io.debezium.data vector + text-search logical types — SparseDoubleVector
+# (vector/SparseDoubleVector.java:26 struct{dimensions int16, vector
+# map<int16,float64>}, logical string '{i1:v1,...}/dims' parsed by
+# vector/Vectors.java:42-86) and TsVector (data/TsVector.java:17, a string
+# logical type carrying PostgreSQL tsvector text).
+#
+# Spark shape: the map becomes parallel sorted indices[]/values[] arrays —
+# deterministic (a map's iteration order is not), columnar-friendly, and
+# directly usable by the ANN/dedup operators that consume vectors.
+# ---------------------------------------------------------------------------
+
+
+def sparse_double_vector(dense: Column, dims: int) -> Column:
+    """Encode a dense double array as the SparseDoubleVector struct:
+    ``{dimensions, indices[], values[]}`` keeping only non-zero entries,
+    1-based indices in ascending order (pgvector ``sparsevec`` convention,
+    SparseDoubleVector.java:26)."""
+    pairs = F.filter(
+        F.transform(
+            dense,
+            lambda v, i: F.struct(
+                (i + 1).cast("int").alias("i"), v.cast("double").alias("v")
+            ),
+        ),
+        lambda p: p["v"] != 0.0,
+    )
+    return F.struct(
+        F.lit(dims).cast("int").alias("dimensions"),
+        F.transform(pairs, lambda p: p["i"]).alias("indices"),
+        F.transform(pairs, lambda p: p["v"]).alias("values"),
+    )
+
+
+def sparse_vector_to_string(sv: Column) -> Column:
+    """Render the logical string ``{i1:v1,i2:v2,...}/dims`` — the inverse of
+    ``Vectors.fromSparseVectorString`` (Vectors.java:42-86)."""
+    entries = F.zip_with(
+        sv["indices"],
+        sv["values"],
+        lambda i, v: F.concat(i.cast("string"), F.lit(":"), v.cast("string")),
+    )
+    return F.concat(
+        F.lit("{"),
+        F.array_join(entries, ","),
+        F.lit("}/"),
+        sv["dimensions"].cast("string"),
+    )
+
+
+def parse_sparse_vector(s: Column) -> Column:
+    """``fromLogical``: parse ``'{i1:v1,...}/dims'`` back into the struct
+    (Vectors.java:42-86; malformed input yields a null struct, the
+    reference's warn-and-null contract)."""
+    body = F.regexp_extract(s, r"^\{(.*)\}/(\d+)$", 1)
+    dims = F.regexp_extract(s, r"^\{(.*)\}/(\d+)$", 2)
+    entries = F.filter(F.split(body, ","), lambda e: e != "")
+    parsed = F.struct(
+        dims.cast("int").alias("dimensions"),
+        F.transform(
+            entries, lambda e: F.split(e, ":")[0].cast("int")
+        ).alias("indices"),
+        F.transform(
+            entries, lambda e: F.split(e, ":")[1].cast("double")
+        ).alias("values"),
+    )
+    return F.when(dims != "", parsed)
+
+
+def ts_vector(text: Column) -> Column:
+    """PostgreSQL ``to_tsvector('simple', ...)`` analog rendered as the
+    canonical tsvector string the TsVector logical type carries
+    (TsVector.java:17): sorted unique lexemes, each with its ascending
+    1-based positions — ``'lex1':1,4 'lex2':2``. Pure column expression
+    (nested higher-order functions), no UDF."""
+    toks = F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    pairs = F.transform(
+        toks,
+        lambda t, i: F.struct(t.alias("lex"), (i + 1).cast("int").alias("pos")),
+    )
+    lexes = F.array_sort(F.array_distinct(toks))
+    return F.array_join(
+        F.transform(
+            lexes,
+            lambda lx: F.concat(
+                F.lit("'"),
+                lx,
+                F.lit("':"),
+                F.array_join(
+                    F.transform(
+                        F.filter(pairs, lambda p: p["lex"] == lx),
+                        lambda p: p["pos"].cast("string"),
+                    ),
+                    ",",
+                ),
+            ),
+        ),
+        " ",
+    )

@@ -47,15 +47,24 @@ def reduce_last_per_key(
     env_df: DataFrame,
     key_cols: tuple[str, ...] = ("key",),
     order_col: str = "source.pos",
+    tiebreak_cols: tuple[str, ...] = ("ts_ns", "op"),
 ) -> DataFrame:
     """Keep only the latest event per key (ReducedRecordBuffer.java:27).
 
     Ordering is by the replayable stream position, never by batch row order
-    (SURVEY §7.3 "Ordering").
+    (SURVEY §7.3 "Ordering"). Position collisions (two sources replaying
+    into one feed, or a synthetic fixture) are broken deterministically by
+    ``tiebreak_cols`` (descending, nulls last) — the same secondary order
+    the inline COW fold applies, so the inline and distributed merge paths
+    agree by construction whenever the full order key differs. Tie-break
+    columns absent from the frame are skipped (flattened callers such as
+    the incremental snapshotter carry only the position axis).
     """
-    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
-        F.col(order_col).desc()
-    )
+    order = [F.col(order_col).desc()]
+    for c in tiebreak_cols:
+        if c in env_df.columns:
+            order.append(F.col(c).desc_nulls_last())
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
     return (
         env_df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -296,7 +296,19 @@ class ParquetMergeSink:
 
         # K4 reduction (last event per key by stream position) in Python —
         # the join logic itself is still merge_flat_changes, shared with the
-        # distributed path.
+        # distributed path. Position ties break on (ts_ns, op) descending
+        # with nulls smallest — the same secondary order
+        # reduce_last_per_key's window uses, so both paths pick the same
+        # survivor whenever the full order key differs.
+        def _okey(r):
+            ts = r["ts_ns"] if "ts_ns" in r.__fields__ else None
+            op = r["op"]
+            return (
+                r["source"]["pos"],
+                float("-inf") if ts is None else ts,
+                "" if op is None else op,
+            )
+
         latest: dict = {}
         n_key = len(self.pk_cols)
         for r in rows:
@@ -305,7 +317,7 @@ class ParquetMergeSink:
             # partition.
             k = tuple(r["key"]) if r["key"] is not None else (None,) * n_key
             prev = latest.get(k)
-            if prev is None or r["source"]["pos"] >= prev["source"]["pos"]:
+            if prev is None or _okey(r) >= _okey(prev):
                 latest[k] = r
         data = []
         for r in latest.values():

@@ -35,83 +35,67 @@ QUERIES: dict[str, Q] = {}
 # Everything not listed still registers (and is value-checked by the in-repo
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
-    # --- r4 rotation: the 17 ops below were green only in the r02 window (or
-    # never in any window: t21/m2/e2); they get current-cycle rows this round.
-    # Rotated OUT (all green in r03, still gate-checked): s2 s6 s13 t2 t5 t9
-    # t13 t17 t18 x5 x7 x8 x15 x16 w4 w14 w15. Every family keeps coverage.
-    # sources: snapshot / incremental / decode / polling
-    # s1_snapshot_envelope rotated out (green r02+r03; snapshot family keeps
-    # s3/s4/s12) for the new Mongo updateDescription row.
-    "s11_mongo_update_description",
-    "s3_incremental_snapshot_dedup",
-    "s4_readonly_incremental",
-    "s7_binlog_dispatch",
-    # s8_pgoutput_decode rotated out (green r03; decode family keeps s7) to
-    # make room for the new ts_ms/ts_us/ts_ns envelope-parity row.
-    "s14_envelope_timestamps",
-    "s9_commit_ordered",
-    "s10_lsn_window_poll",
-    "s12_snapshot_override",
-    # sinks: merge dispatch / insert modes / reduction / evolution / naming
-    "k1_merge_upsert",
-    "k2_merge_insert_mode",
-    "k4_reduce_last_per_key",
-    "k6_schema_evolution",
-    "k7_naming_strategy",
-    # SMTs (one row per transform family)
-    "t1_extract_new_record_state",
-    "t3_extract_changed_record_state",
-    "t4_filter_expression",
-    "t6_logical_table_router",
-    # t7_outbox_router rotated out (green r03) for the h4 special-types row.
-    "h4_special_value_types",
-    "t8_header_to_value",
-    "t10_partition_routing",
-    "t11_enforce_record_size",
-    "t12_schema_change_filter",
-    # t14_geometry_swap rotated out (green r03) for the new Circle/Line row —
-    # the geometry family keeps current-cycle coverage via t14b.
-    "t14b_geometry_circle_line",
-    "t15_vector_to_json",
-    "t19_custom_converters",
-    "t21_docling_markdown",
-    "t22_skipped_operations",
-    # formats
-    "f1_cloudevents_roundtrip",
-    # f2_json_serde rotated out (green r03) for the new Avro-binary leg.
-    "f4_avro_roundtrip",
-    # streaming infra + config handling
-    "p4_transaction_metadata",
-    "p9_dlq_quarantine",
-    # h1_handling_modes rotated out (green r03) for the new time.* codec row.
-    "h3_temporal_logical_types",
-    "h2_table_filters",
-    # ANN / embeddings
-    "a2_knn_bruteforce",
-    "a3_knn_lsh",
-    "a4_field_to_embedding",
-    "a6_cosine_near_dup",
-    "a8_ivf_search",
-    # LLM text pipeline: dedup family + quality
-    # x2_language_id rotated out (green r03) for the new decontamination row.
-    "x21_decontamination",
-    "x4_exact_dedup",
-    "x6_lsh_candidates",
-    # New this round: near-dup clustering (connected components) — takes the
-    # slot of e3_session_window (green r03; event-time keeps e1/e2).
-    "x20_dup_clusters",
-    # warehouse / OLAP shapes
-    "w1_pricing_summary",
-    "w2_top_revenue_orders",
-    "w8_asof_join",
-    # event-time windows
-    "e1_tumbling_window",
-    "e2_sliding_window",
-    # multimodal
-    "m1_image_meta",
-    "m2_frame_sample",
-    # m3_audio_segments rotated out (green r03) for the new resize leg.
-    "m4_image_resize",
+    # --- r5 rotation: after r4's 50/50-green window, 36 registered queries
+    # had NEVER had a driver row (gate-green only): w3-w28, x1/x3/x9-x19,
+    # a5/a7. This window gives every one of them a current-cycle row, so the
+    # union of driver-checked queries over r02-r05 covers the whole registry.
+    # The other 14 slots keep one green representative per §2 family (all
+    # green in r4 or earlier and still gate-checked), plus the new h5
+    # vector-logical-types row.
+    # family representatives ------------------------------------------------
+    "s3_incremental_snapshot_dedup",   # sources (green r4)
+    "k1_merge_upsert",                 # sinks (green r4)
+    "t1_extract_new_record_state",     # SMTs (green r4)
+    "f1_cloudevents_roundtrip",        # formats (green r4)
+    "p4_transaction_metadata",         # streaming infra (green r4)
+    "h5_vector_logical_types",         # §1.3 handling — NEW this round
+    "a2_knn_bruteforce",               # ANN (green r4)
+    "a4_field_to_embedding",           # embedding (green r4)
+    "x4_exact_dedup",                  # exact dedup (green r4)
+    "x6_lsh_candidates",               # LSH dedup (green r4)
+    "x20_dup_clusters",                # dup clustering (green r4)
+    "w1_pricing_summary",              # warehouse headline (green r4)
+    "e1_tumbling_window",              # event-time (green r4)
+    "m1_image_meta",                   # multimodal (green r4)
+    # never-windowed: ANN/embedding extras ----------------------------------
+    "a5_embed_similarity",
+    "a7_ivf_centroids",
+    # never-windowed: text/LLM pipeline extras ------------------------------
+    "x1_text_stats",
+    "x3_token_count",
+    "x9_quality_filter",
+    "x10_word_ngram_jaccard",
+    "x11_corpus_pipeline",
+    "x11_chunk_documents",
+    "x12_train_val_split",
+    "x13_repetition_ratio",
+    "x14_priority_dedup",
+    "x17_cm_heavy_hitters",
+    "x18_posting_lists",
+    "x19_char_entropy",
+    # never-windowed: warehouse/OLAP ----------------------------------------
+    "w3_revenue_filter",
+    "w5_rollup_counts",
+    "w6_set_ops",
+    "w7_distinct_agg",
+    "w9_salted_join",
+    "w10_percentiles",
+    "w11_pivot",
+    "w12_region_revenue",
+    "w13_exists_anti",
+    "w16_min_cost_supplier",
+    "w17_small_quantity_revenue",
+    "w18_priority_split",
+    "w19_promo_revenue_share",
+    "w20_large_orders",
+    "w21_disjunctive_revenue",
+    "w22_dormant_customers",
+    "w23_running_total",
+    "w24_order_gaps",
+    "w25_cube_counts",
+    "w26_excess_stock_suppliers",
+    "w27_order_count_histogram",
+    "w28_nation_pair_volume",
 )
 
 

@@ -1032,3 +1032,92 @@ def h4_special_value_types(spark, sf_dir):
         uuid_from_hash(F.col("o_orderkey")).alias("uuid"),
         enum_value(F.col("o_orderstatus"), ("O", "F")).alias("status_enum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# H5 — io.debezium.data vector/text-search logical types (SparseDoubleVector
+# / TsVector) — closes the §1.3 type table
+# ---------------------------------------------------------------------------
+@register(
+    "h5_vector_logical_types",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter([
+               {'i': 1, 'v': CAST(doc_id % 7 AS DOUBLE)},
+               {'i': 3, 'v': CAST(doc_id % 5 AS DOUBLE) / 2},
+               {'i': 6, 'v': CAST(doc_id % 3 AS DOUBLE)}
+             ], p -> p.v != 0) AS pairs
+      FROM documents
+    ),
+    sparse AS (
+      SELECT doc_id,
+             '{' || COALESCE(array_to_string(
+                 list_transform(pairs,
+                                p -> p.i::VARCHAR || ':' || p.v::VARCHAR),
+                 ','), '') || '}/8' AS sparse_str,
+             CAST(8 AS INTEGER) AS dims,
+             list_transform(pairs, p -> CAST(p.i AS INTEGER)) AS idx_arr,
+             list_transform(pairs, p -> p.v) AS val_arr
+      FROM base
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t != ''),
+               (t, i) -> {'lex': t, 'pos': i}) AS pairs
+      FROM base
+    ),
+    entries AS (
+      SELECT doc_id, p.lex AS lex,
+             string_agg(p.pos::VARCHAR, ',' ORDER BY p.pos) AS poss
+      FROM (SELECT doc_id, unnest(pairs) AS p FROM tok)
+      GROUP BY doc_id, p.lex
+    ),
+    tsv AS (
+      SELECT doc_id,
+             string_agg('''' || lex || ''':' || poss, ' ' ORDER BY lex)
+               AS tsvec
+      FROM entries GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.sparse_str, s.dims, s.idx_arr, s.val_arr,
+           COALESCE(t.tsvec, '') AS tsvec
+    FROM sparse s LEFT JOIN tsv t USING (doc_id)
+    """,
+)
+def h5_vector_logical_types(spark, sf_dir):
+    """§1.3 vector + text-search logical types: a SparseDoubleVector built
+    from a dense array (non-zero entries only), round-tripped through the
+    reference's logical string format '{i1:v1,...}/dims' and parsed back
+    (vector/SparseDoubleVector.java:26, vector/Vectors.java:42-86), plus a
+    PostgreSQL tsvector string built from document text (data/TsVector.java:17)
+    — all pure nested higher-order-function expressions, no UDF."""
+    from debezium_spark.operators.handling import (
+        parse_sparse_vector,
+        sparse_double_vector,
+        sparse_vector_to_string,
+        ts_vector,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dense = F.array(
+        (F.col("doc_id") % 7).cast("double"),
+        F.lit(0.0),
+        (F.col("doc_id") % 5).cast("double") / F.lit(2),
+        F.lit(0.0),
+        F.lit(0.0),
+        (F.col("doc_id") % 3).cast("double"),
+        F.lit(0.0),
+        F.lit(0.0),
+    )
+    sv = sparse_double_vector(dense, 8)
+    rt = parse_sparse_vector(sparse_vector_to_string(sv))
+    return d.select(
+        "doc_id",
+        sparse_vector_to_string(sv).alias("sparse_str"),
+        rt["dimensions"].alias("dims"),
+        rt["indices"].alias("idx_arr"),
+        rt["values"].alias("val_arr"),
+        ts_vector(F.col("text")).alias("tsvec"),
+    )

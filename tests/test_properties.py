@@ -189,3 +189,80 @@ def test_cow_and_mor_sinks_agree_with_model(spark, events, splits, tmp_path_fact
         assert (
             _collect(sink.read().select("id", "status", "balance")) == expected
         )
+
+
+# --- position-collision tie-break ------------------------------------------
+# Two sources replaying into one feed (or a synthetic fixture) can emit
+# events with EQUAL source.pos for the same key. The reduction must then be
+# deterministic and identical across the inline and distributed paths: ties
+# break on (ts_ns, op) descending, nulls smallest.
+
+ENV_TS_SCHEMA = T.StructType([*ENV_SCHEMA.fields, T.StructField("ts_ns", T.LongType())])
+
+
+def _ts_rows(events):
+    rows = []
+    for ts, (op, k, status, bal, pos) in enumerate(events, start=1):
+        state = (k, status, float(bal))
+        before, after = (state, None) if op == "d" else (None, state)
+        rows.append(((k,), before, after, op, ("accounts", pos), ts))
+    return rows
+
+
+def _ts_model(events):
+    # winner per key = max (pos, ts_ns); ts_ns is the enumeration index.
+    best = {}
+    for ts, (op, k, status, bal, pos) in enumerate(events, start=1):
+        cur = best.get(k)
+        if cur is None or (pos, ts) >= (cur[0], cur[1]):
+            best[k] = (pos, ts, op, status, float(bal))
+    return sorted(
+        (k, s, b) for k, (_p, _t, op, s, b) in best.items() if op != "d"
+    )
+
+
+_colliding_event = st.tuples(
+    st.sampled_from(["c", "u", "d"]),
+    st.sampled_from(KEYS),
+    st.sampled_from(["a", "b", "c"]),
+    st.integers(min_value=0, max_value=9),
+    st.sampled_from([1, 2]),  # only two positions -> collisions guaranteed
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=st.lists(_colliding_event, min_size=2, max_size=8))
+def test_colliding_positions_tiebreak_deterministically(
+    spark, events, tmp_path_factory
+):
+    from debezium_spark.operators.reduce import reduce_last_per_key
+
+    env = spark.createDataFrame(_ts_rows(events), ENV_TS_SCHEMA)
+    expected = _ts_model(events)
+
+    # Distributed K4 window
+    red = reduce_last_per_key(env)
+    got = sorted(
+        (r["key"]["id"], r["after"]["status"], r["after"]["balance"])
+        for r in red.collect()
+        if r["op"] != "d"
+    )
+    assert got == expected
+
+    # Inline vs distributed COW merge paths agree on the same batch
+    base = tmp_path_factory.mktemp("ties")
+    inline = ParquetMergeSink(spark, str(base / "i"), ["id"], num_buckets=4)
+    dist = ParquetMergeSink(
+        spark, str(base / "d"), ["id"], num_buckets=4, inline_max_rows=0
+    )
+    for sink in (inline, dist):
+        sink.write_batch(env, 0)
+    assert (
+        _collect(inline.read().select("id", "status", "balance"))
+        == _collect(dist.read().select("id", "status", "balance"))
+        == expected
+    )
