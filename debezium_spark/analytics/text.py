@@ -525,15 +525,9 @@ def duplicate_clusters(
     )
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
-        msgs = sym.join(labels, sym["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), F.col("label")
+        new_labels = propagate_min_labels(sym, labels).localCheckpoint(
+            eager=True
         )
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -543,7 +537,37 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iters is otherwise indistinguishable from success:
+        # a component with diameter > max_iters would return partially
+        # propagated (wrong) labels silently. Dedup graphs are near-cliques
+        # (2-4 rounds typical), so hitting this means an adversarial chain —
+        # raise rather than hand back corrupt clusters; the large-star/
+        # small-star O(log n)-round variant is the fix at that point.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} iterations "
+            f"({changed} labels still changing); raise max_iters or use a "
+            "logarithmic-round connected-components variant"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
+
+
+def propagate_min_labels(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation round: push each node's label to its
+    neighbors, take the per-node minimum of (own label, incoming labels).
+
+    This is duplicate_clusters' whole per-iteration dataflow, factored out
+    so its plan shape can be regression-locked in isolation
+    (tests/test_plans.py): an equi-join on the node id plus one hash
+    aggregation — bounded shuffles, never a cartesian."""
+    msgs = sym.join(labels, sym["src"] == labels["node"]).select(
+        F.col("dst").alias("node"), F.col("label")
+    )
+    return (
+        labels.unionByName(msgs)
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
 
 
 def token_hash(tok: Column) -> Column:

@@ -180,6 +180,22 @@ def decode_record(schema: dict, data: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _scrub_nan(x):
+    """Map pandas' NaN-for-NULL to None at EVERY nesting depth.
+
+    avro_schema_for maps nested structs/arrays recursively, so the scrub
+    must follow: a NaN inside a nested struct field otherwise reaches the
+    codec unscrubbed and the documented NaN/NULL-conflation rule would
+    silently not apply one level down."""
+    if isinstance(x, float) and x != x:
+        return None
+    if isinstance(x, dict):
+        return {k: _scrub_nan(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_scrub_nan(v) for v in x]
+    return x
+
+
 def to_avro_py(struct_col: Column, struct_type: T.StructType) -> Column:
     """Serialize a struct column to Avro binary (pure-Python codec)."""
     schema = avro_schema_for(struct_type)
@@ -192,13 +208,7 @@ def to_avro_py(struct_col: Column, struct_type: T.StructType) -> Column:
         # this UDF is indistinguishable from NULL (Arrow/pandas limitation);
         # use encode_record directly where that distinction matters.
         rows = s.to_dict("records") if isinstance(s, pd.DataFrame) else list(s)
-        rows = [
-            {
-                k: None if isinstance(x, float) and x != x else x
-                for k, x in r.items()
-            }
-            for r in rows
-        ]
+        rows = [_scrub_nan(r) for r in rows]
         return pd.Series([encode_record(schema, r) for r in rows])
 
     return _enc(struct_col)

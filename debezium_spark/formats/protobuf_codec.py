@@ -1,0 +1,370 @@
+"""Pure-Python Protocol Buffers wire-format codec for envelope payloads.
+
+The reference ships Protobuf as a first-class engine format
+(debezium-api/src/main/java/io/debezium/engine/format/Protobuf.java). This
+container has no protobuf runtime, but the WIRE FORMAT itself is small,
+public and stable (protobuf.dev "Encoding": base-128 varints, tags
+``(field_number << 3) | wire_type``, little-endian fixed64/fixed32,
+length-delimited strings/bytes/messages, packed repeated scalars), and for
+a message type derived mechanically from the Spark struct — fields numbered
+1..n in declaration order — no schema compiler is needed. Conformance is
+pinned by golden tests against the encoding doc's own examples
+(``a=150`` → ``08 96 01``, ``b="testing"`` → ``12 07 74 65 73 74 69 6e 67``,
+embedded ``c.a=150`` → ``1a 03 08 96 01``, packed ``[3,270,86942]`` →
+``22 06 03 8e 02 9e a7 05``) in tests/test_protobuf.py.
+
+Semantics are proto3 **with explicit presence** (the ``optional`` keyword,
+spec-standard since protobuf 3.15): every non-NULL field is serialized even
+at its default value, and a field absent from the wire decodes to SQL NULL —
+so NULL vs 0/""/false round-trips faithfully. The one documented conflation
+is empty repeated fields: an empty array serializes to nothing (no packed
+block), so it decodes as NULL — inherent to the wire format, where repeated
+fields carry no presence.
+
+Integer fields use the spec's ``int64`` encoding (plain varint; negatives as
+two's complement, always 10 bytes) — byte-identical to protoc output for
+``int64``, not the zigzag ``sint64`` variant. Decoders accept both packed
+and unpacked encodings of repeated scalars, as the spec requires, and skip
+unknown field numbers by wire type.
+
+Spark integration mirrors formats/avro_codec.py: Arrow-batched pandas UDFs
+(`to_protobuf_py` / `from_protobuf_py`). Protobuf is a per-record byte
+format, so the per-row Python loop is inherent; the Arrow transfer keeps
+the batch path vectorized and this stays off the hot path (formats are the
+edge of the pipeline, applied once per record at ingress/egress).
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from debezium_spark.formats.avro_codec import _scrub_nan
+
+_MASK64 = (1 << 64) - 1
+
+# wire types
+_VARINT, _FIXED64, _LEN, _FIXED32 = 0, 1, 2, 5
+
+_SCALAR = {
+    T.LongType: "int64",
+    T.IntegerType: "int64",
+    T.ShortType: "int64",
+    T.ByteType: "int64",
+    T.BooleanType: "bool",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.StringType: "string",
+    T.BinaryType: "bytes",
+}
+
+_WIRE = {
+    "int64": _VARINT,
+    "bool": _VARINT,
+    "double": _FIXED64,
+    "float": _FIXED32,
+    "string": _LEN,
+    "bytes": _LEN,
+    "message": _LEN,
+}
+
+
+# ---------------------------------------------------------------------------
+# Schema mapping: Spark StructType → message descriptor
+# ---------------------------------------------------------------------------
+
+
+def proto_schema_for(st: T.StructType, name: str = "Envelope") -> dict:
+    """Message descriptor for a Spark struct: fields numbered 1..n in
+    declaration order; arrays → repeated; nested structs → embedded
+    messages."""
+    fields = []
+    for i, f in enumerate(st.fields, start=1):
+        dt = f.dataType
+        repeated = False
+        if isinstance(dt, T.ArrayType):
+            repeated = True
+            dt = dt.elementType
+        if isinstance(dt, T.StructType):
+            fields.append(
+                {
+                    "name": f.name,
+                    "num": i,
+                    "type": "message",
+                    "repeated": repeated,
+                    "message": proto_schema_for(dt, f"{name}_{f.name}"),
+                }
+            )
+            continue
+        t = _SCALAR.get(type(dt))
+        if t is None:
+            raise TypeError(
+                f"unsupported Protobuf mapping for field {f.name}: {dt}"
+            )
+        fields.append(
+            {"name": f.name, "num": i, "type": t, "repeated": repeated}
+        )
+    return {"name": name, "fields": fields}
+
+
+_PROTO_TYPE_NAME = {
+    "int64": "int64",
+    "bool": "bool",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "bytes": "bytes",
+}
+
+
+def proto_schema_text(schema: dict) -> str:
+    """Render the descriptor as proto3 DDL (the .proto a consumer would
+    compile) — nested message types first, then the field list with
+    ``optional`` marking the explicit-presence semantics this codec uses."""
+    nested = []
+    lines = []
+    for f in schema["fields"]:
+        if f["type"] == "message":
+            nested.append(proto_schema_text(f["message"]))
+            tname = f["message"]["name"]
+        else:
+            tname = _PROTO_TYPE_NAME[f["type"]]
+        label = "repeated " if f["repeated"] else "optional "
+        lines.append(f"  {label}{tname} {f['name']} = {f['num']};")
+    body = "\n".join(nested + [f"message {schema['name']} {{"] + lines + ["}"])
+    return body
+
+
+# ---------------------------------------------------------------------------
+# Wire encoding (protobuf.dev "Encoding")
+# ---------------------------------------------------------------------------
+
+
+def _write_varint(buf: bytearray, n: int) -> None:
+    """Unsigned base-128 varint, little-endian 7-bit groups."""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return acc, pos
+        shift += 7
+
+
+def _write_tag(buf: bytearray, num: int, wire: int) -> None:
+    _write_varint(buf, (num << 3) | wire)
+
+
+def _encode_scalar(buf: bytearray, t: str, v) -> None:
+    if t == "int64":
+        n = int(v)
+        if not -(1 << 63) <= n < (1 << 63):
+            raise OverflowError(f"protobuf int64 out of range: {n}")
+        # Negatives as two's complement — the spec's int64 rule (always a
+        # 10-byte varint), byte-identical to protoc.
+        _write_varint(buf, n & _MASK64)
+    elif t == "bool":
+        buf.append(1 if v else 0)
+    elif t == "double":
+        buf += _struct.pack("<d", float(v))
+    elif t == "float":
+        buf += _struct.pack("<f", float(v))
+    elif t == "string":
+        b = str(v).encode("utf-8")
+        _write_varint(buf, len(b))
+        buf += b
+    elif t == "bytes":
+        b = bytes(v)
+        _write_varint(buf, len(b))
+        buf += b
+    else:  # pragma: no cover - guarded by proto_schema_for
+        raise TypeError(f"unsupported scalar {t}")
+
+
+def encode_message(schema: dict, record: dict | None) -> bytes:
+    buf = bytearray()
+    if record is None:
+        return bytes(buf)
+    for f in schema["fields"]:
+        v = record.get(f["name"])
+        if v is None:
+            continue
+        t = f["type"]
+        if f["repeated"]:
+            items = list(v)
+            if not items:
+                continue  # empty repeated = absent on the wire (documented)
+            if t in ("int64", "bool", "double", "float"):
+                # proto3 default: packed — one LEN record of concatenated
+                # scalar encodings.
+                payload = bytearray()
+                for it in items:
+                    _encode_scalar(payload, t, it)
+                _write_tag(buf, f["num"], _LEN)
+                _write_varint(buf, len(payload))
+                buf += payload
+            else:
+                for it in items:
+                    _write_tag(buf, f["num"], _LEN)
+                    if t == "message":
+                        sub = encode_message(f["message"], it)
+                        _write_varint(buf, len(sub))
+                        buf += sub
+                    else:
+                        _encode_scalar(buf, t, it)
+        elif t == "message":
+            sub = encode_message(f["message"], v)
+            _write_tag(buf, f["num"], _LEN)
+            _write_varint(buf, len(sub))
+            buf += sub
+        else:
+            _write_tag(buf, f["num"], _WIRE[t])
+            _encode_scalar(buf, t, v)
+    return bytes(buf)
+
+
+def _decode_scalar(data: bytes, pos: int, t: str):
+    if t == "int64":
+        acc, pos = _read_varint(data, pos)
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+        return acc, pos
+    if t == "bool":
+        acc, pos = _read_varint(data, pos)
+        return bool(acc), pos
+    if t == "double":
+        return _struct.unpack_from("<d", data, pos)[0], pos + 8
+    if t == "float":
+        return _struct.unpack_from("<f", data, pos)[0], pos + 4
+    if t == "string":
+        n, pos = _read_varint(data, pos)
+        return data[pos : pos + n].decode("utf-8"), pos + n
+    if t == "bytes":
+        n, pos = _read_varint(data, pos)
+        return bytes(data[pos : pos + n]), pos + n
+    raise TypeError(f"unsupported scalar {t}")  # pragma: no cover
+
+
+def _skip(data: bytes, pos: int, wire: int) -> int:
+    """Skip an unknown field by wire type (spec-required tolerance)."""
+    if wire == _VARINT:
+        _, pos = _read_varint(data, pos)
+        return pos
+    if wire == _FIXED64:
+        return pos + 8
+    if wire == _FIXED32:
+        return pos + 4
+    if wire == _LEN:
+        n, pos = _read_varint(data, pos)
+        return pos + n
+    raise ValueError(f"cannot skip wire type {wire}")
+
+
+def decode_message(schema: dict, data: bytes) -> dict:
+    out: dict = {f["name"]: None for f in schema["fields"]}
+    by_num = {f["num"]: f for f in schema["fields"]}
+    pos, end = 0, len(data)
+    while pos < end:
+        tag, pos = _read_varint(data, pos)
+        num, wire = tag >> 3, tag & 7
+        f = by_num.get(num)
+        if f is None:
+            pos = _skip(data, pos, wire)
+            continue
+        t = f["type"]
+        if f["repeated"]:
+            acc = out[f["name"]] or []
+            if t in ("int64", "bool", "double", "float") and wire == _LEN:
+                # packed block
+                n, pos = _read_varint(data, pos)
+                sub_end = pos + n
+                while pos < sub_end:
+                    v, pos = _decode_scalar(data, pos, t)
+                    acc.append(v)
+            elif t == "message":
+                n, pos = _read_varint(data, pos)
+                acc.append(decode_message(f["message"], data[pos : pos + n]))
+                pos += n
+            else:
+                # unpacked element (spec: parsers accept either)
+                v, pos = _decode_scalar(data, pos, t)
+                acc.append(v)
+            out[f["name"]] = acc
+        elif t == "message":
+            n, pos = _read_varint(data, pos)
+            out[f["name"]] = decode_message(f["message"], data[pos : pos + n])
+            pos += n
+        else:
+            out[f["name"]], pos = _decode_scalar(data, pos, t)
+    if pos != end:
+        raise ValueError(f"trailing {end - pos} bytes after Protobuf message")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+
+def to_protobuf_py(struct_col: Column, struct_type: T.StructType) -> Column:
+    """Serialize a struct column to Protobuf binary (pure-Python codec).
+
+    Same pandas-boundary caveat as to_avro_py: NULL arrives as NaN in float
+    columns, so NaN is scrubbed to None at every nesting depth — a genuine
+    NaN double entering through this UDF is indistinguishable from NULL;
+    use encode_message directly where that distinction matters."""
+    schema = proto_schema_for(struct_type)
+
+    @pandas_udf(T.BinaryType())
+    def _enc(s: pd.Series) -> pd.Series:
+        rows = s.to_dict("records") if isinstance(s, pd.DataFrame) else list(s)
+        rows = [_scrub_nan(r) for r in rows]
+        return pd.Series([encode_message(schema, r) for r in rows])
+
+    return _enc(struct_col)
+
+
+def from_protobuf_py(bytes_col: Column, struct_type: T.StructType) -> Column:
+    """Deserialize Protobuf binary back into the struct."""
+    schema = proto_schema_for(struct_type)
+    names = [f.name for f in struct_type.fields]
+
+    @pandas_udf(struct_type)
+    def _dec(s: pd.Series) -> pd.DataFrame:
+        rows = [decode_message(schema, b) for b in s]
+        return pd.DataFrame(rows, columns=names)
+
+    return _dec(bytes_col)
+
+
+def protobuf_roundtrip(
+    df: DataFrame, cols: list[str], out_prefix: str = ""
+) -> DataFrame:
+    """Encode the given columns as one Protobuf message per row, decode
+    back, and return the decoded fields plus the encoded size — the F1
+    Protobuf leg's self-check shape (mirrors avro_roundtrip)."""
+    st = T.StructType([df.schema[c] for c in cols])
+    rec = F.struct(*[F.col(c) for c in cols])
+    enc = to_protobuf_py(rec, st).alias("pb_bytes")
+    tmp = df.select(enc)
+    dec = from_protobuf_py(F.col("pb_bytes"), st)
+    return tmp.select(
+        F.length("pb_bytes").cast("long").alias("pb_len"), dec.alias("d")
+    ).select("pb_len", *[F.col(f"d.{c}").alias(f"{out_prefix}{c}") for c in cols])

@@ -127,8 +127,12 @@ def table_include_exclude(
 
 
 def variable_scale_decimal(unscaled: Column, scale: Column) -> Column:
-    """Encode the VariableScaleDecimal struct: big-endian unscaled bytes +
-    scale (non-negative unscaled values; the feed's domain)."""
+    """Encode the VariableScaleDecimal struct: big-endian two's-complement
+    unscaled bytes + scale. ``F.hex`` of a negative long already yields its
+    16-digit two's-complement representation, so a fixed 8-byte encoding is
+    sign-correct for the full signed-long range (the reference's
+    VariableScaleDecimal.java:25 uses minimal-length BigInteger bytes; a
+    fixed width is the same value, zero/sign-extended)."""
     value_bytes = F.unhex(F.lpad(F.hex(unscaled.cast("long")), 16, "0"))
     return F.struct(
         scale.cast("int").alias("scale"), value_bytes.alias("value")
@@ -136,10 +140,22 @@ def variable_scale_decimal(unscaled: Column, scale: Column) -> Column:
 
 
 def decode_variable_scale_decimal(vsd: Column) -> Column:
-    """Decode to a double: unscaled / 10^scale (exact for the small-integer
-    domain both engines agree on)."""
-    unscaled = F.conv(F.hex(vsd["value"]), 16, 10).cast("long")
-    return unscaled / F.pow(F.lit(10.0), vsd["scale"].cast("double"))
+    """Decode to a double: signed unscaled / 10^scale.
+
+    Sign-aware: the leading byte's top bit selects 0x00- vs 0xFF-extension
+    to 8 bytes, then the long is reassembled with shift+OR (never
+    conv→cast, which NULLs/wraps for two's-complement values ≥ 2^63).
+    Handles any value length ≤ 8 bytes, so minimal-length encodings from a
+    reference-faithful producer decode too."""
+    hx = F.upper(F.hex(vsd["value"]))
+    first = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long")
+    pad = F.when(first >= 128, F.lit("F")).otherwise(F.lit("0"))
+    hx16 = F.concat(F.repeat(pad, 16 - F.length(hx)), hx)
+    total = F.lit(0).cast("long")
+    for i in range(8):
+        byte_i = F.conv(F.substring(hx16, 2 * i + 1, 2), 16, 10).cast("long")
+        total = F.shiftleft(total, 8).bitwiseOR(byte_i)
+    return total / F.pow(F.lit(10.0), vsd["scale"].cast("double"))
 
 
 def bits_le(value: Column, n_bytes: int = 2) -> Column:

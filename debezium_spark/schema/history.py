@@ -25,31 +25,32 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-class SchemaRegistry:
-    """Append-only schema-version store (SchemaHistory.java:34,183-224)."""
+_HISTORY_DDL = (
+    "table string, version int, columns_json string, valid_from_pos long"
+)
 
-    def __init__(self, spark: SparkSession, path: str):
+
+class SchemaHistoryBackend:
+    """SchemaHistory SPI (SchemaHistory.java:34): ``record`` appends one
+    version row, ``recover`` replays the full history as a DataFrame,
+    ``schema_at`` resolves the columns in effect at a stream position.
+
+    The reference ships 8 storage backends under ``debezium-storage/``
+    (file, memory, kafka, redis, jdbc, azure-blob, s3, configmap) behind
+    this exact record/recover contract; the three here cover the
+    local-runtime shapes — swapping in an object store is a URI change in
+    the parquet backend, and a Kafka topic is the same append log."""
+
+    def __init__(self, spark: SparkSession):
         self.spark = spark
-        self.path = path
 
     def record(
         self, table: str, version: int, columns: list[str], valid_from_pos: int
     ) -> None:
-        """SchemaHistory.record: append one version row."""
-        row = [(table, version, json.dumps(columns), valid_from_pos)]
-        df = self.spark.createDataFrame(
-            row, "table string, version int, columns_json string, valid_from_pos long"
-        )
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        raise NotImplementedError
 
     def recover(self) -> DataFrame:
-        """SchemaHistory.recover: the full version history."""
-        if not os.path.exists(self.path):
-            return self.spark.createDataFrame(
-                [],
-                "table string, version int, columns_json string, valid_from_pos long",
-            )
-        return self.spark.read.parquet(self.path)
+        raise NotImplementedError
 
     def schema_at(self, table: str, pos: int) -> list[str]:
         """Columns in effect for ``table`` at stream position ``pos``."""
@@ -63,6 +64,84 @@ class SchemaRegistry:
         if not rows:
             raise KeyError(f"no schema recorded for {table} at pos {pos}")
         return json.loads(rows[0]["columns_json"])
+
+
+class SchemaRegistry(SchemaHistoryBackend):
+    """Parquet-backed history — the Spark-native default (object-store
+    ready; Delta/Iceberg in production). Append-only like every backend."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        super().__init__(spark)
+        self.path = path
+
+    def record(
+        self, table: str, version: int, columns: list[str], valid_from_pos: int
+    ) -> None:
+        """SchemaHistory.record: append one version row."""
+        row = [(table, version, json.dumps(columns), valid_from_pos)]
+        df = self.spark.createDataFrame(row, _HISTORY_DDL)
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def recover(self) -> DataFrame:
+        """SchemaHistory.recover: the full version history."""
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], _HISTORY_DDL)
+        return self.spark.read.parquet(self.path)
+
+
+class FileSchemaHistory(SchemaHistoryBackend):
+    """One JSON document per line, appended — the reference's file backend
+    shape (debezium-storage/debezium-storage-file/src/main/java/io/debezium/
+    storage/file/history/FileSchemaHistory.java stores newline-delimited
+    JSON history records the same way)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        super().__init__(spark)
+        self.path = path
+
+    def record(
+        self, table: str, version: int, columns: list[str], valid_from_pos: int
+    ) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        rec = {
+            "table": table,
+            "version": version,
+            "columns_json": json.dumps(columns),
+            "valid_from_pos": valid_from_pos,
+        }
+        with open(self.path, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(rec) + "\n")
+
+    def recover(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], _HISTORY_DDL)
+        with open(self.path, encoding="utf-8") as fh:
+            rows = [json.loads(line) for line in fh if line.strip()]
+        return self.spark.createDataFrame(
+            [
+                (r["table"], r["version"], r["columns_json"], r["valid_from_pos"])
+                for r in rows
+            ],
+            _HISTORY_DDL,
+        )
+
+
+class MemorySchemaHistory(SchemaHistoryBackend):
+    """In-process history (debezium-connector-common/.../relational/history/
+    MemorySchemaHistory.java) — tests and embedded runs; lost on restart by
+    design."""
+
+    def __init__(self, spark: SparkSession):
+        super().__init__(spark)
+        self._rows: list[tuple] = []
+
+    def record(
+        self, table: str, version: int, columns: list[str], valid_from_pos: int
+    ) -> None:
+        self._rows.append((table, version, json.dumps(columns), valid_from_pos))
+
+    def recover(self) -> DataFrame:
+        return self.spark.createDataFrame(list(self._rows), _HISTORY_DDL)
 
 
 def registry_with_validity(registry_df: DataFrame) -> DataFrame:

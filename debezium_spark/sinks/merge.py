@@ -256,6 +256,32 @@ class ParquetMergeSink:
                 int(min_pos() or 0),
             )
 
+    def _footer_rows_exceed_limit(self, env_batch: DataFrame) -> bool:
+        """True when the micro-batch's parquet footer row counts already
+        exceed ``inline_max_rows`` — a driver-local metadata read (no Spark
+        job). Returns False on any uncertainty (non-parquet/remote input,
+        unreadable footer): the limit(n+1) probe then decides as before."""
+        try:
+            files = env_batch.inputFiles()
+        except Exception:  # pragma: no cover - non-file-backed batch
+            return False
+        if not files:
+            return False
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for uri in files:
+                path = uri.removeprefix("file://").removeprefix("file:")
+                if not path.endswith(".parquet") or not os.path.exists(path):
+                    return False
+                total += pq.ParquetFile(path).metadata.num_rows
+                if total > self.inline_max_rows:
+                    return True
+        except Exception:  # pragma: no cover - footer read failure
+            return False
+        return False
+
     def _try_collect_inline(self, env_batch: DataFrame):
         """Inline fast path: materialize the micro-batch driver-side in ONE
         job (rows + their target bucket), or return None to take the
@@ -263,6 +289,14 @@ class ParquetMergeSink:
         must never be collected) and for truncate-carrying batches (the
         distributed plan owns the clear-target semantics)."""
         if self.inline_max_rows <= 0:
+            return None
+        if self._footer_rows_exceed_limit(env_batch):
+            # Backfill short-circuit: the batch's parquet footers already
+            # prove it is over the inline threshold — skip the probe job
+            # entirely instead of paying a wasted collect on every backfill
+            # batch. Footer counts are pre-filter (an upper bound), so this
+            # only ever declines inlining conservatively, never wrongly
+            # inlines.
             return None
         bucket = F.pmod(
             F.hash(*[F.col(f"key.{c}") for c in self.pk_cols]),

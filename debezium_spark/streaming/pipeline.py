@@ -55,6 +55,17 @@ def replay_feed(
     # fixture scale and avoids an empty-spec ntile window, keeping the
     # WindowExec warning meaningful in bench output).
     n = env_df.count()
+    # This generator serializes the whole feed through one sort task by
+    # design; refuse quietly-at-scale reuse instead of degrading. sf0.1's
+    # feed is ~40k events — far under the cap; a real log replay at scale
+    # goes through the file-stream source directly, not this fixture writer.
+    _REPLAY_MAX_ROWS = 2_000_000
+    if n > _REPLAY_MAX_ROWS:
+        raise ValueError(
+            f"replay_feed is a single-partition fixture generator; {n} rows "
+            f"exceeds its {_REPLAY_MAX_ROWS}-row cap. Write the feed with a "
+            "distributed range-partitioned writer instead."
+        )
     chunked = (
         env_df.coalesce(1)
         .sortWithinPartitions(F.col(order_col))

@@ -46,7 +46,8 @@ PRIORITY: tuple[str, ...] = (
     "s3_incremental_snapshot_dedup",   # sources (green r4)
     "k1_merge_upsert",                 # sinks (green r4)
     "t1_extract_new_record_state",     # SMTs (green r4)
-    "f1_cloudevents_roundtrip",        # formats (green r4)
+    "f5_protobuf_roundtrip",           # formats — NEW this round (f1 green
+                                       # r4 stays gate-checked)
     "p4_transaction_metadata",         # streaming infra (green r4)
     "h5_vector_logical_types",         # §1.3 handling — NEW this round
     "a2_knn_bruteforce",               # ANN (green r4)

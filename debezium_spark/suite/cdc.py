@@ -744,3 +744,34 @@ def f4_avro_roundtrip(spark, sf_dir):
     )
     rt = avro_roundtrip(flat, ["id", "status", "balance", "op"])
     return rt.select("id", "status", "balance", "op")
+
+
+# ---------------------------------------------------------------------------
+# F5 — Protobuf binary envelope roundtrip (pure-Python wire codec)
+# ---------------------------------------------------------------------------
+@register(
+    "f5_protobuf_roundtrip",
+    oracle="""
+    SELECT c_custkey AS id, c_mktsegment AS status, c_acctbal AS balance,
+           'r' AS op
+    FROM customer
+    """,
+)
+def f5_protobuf_roundtrip(spark, sf_dir):
+    """F1's Protobuf leg without a protobuf runtime: each flattened snapshot
+    record is encoded to Protobuf wire format (spec-conformant codec,
+    formats/protobuf_codec.py, goldens against the encoding doc's own
+    examples in tests/test_protobuf.py) and decoded back; the oracle checks
+    the decode equals the source. Reference format:
+    debezium-api/src/main/java/io/debezium/engine/format/Protobuf.java."""
+    from debezium_spark.formats.protobuf_codec import protobuf_roundtrip
+
+    env = accounts_snapshot(spark, sf_dir)
+    flat = env.select(
+        F.col("after.id").alias("id"),
+        F.col("after.status").alias("status"),
+        F.col("after.balance").alias("balance"),
+        F.col("op"),
+    )
+    rt = protobuf_roundtrip(flat, ["id", "status", "balance", "op"])
+    return rt.select("id", "status", "balance", "op")

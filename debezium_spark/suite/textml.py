@@ -639,13 +639,11 @@ def x15_vocabulary_topk(spark, sf_dir):
     # the whole vocabulary into ONE partition. The rank is then assigned
     # on the 50 survivors.
     top = cnt.orderBy(F.col("cnt").desc(), F.col("token")).limit(50)
-    # Row index over the single sorted TakeOrdered partition (see w2) —
-    # no rank window, no WindowExec warning in the bench tail.
-    return top.select(
-        "token",
-        "cnt",
-        (F.monotonically_increasing_id() + 1).cast("int").alias("rank"),
-    )
+    from debezium_spark.suite.warehouse import ranked_after_limit
+
+    return ranked_after_limit(
+        top, F.col("cnt").desc(), F.col("token"), name="rank"
+    ).select("token", "cnt", "rank")
 
 
 # ---------------------------------------------------------------------------

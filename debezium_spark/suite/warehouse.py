@@ -26,6 +26,24 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ranked_after_limit(top, *order, name: str = "rk"):
+    """Row-index rank over a Limit-bounded result, robust to plan shape.
+
+    orderBy().limit() usually collapses to TakeOrderedAndProject (one sorted
+    output partition), but that is a plan detail, not a contract — AQE or a
+    limit-strategy change could hand back several partitions and silently
+    corrupt a bare monotonically_increasing_id rank. coalesce(1) +
+    sortWithinPartitions re-establishes the order structurally on the ≤k
+    surviving rows (trivial cost at k ≤ 50), so the id really is the row
+    index — no rank window, so the bench tail stays free of WindowExec
+    warnings and a real unbounded window still stands out.
+    """
+    one = top.coalesce(1).sortWithinPartitions(*order)
+    return one.withColumn(
+        name, (F.monotonically_increasing_id() + 1).cast("int")
+    )
+
+
 # ---------------------------------------------------------------------------
 # W1 — pricing summary (TPC-H Q1 shape: scan + hash agg, exact decimals)
 # ---------------------------------------------------------------------------
@@ -103,12 +121,8 @@ def w2_top_revenue_orders(spark, sf_dir):
     # funnel every aggregated order through ONE partition. The rank is then
     # assigned on the 10 survivors only.
     top = rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
-    # TakeOrderedAndProject yields ONE partition in sort order, so the rank
-    # is just the row index — no rank window at all, which keeps the bench
-    # tail free of WindowExec warnings (a real unbounded window now stands
-    # out) and is locked by the oracle's rank values.
-    return top.withColumn(
-        "rk", (F.monotonically_increasing_id() + 1).cast("int")
+    return ranked_after_limit(
+        top, F.col("revenue").desc(), F.col("o_orderkey")
     )
 
 
@@ -583,9 +597,8 @@ def w15_returned_top_customers(spark, sf_dir):
     # Distributed TakeOrdered first; the global rank window only ever sees
     # the 20 survivors (same pattern as w2 / x15_vocabulary_topk).
     top = rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
-    # Row index over the single sorted TakeOrdered partition (see w2).
-    return top.withColumn(
-        "rk", (F.monotonically_increasing_id() + 1).cast("int")
+    return ranked_after_limit(
+        top, F.col("revenue").desc(), F.col("c_custkey")
     )
 
 

@@ -84,3 +84,50 @@ def test_bits_le_large_and_negative(spark):
     for r in out:
         # full-width decode reassembles the exact signed two's-complement long
         assert r["rt"] == r["v"]
+
+
+def test_variable_scale_decimal_negative_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from debezium_spark.operators.handling import (
+        decode_variable_scale_decimal,
+        variable_scale_decimal,
+    )
+
+    vals = [
+        (12345, 2), (-12345, 2), (-1, 0), (0, 3),
+        (-(2**62), 0), (2**62, 0), (-7, 4),
+    ]
+    df = spark.createDataFrame(vals, "unscaled long, scale int")
+    out = df.select(
+        "unscaled",
+        "scale",
+        decode_variable_scale_decimal(
+            variable_scale_decimal(F.col("unscaled"), F.col("scale"))
+        ).alias("rt"),
+    ).collect()
+    for r in out:
+        # sign-aware decode: negatives round-trip exactly (the old
+        # conv→cast path NULLed any value with the top bit set)
+        assert r["rt"] == r["unscaled"] / (10 ** r["scale"]), r
+
+
+def test_variable_scale_decimal_minimal_length_decode(spark):
+    """A reference-faithful producer writes minimal-length BigInteger bytes;
+    the decoder sign-extends any width ≤ 8."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.operators.handling import (
+        decode_variable_scale_decimal,
+    )
+
+    # -2 as ONE two's-complement byte (0xFE), scale 0 → -2.0
+    df = spark.createDataFrame([(bytearray(b"\xfe"), 0), (bytearray(b"\x7f"), 1)],
+                               "value binary, scale int")
+    out = df.select(
+        decode_variable_scale_decimal(
+            F.struct(F.col("scale"), F.col("value"))
+        ).alias("d")
+    ).collect()
+    assert out[0]["d"] == -2.0
+    assert out[1]["d"] == 12.7

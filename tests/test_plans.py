@@ -8,6 +8,7 @@ broadcast, and nothing degenerates into an unhinted cartesian product.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.01"
 
@@ -294,6 +295,57 @@ def test_no_query_in_registry_uses_a_single_partition_window(spark, qs):
         if bad:
             offenders[name] = bad
     assert not offenders, f"single-partition windows in: {offenders}"
+
+
+def test_decontamination_gram_join_is_broadcast_semi(spark, qs):
+    """x21: the benchmark-gram membership check must be a LeftSemi join that
+    BROADCASTS the (small by construction) benchmark gram set — a
+    shuffle-everything gram join would move the whole exploded corpus. The
+    initial plan may be sort-merge (aggregate stats are conservative);
+    AQE's runtime re-plan must land on broadcast, so assert on the FINAL
+    adaptive plan after execution."""
+    df = qs["x21_decontamination"].fn(spark, SF)
+    assert df.count() > 0  # materialize → isFinalPlan=true
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    semi_joins = re.findall(r"\w+Join LeftSemi|\w+Join.*LeftSemi", plan)
+    assert semi_joins, f"no semi join found in plan:\n{plan}"
+    assert all("Broadcast" in j for j in semi_joins), (
+        f"non-broadcast semi join at bench-gram scale: {semi_joins}"
+    )
+
+
+def test_label_propagation_round_is_bounded_shuffles(spark):
+    """x20: one min-label-propagation round (the factored per-iteration
+    dataflow) is an equi-join + one hash aggregation — its plan must show
+    no cartesian/nested-loop and a bounded number of Exchanges (≤3: two
+    join inputs + the aggregation; fewer when broadcast/reuse kicks in).
+    The fixpoint loop localCheckpoints between rounds, so this per-round
+    shape IS the whole query's scale behavior."""
+    from debezium_spark.analytics.text import propagate_min_labels
+
+    edges = spark.range(1000).selectExpr(
+        "id AS src", "(id % 97) AS dst"
+    )
+    sym = edges.unionByName(
+        edges.selectExpr("dst AS src", "src AS dst")
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    out = propagate_min_labels(sym, labels)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 3, f"{n_exchange} exchanges in one round:\n{plan}"
+    assert out.count() > 0
 
 
 def test_ivf_cell_assignment_is_shuffle_free(spark):
