@@ -496,26 +496,40 @@ def duplicate_clusters(
     rows_per_band: int = 2,
     k: int = 5,
     max_iters: int = 20,
+    method: str = "propagate",
 ) -> DataFrame:
     """Connected components over the LSH candidate graph: every document that
     has at least one near-dup candidate, labeled with its cluster id (= the
     minimum doc id in its component). The canonical-document-selection step
     of a dedup pipeline: keep ``doc_id == cluster`` as the representative.
 
-    Distributed shape: min-label propagation to fixpoint — each iteration is
-    ONE shuffle keyed on the node id (join labels to the symmetric edge
-    list, take the min incoming label). Converges in O(component diameter)
-    iterations; near-dup components are dense (almost-cliques from shared
-    LSH buckets), so 2-4 iterations is typical. The iterate-until-converged
-    loop localCheckpoints per iteration (same pattern as IVF Lloyd
-    iterations) so plan depth stays constant. For adversarial long-chain
-    graphs the large-star/small-star variant bounds rounds at O(log n);
-    diameter-bound propagation is the right trade for dedup graphs.
+    Distributed shape, ``method="propagate"`` (default): min-label
+    propagation to fixpoint — each iteration is ONE shuffle keyed on the
+    node id (join labels to the symmetric edge list, take the min incoming
+    label). Converges in O(component diameter) iterations; near-dup
+    components are dense (almost-cliques from shared LSH buckets), so 2-4
+    iterations is typical. The iterate-until-converged loop
+    localCheckpoints per iteration (same pattern as IVF Lloyd iterations)
+    so plan depth stays constant, and raises rather than returning
+    partially propagated labels if the budget runs out.
+
+    ``method="star"``: large-star/small-star contraction
+    (:func:`connected_components_star`) — O(log² n) rounds regardless of
+    diameter, the right trade when the candidate graph may contain long
+    chains (adversarial near-dup ladders). Both methods return identical
+    (doc_id, cluster) labelings.
     """
     edges = lsh_candidate_pairs(
         df, text_col, id_col,
         num_hashes=num_hashes, rows_per_band=rows_per_band, k=k,
     )
+    if method == "star":
+        cc = connected_components_star(
+            edges.selectExpr("a AS src", "b AS dst")
+        )
+        return cc.select(F.col("node").alias(id_col), "cluster")
+    if method != "propagate":
+        raise ValueError(f"unknown method {method!r}")
     sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
         edges.selectExpr("b AS src", "a AS dst")
     )
@@ -550,6 +564,95 @@ def duplicate_clusters(
             "logarithmic-round connected-components variant"
         )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star edge
+    contractions — the published MapReduce CC formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", ACM SoCC 2014; public):
+
+    - large-star: each node hooks its LARGER neighbors to the minimum of
+      its neighborhood (incl. itself);
+    - small-star: each node hooks its smaller-or-equal neighbors (edges
+      oriented larger→smaller) to that minimum.
+
+    Alternating the two converges in O(log² n) rounds worst case (O(log n)
+    observed in the paper's experiments) REGARDLESS of component diameter
+    — the scale path for adversarial chain graphs where
+    min-label propagation's O(diameter) loop (duplicate_clusters) would
+    exhaust its iteration budget. Each star op is one hash aggregation
+    (per-node neighborhood min) plus one equi-join — bounded shuffles, no
+    neighborhood materialization (no collect_set), so high-degree nodes
+    cost nothing extra. Rounds localCheckpoint so plan depth stays
+    constant.
+
+    Returns (node, cluster) for every node incident to an edge, cluster =
+    the component's minimum node id — same contract as the propagate loop.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _canon(df: DataFrame) -> DataFrame:
+        # undirected canonical form (min, max), deduped
+        return df.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v")).distinct()
+
+    def large_star(df: DataFrame) -> DataFrame:
+        sym = df.unionByName(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        return _canon(
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # orient each edge larger → smaller
+        ori = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = ori.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+        hooked = ori.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+        return _canon(hooked.unionByName(self_edges))
+
+    for _ in range(max_rounds):
+        new_e = small_star(large_star(e)).localCheckpoint(eager=True)
+        # Converged when the canonical edge set is unchanged (both are
+        # distinct canonical forms, so count + one-sided except suffices).
+        if new_e.count() == e.count() and new_e.exceptAll(e).isEmpty():
+            e = new_e
+            break
+        e = new_e
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds — not expected for any graph at O(log n) convergence"
+        )
+    # Converged state: stars rooted at each component's minimum; in the
+    # canonical (min, max) edge form the root is therefore ``u``.
+    return (
+        e.select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .unionByName(e.select(F.col("v").alias("node"), F.col("u").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("cluster"))
+        .select("node", "cluster")
+    )
 
 
 def propagate_min_labels(sym: DataFrame, labels: DataFrame) -> DataFrame:

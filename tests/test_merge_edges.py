@@ -248,6 +248,25 @@ def test_inline_and_distributed_paths_produce_identical_state(
     assert ra == rb and len(ra) > 0
 
 
+def test_inline_probe_short_circuits_on_footer_counts(spark, tmp_path):
+    """Backfill batches skip the limit(n+1) probe job entirely: parquet
+    footer row counts (a driver-local metadata read) already prove the
+    batch is over the inline threshold. In-memory batches and under-limit
+    files keep the probe's verdict."""
+    from debezium_spark.sinks.merge import ParquetMergeSink
+
+    p = str(tmp_path / "batch")
+    spark.range(100).write.parquet(p)
+    file_backed = spark.read.parquet(p)
+    small = ParquetMergeSink(spark, str(tmp_path / "t1"), ["id"], inline_max_rows=10)
+    big = ParquetMergeSink(spark, str(tmp_path / "t2"), ["id"], inline_max_rows=1000)
+    assert small._footer_rows_exceed_limit(file_backed) is True
+    assert big._footer_rows_exceed_limit(file_backed) is False
+    # no files behind it → footer check abstains (probe decides)
+    mem = spark.range(100)
+    assert small._footer_rows_exceed_limit(mem) is False
+
+
 def test_events_leaves_session_timezone_untouched(spark, sf_dir):
     """_events must not permanently mutate the caller's session timezone
     (it used to set UTC as a hidden side effect), and the canonical nanos

@@ -178,6 +178,37 @@ def test_spark_roundtrip_with_nulls(spark):
     assert all(r["pb_len"] > 0 for r in rows.values())
 
 
+def test_full_envelope_roundtrips_nested_structs(spark):
+    """The real CDC envelope — nested before/after/source/transaction
+    structs plus scalars — survives a wire round-trip, not just flat
+    records: the nested-message encoding is what a reference-parity
+    consumer would see."""
+    from debezium_spark.envelope import wrap_snapshot
+    from debezium_spark.formats.protobuf_codec import (
+        from_protobuf_py,
+        to_protobuf_py,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.5), (2, None, None)], "id long, status string, balance double"
+    )
+    env = wrap_snapshot(base, ["id"], table="accounts", pos=7)
+    st = env.schema
+    rec = F.struct(*[F.col(c) for c in env.columns])
+    rt = env.select(
+        from_protobuf_py(to_protobuf_py(rec, st), st).alias("d")
+    ).select("d.*")
+    got = {r["after"]["id"]: r for r in rt.collect()}
+    src = {r["after"]["id"]: r for r in env.collect()}
+    assert set(got) == {1, 2}
+    for k in got:
+        assert got[k]["after"] == src[k]["after"]
+        assert got[k]["before"] == src[k]["before"]
+        assert got[k]["source"] == src[k]["source"]
+        assert got[k]["op"] == src[k]["op"]
+        assert got[k]["ts_ns"] == src[k]["ts_ns"]
+
+
 def test_spark_roundtrip_matches_source(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("id"),
