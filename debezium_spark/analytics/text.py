@@ -367,28 +367,35 @@ def lsh_candidate_pairs(
     # Pair generation via ONE hash aggregation on the bucket key, emitting
     # each bucket's pairs array-side — a self-join here would re-evaluate the
     # whole signature subtree on both sides (Spark duplicates the subplan)
-    # and shuffle it twice. Bucket members are sorted so pairs come out
-    # (a < b). Cross-band duplicates are suppressed at the SOURCE instead of
+    # and shuffle it twice. Pairs are canonicalized (a < b) per pair with
+    # least/greatest — cheaper than sorting every bucket's member array.
+    # Cross-band duplicates are suppressed at the SOURCE instead of
     # by a global distinct: each member carries its full band-key array, and
     # a pair is emitted only from the FIRST band where the two agree — no
     # second shuffle, same pair set.
     buckets = (
         bands.groupBy("band", "bkey")
         .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), "keys"))
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), "keys")
             ).alias("ms")
         )
         .filter(F.size("ms") > 1)
     )
 
     def first_match_is_current(x: Column, y: Column) -> Column:
-        earlier = F.slice(
-            F.zip_with(x["keys"], y["keys"], lambda u, v: u == v),
-            1,
-            F.col("band"),
-        )
-        return ~F.exists(earlier, lambda e: e)
+        # "No band BEFORE the current one already matched" — unrolled to a
+        # static AND chain of getItem comparisons (num_bands is a Python
+        # constant). The per-pair zip_with/slice/exists form this replaces
+        # allocated two arrays per candidate pair; at ~600k in-bucket pairs
+        # per 5k docs those allocations dominated the whole x6 stage.
+        pred = F.lit(True)
+        for b in range(num_bands - 1):
+            pred = pred & (
+                (F.col("band") <= F.lit(b))
+                | (x["keys"][b] != y["keys"][b])
+            )
+        return pred
 
     pair_arr = F.filter(
         F.flatten(
@@ -396,9 +403,12 @@ def lsh_candidate_pairs(
                 F.col("ms"),
                 lambda x, i: F.transform(
                     F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    # collect_list order is arbitrary; canonicalize each
+                    # unordered pair with least/greatest instead of paying
+                    # a per-bucket struct-array sort.
                     lambda y: F.struct(
-                        x["id"].alias("a"),
-                        y["id"].alias("b"),
+                        F.least(x["id"], y["id"]).alias("a"),
+                        F.greatest(x["id"], y["id"]).alias("b"),
                         first_match_is_current(x, y).alias("keep"),
                     ),
                 ),
