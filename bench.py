@@ -44,6 +44,22 @@ HEADLINE = [
 ]
 
 
+def _noise_probe() -> float:
+    """Fixed single-thread CPU burn (~100-200 ms on a calm core).
+
+    The box is a shared VM: a noisy neighbor inflates EVERY measurement in
+    a sick window (observed: identical code, same day, 0.45 s vs 5 s for
+    the same query). This probe is reported per pass so a reader can tell
+    "the engine regressed" from "the host was sick during pass N" without
+    re-running anything — compare probe times across passes/rounds before
+    trusting a per-query delta."""
+    t0 = time.time()
+    x = 0
+    for i in range(2_000_000):
+        x += i
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     from debezium_spark.session import get_spark
     from debezium_spark.suite import load_all
@@ -63,15 +79,23 @@ def main() -> None:
     # All three timed runs per query, so a future reader can tell noise
     # (one outlier run) from a real regression without re-running anything.
     spreads: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    # Harness notes, learned the hard way on this shared VM:
+    # - per-query consecutive runs (warm-up + median-of-3) keep sub-second
+    #   queries HOT between their runs; an interleaved-passes variant was
+    #   tried and systematically inflated every small query by ~0.2-0.3 s
+    #   (cache/JIT eviction by the 16 queries in between) — not comparable
+    #   across rounds, so rejected;
+    # - host-level sick periods (noisy neighbor) can still poison one
+    #   query's whole block (observed: same code, same day, 0.45 s vs 5 s).
+    #   The noise probes interleaved below give the reader an independent
+    #   machine-health trace to judge any surprising delta against.
+    noise = [_noise_probe()]
+    for qi, name in enumerate(HEADLINE):
         if name not in qs:
             continue
         df = qs[name].fn(spark, SF_DIR)
         # warm the input file listing/metadata so the measurement is compute
         df.schema  # noqa: B018 - analysis only
-        # One untimed warm-up (JIT/codegen + page cache), then three timed
-        # passes reporting the MEDIAN — a single noisy run on a shared box
-        # can no longer masquerade as a regression (r3's a2 +70% artifact).
         df.write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(3):
@@ -80,6 +104,9 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = [round(r, 3) for r in runs]
+        if qi % 6 == 5:
+            noise.append(_noise_probe())
+    noise.append(_noise_probe())
 
     # Streaming-pipeline throughput (BASELINE targets: >=2048 events per
     # micro-batch sustained; snapshot read parallelism >= 4).
@@ -92,6 +119,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "query_runs": spreads,
+        "noise_probe_sec": noise,
         "sf": sf,
         **pipeline_stats,
     }))

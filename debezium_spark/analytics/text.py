@@ -576,6 +576,62 @@ def duplicate_clusters(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: str = "strat:",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the language/domain
+    rebalancing pass of a training-data pipeline ("keep 50% of English,
+    10% of everything else").
+
+    The keep decision is ``portable_hash64(id) % 10000 < rate·10000``:
+    pure map-side filter (ZERO shuffle, rides the scan), reproducible
+    across runs/engines (md5, not a seeded RNG — re-running the pipeline
+    keeps the SAME documents, which is what makes downstream caches and
+    dedup results stable), and exact-in-expectation per stratum. Rates are
+    compiled into a literal CASE chain: strata sets are small by
+    construction (languages, top-level domains)."""
+    h = portable_hash64(F.col(id_col).cast("string"), seed=seed) % 10000
+    rate_bp = F.lit(int(default_rate * 10000))
+    for k, v in sorted(rates.items()):
+        rate_bp = F.when(
+            F.col(strata_col) == k, F.lit(int(v * 10000))
+        ).otherwise(rate_bp)
+    return df.filter(h < rate_bp)
+
+
+def quota_per_group(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    quota: int = 50,
+    order_by: Column | None = None,
+) -> DataFrame:
+    """Deterministic per-group cap — "at most K documents per domain", the
+    anti-spam/anti-bias quota pass of a corpus build.
+
+    One shuffle on the group key; within each group rows rank by
+    ``order_by`` (default: the portable hash of the id, i.e. a stable
+    uniform draw) and ranks above the quota drop. Skewed groups are the
+    point here (one domain with millions of pages): AQE's skew handling
+    splits the sort, and the output is at most K rows per group no matter
+    the input skew."""
+    if order_by is None:
+        order_by = portable_hash64(F.col(id_col).cast("string"), seed="quota:")
+    w = Window.partitionBy(group_col).orderBy(order_by, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",

@@ -933,3 +933,58 @@ def x21_decontamination(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return contamination_hits(corpus, bench)
+
+
+# ---------------------------------------------------------------------------
+# X23 — deterministic stratified sampling (language rebalancing)
+# ---------------------------------------------------------------------------
+@register(
+    "x23_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ({_ohash("CAST(doc_id AS VARCHAR)", "strat:")}) % 10000
+          < (CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 1000 END)
+    """,
+)
+def x23_stratified_sample(spark, sf_dir):
+    """Language rebalancing: keep 50% of English, 25% of Chinese, 10% of
+    the rest — decided by a portable md5 hash of the doc id, NOT a seeded
+    RNG, so re-running the pipeline keeps the SAME documents (stable
+    downstream caches/dedup) and the oracle reproduces the draw exactly.
+    Pure map-side filter: zero shuffle, rides the scan."""
+    from debezium_spark.analytics.text import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        docs, {"en": 0.5, "zh": 0.25}, default_rate=0.1
+    )
+    return out.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# X24 — per-group quota cap (anti-spam domain capping)
+# ---------------------------------------------------------------------------
+@register(
+    "x24_source_quota",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_ohash("CAST(doc_id AS VARCHAR)", "quota:")}, doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rk <= 10
+    """,
+)
+def x24_source_quota(spark, sf_dir):
+    """Per-source quota: at most 10 documents per source, chosen by a
+    stable hash-ranked draw (one shuffle on the group key; a skewed
+    mega-domain still yields exactly K rows). The dominant-domain capping
+    pass of a corpus build."""
+    from debezium_spark.analytics.text import quota_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quota_per_group(docs, quota=10).select("doc_id", "source")
