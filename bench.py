@@ -44,20 +44,38 @@ HEADLINE = [
 ]
 
 
-def _noise_probe() -> float:
-    """Fixed single-thread CPU burn (~100-200 ms on a calm core).
+_PROBE_ARR = None
 
-    The box is a shared VM: a noisy neighbor inflates EVERY measurement in
-    a sick window (observed: identical code, same day, 0.45 s vs 5 s for
-    the same query). This probe is reported per pass so a reader can tell
-    "the engine regressed" from "the host was sick during pass N" without
-    re-running anything — compare probe times across passes/rounds before
-    trusting a per-query delta."""
+
+def _noise_probe() -> list[float]:
+    """Two-part host-health probe: [cpu_sec, membw_sec].
+
+    The box is a shared VM: noisy-neighbor windows inflate measurements by
+    up to 10x (observed: identical code, same day, 0.45 s vs 5 s for the
+    same query). Two probes because the contention has two faces:
+    - cpu: fixed single-thread integer burn (cache-resident, ~70-100 ms
+      calm) — sees CPU steal;
+    - membw: one pass over a 200 MB numpy array (~20-40 ms calm) — sees
+      MEMORY-BANDWIDTH contention, which crushes 32-thread shuffle/scan
+      stages while leaving the cache-resident cpu probe untouched (a
+      pattern actually observed: calm cpu probes bracketing 10x-slow
+      queries).
+    Reported per segment of the run so a reader can tell "the engine
+    regressed" from "the host was sick here" without re-running anything."""
+    global _PROBE_ARR
+    import numpy as np
+
+    if _PROBE_ARR is None:
+        _PROBE_ARR = np.ones(25_000_000, dtype=np.float64)
     t0 = time.time()
     x = 0
     for i in range(2_000_000):
         x += i
-    return round(time.time() - t0, 3)
+    cpu = time.time() - t0
+    t0 = time.time()
+    float(_PROBE_ARR.sum())
+    bw = time.time() - t0
+    return [round(cpu, 3), round(bw, 3)]
 
 
 def main() -> None:

@@ -576,6 +576,56 @@ def duplicate_clusters(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
 
 
+def token_typicality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Corpus-trained unigram quality score: how "typical" each document's
+    vocabulary is of the corpus it lives in — the self-supervised LM-style
+    filter stage of a training-data pipeline (gibberish, boilerplate and
+    wrong-language docs surface as rare-token-heavy outliers; no external
+    model needed).
+
+    Per doc: ``mean_tok_count`` (average corpus frequency of its tokens)
+    and ``rare_ratio`` (fraction of tokens seen ≤ ``rare_max_count`` times
+    corpus-wide). Exact integer/rational arithmetic by design — the
+    canonical mean-log-prob formulation is a drop-in (wrap the joined
+    count in ``F.log``), but libm ``ln`` is not bit-identical across
+    engines, and these two features carry the same ordering signal while
+    hashing exactly against the SQL oracle.
+
+    Scale shape: ONE token-count aggregation (map-side combined — the
+    exchange carries one row per distinct token per partition), the
+    vocabulary joined back to the exploded tokens (vocab ≪ corpus:
+    broadcast when it fits, AQE decides), then ONE per-doc aggregation.
+    Never quadratic, no global rank window.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    return (
+        tok.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            # explicit sum/count, not avg(): a running-mean implementation
+            # of AVG is not bit-equal to the exact-integer-sum division
+            F.round(
+                F.sum("cnt").cast("double") / F.count("*"), 6
+            ).alias("mean_tok_count"),
+            F.round(
+                F.sum(
+                    F.when(F.col("cnt") <= rare_max_count, 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("rare_ratio"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -988,3 +988,35 @@ def x24_source_quota(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return quota_per_group(docs, quota=10).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# X25 — corpus-trained token typicality (self-supervised quality score)
+# ---------------------------------------------------------------------------
+@register(
+    "x25_token_typicality",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(CAST(sum(v.cnt) AS DOUBLE) / count(*), 6) AS mean_tok_count,
+           round(CAST(sum(CASE WHEN v.cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS rare_ratio
+    FROM tok t JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def x25_token_typicality(spark, sf_dir):
+    """Self-supervised quality scoring: train unigram counts on the corpus
+    itself (one map-side-combined aggregation), join the vocabulary back,
+    and score each document by the average corpus frequency of its tokens
+    plus its rare-token ratio — the LM-style filter pass that catches
+    gibberish and wrong-language docs without an external model. Exact
+    arithmetic (see token_typicality) so the oracle hashes bit-identically."""
+    from debezium_spark.analytics.text import token_typicality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_typicality(docs)
