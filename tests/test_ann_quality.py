@@ -40,6 +40,30 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert mean_recall >= 0.6, f"IVF mean recall@{K} = {mean_recall:.2f}"
 
 
+def test_pq_rerank_recall_vs_exact(spark, sf_dir):
+    """PQ + exact rerank must stay a useful approximation: the ADC pass
+    scans only 32-bit codes, the rerank fetches exact vectors for 50
+    candidates per query, and the final top-5 must overlap the exact
+    top-5 above a floor. Pure ADC sits ~0.3 on these fixtures (random
+    embeddings are PQ's worst case — no cluster structure); the rerank is
+    what makes the pipeline production-usable, and this test pins that."""
+    from debezium_spark.analytics.vectors import knn_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(N_QUERIES)
+    exact = _topk_sets(knn_bruteforce(emb, queries, k=K))
+    approx = _topk_sets(
+        knn_pq(emb, queries, k=K, m=8, n_codes=16, rerank=50)
+    )
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # rerank=50 of 500 scans 10% exactly; observed ~0.78. Floor set safely
+    # below while staying far above the 0.10 the candidate set alone gives.
+    assert mean_recall >= 0.55, f"PQ rerank recall@{K} = {mean_recall:.2f}"
+
+
 def test_lsh_banding_recall_vs_true_jaccard(spark, sf_dir):
     """The banded-MinHash candidate generator must capture nearly all truly
     similar pairs (high-Jaccard pairs collide in some band with high
