@@ -70,3 +70,82 @@ def reduce_last_per_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def maintain_group_aggregate(
+    env_df: DataFrame,
+    *,
+    key_cols: list[str],
+    group_col: str,
+    value_col: str,
+    pos_col: str = "source.pos",
+    dec: str = "decimal(18,2)",
+) -> DataFrame:
+    """Incremental view maintenance: a grouped SUM/COUNT maintained purely
+    from the change stream — the aggregate a consumer keeps live instead of
+    re-scanning the merged table (the IVM pattern CDC pipelines feed).
+
+    Per key, each event contributes a **retraction** of the state the
+    previous event left (−1, −value at the previous group) and an
+    **assertion** of its own after-image (+1, +value) — deletes assert
+    nothing, so the per-key deltas telescope to exactly the key's final
+    state, and the grouped totals equal the batch aggregate over the
+    merged table for ANY event history, which is what the oracle checks.
+
+    Sources often don't carry before-images (this feed's ``before`` has
+    null columns); the previous state is therefore RECONSTRUCTED with a
+    per-key ``lag`` over position order — one shuffle on the key, the same
+    exchange a MERGE would need. Values are summed as exact decimals:
+    retract/assert pairs cancel exactly regardless of order, where float
+    summation would drift under the heavy cancellation IVM produces.
+
+    Requires a unique, totally ordered ``pos`` per key (the stream
+    contract; position collisions would need the K4 tie-break axis here
+    too).
+    """
+    key = [F.col(f"key.{c}") for c in key_cols]
+    w = Window.partitionBy(*key).orderBy(F.col(pos_col))
+    prev = F.lag(F.col("after")).over(w)
+    rows = env_df.select(
+        F.col("after"), prev.alias("__prev"), F.col("op")
+    )
+    contrib = rows.select(
+        F.explode(
+            F.concat(
+                F.when(
+                    F.col("__prev").isNotNull(),
+                    F.array(
+                        F.struct(
+                            F.lit(-1).alias("sign"),
+                            F.col(f"__prev.{group_col}").alias("grp"),
+                            F.col(f"__prev.{value_col}").cast(dec).alias("val"),
+                        )
+                    ),
+                ).otherwise(F.array().cast(
+                    f"array<struct<sign:int,grp:string,val:{dec}>>"
+                )),
+                F.when(
+                    F.col("after").isNotNull(),
+                    F.array(
+                        F.struct(
+                            F.lit(1).alias("sign"),
+                            F.col(f"after.{group_col}").alias("grp"),
+                            F.col(f"after.{value_col}").cast(dec).alias("val"),
+                        )
+                    ),
+                ).otherwise(F.array().cast(
+                    f"array<struct<sign:int,grp:string,val:{dec}>>"
+                )),
+            )
+        ).alias("d")
+    )
+    return (
+        contrib.groupBy(F.col("d.grp").alias(group_col))
+        .agg(
+            F.sum(F.col("d.sign") * F.col("d.val"))
+            .cast("double")
+            .alias(f"total_{value_col}"),
+            F.sum("d.sign").cast("long").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )

@@ -775,3 +775,40 @@ def f5_protobuf_roundtrip(spark, sf_dir):
     )
     rt = protobuf_roundtrip(flat, ["id", "status", "balance", "op"])
     return rt.select("id", "status", "balance", "op")
+
+
+# ---------------------------------------------------------------------------
+# K9 — incremental view maintenance (grouped aggregate from the stream)
+# ---------------------------------------------------------------------------
+@register(
+    "k9_incremental_aggregate",
+    oracle=_MERGE_PRELUDE
+    + """
+    SELECT status,
+           CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_balance,
+           count(*) AS n
+    FROM (
+        SELECT id, status, balance FROM snap ANTI JOIN latest USING (id)
+        UNION ALL
+        SELECT id, status, balance FROM latest WHERE op <> 'd'
+    )
+    GROUP BY status
+    """,
+)
+def k9_incremental_aggregate(spark, sf_dir):
+    """Incremental view maintenance: per-status SUM(balance)/COUNT kept
+    live from the snapshot ∪ change stream alone — per-key retract/assert
+    deltas (previous state reconstructed via lag, since this feed carries
+    no before-images) telescope to exactly the final state. The oracle is
+    the BATCH aggregate over the fully merged table: incremental and
+    batch must agree to the bit (decimal sums — retract/assert pairs
+    cancel exactly where floats would drift)."""
+    from debezium_spark.operators.reduce import maintain_group_aggregate
+
+    env = accounts_snapshot(spark, sf_dir).unionByName(
+        accounts_changefeed(spark, sf_dir)
+    )
+    return maintain_group_aggregate(
+        env, key_cols=["id"], group_col="status", value_col="balance"
+    )

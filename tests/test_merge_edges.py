@@ -248,6 +248,50 @@ def test_inline_and_distributed_paths_produce_identical_state(
     assert ra == rb and len(ra) > 0
 
 
+def test_incremental_aggregate_handles_delete_and_recreate(spark):
+    """IVM telescoping across the tricky sequence: create → update (group
+    move) → delete → re-create in a different group. The maintained
+    aggregate must equal the final state (one row in grp 'b', one in 'a'),
+    with every intermediate contribution cancelled exactly."""
+    from debezium_spark.envelope import make_envelope
+    from debezium_spark.operators.reduce import maintain_group_aggregate
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "c", "a", 10.0),
+            (2, 1, "u", "b", 20.0),   # moves groups a → b
+            (3, 1, "d", None, None),
+            (4, 1, "c", "b", 5.0),    # re-created in b
+            (5, 2, "c", "a", 7.5),
+        ],
+        "pos long, id long, op string, grp string, bal double",
+    )
+    after_row = F.struct(
+        F.col("id"), F.col("grp").alias("status"), F.col("bal").alias("balance")
+    )
+    env = make_envelope(
+        ev,
+        key=F.struct(F.col("id")),
+        before=F.lit(None).cast("struct<id:long,status:string,balance:double>"),
+        after=F.when(F.col("op") != "d", after_row),
+        op=F.col("op"),
+        db="db",
+        table="t",
+        pos=F.col("pos"),
+        tx_id=F.lit(None).cast("string"),
+        ts_ms=F.lit(0),
+        ts_us=F.lit(0),
+        ts_ns=F.lit(0),
+    )
+    out = {
+        r["status"]: (r["total_balance"], r["n"])
+        for r in maintain_group_aggregate(
+            env, key_cols=["id"], group_col="status", value_col="balance"
+        ).collect()
+    }
+    assert out == {"b": (5.0, 1), "a": (7.5, 1)}
+
+
 def test_inline_probe_short_circuits_on_footer_counts(spark, tmp_path):
     """Backfill batches skip the limit(n+1) probe job entirely: parquet
     footer row counts (a driver-local metadata read) already prove the
