@@ -348,6 +348,34 @@ def test_label_propagation_round_is_bounded_shuffles(spark):
     assert out.count() > 0
 
 
+def test_pq_encode_is_shuffle_free(spark):
+    """PQ encoding must stay map-side: codebooks ship as literals inside
+    the plan and each vector's per-subspace argmin is pure expression work
+    — no Exchange. This is the property that makes the 100 TB code-scan
+    cheap (the corpus is never shuffled to be quantized)."""
+    from debezium_spark.analytics.vectors import pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = pq_train(emb, m=4, k=4).localCheckpoint(eager=True)
+    enc = pq_encode(emb, books, m=4)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert enc.count() == emb.count()
+
+
+def test_stratified_sample_rides_the_scan(spark):
+    """x23's keep decision is a hash filter over scan output — zero
+    Exchange, zero Python; the sample never costs more than the read."""
+    from debezium_spark.analytics.text import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = stratified_sample(docs, {"en": 0.5}, default_rate=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert out.count() > 0
+
+
 def test_ivf_cell_assignment_is_shuffle_free(spark):
     """The IVF assignment step ships centroids as a literal array and
     argmaxes map-side — its plan must contain NO Exchange (the old shape
