@@ -149,3 +149,51 @@ def maintain_group_aggregate(
         )
         .filter(F.col("n") > 0)
     )
+
+
+def net_effect_per_key(
+    env_df: DataFrame,
+    *,
+    key_cols: list[str],
+    pos_col: str = "source.pos",
+) -> DataFrame:
+    """Batch-window compaction to NET EFFECT per key — stronger than K4's
+    last-event-wins: the emitted op reflects what the whole window DID to
+    the key, which is what changelog-consuming systems need (the
+    Kafka-log-compaction / changelog-normalize semantics):
+
+    - created then deleted inside the window → NO event (the key never
+      existed for a reader of this window);
+    - created (and possibly updated) → one ``c`` with the final state;
+    - existed, then deleted → one ``d``;
+    - existed, still exists → one ``u`` with the final state.
+
+    ONE hash aggregation on the key (min_by/max_by over position — no
+    window function, so partial aggregation combines map-side); requires
+    the stream contract of a unique total order per key.
+    """
+    key = [F.col(f"key.{c}").alias(c) for c in key_cols]
+    agg = env_df.groupBy(*key).agg(
+        F.min_by("op", F.col(pos_col)).alias("__first_op"),
+        F.max_by("op", F.col(pos_col)).alias("__last_op"),
+        F.max_by("after", F.col(pos_col)).alias("__last_after"),
+    )
+    born = F.col("__first_op") == "c"  # key did not exist before the window
+    dead = F.col("__last_op") == "d"
+    net = (
+        F.when(born & dead, F.lit(None).cast("string"))
+        .when(born, F.lit("c"))
+        .when(dead, F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    return (
+        agg.withColumn("net_op", net)
+        .filter(F.col("net_op").isNotNull())
+        .select(
+            *key_cols,
+            "net_op",
+            F.when(F.col("net_op") != "d", F.col("__last_after")).alias(
+                "after"
+            ),
+        )
+    )

@@ -812,3 +812,46 @@ def k9_incremental_aggregate(spark, sf_dir):
     return maintain_group_aggregate(
         env, key_cols=["id"], group_col="status", value_col="balance"
     )
+
+
+# ---------------------------------------------------------------------------
+# K10 — net-effect compaction (changelog-normalize semantics)
+# ---------------------------------------------------------------------------
+@register(
+    "k10_net_effect",
+    oracle=f"""
+    WITH {CHANGES_CTE},
+    agg AS (
+        SELECT id,
+               min_by(op, pos) AS first_op,
+               max_by(op, pos) AS last_op,
+               max_by(status, pos) AS last_status,
+               max_by(balance, pos) AS last_balance
+        FROM changes GROUP BY id
+    )
+    SELECT id,
+           CASE WHEN first_op = 'c' THEN 'c'
+                WHEN last_op = 'd' THEN 'd'
+                ELSE 'u' END AS net_op,
+           CASE WHEN last_op <> 'd' THEN last_status END AS status,
+           CASE WHEN last_op <> 'd' THEN last_balance END AS balance
+    FROM agg
+    WHERE NOT (first_op = 'c' AND last_op = 'd')
+    """,
+)
+def k10_net_effect(spark, sf_dir):
+    """Batch-window compaction to net effect per key — stronger than K4's
+    last-wins: create+delete inside the window vanishes, create+updates
+    collapse to one create with final state, surviving keys emit one
+    update, deletions of pre-existing keys one delete (the
+    changelog-normalize / log-compaction contract downstream changelog
+    consumers need). One map-side-combinable aggregation on the key."""
+    from debezium_spark.operators.reduce import net_effect_per_key
+
+    env = accounts_changefeed(spark, sf_dir)
+    out = net_effect_per_key(env, key_cols=["id"])
+    return out.select(
+        "id", "net_op",
+        F.col("after.status").alias("status"),
+        F.col("after.balance").alias("balance"),
+    )

@@ -292,6 +292,42 @@ def test_incremental_aggregate_handles_delete_and_recreate(spark):
     assert out == {"b": (5.0, 1), "a": (7.5, 1)}
 
 
+def test_net_effect_compaction_semantics(spark):
+    """The four net-effect outcomes in one window: create+delete vanishes;
+    create(+update) → one 'c' with final state; update-only → 'u';
+    pre-existing key deleted → 'd' with null state."""
+    from debezium_spark.envelope import make_envelope
+    from debezium_spark.operators.reduce import net_effect_per_key
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "c", "a", 1.0), (2, 1, "d", None, None),   # vanishes
+            (3, 2, "c", "a", 2.0), (4, 2, "u", "b", 3.0),     # net 'c' final b
+            (5, 3, "u", "x", 4.0),                             # net 'u'
+            (6, 4, "u", "y", 5.0), (7, 4, "d", None, None),   # net 'd'
+        ],
+        "pos long, id long, op string, grp string, bal double",
+    )
+    after_row = F.struct(
+        F.col("id"), F.col("grp").alias("status"), F.col("bal").alias("balance")
+    )
+    env = make_envelope(
+        ev,
+        key=F.struct(F.col("id")),
+        before=F.lit(None).cast("struct<id:long,status:string,balance:double>"),
+        after=F.when(F.col("op") != "d", after_row),
+        op=F.col("op"),
+        db="db", table="t", pos=F.col("pos"),
+        tx_id=F.lit(None).cast("string"),
+        ts_ms=F.lit(0), ts_us=F.lit(0), ts_ns=F.lit(0),
+    )
+    out = {
+        r["id"]: (r["net_op"], r["after"]["status"] if r["after"] else None)
+        for r in net_effect_per_key(env, key_cols=["id"]).collect()
+    }
+    assert out == {2: ("c", "b"), 3: ("u", "x"), 4: ("d", None)}
+
+
 def test_inline_probe_short_circuits_on_footer_counts(spark, tmp_path):
     """Backfill batches skip the limit(n+1) probe job entirely: parquet
     footer row counts (a driver-local metadata read) already prove the
