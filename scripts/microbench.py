@@ -24,6 +24,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _flat_record(df):
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("key.id").alias("id"),
+        F.col("after.status").alias("status"),
+        F.col("after.balance").alias("balance"),
+        F.col("op"),
+    )
+
+
+def _avro_encode_case(df):
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from debezium_spark.formats.avro_codec import to_avro_py
+
+    flat = _flat_record(df)
+    st = T.StructType([flat.schema[c] for c in flat.columns])
+    return flat.select(
+        F.length(to_avro_py(F.struct(*flat.columns), st)).alias("n")
+    )
+
+
+def _protobuf_encode_case(df):
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from debezium_spark.formats.protobuf_codec import to_protobuf_py
+
+    flat = _flat_record(df)
+    st = T.StructType([flat.schema[c] for c in flat.columns])
+    return flat.select(
+        F.length(to_protobuf_py(F.struct(*flat.columns), st)).alias("n")
+    )
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -74,6 +111,11 @@ def main() -> None:
             prefix="h_",
         ),
         "t11_enforce_size": lambda df: enforce_record_size(df, 4096),
+        # Format codecs (pure-Python wire formats behind Arrow-batched
+        # pandas UDFs — the deliberate slow path; these numbers are what
+        # "formats are the edge of the pipeline" costs in practice).
+        "f4_avro_encode": _avro_encode_case,
+        "f5_protobuf_encode": _protobuf_encode_case,
     }
 
     results = {}
