@@ -1095,3 +1095,74 @@ def w28_nation_pair_volume(spark, sf_dir):
             * (F.lit(1) - F.col("l_discount").cast(_DEC))
         ).cast("double").alias("volume")
     )
+
+
+# ---------------------------------------------------------------------------
+# W29 — GROUPING SETS (explicit multi-granularity aggregation)
+# ---------------------------------------------------------------------------
+@register(
+    "w29_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def w29_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the multi-granularity report between w5's
+    ROLLUP and w25's CUBE: detail, per-flag, and grand-total rows out of
+    ONE pass (Spark expands the sets into a single Expand+hash-agg plan —
+    one scan, one shuffle, never one job per granularity). The grouping
+    marker is COALESCE to 'ALL' (fixture columns are never null), which
+    sidesteps engine-specific GROUPING_ID bit orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("w29_lineitem")
+    return spark.sql(f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty
+        FROM w29_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+# ---------------------------------------------------------------------------
+# W30 — bounded-frame moving average (ROWS BETWEEN k PRECEDING)
+# ---------------------------------------------------------------------------
+@register(
+    "w30_moving_average",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                / count(*) OVER w AS DOUBLE) AS avg_recent_spend
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def w30_moving_average(spark, sf_dir):
+    """Trailing 4-order moving average per customer — the bounded ROWS
+    frame w23's running total doesn't exercise. Explicit sum/count (both
+    exact over the frame) instead of AVG, so the division is the only
+    float op and both engines compute it bit-identically."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+            / F.count("*").over(w)
+        ).cast("double").alias("avg_recent_spend"),
+    )
