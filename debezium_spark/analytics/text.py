@@ -1026,3 +1026,58 @@ def cm_estimate(
         item_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy(item_col).agg(F.min("cnt").alias("cnt_est"))
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """Corpus-level boilerplate detection: the ``top`` word n-grams by
+    document frequency are the boilerplate bank (headers, footers, license
+    blurbs — whatever repeats across documents), and each document reports
+    how many of its distinct n-grams are boilerplate plus the ratio — the
+    C4/RefinedWeb-style "most common lines" cleaning signal, computed
+    corpus-wide instead of per-page.
+
+    Scale shape: ONE doc-frequency aggregation over distinct-per-doc grams
+    (map-side combined), a TakeOrdered for the top-``top`` bank
+    (deterministic tie-break on the gram), then the bank — ``top`` rows —
+    broadcast-joined back to the exploded grams and ONE per-doc count.
+    Never all-pairs, nothing driver-side beyond the tiny bank.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("g"),
+    )
+    bank = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("df_"))
+        .orderBy(F.col("df_").desc(), F.col("g"))
+        .limit(top)
+        .select("g")
+    )
+    per_doc = grams.groupBy(id_col).agg(
+        F.count("*").alias("n_grams")
+    )
+    hits = (
+        grams.join(F.broadcast(bank), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return (
+        per_doc.join(hits, id_col)
+        .select(
+            id_col,
+            "n_boiler",
+            "n_grams",
+            F.round(
+                F.col("n_boiler").cast("double") / F.col("n_grams"), 6
+            ).alias("boiler_ratio"),
+        )
+    )

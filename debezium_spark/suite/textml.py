@@ -1020,3 +1020,43 @@ def x25_token_typicality(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return token_typicality(docs)
+
+
+# ---------------------------------------------------------------------------
+# X26 — corpus-level boilerplate n-gram detection
+# ---------------------------------------------------------------------------
+_WG5 = (
+    f"list_transform(generate_series(1, greatest(1, len({_TOKS}) - 4)),"
+    f" i -> {_TOKS}[i] || ' ' || {_TOKS}[i + 1] || ' ' || {_TOKS}[i + 2]"
+    f" || ' ' || {_TOKS}[i + 3] || ' ' || {_TOKS}[i + 4])"
+)
+
+
+@register(
+    "x26_boilerplate_ngrams",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, unnest(list_distinct({_WG5})) AS g FROM documents
+    ),
+    dfreq AS (SELECT g, count(*) AS df_ FROM g GROUP BY 1),
+    bank AS (SELECT g FROM dfreq ORDER BY df_ DESC, g LIMIT 20),
+    per_doc AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+    hits AS (
+        SELECT doc_id, count(*) AS n_boiler
+        FROM g JOIN bank USING (g) GROUP BY doc_id
+    )
+    SELECT p.doc_id, h.n_boiler, p.n_grams,
+           round(CAST(h.n_boiler AS DOUBLE) / p.n_grams, 6) AS boiler_ratio
+    FROM per_doc p JOIN hits h USING (doc_id)
+    """,
+)
+def x26_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-level boilerplate detection (the C4/RefinedWeb "most common
+    lines" cleaning signal): the 20 highest-document-frequency word
+    5-grams form the boilerplate bank; each doc reports its distinct-gram
+    hits against the bank and the ratio. One doc-frequency aggregation, a
+    TakeOrdered for the tiny bank (broadcast back), one per-doc count."""
+    from debezium_spark.analytics.text import boilerplate_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return boilerplate_ngrams(docs)
