@@ -623,3 +623,95 @@ def knn_pq(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def knn_ivfpq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iterations: int = 1,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    rerank: int = 50,
+) -> DataFrame:
+    """The full production ANN composition — IVF routes, PQ shrinks,
+    exact rerank restores precision:
+
+    1. IVF: corpus vectors live in their max-cosine cell; each query
+       probes its ``nprobe`` nearest cells — the candidate scan touches
+       ~|corpus|·nprobe/n_cells rows, not |corpus|;
+    2. PQ: within the probed cells, candidates are scored against the
+       query via their 32-bit PQ codes' reconstruction (the scan reads
+       codes, not vectors — the memory story at 100 TB);
+    3. rerank: each query's top-``rerank`` candidates fetch their exact
+       vectors for the final exact-cosine top-k.
+
+    Both trainings are the deterministic engine-portable pipelines
+    (ivf_train / pq_train), so the SQL oracle replays the whole composed
+    index bit-for-bit.
+    """
+    cents = ivf_train(
+        vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+        iterations=iterations,
+    ).localCheckpoint(eager=True)
+    books = pq_train(
+        vectors, id_col=id_col, vec_col=vec_col, m=m, k=n_codes, dim=dim
+    ).localCheckpoint(eager=True)
+
+    enc = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
+    corpus_cells = _nearest_cells(
+        enc.withColumnRenamed("codes", "__codes"),
+        cents, id_col, vec_col, nprobe=1,
+    )
+    recon_parts = []
+    for mi in range(m):
+        arr, _ = _codebook_literal(books, mi)
+        recon_parts.append(F.element_at(arr, F.col("__codes")[mi] + 1))
+    recon = F.concat(*recon_parts)
+    corpus = corpus_cells.select(
+        "cell",
+        F.col(id_col).alias("nid"),
+        recon.alias("rvec"),
+    ).withColumn("rnorm", l2_norm(F.col("rvec")))
+
+    probes = _nearest_cells(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        "cell",
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
+    )
+    ascored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn(
+            "asim",
+            dot_product(F.col("qvec"), F.col("rvec"))
+            / (F.col("qnorm") * F.col("rnorm")),
+        )
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.col("asim").desc(), F.col("nid"))
+    cands = (
+        ascored.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= rerank)
+        .select("qid", "qvec", "qnorm", "nid")
+    )
+    exact_side = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("evec")
+    ).withColumn("enorm", l2_norm(F.col("evec")))
+    reranked = cands.join(exact_side, "nid").withColumn(
+        "sim",
+        dot_product(F.col("qvec"), F.col("evec"))
+        / (F.col("qnorm") * F.col("enorm")),
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("sim", 6).alias("sim"))
+    )

@@ -625,3 +625,74 @@ def a10_pq_search(spark, sf_dir):
     queries = emb.filter(F.expr(_QFILTER))
     return knn_pq(emb, queries, k=5, m=_PQ_M, n_codes=_PQ_K,
                   dim=_PQ_M * _PQ_S, rerank=_PQ_RERANK)
+
+
+# ---------------------------------------------------------------------------
+# A11 — the composed production ANN: IVF routing + PQ codes + exact rerank
+# ---------------------------------------------------------------------------
+@register(
+    "a11_ivfpq_search",
+    oracle=f"""
+    WITH {_IVF_CTE},{_PQ_CTE},{_pq_search_cte()},
+    corp AS (
+        SELECT e.vec_id AS nid, s.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cosine('e.embedding', 's.cvec')} DESC, s.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents s
+    ),
+    probes AS (
+        SELECT e.vec_id AS qid, e.embedding AS qvec, s.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cosine('e.embedding', 's.cvec')} DESC, s.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents s
+        WHERE e.{_QFILTER}
+    ),
+    ascored AS (
+        SELECT p.qid, p.qvec, c.nid,
+               {_cosine('p.qvec', 'r.rvec')} AS asim
+        FROM corp c
+        JOIN probes p USING (cell)
+        JOIN precon r ON r.vec_id = c.nid
+        WHERE c.rn = 1 AND p.rn <= 2 AND c.nid <> p.qid
+    ),
+    cands AS (
+        SELECT qid, qvec, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY asim DESC, nid)
+                   AS r1
+        FROM ascored
+    ),
+    rer AS (
+        SELECT c.qid, c.nid, {_cosine('c.qvec', 'e.embedding')} AS sim
+        FROM cands c JOIN embeddings e ON e.vec_id = c.nid
+        WHERE c.r1 <= {_PQ_RERANK}
+    ),
+    ranked AS (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+                   AS rank
+        FROM rer
+    )
+    SELECT qid, nid, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def a11_ivfpq_search(spark, sf_dir):
+    """The composed production ANN — IVF routes each query to its 2 nearest
+    of 8 cells (the candidate scan touches ~1/4 of the corpus), PQ scores
+    those candidates through their 32-bit codes (the scan reads codes, not
+    vectors), and the top-50 per query rerank by exact cosine. Both
+    trainings are the deterministic portable pipelines, so this oracle
+    replays the ENTIRE composed index — routing, quantization, rerank —
+    bit-for-bit."""
+    from debezium_spark.analytics.vectors import knn_ivfpq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.expr(_QFILTER))
+    return knn_ivfpq(
+        emb, queries, k=5, n_cells=8, nprobe=2, iterations=_IVF_ITERS,
+        m=_PQ_M, n_codes=_PQ_K, dim=_PQ_M * _PQ_S, rerank=_PQ_RERANK,
+    )

@@ -64,6 +64,28 @@ def test_pq_rerank_recall_vs_exact(spark, sf_dir):
     assert mean_recall >= 0.55, f"PQ rerank recall@{K} = {mean_recall:.2f}"
 
 
+def test_ivfpq_composed_recall_vs_exact(spark, sf_dir):
+    """The composed index (IVF routing + PQ codes + exact rerank) must
+    keep useful recall after BOTH approximations stack: probing 2 of 8
+    cells caps the candidate pool at ~25% of the corpus, and PQ scores
+    within it. Observed 0.44-0.50 on the fixtures (random embeddings are
+    the worst case for both approximations — no cluster structure); the
+    floor guards against a silent routing or quantization regression
+    while documenting the recall-for-cost trade: ~4x fewer candidates
+    scanned, each via a 32-bit code instead of 512 bytes of floats."""
+    from debezium_spark.analytics.vectors import knn_ivfpq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(N_QUERIES)
+    exact = _topk_sets(knn_bruteforce(emb, queries, k=K))
+    approx = _topk_sets(knn_ivfpq(emb, queries, k=K, iterations=2))
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.35, f"IVF+PQ recall@{K} = {mean_recall:.2f}"
+
+
 def test_lsh_banding_recall_vs_true_jaccard(spark, sf_dir):
     """The banded-MinHash candidate generator must capture nearly all truly
     similar pairs (high-Jaccard pairs collide in some band with high
