@@ -1057,8 +1057,11 @@ def h4_special_value_types(spark, sf_dir):
                                 p -> p.i::VARCHAR || ':' || p.v::VARCHAR),
                  ','), '') || '}/8' AS sparse_str,
              CAST(8 AS INTEGER) AS dims,
-             list_transform(pairs, p -> CAST(p.i AS INTEGER)) AS idx_arr,
-             list_transform(pairs, p -> p.v) AS val_arr
+             COALESCE(array_to_string(
+               list_transform(pairs, p -> CAST(p.i AS INTEGER)::VARCHAR),
+               ','), '') AS idx_str,
+             COALESCE(array_to_string(
+               list_transform(pairs, p -> p.v::VARCHAR), ','), '') AS val_str
       FROM base
     ),
     tok AS (
@@ -1081,7 +1084,7 @@ def h4_special_value_types(spark, sf_dir):
                AS tsvec
       FROM entries GROUP BY doc_id
     )
-    SELECT s.doc_id, s.sparse_str, s.dims, s.idx_arr, s.val_arr,
+    SELECT s.doc_id, s.sparse_str, s.dims, s.idx_str, s.val_str,
            COALESCE(t.tsvec, '') AS tsvec
     FROM sparse s LEFT JOIN tsv t USING (doc_id)
     """,
@@ -1117,7 +1120,7 @@ def h5_vector_logical_types(spark, sf_dir):
         "doc_id",
         sparse_vector_to_string(sv).alias("sparse_str"),
         rt["dimensions"].alias("dims"),
-        rt["indices"].alias("idx_arr"),
-        rt["values"].alias("val_arr"),
+        F.array_join(rt["indices"].cast("array<string>"), ",").alias("idx_str"),
+        F.array_join(rt["values"].cast("array<string>"), ",").alias("val_str"),
         ts_vector(F.col("text")).alias("tsvec"),
     )

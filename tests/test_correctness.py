@@ -28,9 +28,22 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
+            # The driver's canonicalizer sorts the frame on all columns, which
+            # throws on unhashable cells (list/dict/ndarray). Mirror that
+            # failure mode instead of stringifying it away — stringification
+            # is exactly how r5's h5 driver-only failure shipped.
+            bad = df[c].map(lambda v: isinstance(v, (list, dict, set, np.ndarray)))
+            if bad.any():
+                raise TypeError(
+                    f"column {c!r} contains unhashable cells "
+                    "(list/dict/ndarray) — the driver canonicalizer would "
+                    "die on this; render arrays as strings in the query"
+                )
             df[c] = df[c].map(
                 lambda v: None
                 if v is None or (isinstance(v, float) and math.isnan(v))
@@ -76,6 +89,24 @@ def test_query_matches_oracle(spark, sf_dir, name):
         gk, ek = _dtype_class(g[c]), _dtype_class(e[c])
         assert gk == ek, f"{name}.{c}: dtype class {gk} (spark) vs {ek} (oracle)"
     pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+
+
+def test_no_complex_output_schemas(spark, sf_dir):
+    """Driver-canonicalizer compatibility audit: no registered query may emit
+    a top-level array/map/struct column. The driver sorts a pandas frame on
+    all columns and dies on unhashable list cells (r5's h5 red row); complex
+    values must be rendered as deterministic strings before the projection."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, q in QUERY_ITEMS:
+        schema = q.fn(spark, sf_dir).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, (
+        "queries emit driver-unhashable complex columns:\n" + "\n".join(offenders)
+    )
 
 
 def _dtype_class(s: pd.Series) -> str:
