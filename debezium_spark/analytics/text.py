@@ -548,6 +548,7 @@ def duplicate_clusters(
         "label", F.col("node")
     )
     labels = labels.localCheckpoint(eager=True)
+    changed = -1  # sentinel: max_iters=0 reaches the for-else with no pass
     for _ in range(max_iters):
         new_labels = propagate_min_labels(sym, labels).localCheckpoint(
             eager=True

@@ -221,7 +221,12 @@ def from_avro_py(bytes_col: Column, struct_type: T.StructType) -> Column:
 
     @pandas_udf(struct_type)
     def _dec(s: pd.Series) -> pd.DataFrame:
-        rows = [decode_record(schema, b) for b in s]
+        # NULL payloads decode to an all-NULL row instead of crashing the
+        # batch with an opaque TypeError inside the decoder.
+        rows = [
+            decode_record(schema, b) if b is not None else dict.fromkeys(names)
+            for b in s
+        ]
         return pd.DataFrame(rows, columns=names)
 
     return _dec(bytes_col)

@@ -40,8 +40,12 @@ def frame(payload: Column, schema_id: int | Column) -> Column:
 
 
 def unframe_schema_id(framed: Column) -> Column:
-    """The 4-byte big-endian schema id of a framed message (int)."""
-    return F.conv(F.hex(F.substring(framed, 2, 4)), 16, 10).cast("int")
+    """The 4-byte big-endian schema id of a framed message (long).
+
+    Long, not int: frame() accepts the full unsigned-32 range, and a
+    non-ANSI int cast would NULL ids in [2^31, 2^32) — frame/unframe must
+    round-trip every id frame() accepts."""
+    return F.conv(F.hex(F.substring(framed, 2, 4)), 16, 10).cast("long")
 
 
 def unframe_payload(framed: Column) -> Column:

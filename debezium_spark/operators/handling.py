@@ -155,7 +155,12 @@ def decode_variable_scale_decimal(vsd: Column) -> Column:
     for i in range(8):
         byte_i = F.conv(F.substring(hx16, 2 * i + 1, 2), 16, 10).cast("long")
         total = F.shiftleft(total, 8).bitwiseOR(byte_i)
-    return total / F.pow(F.lit(10.0), vsd["scale"].cast("double"))
+    # Unscaled values wider than 8 bytes don't fit the fixed reassembly
+    # window; surface them as NULL rather than silently truncating to the
+    # top 8 bytes (the reference's BigInteger path has no such limit).
+    return F.when(F.length(hx) > 16, F.lit(None).cast("double")).otherwise(
+        total / F.pow(F.lit(10.0), vsd["scale"].cast("double"))
+    )
 
 
 def bits_le(value: Column, n_bytes: int = 2) -> Column:

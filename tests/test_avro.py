@@ -111,3 +111,23 @@ def test_nan_double_is_a_value_not_null():
     out = decode_record(sch, encode_record(sch, {"d": float("nan")}))
     assert math.isnan(out["d"])
     assert decode_record(sch, encode_record(sch, {"d": None})) == {"d": None}
+
+
+def test_from_avro_py_null_payload_decodes_to_null_row(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from debezium_spark.formats.avro_codec import from_avro_py, to_avro_py
+
+    st = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    df = spark.createDataFrame([(7, "y")], "a long, b string")
+    enc = df.select(to_avro_py(F.struct("a", "b"), st).alias("av")).unionByName(
+        spark.createDataFrame([(None,)], "av binary")
+    )
+    out = enc.select(from_avro_py(F.col("av"), st).alias("d")).collect()
+    vals = sorted(
+        (r["d"]["a"], r["d"]["b"]) for r in out if r["d"] is not None and r["d"]["a"] is not None
+    )
+    assert vals == [(7, "y")]

@@ -86,3 +86,11 @@ def test_duplicate_clusters_rejects_unknown_method(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError):
         duplicate_clusters(docs, method="bogus")
+
+
+def test_duplicate_clusters_zero_iters_raises_runtime_error(spark, sf_dir):
+    """max_iters=0 must surface the non-convergence RuntimeError, not a
+    NameError from the unbound loop counter."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(docs, max_iters=0)

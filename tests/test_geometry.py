@@ -131,3 +131,25 @@ def test_variable_scale_decimal_minimal_length_decode(spark):
     ).collect()
     assert out[0]["d"] == -2.0
     assert out[1]["d"] == 12.7
+
+
+def test_variable_scale_decimal_overlong_is_null(spark):
+    """Unscaled values wider than 8 bytes can't be reassembled into a long;
+    they decode to NULL instead of a silently truncated number."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.operators.handling import (
+        decode_variable_scale_decimal,
+    )
+
+    df = spark.createDataFrame(
+        [(bytearray(b"\x01" * 9), 0), (bytearray(b"\x02"), 0)],
+        "value binary, scale int",
+    )
+    out = df.select(
+        decode_variable_scale_decimal(
+            F.struct(F.col("scale"), F.col("value"))
+        ).alias("d")
+    ).collect()
+    assert out[0]["d"] is None
+    assert out[1]["d"] == 2.0

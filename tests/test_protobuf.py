@@ -219,3 +219,29 @@ def test_spark_roundtrip_matches_source(spark, sf_dir):
     src = {r["id"]: (r["status"], r["balance"]) for r in cust.collect()}
     for r in rt.collect():
         assert src[r["id"]] == (r["status"], r["balance"])
+
+
+def test_from_protobuf_py_null_payload_decodes_to_null_row(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from debezium_spark.formats.protobuf_codec import from_protobuf_py, to_protobuf_py
+
+    st = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    df = spark.createDataFrame([(1, "x"), (2, None)], "a long, b string")
+    enc = df.select(to_protobuf_py(F.struct("a", "b"), st).alias("pb"))
+    # NULL out one payload, then decode the mixed column
+    enc = enc.withColumn(
+        "pb", F.when(F.col("pb").isNotNull() & (F.length("pb") > 0), F.col("pb"))
+    )
+    withnull = enc.unionByName(
+        spark.createDataFrame([(None,)], "pb binary")
+    )
+    out = withnull.select(from_protobuf_py(F.col("pb"), st).alias("d")).collect()
+    decoded = sorted(
+        ((r["d"]["a"], r["d"]["b"]) for r in out if r["d"] is not None and r["d"]["a"] is not None)
+    )
+    assert decoded == [(1, "x"), (2, None)]
+    assert any(r["d"] is None or r["d"]["a"] is None for r in out)

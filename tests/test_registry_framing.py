@@ -88,3 +88,14 @@ def test_framed_avro_payload_decodes(spark):
         (sid, 1, "a"),
         (sid, 2, None),
     }
+
+
+def test_unframe_roundtrips_unsigned32_ids(spark):
+    """ids in [2^31, 2^32) must round-trip — frame() masks to unsigned 32,
+    so unframe must read back as long, not a NULLing int cast."""
+    big = 0x80000001
+    df = spark.createDataFrame([(bytearray(b"x"),)], "p binary")
+    out = df.select(
+        unframe_schema_id(frame(F.col("p"), big)).alias("rid")
+    ).collect()[0]
+    assert out["rid"] == big
