@@ -104,6 +104,11 @@ def maintain_group_aggregate(
     too).
     """
     key = [F.col(f"key.{c}") for c in key_cols]
+    # The empty-array casts below need the group column's real type — a
+    # hardcoded string DDL would fail analysis (or miscoerce) for numeric
+    # group keys.
+    grp_t = env_df.schema["after"].dataType[group_col].dataType.simpleString()
+    empty = f"array<struct<sign:int,grp:{grp_t},val:{dec}>>"
     w = Window.partitionBy(*key).orderBy(F.col(pos_col))
     prev = F.lag(F.col("after")).over(w)
     rows = env_df.select(
@@ -121,9 +126,7 @@ def maintain_group_aggregate(
                             F.col(f"__prev.{value_col}").cast(dec).alias("val"),
                         )
                     ),
-                ).otherwise(F.array().cast(
-                    f"array<struct<sign:int,grp:string,val:{dec}>>"
-                )),
+                ).otherwise(F.array().cast(empty)),
                 F.when(
                     F.col("after").isNotNull(),
                     F.array(
@@ -133,9 +136,7 @@ def maintain_group_aggregate(
                             F.col(f"after.{value_col}").cast(dec).alias("val"),
                         )
                     ),
-                ).otherwise(F.array().cast(
-                    f"array<struct<sign:int,grp:string,val:{dec}>>"
-                )),
+                ).otherwise(F.array().cast(empty)),
             )
         ).alias("d")
     )

@@ -292,6 +292,43 @@ def test_incremental_aggregate_handles_delete_and_recreate(spark):
     assert out == {"b": (5.0, 1), "a": (7.5, 1)}
 
 
+def test_incremental_aggregate_numeric_group_key(spark):
+    """The empty-array cast DDL derives the group column's type from the
+    schema, so a BIGINT group key analyzes and aggregates correctly (the
+    old hardcoded grp:string DDL only worked for string keys)."""
+    from debezium_spark.envelope import make_envelope
+    from debezium_spark.operators.reduce import maintain_group_aggregate
+
+    ev = spark.createDataFrame(
+        [(1, 1, "c", 10, 4.0), (2, 2, "c", 10, 6.0), (3, 3, "c", 20, 1.0)],
+        "pos long, id long, op string, grp long, bal double",
+    )
+    after_row = F.struct(
+        F.col("id"), F.col("grp").alias("bucket"), F.col("bal").alias("balance")
+    )
+    env = make_envelope(
+        ev,
+        key=F.struct(F.col("id")),
+        before=F.lit(None).cast("struct<id:long,bucket:long,balance:double>"),
+        after=F.when(F.col("op") != "d", after_row),
+        op=F.col("op"),
+        db="db",
+        table="t",
+        pos=F.col("pos"),
+        tx_id=F.lit(None).cast("string"),
+        ts_ms=F.lit(0),
+        ts_us=F.lit(0),
+        ts_ns=F.lit(0),
+    )
+    out = {
+        r["bucket"]: (r["total_balance"], r["n"])
+        for r in maintain_group_aggregate(
+            env, key_cols=["id"], group_col="bucket", value_col="balance"
+        ).collect()
+    }
+    assert out == {10: (10.0, 2), 20: (1.0, 1)}
+
+
 def test_net_effect_compaction_semantics(spark):
     """The four net-effect outcomes in one window: create+delete vanishes;
     create(+update) → one 'c' with final state; update-only → 'u';
