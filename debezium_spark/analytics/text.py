@@ -1071,14 +1071,19 @@ def boilerplate_ngrams(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_boiler"))
     )
+    # LEFT join: a document with zero boilerplate grams must still report
+    # n_boiler=0 — a filter consumer would otherwise silently keep unscored
+    # docs (the signal must cover every document).
     return (
-        per_doc.join(hits, id_col)
+        per_doc.join(hits, id_col, "left")
         .select(
             id_col,
-            "n_boiler",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
             "n_grams",
             F.round(
-                F.col("n_boiler").cast("double") / F.col("n_grams"), 6
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
             ).alias("boiler_ratio"),
         )
     )

@@ -1045,9 +1045,10 @@ _WG5 = (
         SELECT doc_id, count(*) AS n_boiler
         FROM g JOIN bank USING (g) GROUP BY doc_id
     )
-    SELECT p.doc_id, h.n_boiler, p.n_grams,
-           round(CAST(h.n_boiler AS DOUBLE) / p.n_grams, 6) AS boiler_ratio
-    FROM per_doc p JOIN hits h USING (doc_id)
+    SELECT p.doc_id, COALESCE(h.n_boiler, 0) AS n_boiler, p.n_grams,
+           round(CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / p.n_grams, 6)
+             AS boiler_ratio
+    FROM per_doc p LEFT JOIN hits h USING (doc_id)
     """,
 )
 def x26_boilerplate_ngrams(spark, sf_dir):

@@ -94,3 +94,19 @@ def test_duplicate_clusters_zero_iters_raises_runtime_error(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(docs, max_iters=0)
+
+
+def test_boilerplate_ngrams_covers_every_document(spark):
+    """A document with zero boilerplate hits must still appear with
+    n_boiler=0 — the cleaning signal covers the whole corpus (a filter
+    consumer would silently keep unscored docs otherwise)."""
+    from debezium_spark.analytics.text import boilerplate_ngrams
+
+    rows = [(i, "common header words repeat " + ("alpha beta " * 3)) for i in range(6)]
+    rows.append((99, "utterly unique singleton sentence with rare tokens only here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_ngrams(docs, n=3, top=2).collect()
+    assert len(out) == 7
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[99]["n_boiler"] == 0
+    assert by_id[99]["boiler_ratio"] == 0.0
