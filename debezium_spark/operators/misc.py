@@ -59,5 +59,44 @@ def enforce_record_size(
 
 
 def vector_to_json(df: DataFrame, col: str, out_col: str | None = None) -> DataFrame:
-    """T15: vector logical type → JSON string (VectorToJsonConverter.java:48)."""
+    """T15: vector logical type → JSON string (VectorToJsonConverter.java:48).
+
+    Dense Double/FloatVector arrays serialize via ``to_json``. A
+    SparseDoubleVector struct (``dimensions``/``indices``/``values``, the
+    columnar form of the reference's dimensions+map struct) renders the
+    converter's exact sparse shape —
+    ``{ "dimensions": D, "vector": { "i": v, ... } }`` with entries in
+    ascending index order, matching the reference's TreeMap iteration
+    (VectorToJsonConverter.java:151-165)."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.StructType) and {f.name for f in dt.fields} >= {
+        "dimensions",
+        "indices",
+        "values",
+    }:
+        return df.withColumn(out_col or col, sparse_vector_json(F.col(col)))
     return df.withColumn(out_col or col, F.to_json(F.col(col)))
+
+
+def sparse_vector_json(sv: Column) -> Column:
+    """The reference's sparse-vector JSON string for one struct column —
+    NULL in, NULL out (the converter's optional-field contract)."""
+    entries = F.zip_with(
+        sv["indices"],
+        sv["values"],
+        lambda i, v: F.concat(
+            F.lit('"'), i.cast("string"), F.lit('": '), v.cast("string")
+        ),
+    )
+    return F.when(
+        sv.isNotNull(),
+        F.concat(
+            F.lit('{ "dimensions": '),
+            sv["dimensions"].cast("string"),
+            F.lit(', "vector": { '),
+            F.array_join(entries, ", "),
+            F.lit(" } }"),
+        ),
+    )

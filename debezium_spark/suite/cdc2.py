@@ -1034,6 +1034,58 @@ def h4_special_value_types(spark, sf_dir):
     )
 
 
+@register(
+    "t15b_sparse_vector_to_json",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter([
+               {'i': 1, 'v': CAST(doc_id % 7 AS DOUBLE)},
+               {'i': 3, 'v': CAST(doc_id % 5 AS DOUBLE) / 2},
+               {'i': 6, 'v': CAST(doc_id % 3 AS DOUBLE)}
+             ], p -> p.v != 0) AS pairs
+      FROM documents
+    )
+    SELECT doc_id,
+           '{ "dimensions": 8, "vector": { '
+             || COALESCE(array_to_string(
+                  list_transform(pairs,
+                    p -> '"' || p.i::VARCHAR || '": ' || p.v::VARCHAR),
+                  ', '), '')
+             || ' } }' AS sv_json,
+           CAST(len(pairs) AS BIGINT) AS n_entries
+    FROM base
+    """,
+)
+def t15b_sparse_vector_to_json(spark, sf_dir):
+    """T15 sparse leg: SparseDoubleVector struct → the reference converter's
+    exact JSON shape '{ "dimensions": D, "vector": { "i": v, ... } }'
+    (VectorToJsonConverter.java:151-165, entries in ascending index order
+    per its TreeMap). Fidelity is double-checked by counting the rendered
+    entries against the struct's arity."""
+    from debezium_spark.operators.handling import sparse_double_vector
+    from debezium_spark.operators.misc import vector_to_json
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dense = F.array(
+        (F.col("doc_id") % 7).cast("double"),
+        F.lit(0.0),
+        (F.col("doc_id") % 5).cast("double") / F.lit(2),
+        F.lit(0.0),
+        F.lit(0.0),
+        (F.col("doc_id") % 3).cast("double"),
+        F.lit(0.0),
+        F.lit(0.0),
+    )
+    sv = d.select("doc_id", sparse_double_vector(dense, 8).alias("sv"))
+    js = vector_to_json(sv, "sv", out_col="sv_json")
+    return js.select(
+        "doc_id",
+        "sv_json",
+        F.size(F.col("sv.indices")).cast("long").alias("n_entries"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # H5 — io.debezium.data vector/text-search logical types (SparseDoubleVector
 # / TsVector) — closes the §1.3 type table

@@ -153,3 +153,33 @@ def test_variable_scale_decimal_overlong_is_null(spark):
     ).collect()
     assert out[0]["d"] is None
     assert out[1]["d"] == 2.0
+
+
+def test_sparse_vector_json_matches_reference_shape(spark):
+    """Golden: the converter's exact spacing/ordering
+    (VectorToJsonConverter.java:163-165), including the NULL contract."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.operators.handling import sparse_double_vector
+    from debezium_spark.operators.misc import vector_to_json
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.5, 0.0, 2.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "id long, dense array<double>",
+    )
+    sv = df.select(
+        "id", sparse_double_vector(F.col("dense"), 4).alias("sv")
+    )
+    out = {
+        r["id"]: r["sv"]
+        for r in vector_to_json(sv, "sv").select("id", "sv").collect()
+    }
+    assert out[1] == '{ "dimensions": 4, "vector": { "2": 0.5, "4": 2.0 } }'
+    assert out[2] == '{ "dimensions": 4, "vector": {  } }'
+
+    nulled = sv.withColumn("sv", F.when(F.col("id") == 1, F.col("sv")))
+    out2 = {
+        r["id"]: r["sv"]
+        for r in vector_to_json(nulled, "sv").select("id", "sv").collect()
+    }
+    assert out2[2] is None
