@@ -18,7 +18,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, FloatType
@@ -549,6 +549,8 @@ def knn_pq(
     n_codes: int = 16,
     dim: int = 64,
     rerank: int | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ ANN via asymmetric scoring: the query stays exact, each corpus
     vector is replaced by its PQ reconstruction (its subspace codewords
@@ -569,12 +571,27 @@ def knn_pq(
     tiny and broadcast, same as knn_bruteforce; the rerank join touches
     R rows per query. No shuffle of the corpus beyond the per-query
     top-R/top-k windows.
+
+    Train-once/search-many (the production lifecycle — retraining per
+    query would be absurd at 100 TB): pass pre-trained ``codebooks``
+    (pq_train's shape) and optionally pre-encoded ``codes``
+    (pq_encode's shape: id_col, vec_col, codes array<int>) and no
+    training/encoding runs inside the search; see save_vector_index /
+    load_vector_index for the parquet round-trip.
     """
-    books = pq_train(
-        vectors, id_col=id_col, vec_col=vec_col, m=m, k=n_codes, dim=dim
-    ).localCheckpoint(eager=True)
-    enc = pq_encode(
-        vectors, books, id_col=id_col, vec_col=vec_col, m=m, dim=dim
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_train(
+            vectors, id_col=id_col, vec_col=vec_col, m=m, k=n_codes, dim=dim
+        ).localCheckpoint(eager=True)
+    )
+    enc = (
+        codes
+        if codes is not None
+        else pq_encode(
+            vectors, books, id_col=id_col, vec_col=vec_col, m=m, dim=dim
+        )
     )
     recon_parts = []
     for mi in range(m):
@@ -639,6 +656,9 @@ def knn_ivfpq(
     n_codes: int = 16,
     dim: int = 64,
     rerank: int = 50,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The full production ANN composition — IVF routes, PQ shrinks,
     exact rerank restores precision:
@@ -655,16 +675,35 @@ def knn_ivfpq(
     Both trainings are the deterministic engine-portable pipelines
     (ivf_train / pq_train), so the SQL oracle replays the whole composed
     index bit-for-bit.
-    """
-    cents = ivf_train(
-        vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-        iterations=iterations,
-    ).localCheckpoint(eager=True)
-    books = pq_train(
-        vectors, id_col=id_col, vec_col=vec_col, m=m, k=n_codes, dim=dim
-    ).localCheckpoint(eager=True)
 
-    enc = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col, m=m, dim=dim)
+    Train-once/search-many: pre-trained ``centroids`` (ivf_train's shape),
+    ``codebooks`` (pq_train's) and pre-encoded ``codes`` (pq_encode's)
+    skip the in-call training — the production lifecycle; see
+    save_vector_index / load_vector_index for the parquet round-trip.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_train(
+            vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+            iterations=iterations,
+        ).localCheckpoint(eager=True)
+    )
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_train(
+            vectors, id_col=id_col, vec_col=vec_col, m=m, k=n_codes, dim=dim
+        ).localCheckpoint(eager=True)
+    )
+
+    enc = (
+        codes
+        if codes is not None
+        else pq_encode(
+            vectors, books, id_col=id_col, vec_col=vec_col, m=m, dim=dim
+        )
+    )
     corpus_cells = _nearest_cells(
         enc.withColumnRenamed("codes", "__codes"),
         cents, id_col, vec_col, nprobe=1,
@@ -715,3 +754,48 @@ def knn_ivfpq(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Index persistence — train once, serve many (the production ANN lifecycle).
+# The artifacts are tiny relative to the corpus (centroids: n_cells rows,
+# codebooks: m*k rows) except codes (one row per corpus vector — but 4-32
+# bytes of payload each), so plain parquet is the right store: the searcher
+# broadcast-collects centroids/codebooks exactly as the in-call path does,
+# and codes scan columnar with the id column for the rerank join.
+# ---------------------------------------------------------------------------
+
+_INDEX_PARTS = ("centroids", "codebooks", "codes")
+
+
+def save_vector_index(
+    path: str,
+    *,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> None:
+    """Persist any subset of ANN index artifacts under ``path`` as parquet
+    (one subdirectory per artifact). Overwrites prior artifacts of the
+    same kind; absent kinds are left untouched."""
+    for name, df in (
+        ("centroids", centroids),
+        ("codebooks", codebooks),
+        ("codes", codes),
+    ):
+        if df is not None:
+            df.write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def load_vector_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Load whichever index artifacts exist under ``path``; keys are the
+    subset of {centroids, codebooks, codes} found on disk — pass them
+    straight to knn_pq / knn_ivfpq's prebuilt-index params."""
+    import os
+
+    out: dict[str, DataFrame] = {}
+    for name in _INDEX_PARTS:
+        sub = os.path.join(path, name)
+        if os.path.isdir(sub):
+            out[name] = spark.read.parquet(sub)
+    return out

@@ -175,3 +175,52 @@ def test_lsh_banding_recall_at_bench_scale(spark):
         f"LSH banding recall at bench scale for j>=0.7 pairs = {recall:.2f} "
         f"({len(truth)} true pairs)"
     )
+
+
+def test_prebuilt_index_roundtrip_serves_queries(spark, sf_dir, tmp_path):
+    """Train-once/search-many: build the IVF+PQ artifacts once, persist to
+    parquet, load back, and serve two disjoint query sets from the loaded
+    index. Results must be IDENTICAL to the train-in-call path (training
+    is deterministic), so the recall floors transfer unchanged."""
+    from debezium_spark.analytics.vectors import (
+        ivf_train,
+        knn_ivfpq,
+        knn_pq,
+        load_vector_index,
+        pq_encode,
+        pq_train,
+        save_vector_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train(emb, n_cells=8, iterations=1)
+    books = pq_train(emb, m=8, k=16)
+    codes = pq_encode(emb, books, m=8)
+    path = str(tmp_path / "annidx")
+    save_vector_index(path, centroids=cents, codebooks=books, codes=codes)
+    idx = load_vector_index(spark, path)
+    assert set(idx) == {"centroids", "codebooks", "codes"}
+
+    q1 = emb.orderBy("vec_id").limit(10)
+    q2 = emb.orderBy(F.col("vec_id").desc()).limit(10)
+    for q in (q1, q2):
+        served = knn_pq(
+            emb, q, k=K, m=8, rerank=50,
+            codebooks=idx["codebooks"], codes=idx["codes"],
+        )
+        retrained = knn_pq(emb, q, k=K, m=8, n_codes=16, rerank=50)
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, retrained.collect())
+        )
+
+    served = knn_ivfpq(
+        emb, q1, k=K, n_cells=8, nprobe=2, m=8, rerank=50,
+        centroids=idx["centroids"], codebooks=idx["codebooks"],
+        codes=idx["codes"],
+    )
+    retrained = knn_ivfpq(
+        emb, q1, k=K, n_cells=8, nprobe=2, m=8, n_codes=16, rerank=50
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, retrained.collect())
+    )
