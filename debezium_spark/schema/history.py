@@ -144,6 +144,57 @@ class MemorySchemaHistory(SchemaHistoryBackend):
         return self.spark.createDataFrame(list(self._rows), _HISTORY_DDL)
 
 
+class JdbcSchemaHistory(SchemaHistoryBackend):
+    """SQL-database-backed history — the self-hosted deployment shape
+    (debezium-storage/debezium-storage-jdbc/src/main/java/io/debezium/
+    storage/jdbc/history/JdbcSchemaHistory.java: an auto-created history
+    table, one INSERT per record(), full-table SELECT on recover()).
+    Backed here by Python's stdlib sqlite3 — the same append-only SQL
+    contract; a production server swap is a connection-string change."""
+
+    _DDL = (
+        "CREATE TABLE IF NOT EXISTS debezium_schema_history ("
+        "  seq INTEGER PRIMARY KEY AUTOINCREMENT,"
+        "  tbl TEXT NOT NULL,"
+        "  version INTEGER NOT NULL,"
+        "  columns_json TEXT NOT NULL,"
+        "  valid_from_pos INTEGER NOT NULL)"
+    )
+
+    def __init__(self, spark: SparkSession, db_path: str):
+        super().__init__(spark)
+        self.db_path = db_path
+
+    def _conn(self):
+        import sqlite3
+
+        os.makedirs(os.path.dirname(self.db_path) or ".", exist_ok=True)
+        conn = sqlite3.connect(self.db_path)
+        conn.execute(self._DDL)
+        return conn
+
+    def record(
+        self, table: str, version: int, columns: list[str], valid_from_pos: int
+    ) -> None:
+        with self._conn() as conn:
+            conn.execute(
+                "INSERT INTO debezium_schema_history"
+                " (tbl, version, columns_json, valid_from_pos)"
+                " VALUES (?, ?, ?, ?)",
+                (table, version, json.dumps(columns), valid_from_pos),
+            )
+
+    def recover(self) -> DataFrame:
+        if not os.path.exists(self.db_path):
+            return self.spark.createDataFrame([], _HISTORY_DDL)
+        with self._conn() as conn:
+            rows = conn.execute(
+                "SELECT tbl, version, columns_json, valid_from_pos"
+                " FROM debezium_schema_history ORDER BY seq"
+            ).fetchall()
+        return self.spark.createDataFrame(rows, _HISTORY_DDL)
+
+
 def registry_with_validity(registry_df: DataFrame) -> DataFrame:
     """Add ``valid_to_pos`` (exclusive) per version via a lead window —
     turns the append log into range-joinable intervals."""

@@ -13,6 +13,7 @@ import os
 
 from debezium_spark.schema.history import (
     FileSchemaHistory,
+    JdbcSchemaHistory,
     MemorySchemaHistory,
     SchemaRegistry,
 )
@@ -29,6 +30,7 @@ def _backends(spark, tmp_path):
         SchemaRegistry(spark, str(tmp_path / "parquet_hist")),
         FileSchemaHistory(spark, str(tmp_path / "hist.jsonl")),
         MemorySchemaHistory(spark),
+        JdbcSchemaHistory(spark, str(tmp_path / "hist.sqlite")),
     ]
 
 
@@ -42,7 +44,7 @@ def test_backends_record_and_recover_identically(spark, tmp_path):
             for r in be.recover().collect()
         )
         recovered.append(rows)
-    assert recovered[0] == recovered[1] == recovered[2]
+    assert recovered[0] == recovered[1] == recovered[2] == recovered[3]
     assert len(recovered[0]) == len(_VERSIONS)
 
 
@@ -121,3 +123,16 @@ def test_merge_sink_accepts_file_backend(spark, tmp_path):
     # the sink records the physical layout (incl. its bucket column)
     assert set(be.schema_at("accounts", 50)) >= {"id", "status", "balance"}
     assert os.path.exists(str(tmp_path / "hist.jsonl"))
+
+
+def test_jdbc_backend_survives_restart(spark, tmp_path):
+    """A new JdbcSchemaHistory instance over the same database file sees
+    the full history — the restart-recovery property the storage backend
+    exists for (JdbcSchemaHistory.java recover-from-table contract)."""
+    db = str(tmp_path / "hist.sqlite")
+    writer = JdbcSchemaHistory(spark, db)
+    for v in _VERSIONS:
+        writer.record(*v)
+    reader = JdbcSchemaHistory(spark, db)
+    assert reader.recover().count() == len(_VERSIONS)
+    assert reader.schema_at("accounts", 600) == ["id", "status", "balance"]
