@@ -46,6 +46,25 @@ HEADLINE = [
 
 _PROBE_ARR = None
 
+# Calm-host reference for the two probes, measured on this box across quiet
+# periods (r2-r5: cpu ~0.07 s, membw ~0.02-0.04 s). A segment whose probe
+# exceeds ~2x the calm reference ran during a noisy-neighbor window; its
+# numbers are NOT comparable round-over-round (r5 shipped with every query
+# inflated 30-70% and probes at 0.117-0.174 — judged "unproven, not a
+# regression"). The harness therefore re-runs noisy segments (bounded) and
+# records what it saw, so the JSON itself says whether the host ever went
+# calm.
+CALM_PROBE = [0.07, 0.03]
+NOISY_FACTOR = 2.0
+MAX_SEGMENT_RETRIES = 2
+
+
+def _is_noisy(probe: list[float]) -> bool:
+    return (
+        probe[0] > CALM_PROBE[0] * NOISY_FACTOR
+        or probe[1] > CALM_PROBE[1] * NOISY_FACTOR
+    )
+
 
 def _noise_probe() -> list[float]:
     """Two-part host-health probe: [cpu_sec, membw_sec].
@@ -108,23 +127,37 @@ def main() -> None:
     #   The noise probes interleaved below give the reader an independent
     #   machine-health trace to judge any surprising delta against.
     noise = [_noise_probe()]
-    for qi, name in enumerate(HEADLINE):
+    requeues: dict[str, int] = {}
+    noisy_accepted: list[str] = []
+    for name in HEADLINE:
         if name not in qs:
             continue
         df = qs[name].fn(spark, SF_DIR)
         # warm the input file listing/metadata so the measurement is compute
         df.schema  # noqa: B018 - analysis only
         df.write.format("noop").mode("overwrite").save()
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
+        # Auto-requeue: a timing block bracketed by a noisy probe re-runs
+        # (bounded), so one contention window can't poison the round's
+        # numbers. If the host never goes calm, the final attempt is
+        # accepted and the query is listed in noisy_accepted — the JSON
+        # carries the evidence either way.
+        for attempt in range(MAX_SEGMENT_RETRIES + 1):
+            pre = _noise_probe()
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            post = _noise_probe()
+            if not (_is_noisy(pre) or _is_noisy(post)):
+                break
+        if attempt:
+            requeues[name] = attempt
+        if _is_noisy(pre) or _is_noisy(post):
+            noisy_accepted.append(name)
+        noise.append(post)
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = [round(r, 3) for r in runs]
-        if qi % 6 == 5:
-            noise.append(_noise_probe())
-    noise.append(_noise_probe())
 
     # Streaming-pipeline throughput (BASELINE targets: >=2048 events per
     # micro-batch sustained; snapshot read parallelism >= 4).
@@ -138,6 +171,9 @@ def main() -> None:
         "queries": timings,
         "query_runs": spreads,
         "noise_probe_sec": noise,
+        "calm_probe_reference": CALM_PROBE,
+        "noise_requeues": requeues,
+        "noisy_accepted": noisy_accepted,
         "sf": sf,
         **pipeline_stats,
     }))
@@ -205,11 +241,21 @@ def _pipeline_throughput(spark) -> dict:
 
     def run(sink_factory, tag: str) -> dict:
         one_run(sink_factory, f"{tag}_warmup")
-        runs = [one_run(sink_factory, f"{tag}_{i}") for i in range(3)]
+        # One bounded requeue per sink: the stream legs are the longest
+        # segments of the bench and the likeliest to straddle a noisy
+        # window (r5's MOR runs were [19.1, 19.8, 77.7]).
+        for attempt in range(2):
+            pre = _noise_probe()
+            runs = [one_run(sink_factory, f"{tag}_{attempt}_{i}") for i in range(3)]
+            post = _noise_probe()
+            if not (_is_noisy(pre) or _is_noisy(post)):
+                break
         stream_secs = sorted(r["stream_sec"] for r in runs)
         med = stream_secs[1]
         rep = next(r for r in runs if r["stream_sec"] == med)
         return {
+            "noise_probes": [pre, post],
+            "noise_requeued": attempt,
             "events": n_events,
             "events_per_batch": n_events // max(1, rep["batches"]),
             "batches": rep["batches"],

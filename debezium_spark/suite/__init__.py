@@ -35,68 +35,69 @@ QUERIES: dict[str, Q] = {}
 # Everything not listed still registers (and is value-checked by the in-repo
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
-    # --- r5 rotation: after r4's 50/50-green window, 36 registered queries
-    # had NEVER had a driver row (gate-green only): w3-w28, x1/x3/x9-x19,
-    # a5/a7. This window gives every one of them a current-cycle row, so the
-    # union of driver-checked queries over r02-r05 covers the whole registry.
-    # The other 14 slots keep one green representative per §2 family (all
-    # green in r4 or earlier and still gate-checked), plus the new h5
-    # vector-logical-types row.
-    # family representatives ------------------------------------------------
-    "s3_incremental_snapshot_dedup",   # sources (green r4)
-    "k1_merge_upsert",                 # sinks (green r4)
-    "t1_extract_new_record_state",     # SMTs (green r4)
-    "f5_protobuf_roundtrip",           # formats — NEW this round (f1 green
-                                       # r4 stays gate-checked)
-    "p4_transaction_metadata",         # streaming infra (green r4)
-    "h5_vector_logical_types",         # §1.3 handling — NEW this round
-    "a2_knn_bruteforce",               # ANN (green r4)
-    "a4_field_to_embedding",           # embedding (green r4)
-    "x4_exact_dedup",                  # exact dedup (green r4)
-    "x6_lsh_candidates",               # LSH dedup (green r4)
-    "x20_dup_clusters",                # dup clustering (green r4)
-    "w1_pricing_summary",              # warehouse headline (green r4)
-    "e1_tumbling_window",              # event-time (green r4)
-    "m1_image_meta",                   # multimodal (green r4)
-    # never-windowed: ANN/embedding extras ----------------------------------
-    "a5_embed_similarity",
-    "a7_ivf_centroids",
-    # never-windowed: text/LLM pipeline extras ------------------------------
-    "x1_text_stats",
-    "x3_token_count",
-    "x9_quality_filter",
-    "x10_word_ngram_jaccard",
-    "x11_corpus_pipeline",
-    "x11_chunk_documents",
-    "x12_train_val_split",
-    "x13_repetition_ratio",
-    "x14_priority_dedup",
-    "x17_cm_heavy_hitters",
-    "x18_posting_lists",
-    "x19_char_entropy",
-    # never-windowed: warehouse/OLAP ----------------------------------------
-    "w3_revenue_filter",
-    "w5_rollup_counts",
-    "w6_set_ops",
-    "w7_distinct_agg",
-    "w9_salted_join",
-    "w10_percentiles",
-    "w11_pivot",
-    "w12_region_revenue",
-    "w13_exists_anti",
-    "w16_min_cost_supplier",
-    "w17_small_quantity_revenue",
-    "w18_priority_split",
-    "w19_promo_revenue_share",
-    "w20_large_orders",
-    "w21_disjunctive_revenue",
-    "w22_dormant_customers",
-    "w23_running_total",
-    "w24_order_gaps",
-    "w25_cube_counts",
-    "w26_excess_stock_suppliers",
-    "w27_order_count_histogram",
-    "w28_nation_pair_volume",
+    # --- r6 rotation (the per-query ledger lives in COVERAGE.md):
+    # 1. every query with NO green driver row yet — r5's red h5 (array
+    #    columns now string-rendered), the 12 registered after the r5
+    #    window was fixed, and the new t15b;
+    # 2. the 33 stalest queries (last green row r2/r3), refreshing the
+    #    union's oldest evidence;
+    # 3. three re-proof slots for operators whose code changed this round
+    #    (VSD decode guard, protobuf NULL handling, cluster-convergence
+    #    init).
+    # never driver-green ----------------------------------------------------
+    "h5_vector_logical_types",         # r5 red row, arrays now stringified
+    "t15b_sparse_vector_to_json",      # NEW: T15 sparse leg
+    "k9_incremental_aggregate",
+    "k10_net_effect",
+    "a9_pq_codebooks",
+    "a10_pq_search",
+    "a11_ivfpq_search",
+    "x22_dup_clusters_star",
+    "x23_stratified_sample",
+    "x24_source_quota",
+    "x25_token_typicality",
+    "x26_boilerplate_ngrams",          # left-join fix this round
+    "w29_grouping_sets",
+    "w30_moving_average",
+    # last green r2 ---------------------------------------------------------
+    "a1_vector_norms",
+    "k2_merge_update_mode",
+    "p4_transaction_boundaries",
+    "t11_record_size_json",
+    "t1_unwrap_drop_deletes",
+    "t7b_outbox_config_surface",
+    "tombstones_on_delete",
+    # last green r3 ---------------------------------------------------------
+    "e3_session_window",
+    "f2_json_serde",
+    "h1_handling_modes",
+    "m3_audio_segments",
+    "s13_snapshot_diff",
+    "s1_snapshot_envelope",
+    "s2_chunked_snapshot",
+    "s6_snapshot_modes",
+    "s8_pgoutput_decode",
+    "t13_schema_to_record",
+    "t14_geometry_swap",
+    "t17_mask_columns",
+    "t18_reselect_columns",
+    "t2_extract_new_document_state",
+    "t5_content_based_router",
+    "t7_outbox_router",
+    "t9_timezone_converter",
+    "w14_local_supplier_volume",
+    "w15_returned_top_customers",
+    "w4_share_window",
+    "x15_vocabulary_topk",
+    "x16_hll_distinct_users",
+    "x2_language_id",
+    "x5_minhash_signature",
+    "x7_near_dup_jaccard",
+    "x8_simhash",
+    # re-proof: code touched this round --------------------------------------
+    "h4_special_value_types",          # VSD over-long guard
+    "f5_protobuf_roundtrip",           # NULL-payload decode
+    "x20_dup_clusters",                # convergence-counter init
 )
 
 
