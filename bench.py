@@ -135,6 +135,12 @@ def main() -> None:
         df = qs[name].fn(spark, SF_DIR)
         # warm the input file listing/metadata so the measurement is compute
         df.schema  # noqa: B018 - analysis only
+        # TWO warm-ups: the first query with a new stage shape (Python
+        # worker pool, codegen, GC after the preceding block) doesn't reach
+        # steady state in one run — measured: x6's post-warm-up runs were
+        # [2.06, 1.36, 1.18] with a single warm-up vs a 1.05 s steady state,
+        # which poisons the median with warm-up cost, not engine cost.
+        df.write.format("noop").mode("overwrite").save()
         df.write.format("noop").mode("overwrite").save()
         # Auto-requeue: a timing block bracketed by a noisy probe re-runs
         # (bounded), so one contention window can't poison the round's

@@ -324,6 +324,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     k: int = 5,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Banded-LSH near-dup candidate pairs (a < b), joined within buckets only.
 
@@ -331,7 +332,23 @@ def lsh_candidate_pairs(
     any band agree. The join key is (band_idx, md5(band values)) — never an
     all-pairs comparison; at 100 TB the bucket join shuffles O(docs·bands)
     small rows, and AQE's skew-join splits any pathological bucket.
-    """
+
+    ``impl='arrow'`` (default) emits each bucket's pairs from a numpy hot
+    loop behind ONE mapInPandas over the bucket-key shuffle — in-bucket
+    pair counts are quadratic in bucket size (the sf0.1 fixtures hit ~600k
+    raw pairs from 5k docs), and Catalyst evaluates the per-pair
+    struct/filter lambdas interpreted, which made pair EMISSION (not the
+    shuffle, not the signatures) the whole stage's cost. Identical pair
+    set, same first-matching-band suppression, same shuffle shape;
+    ``impl='expr'`` keeps the pure-expression variant (the spec and the
+    zero-Python fallback, property-tested equal)."""
+    if impl == "arrow":
+        return _lsh_candidate_pairs_arrow(
+            df, text_col, id_col,
+            num_hashes=num_hashes, rows_per_band=rows_per_band, k=k,
+        )
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r} (want 'arrow' or 'expr')")
     num_bands = num_hashes // rows_per_band
     sig = minhash_signature(df, text_col, num_hashes, k)
     # Numeric band keys when they fit: rows_per_band ≤ 2 hashes pack into
@@ -419,6 +436,109 @@ def lsh_candidate_pairs(
     return buckets.select(F.explode(pair_arr).alias("p")).select(
         F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
+
+
+def _lsh_candidate_pairs_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int,
+    rows_per_band: int,
+    k: int,
+) -> DataFrame:
+    """Arrow/numpy pair emission for :func:`lsh_candidate_pairs` — same
+    bucket shuffle, same pair set, quadratic work in C instead of
+    interpreted Catalyst lambdas.
+
+    Shape: band rows repartition on (band, bkey) so every bucket lands
+    whole in one partition, then ONE mapInPandas pass per partition sorts
+    its rows by bucket, takes triu indices per bucket, applies the
+    first-matching-band suppression as vectorized column compares, and
+    emits canonical (a < b) pairs. Per-partition group loop is O(buckets /
+    partitions) Python iterations; everything per-pair is numpy."""
+    if rows_per_band > 2:
+        # Wide bands use md5 string keys; the numeric fast path doesn't
+        # apply, and the expression variant is already fine there.
+        return lsh_candidate_pairs(
+            df, text_col, id_col,
+            num_hashes=num_hashes, rows_per_band=rows_per_band, k=k,
+            impl="expr",
+        )
+    num_bands = num_hashes // rows_per_band
+    sig = minhash_signature(df, text_col, num_hashes, k)
+
+    def bkey_of(b: int) -> Column:
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        packed = cols[0]
+        for c in cols[1:]:
+            packed = packed * F.lit(1 << 30) + c
+        return packed
+
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), bkey_of(b).alias("bkey"))
+            for b in range(num_bands)
+        ]
+    )
+    bands = sig.select(
+        F.col(id_col).alias("__id"),
+        *[bkey_of(b).alias(f"k{b}") for b in range(num_bands)],
+        F.explode(band_structs).alias("bb"),
+    ).select(
+        "__id",
+        *[f"k{b}" for b in range(num_bands)],
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").alias("bkey"),
+    )
+    parted = bands.repartition("band", "bkey")
+    nb = num_bands
+
+    def emit(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+        ids = pdf["__id"].to_numpy(np.int64)
+        band = pdf["band"].to_numpy(np.int64)
+        bkey = pdf["bkey"].to_numpy(np.int64)
+        keys = np.stack(
+            [pdf[f"k{b}"].to_numpy(np.int64) for b in range(nb)], axis=1
+        )
+        order = np.lexsort((bkey, band))
+        ids, band, bkey, keys = (
+            ids[order], band[order], bkey[order], keys[order]
+        )
+        change = (np.diff(band) != 0) | (np.diff(bkey) != 0)
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        ends = np.concatenate((starts[1:], [len(ids)]))
+        out_a, out_b = [], []
+        for gs, ge in zip(starts, ends):
+            size = ge - gs
+            if size < 2:
+                continue
+            iu, ju = np.triu_indices(size, 1)
+            gk = keys[gs:ge]
+            keep = np.ones(len(iu), dtype=bool)
+            # emit only from the FIRST band where the two signatures agree
+            for bprev in range(int(band[gs])):
+                keep &= gk[iu, bprev] != gk[ju, bprev]
+            if not keep.any():
+                continue
+            gi = ids[gs:ge]
+            left, right = gi[iu[keep]], gi[ju[keep]]
+            out_a.append(np.minimum(left, right))
+            out_b.append(np.maximum(left, right))
+        if out_a:
+            yield pd.DataFrame(
+                {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+            )
+
+    return parted.mapInPandas(emit, schema="a long, b long")
 
 
 def near_dup_pairs(

@@ -110,3 +110,16 @@ def test_boilerplate_ngrams_covers_every_document(spark):
     by_id = {r["doc_id"]: r for r in out}
     assert by_id[99]["n_boiler"] == 0
     assert by_id[99]["boiler_ratio"] == 0.0
+
+
+def test_lsh_pair_impls_identical(spark, sf_dir):
+    """The Arrow pair-emission fast path must produce EXACTLY the
+    expression variant's pair set — same buckets, same canonical (a<b)
+    form, same first-matching-band duplicate suppression."""
+    from debezium_spark.analytics.text import lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arrow = sorted(map(tuple, lsh_candidate_pairs(docs).collect()))
+    expr = sorted(map(tuple, lsh_candidate_pairs(docs, impl="expr").collect()))
+    assert arrow == expr
+    assert arrow, "fixtures should produce candidate pairs"
