@@ -282,6 +282,123 @@ class ParquetMergeSink:
             return False
         return False
 
+    def _prepare_inline_arrow(self, env_batch: DataFrame, epoch_id):
+        """Arrow-vectorized inline micro-batch preparation.
+
+        ONE job flattens the batch (state already folded to the survivor's
+        side: before-image for deletes, after-image otherwise) and pulls it
+        driver-side as an Arrow table — no Row pickling. Last-per-key
+        survivor selection is a stable numpy lexsort on (pos, ts_ns, op)
+        plus a keep-last dedup on the key columns; the chosen rows go back
+        to the JVM as ONE Arrow batch. State columns never leave Arrow, so
+        a genuine NaN double survives (the pandas detour the row path needs
+        would conflate it with NULL).
+
+        Returns ``("done", None)`` when the batch was fully handled,
+        ``("inline", (flat_local, affected))`` ready for the merge, or
+        ``("distributed", None)`` to take the distributed plan. Raises on
+        the unexpected — write_batch falls back to the row-based path.
+        """
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyspark.sql.types as T
+
+        if self.inline_max_rows <= 0 or self._footer_rows_exceed_limit(
+            env_batch
+        ):
+            return ("distributed", None)
+        row_schema = T.StructType(env_batch.schema["after"].dataType.fields)
+        field_names = [f.name for f in row_schema.fields]
+        reserved = {"__op", "__pos", "__ts", "__b", "__deleted"}
+        if reserved & set(field_names) or any(
+            f.startswith("__k_") for f in field_names
+        ):
+            return ("distributed", None)  # name collision: let Rows handle
+        has_ts = "ts_ns" in env_batch.columns
+        bucket = F.pmod(
+            F.hash(*[F.col(f"key.{c}") for c in self.pk_cols]),
+            F.lit(self.num_buckets),
+        )
+        sel = [
+            F.col("op").alias("__op"),
+            F.col("source.pos").alias("__pos"),
+            (F.col("ts_ns") if has_ts else F.lit(None)).cast("long").alias("__ts"),
+            bucket.alias("__b"),
+            *[
+                F.col(f"key.{c}").alias(f"__k_{i}")
+                for i, c in enumerate(self.pk_cols)
+            ],
+            *[
+                F.when(F.col("op") == "d", F.col(f"before.{f}"))
+                .otherwise(F.col(f"after.{f}"))
+                .alias(f)
+                for f in field_names
+            ],
+        ]
+        tbl = (
+            env_batch.filter(F.col("op").isNotNull())
+            .select(*sel)
+            .limit(self.inline_max_rows + 1)
+            .toArrow()
+        )
+        if tbl.num_rows > self.inline_max_rows:
+            return ("distributed", None)
+        if tbl.num_rows and pc.any(
+            pc.equal(tbl.column("__op"), OP_TRUNCATE)
+        ).as_py():
+            return ("distributed", None)
+        self._detect_evolution(
+            field_names,
+            lambda: int(pc.min(tbl.column("__pos")).as_py() or 0),
+        )
+        if tbl.num_rows == 0:
+            if not self._has_buckets():
+                self._write_schema_sidecar(row_schema)
+            return ("done", None)
+
+        # Survivor per key: max (pos, ts_ns, op) with nulls smallest; ties
+        # beyond the full order key go to the later batch row — identical
+        # to the row path's `ok >= prev` insertion loop (stable sort +
+        # keep-last reproduces both the order and the tie rule).
+        pos = tbl.column("__pos").to_numpy(zero_copy_only=False)
+        ts_s = tbl.column("__ts").to_pandas()
+        ts_flag = ts_s.notna().to_numpy()
+        ts_val = ts_s.fillna(0).to_numpy(dtype=np.int64)
+        op_arr = tbl.column("__op").to_pandas().fillna("").to_numpy(dtype=str)
+        order = np.lexsort((op_arr, ts_val, ts_flag, pos))
+        kdf = pd.DataFrame(
+            {
+                f"__k_{i}": tbl.column(f"__k_{i}").to_pandas()
+                for i in range(len(self.pk_cols))
+            }
+        )
+        winners = ~kdf.iloc[order].duplicated(keep="last").to_numpy()
+        take_idx = order[winners]
+        won = tbl.take(pa.array(take_idx, type=pa.int64()))
+
+        deleted = pc.fill_null(pc.equal(won.column("__op"), "d"), False)
+        out_tbl = pa.table(
+            [*(won.column(f) for f in field_names), deleted, won.column("__op")],
+            names=[*field_names, "__deleted", "__op"],
+        )
+        flat_schema = T.StructType(
+            [
+                *(
+                    T.StructField(f.name, f.dataType, True)
+                    for f in row_schema.fields
+                ),
+                T.StructField("__deleted", T.BooleanType(), False),
+                T.StructField("__op", T.StringType(), True),
+            ]
+        )
+        flat_local = self.spark.createDataFrame(
+            out_tbl, schema=flat_schema
+        ).coalesce(1)
+        affected = sorted(set(tbl.column("__b").to_pylist()))
+        return ("inline", (flat_local, affected, row_schema))
+
     def _try_collect_inline(self, env_batch: DataFrame):
         """Inline fast path: materialize the micro-batch driver-side in ONE
         job (rows + their target bucket), or return None to take the
@@ -334,27 +451,29 @@ class ParquetMergeSink:
         # with nulls smallest — the same secondary order
         # reduce_last_per_key's window uses, so both paths pick the same
         # survivor whenever the full order key differs.
-        def _okey(r):
-            ts = r["ts_ns"] if "ts_ns" in r.__fields__ else None
+        # The order key is computed ONCE per row and stored beside the
+        # winner (recomputing it per comparison doubled the Python work of
+        # the inline hot loop — Row field access is name-lookup, not slot).
+        has_ts = "ts_ns" in rows[0].__fields__
+        latest: dict = {}
+        n_key = len(self.pk_cols)
+        for r in rows:
+            ts = r["ts_ns"] if has_ts else None
             op = r["op"]
-            return (
+            ok = (
                 r["source"]["pos"],
                 float("-inf") if ts is None else ts,
                 "" if op is None else op,
             )
-
-        latest: dict = {}
-        n_key = len(self.pk_cols)
-        for r in rows:
             # A keyless event (op 'm' message / schema-change) groups under
             # the all-null key, mirroring the distributed window's null-key
             # partition.
             k = tuple(r["key"]) if r["key"] is not None else (None,) * n_key
             prev = latest.get(k)
-            if prev is None or _okey(r) >= _okey(prev):
-                latest[k] = r
+            if prev is None or ok >= prev[0]:
+                latest[k] = (ok, r)
         data = []
-        for r in latest.values():
+        for _, r in latest.values():
             deleted = r["op"] == "d"
             state = r["before"] if deleted else r["after"]
             vals = tuple(
@@ -412,10 +531,37 @@ class ParquetMergeSink:
         )
 
     def write_batch(self, env_batch: DataFrame, epoch_id: int | None = None) -> None:
-        rows = self._try_collect_inline(env_batch)
-        if rows is not None:
-            self._write_batch_inline(env_batch, rows, epoch_id)
+        try:
+            verdict, payload = self._prepare_inline_arrow(env_batch, epoch_id)
+        except Exception:  # pragma: no cover - Arrow-unfriendly schema
+            verdict, payload = None, None
+        if verdict == "done":
             return
+        if verdict == "inline":
+            flat_local, affected, row_schema = payload
+            target = self._read_target(row_schema)
+            target_sub = target.filter(
+                F.col(BUCKET_COL).isin(affected)
+            ).drop(BUCKET_COL)
+            merged = merge_flat_changes(
+                target_sub,
+                flat_local,
+                self.pk_cols,
+                insert_mode=self.insert_mode,
+                broadcast=True,
+            )
+            out = merged.withColumn(BUCKET_COL, self._bucket_of())
+            self._stage_and_swap(
+                out, affected, has_truncate=False, row_schema=row_schema,
+                epoch_id=epoch_id,
+            )
+            return
+        if verdict is None:
+            # Row-based inline fallback (kept for Arrow-unfriendly shapes).
+            rows = self._try_collect_inline(env_batch)
+            if rows is not None:
+                self._write_batch_inline(env_batch, rows, epoch_id)
+                return
         flat_like = extract_new_record_state(
             env_batch.filter(F.col("op").isNotNull()), delete_handling="drop"
         )
