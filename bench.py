@@ -116,6 +116,12 @@ def main() -> None:
     # All three timed runs per query, so a future reader can tell noise
     # (one outlier run) from a real regression without re-running anything.
     spreads: dict[str, list[float]] = {}
+    # First post-warm-up run per query (the r4-and-earlier methodology:
+    # ONE warm-up then measure). r6 added a second warm-up, which makes
+    # "queries" (steady-state median) incomparable to r4's numbers —
+    # recording both keeps round-over-round deltas like-vs-like: compare
+    # first_run to r4/r5, median to r6+.
+    first_runs: dict[str, float] = {}
     # Harness notes, learned the hard way on this shared VM:
     # - per-query consecutive runs (warm-up + median-of-3) keep sub-second
     #   queries HOT between their runs; an interleaved-passes variant was
@@ -141,7 +147,11 @@ def main() -> None:
         # [2.06, 1.36, 1.18] with a single warm-up vs a 1.05 s steady state,
         # which poisons the median with warm-up cost, not engine cost.
         df.write.format("noop").mode("overwrite").save()
+        # The second warm-up doubles as the r4-comparable "first post-
+        # warm-up run" measurement (see first_runs above).
+        t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
+        first_runs[name] = round(time.time() - t0, 3)
         # Auto-requeue: a timing block bracketed by a noisy probe re-runs
         # (bounded), so one contention window can't poison the round's
         # numbers. If the host never goes calm, the final attempt is
@@ -168,6 +178,7 @@ def main() -> None:
     # Streaming-pipeline throughput (BASELINE targets: >=2048 events per
     # micro-batch sustained; snapshot read parallelism >= 4).
     pipeline_stats = _pipeline_throughput(spark)
+    pipeline_stats["mor_read"] = _mor_read_sweep(spark)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -175,6 +186,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_first_run": first_runs,
         "query_runs": spreads,
         "noise_probe_sec": noise,
         "calm_probe_reference": CALM_PROBE,
@@ -183,6 +195,108 @@ def main() -> None:
         "sf": sf,
         **pipeline_stats,
     }))
+
+
+def _mor_read_sweep(spark) -> dict:
+    """Read-side cost of the merge-on-read tradeoff: time ``read()`` (full
+    merged state, forced with a noop write) with 0 / 1 / ``compact_every/2``
+    / ``compact_every`` delta epochs outstanding over the same base.
+
+    ``pipeline_mor`` measures WRITE throughput — O(batch) appends — but MOR
+    pays for that on the read: every reader merges ``base ∪ live deltas``
+    with last-epoch-wins, so read latency grows with deltas outstanding
+    until compaction folds them. This sweep puts measured numbers on that
+    curve (SCALE.md's COW-vs-MOR row); deltas_0 (just-compacted base) is
+    the COW-equivalent read floor.
+
+    Setup is deterministic: the sf change feed split into 8 equal
+    pos-quantile epochs written through ``write_batch`` directly — no
+    streaming machinery, so the timing isolates the read path."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sinks.mor import LogMergeSink
+    from debezium_spark.sources.changefeed import (
+        accounts_changefeed,
+        accounts_snapshot,
+    )
+
+    # 9 pos-quantile chunks: chunk 0 folds into the base (compact() needs a
+    # positive epoch to version the new base by), chunks 1-8 are the 8
+    # delta epochs the sweep measures against.
+    compact_every = 8
+    n_chunks = compact_every + 1
+    env = accounts_changefeed(spark, SF_DIR)
+    flat = env.withColumn("__pos", F.col("source.pos"))
+    bounds = flat.stat.approxQuantile(
+        "__pos", [i / n_chunks for i in range(1, n_chunks)], 0.001
+    )
+    chunk_expr = sum(
+        (F.when(F.col("__pos") > b, 1).otherwise(0) for b in bounds),
+        F.lit(0),
+    )
+    flat = flat.withColumn("__chunk", chunk_expr)
+
+    root = tempfile.mkdtemp(prefix="bench_mor_read_")
+    out: dict[str, dict] = {}
+    try:
+        sink = LogMergeSink(
+            spark, f"{root}/target", ["id"], compact_every=10**9
+        )
+        sink.write_batch(
+            accounts_snapshot(spark, SF_DIR).repartition(8), epoch_id=-1
+        )
+
+        def timed_read(tag: str, outstanding: int) -> None:
+            df = sink.read()
+            df.write.format("noop").mode("overwrite").save()  # warm-up
+            for attempt in range(MAX_SEGMENT_RETRIES + 1):
+                pre = _noise_probe()
+                runs = []
+                for _ in range(3):
+                    t0 = time.time()
+                    df.write.format("noop").mode("overwrite").save()
+                    runs.append(time.time() - t0)
+                post = _noise_probe()
+                if not (_is_noisy(pre) or _is_noisy(post)):
+                    break
+            out[tag] = {
+                "deltas_outstanding": outstanding,
+                "read_sec": round(statistics.median(runs), 3),
+                "read_sec_runs": [round(r, 3) for r in runs],
+                "noise_requeued": attempt,
+                "noisy_accepted": _is_noisy(pre) or _is_noisy(post),
+            }
+
+        written = 0
+
+        def write_through(target: int) -> None:
+            nonlocal written
+            while written < target:
+                sink.write_batch(
+                    flat.filter(F.col("__chunk") == written)
+                    .drop("__pos", "__chunk"),
+                    epoch_id=written,
+                )
+                written += 1
+
+        write_through(1)  # chunk 0
+        sink.compact()  # base = snapshot ∪ chunk 0; 0 deltas outstanding
+        timed_read("deltas_0", 0)
+        write_through(2)  # chunk 1
+        timed_read("deltas_1", 1)
+        write_through(1 + compact_every // 2)
+        timed_read("deltas_half", compact_every // 2)
+        write_through(1 + compact_every)
+        timed_read("deltas_full", compact_every)
+        sink.compact()
+        timed_read("deltas_0_post_compact", 0)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out["compact_every"] = compact_every
+    return out
 
 
 def _pipeline_throughput(spark) -> dict:

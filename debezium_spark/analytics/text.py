@@ -341,12 +341,26 @@ def lsh_candidate_pairs(
     shuffle, not the signatures) the whole stage's cost. Identical pair
     set, same first-matching-band suppression, same shuffle shape;
     ``impl='expr'`` keeps the pure-expression variant (the spec and the
-    zero-Python fallback, property-tested equal)."""
+    zero-Python fallback, property-tested equal).
+
+    The arrow path's numpy kernel needs integral doc ids (its output
+    schema is ``a long, b long``); for string/decimal/other id types the
+    call transparently takes the expression variant, which orders any
+    orderable type via least/greatest. NULL texts (→ NULL signatures) are
+    handled identically by both: NULL band keys group together, and the
+    all-NULL bucket's pairs emit exactly once (from band 0)."""
     if impl == "arrow":
-        return _lsh_candidate_pairs_arrow(
-            df, text_col, id_col,
-            num_hashes=num_hashes, rows_per_band=rows_per_band, k=k,
-        )
+        from pyspark.sql import types as T
+
+        if isinstance(
+            df.schema[id_col].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            return _lsh_candidate_pairs_arrow(
+                df, text_col, id_col,
+                num_hashes=num_hashes, rows_per_band=rows_per_band, k=k,
+            )
+        impl = "expr"  # non-integral ids: numpy int64 kernel can't hold them
     if impl != "expr":
         raise ValueError(f"unknown impl {impl!r} (want 'arrow' or 'expr')")
     num_bands = num_hashes // rows_per_band
@@ -503,17 +517,39 @@ def _lsh_candidate_pairs_arrow(
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(
             chunks, ignore_index=True
         )
+        # NULL ids can't be represented in the int64 pair output; drop them
+        # (the expr variant would emit least/greatest degenerate pairs —
+        # garbage either way for a null document key).
+        id_null = pdf["__id"].isna()
+        if id_null.any():
+            pdf = pdf[~id_null]
+            if not len(pdf):
+                return
         ids = pdf["__id"].to_numpy(np.int64)
         band = pdf["band"].to_numpy(np.int64)
-        bkey = pdf["bkey"].to_numpy(np.int64)
+        # NULL texts → NULL signatures → NULL band keys (NaN floats by the
+        # time Arrow hands pandas the batch). Match the expression
+        # variant's groupBy semantics exactly: NULL keys form their own
+        # bucket per band (the null-flag joins the grouping key so the
+        # fillna(0) sentinel can't collide with a genuine 0 key), and
+        # within the all-NULL bucket the filled keys compare equal at
+        # every prior band, so its pairs emit once — from band 0 only.
+        bk_s = pdf["bkey"]
+        bk_null = bk_s.isna().to_numpy().astype(np.int8)  # int: np.diff-able
+        bkey = bk_s.fillna(0).to_numpy(np.int64)
         keys = np.stack(
-            [pdf[f"k{b}"].to_numpy(np.int64) for b in range(nb)], axis=1
+            [pdf[f"k{b}"].fillna(0).to_numpy(np.int64) for b in range(nb)],
+            axis=1,
         )
-        order = np.lexsort((bkey, band))
-        ids, band, bkey, keys = (
-            ids[order], band[order], bkey[order], keys[order]
+        order = np.lexsort((bkey, bk_null, band))
+        ids, band, bk_null, bkey, keys = (
+            ids[order], band[order], bk_null[order], bkey[order], keys[order]
         )
-        change = (np.diff(band) != 0) | (np.diff(bkey) != 0)
+        change = (
+            (np.diff(band) != 0)
+            | (np.diff(bk_null) != 0)
+            | (np.diff(bkey) != 0)
+        )
         starts = np.concatenate(([0], np.flatnonzero(change) + 1))
         ends = np.concatenate((starts[1:], [len(ids)]))
         out_a, out_b = [], []

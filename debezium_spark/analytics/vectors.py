@@ -790,12 +790,26 @@ def save_vector_index(
 def load_vector_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """Load whichever index artifacts exist under ``path``; keys are the
     subset of {centroids, codebooks, codes} found on disk — pass them
-    straight to knn_pq / knn_ivfpq's prebuilt-index params."""
-    import os
+    straight to knn_pq / knn_ivfpq's prebuilt-index params.
 
+    Existence is probed through the Hadoop FileSystem layer (the same one
+    ``save_vector_index`` writes through), so non-local URIs (s3://,
+    hdfs://, file:/-prefixed) resolve exactly like the save did — an
+    os.path probe would see nothing there and silently hand callers an
+    empty dict, making knn_pq/knn_ivfpq retrain instead of serving the
+    saved index. Raises FileNotFoundError when ``path`` holds no artifact
+    at all, for the same reason: silence here means retraining later."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     out: dict[str, DataFrame] = {}
     for name in _INDEX_PARTS:
-        sub = os.path.join(path, name)
-        if os.path.isdir(sub):
+        sub = f"{path.rstrip('/')}/{name}"
+        jpath = jvm.org.apache.hadoop.fs.Path(sub)
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
             out[name] = spark.read.parquet(sub)
+    if not out:
+        raise FileNotFoundError(
+            f"no ANN index artifacts ({', '.join(_INDEX_PARTS)}) under {path!r}"
+        )
     return out

@@ -214,10 +214,45 @@ def to_avro_py(struct_col: Column, struct_type: T.StructType) -> Column:
     return _enc(struct_col)
 
 
-def from_avro_py(bytes_col: Column, struct_type: T.StructType) -> Column:
-    """Deserialize Avro binary back into the struct (inverse of to_avro_py)."""
+def from_avro_py(
+    bytes_col: Column, struct_type: T.StructType, *, on_error: str = "fail"
+) -> Column:
+    """Deserialize Avro binary back into the struct (inverse of to_avro_py).
+
+    ``on_error='fail'`` (default) propagates decoder exceptions — the P9
+    connector-stop semantics. ``on_error='mark'`` returns the struct
+    extended with a ``__codec_err`` string field: NULL on success (and for
+    the documented NULL-payload → all-NULL-row contract), the exception
+    text for a MALFORMED payload whose fields are then all NULL — the
+    shape :func:`debezium_spark.formats.errors.decode_or_quarantine`
+    splits into good rows vs the DLQ without a second decode pass."""
     schema = avro_schema_for(struct_type)
     names = [f.name for f in struct_type.fields]
+    if on_error == "mark":
+        marked_t = T.StructType(
+            [*struct_type.fields, T.StructField("__codec_err", T.StringType())]
+        )
+
+        @pandas_udf(marked_t)
+        def _dec_marked(s: pd.Series) -> pd.DataFrame:
+            rows = []
+            for b in s:
+                if b is None:
+                    r = dict.fromkeys(names)
+                    r["__codec_err"] = None
+                else:
+                    try:
+                        r = decode_record(schema, b)
+                        r["__codec_err"] = None
+                    except Exception as e:  # malformed wire bytes
+                        r = dict.fromkeys(names)
+                        r["__codec_err"] = f"{type(e).__name__}: {e}"
+                rows.append(r)
+            return pd.DataFrame(rows, columns=[*names, "__codec_err"])
+
+        return _dec_marked(bytes_col)
+    if on_error != "fail":
+        raise ValueError(f"on_error must be 'fail' or 'mark', got {on_error!r}")
 
     @pandas_udf(struct_type)
     def _dec(s: pd.Series) -> pd.DataFrame:

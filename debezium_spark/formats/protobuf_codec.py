@@ -341,10 +341,42 @@ def to_protobuf_py(struct_col: Column, struct_type: T.StructType) -> Column:
     return _enc(struct_col)
 
 
-def from_protobuf_py(bytes_col: Column, struct_type: T.StructType) -> Column:
-    """Deserialize Protobuf binary back into the struct."""
+def from_protobuf_py(
+    bytes_col: Column, struct_type: T.StructType, *, on_error: str = "fail"
+) -> Column:
+    """Deserialize Protobuf binary back into the struct.
+
+    ``on_error='fail'`` (default) propagates decoder exceptions;
+    ``on_error='mark'`` appends a ``__codec_err`` field (NULL on success,
+    exception text for malformed bytes) — see from_avro_py for the DLQ
+    split this feeds."""
     schema = proto_schema_for(struct_type)
     names = [f.name for f in struct_type.fields]
+    if on_error == "mark":
+        marked_t = T.StructType(
+            [*struct_type.fields, T.StructField("__codec_err", T.StringType())]
+        )
+
+        @pandas_udf(marked_t)
+        def _dec_marked(s: pd.Series) -> pd.DataFrame:
+            rows = []
+            for b in s:
+                if b is None:
+                    r = dict.fromkeys(names)
+                    r["__codec_err"] = None
+                else:
+                    try:
+                        r = decode_message(schema, b)
+                        r["__codec_err"] = None
+                    except Exception as e:  # malformed wire bytes
+                        r = dict.fromkeys(names)
+                        r["__codec_err"] = f"{type(e).__name__}: {e}"
+                rows.append(r)
+            return pd.DataFrame(rows, columns=[*names, "__codec_err"])
+
+        return _dec_marked(bytes_col)
+    if on_error != "fail":
+        raise ValueError(f"on_error must be 'fail' or 'mark', got {on_error!r}")
 
     @pandas_udf(struct_type)
     def _dec(s: pd.Series) -> pd.DataFrame:

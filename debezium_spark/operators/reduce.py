@@ -80,10 +80,21 @@ def maintain_group_aggregate(
     value_col: str,
     pos_col: str = "source.pos",
     dec: str = "decimal(18,2)",
+    aggs: tuple[str, ...] = ("sum", "count"),
 ) -> DataFrame:
     """Incremental view maintenance: a grouped SUM/COUNT maintained purely
     from the change stream — the aggregate a consumer keeps live instead of
     re-scanning the merged table (the IVM pattern CDC pipelines feed).
+
+    **Supported aggregates** (``aggs``): ``sum`` (→ ``total_<value_col>``),
+    ``count`` (→ ``n``) and the derived ``avg`` (→ ``avg_<value_col>``,
+    computed as explicit sum/count so every engine reproduces it
+    bit-for-bit — never a running mean). Anything else raises ValueError:
+    MIN/MAX are NOT incrementally maintainable from deltas alone — when
+    the current extremum is retracted, the next-best value is unknowable
+    without re-scanning the group's surviving rows (the standard IVM
+    limitation; maintainable variants need auxiliary top-k state, which is
+    a different operator, not a flag here).
 
     Per key, each event contributes a **retraction** of the state the
     previous event left (−1, −value at the previous group) and an
@@ -103,6 +114,15 @@ def maintain_group_aggregate(
     contract; position collisions would need the K4 tie-break axis here
     too).
     """
+    supported = {"sum", "count", "avg"}
+    unknown = [a for a in aggs if a not in supported]
+    if unknown or not aggs:
+        raise ValueError(
+            f"maintain_group_aggregate supports {sorted(supported)}, got "
+            f"{list(aggs)!r}. MIN/MAX cannot be maintained incrementally: "
+            "retracting the current extremum requires re-scanning the "
+            "group for the next-best value."
+        )
     key = [F.col(f"key.{c}") for c in key_cols]
     # The empty-array casts below need the group column's real type — a
     # hardcoded string DDL would fail analysis (or miscoerce) for numeric
@@ -140,7 +160,10 @@ def maintain_group_aggregate(
             )
         ).alias("d")
     )
-    return (
+    # Sum and count are always maintained internally (count drives the
+    # emptied-group filter; avg derives from both); `aggs` picks the
+    # OUTPUT columns.
+    agged = (
         contrib.groupBy(F.col("d.grp").alias(group_col))
         .agg(
             F.sum(F.col("d.sign") * F.col("d.val"))
@@ -150,6 +173,22 @@ def maintain_group_aggregate(
         )
         .filter(F.col("n") > 0)
     )
+    out_cols = [F.col(group_col)]
+    if "sum" in aggs:
+        out_cols.append(F.col(f"total_{value_col}"))
+    if "count" in aggs:
+        out_cols.append(F.col("n"))
+    if "avg" in aggs:
+        # Explicit sum/count (both already exact), divided as doubles —
+        # IEEE division is deterministic, so the oracle's
+        # CAST(sum AS DOUBLE)/CAST(count AS DOUBLE) matches bit-for-bit.
+        out_cols.append(
+            (
+                F.col(f"total_{value_col}")
+                / F.col("n").cast("double")
+            ).alias(f"avg_{value_col}")
+        )
+    return agged.select(*out_cols)
 
 
 def net_effect_per_key(

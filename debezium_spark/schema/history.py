@@ -176,7 +176,12 @@ class JdbcSchemaHistory(SchemaHistoryBackend):
     def record(
         self, table: str, version: int, columns: list[str], valid_from_pos: int
     ) -> None:
-        with self._conn() as conn:
+        # `with conn` alone only scopes the transaction (commit/rollback),
+        # not the file handle — closing() prevents a descriptor leak per
+        # record() over a long-running streaming job.
+        from contextlib import closing
+
+        with closing(self._conn()) as conn, conn:
             conn.execute(
                 "INSERT INTO debezium_schema_history"
                 " (tbl, version, columns_json, valid_from_pos)"
@@ -185,9 +190,11 @@ class JdbcSchemaHistory(SchemaHistoryBackend):
             )
 
     def recover(self) -> DataFrame:
+        from contextlib import closing
+
         if not os.path.exists(self.db_path):
             return self.spark.createDataFrame([], _HISTORY_DDL)
-        with self._conn() as conn:
+        with closing(self._conn()) as conn, conn:
             rows = conn.execute(
                 "SELECT tbl, version, columns_json, valid_from_pos"
                 " FROM debezium_schema_history ORDER BY seq"

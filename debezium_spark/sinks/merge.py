@@ -349,11 +349,8 @@ class ParquetMergeSink:
             pc.equal(tbl.column("__op"), OP_TRUNCATE)
         ).as_py():
             return ("distributed", None)
-        self._detect_evolution(
-            field_names,
-            lambda: int(pc.min(tbl.column("__pos")).as_py() or 0),
-        )
         if tbl.num_rows == 0:
+            self._detect_evolution(field_names, lambda: 0)
             if not self._has_buckets():
                 self._write_schema_sidecar(row_schema)
             return ("done", None)
@@ -361,13 +358,18 @@ class ParquetMergeSink:
         # Survivor per key: max (pos, ts_ns, op) with nulls smallest; ties
         # beyond the full order key go to the later batch row — identical
         # to the row path's `ok >= prev` insertion loop (stable sort +
-        # keep-last reproduces both the order and the tie rule).
-        pos = tbl.column("__pos").to_numpy(zero_copy_only=False)
+        # keep-last reproduces both the order and the tie rule). A NULL pos
+        # sorts smallest via the same null-flag trick as ts (NaN would
+        # otherwise rank LARGEST under lexsort, inverting the distributed
+        # window's nulls-smallest order).
+        pos_s = tbl.column("__pos").to_pandas()
+        pos_flag = pos_s.notna().to_numpy()
+        pos = pos_s.fillna(0).to_numpy(dtype=np.int64)
         ts_s = tbl.column("__ts").to_pandas()
         ts_flag = ts_s.notna().to_numpy()
         ts_val = ts_s.fillna(0).to_numpy(dtype=np.int64)
         op_arr = tbl.column("__op").to_pandas().fillna("").to_numpy(dtype=str)
-        order = np.lexsort((op_arr, ts_val, ts_flag, pos))
+        order = np.lexsort((op_arr, ts_val, ts_flag, pos, pos_flag))
         kdf = pd.DataFrame(
             {
                 f"__k_{i}": tbl.column(f"__k_{i}").to_pandas()
@@ -397,6 +399,15 @@ class ParquetMergeSink:
             out_tbl, schema=flat_schema
         ).coalesce(1)
         affected = sorted(set(tbl.column("__b").to_pylist()))
+        # Evolution is recorded LAST: everything above can throw (Arrow
+        # conversion, exotic types), and write_batch's fallback re-runs
+        # _write_batch_inline which detects again — recording earlier would
+        # double-increment the schema version and write a duplicate history
+        # row for the same batch.
+        self._detect_evolution(
+            field_names,
+            lambda: int(pc.min(tbl.column("__pos")).as_py() or 0),
+        )
         return ("inline", (flat_local, affected, row_schema))
 
     def _try_collect_inline(self, env_batch: DataFrame):
@@ -460,8 +471,12 @@ class ParquetMergeSink:
         for r in rows:
             ts = r["ts_ns"] if has_ts else None
             op = r["op"]
+            pos = r["source"]["pos"]
             ok = (
-                r["source"]["pos"],
+                # NULL pos sorts smallest, matching both the distributed
+                # window (nulls first ascending) and the Arrow path's
+                # null-flag lexsort key.
+                float("-inf") if pos is None else pos,
                 float("-inf") if ts is None else ts,
                 "" if op is None else op,
             )

@@ -387,3 +387,168 @@ class SourceSignalChannel(FileSignalChannel):
                 data = json.loads(r.data) if r.data else {}
                 self.send(r.id, r.type, data)
         super().poll(pipeline, batch_df, epoch_id)
+
+
+class KafkaSignalChannel(FileSignalChannel):
+    """P6 via a dedicated signal topic — ``KafkaSignalChannel``
+    (debezium-connector-common/.../pipeline/signal/channels/
+    KafkaSignalChannel.java) semantics over a pluggable record source:
+
+    * records are (key, value, offset) from ONE partition of the signal
+      topic (the reference assigns partition 0 only — total order);
+    * the record KEY must equal the connector's logical name, otherwise
+      the signal is skipped (processSignal's key guard) — one topic can
+      fan signals to many connectors;
+    * the value is the ``{"id","type","data"}`` JSON document; malformed
+      JSON or a missing id/type is logged and SKIPPED, never fatal
+      (parseJson's warn-and-skip contract);
+    * every accepted signal carries its channel offset, the channel
+      resumes from the last processed offset across restarts, and
+      :meth:`seek` repositions like the reference's
+      ``consumer.seek(offset + 1)``.
+
+    ``record_source(after_offset)`` abstracts the consumer poll: the
+    production binding reads the topic through spark-sql-kafka (gated on
+    :func:`debezium_spark.sources.kafka.kafka_available`, same as the
+    envelope source — see :func:`spark_kafka_record_source`); the contract
+    test drives the SAME code path with a file-backed stand-in, so the
+    production swap-in is a reader change, not untested prose.
+    Dispatch (execute-snapshot / stop / pause / resume / log + id dedup)
+    is inherited unchanged from the file channel.
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        *,
+        connector_name: str,
+        record_source,
+        snapshotter: "IncrementalSnapshotter | None" = None,
+        notifications: NotificationLog | None = None,
+        warn=lambda m: None,
+    ):
+        super().__init__(
+            os.path.join(state_dir, "__unused_signal_file"),
+            state_dir,
+            snapshotter=snapshotter,
+            notifications=notifications,
+        )
+        self.connector_name = connector_name
+        self.record_source = record_source
+        self.warn = warn
+
+    def _load_state(self) -> dict:
+        st = super()._load_state()
+        st.setdefault("channel_offset", -1)
+        return st
+
+    def seek(self, signal_offset: int) -> None:
+        """Resume reading after ``signal_offset`` (KafkaSignalChannel.seek:
+        ``consumer.seek(offset + 1)``)."""
+        st = self._load_state()
+        st["channel_offset"] = signal_offset
+        self._save_state(st)
+
+    def pending(self) -> list[dict]:
+        st = self._load_state()
+        out = []
+        for key, value, offset in self.record_source(st["channel_offset"]):
+            if key != self.connector_name:
+                self.warn(
+                    f"signal key {key!r} doesn't match connector "
+                    f"{self.connector_name!r}"
+                )
+                continue
+            try:
+                doc = json.loads(value)
+            except (ValueError, TypeError):
+                self.warn(f"skipped signal at offset {offset}: invalid JSON")
+                continue
+            sig_id, sig_type = doc.get("id"), doc.get("type")
+            if not sig_id or not sig_type:
+                self.warn(f"skipped signal at offset {offset}: missing id/type")
+                continue
+            if sig_id in st["processed"]:
+                continue
+            out.append(
+                {
+                    "id": sig_id,
+                    "type": sig_type,
+                    "data": doc.get("data") or {},
+                    "channelOffset": offset,
+                }
+            )
+        return out
+
+    def poll(self, pipeline, batch_df: DataFrame, epoch_id: int) -> None:
+        recs = self.record_source(self._load_state()["channel_offset"])
+        super().poll(pipeline, batch_df, epoch_id)
+        if recs:
+            # Advance past everything polled (accepted, mismatched, or
+            # malformed — the reference's consumer offset moves the same
+            # way); id-dedup still guards replays after an explicit seek.
+            st = self._load_state()
+            st["channel_offset"] = max(
+                [off for _, _, off in recs] + [st["channel_offset"]]
+            )
+            self._save_state(st)
+
+
+def file_record_source(path: str):
+    """File-backed stand-in consumer for :class:`KafkaSignalChannel` —
+    JSON lines ``{"key": ..., "value": ...}``; the line number is the
+    record offset. The contract tests exercise the Kafka channel's
+    key-guard / parse-skip / offset-resume logic through this."""
+
+    def read(after_offset: int):
+        if not os.path.exists(path):
+            return []
+        out = []
+        with open(path) as f:
+            for off, line in enumerate(f):
+                if off <= after_offset or not line.strip():
+                    continue
+                rec = json.loads(line)
+                out.append((rec.get("key"), rec.get("value"), off))
+        return out
+
+    return read
+
+
+def spark_kafka_record_source(
+    spark: SparkSession, *, bootstrap_servers: str, topic: str
+):
+    """Production consumer binding: batch-read the single-partition signal
+    topic through spark-sql-kafka from the given offset. Gated exactly
+    like the envelope source — raises with remediation when the kafka
+    data source isn't on the classpath (no broker in this container)."""
+    from debezium_spark.sources.kafka import kafka_available
+
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka is not available; add the "
+            "spark-sql-kafka-0-10 package to use the Kafka signal channel "
+            "(the file/in-stream channels need no broker)"
+        )
+
+    def read(after_offset: int):
+        import json as _json
+
+        raw = (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option(
+                "startingOffsets",
+                _json.dumps({topic: {"0": after_offset + 1}}),
+            )
+            .load()
+        )
+        rows = raw.select(
+            F.col("key").cast("string"),
+            F.col("value").cast("string"),
+            F.col("offset"),
+        ).collect()
+        return [(r["key"], r["value"], r["offset"]) for r in rows]
+
+    return read

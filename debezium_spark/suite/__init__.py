@@ -35,69 +35,73 @@ QUERIES: dict[str, Q] = {}
 # Everything not listed still registers (and is value-checked by the in-repo
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
-    # --- r6 rotation (the per-query ledger lives in COVERAGE.md):
-    # 1. every query with NO green driver row yet — r5's red h5 (array
-    #    columns now string-rendered), the 12 registered after the r5
-    #    window was fixed, and the new t15b;
-    # 2. the 33 stalest queries (last green row r2/r3), refreshing the
-    #    union's oldest evidence;
-    # 3. three re-proof slots for operators whose code changed this round
-    #    (VSD decode guard, protobuf NULL handling, cluster-convergence
-    #    init).
-    # never driver-green ----------------------------------------------------
-    "h5_vector_logical_types",         # r5 red row, arrays now stringified
-    "t15b_sparse_vector_to_json",      # NEW: T15 sparse leg
-    "k9_incremental_aggregate",
-    "k10_net_effect",
-    "a9_pq_codebooks",
-    "a10_pq_search",
-    "a11_ivfpq_search",
-    "x22_dup_clusters_star",
-    "x23_stratified_sample",
-    "x24_source_quota",
-    "x25_token_typicality",
-    "x26_boilerplate_ngrams",          # left-join fix this round
-    "w29_grouping_sets",
-    "w30_moving_average",
-    # last green r2 ---------------------------------------------------------
-    "a1_vector_norms",
-    "k2_merge_update_mode",
-    "p4_transaction_boundaries",
-    "t11_record_size_json",
-    "t1_unwrap_drop_deletes",
-    "t7b_outbox_config_surface",
-    "tombstones_on_delete",
-    # last green r3 ---------------------------------------------------------
-    "e3_session_window",
-    "f2_json_serde",
-    "h1_handling_modes",
-    "m3_audio_segments",
-    "s13_snapshot_diff",
-    "s1_snapshot_envelope",
-    "s2_chunked_snapshot",
-    "s6_snapshot_modes",
-    "s8_pgoutput_decode",
-    "t13_schema_to_record",
-    "t14_geometry_swap",
-    "t17_mask_columns",
-    "t18_reselect_columns",
-    "t2_extract_new_document_state",
-    "t5_content_based_router",
-    "t7_outbox_router",
-    "t9_timezone_converter",
-    "w14_local_supplier_volume",
-    "w15_returned_top_customers",
-    "w4_share_window",
-    "x15_vocabulary_topk",
-    "x16_hll_distinct_users",
-    "x2_language_id",
-    "x5_minhash_signature",
-    "x7_near_dup_jaccard",
-    "x8_simhash",
+    # --- r7 rotation (the per-query ledger lives in COVERAGE.md):
+    # 1. the three queries registered this round (no driver row yet) —
+    #    IVM derived AVG, sparse struct cosine, inverted-index sparse kNN;
+    # 2. ALL 37 queries whose last green driver row is r4 (the stalest
+    #    evidence after the r6 rotation) — after this window nothing in
+    #    the union is older than r5;
+    # 3. four re-proof slots for operators whose code changed this round
+    #    (LSH arrow id-type routing + NULL-signature buckets, inline-Arrow
+    #    merge pos-null ordering + evolution-recording order, IVM aggs
+    #    refactor, codec on_error decode paths — f4 avro is already in
+    #    the stale set);
+    # 4. six freshness picks from the r5 set, one per family (warehouse,
+    #    dedup, ANN, event-time, sources, streaming-infra).
+    # never driver-green (new this round) ------------------------------------
+    "k11_incremental_avg",             # IVM derived AVG (sum/count contract)
+    "a12_sparse_cosine",               # SparseDoubleVector struct cosine
+    "a13_knn_sparse",                  # inverted-index sparse retrieval
+    # last green r4 (all of them) --------------------------------------------
+    "a3_knn_lsh",
+    "a6_cosine_near_dup",
+    "a8_ivf_search",
+    "e2_sliding_window",
+    "f1_cloudevents_roundtrip",
+    "f4_avro_roundtrip",               # also re-proof: on_error decode path
+    "h2_table_filters",
+    "h3_temporal_logical_types",
+    "k2_merge_insert_mode",
+    "k4_reduce_last_per_key",
+    "k6_schema_evolution",
+    "k7_naming_strategy",
+    "m2_frame_sample",
+    "m4_image_resize",
+    "p9_dlq_quarantine",
+    "s10_lsn_window_poll",
+    "s11_mongo_update_description",
+    "s12_snapshot_override",
+    "s14_envelope_timestamps",
+    "s4_readonly_incremental",
+    "s7_binlog_dispatch",
+    "s9_commit_ordered",
+    "t10_partition_routing",
+    "t11_enforce_record_size",
+    "t12_schema_change_filter",
+    "t14b_geometry_circle_line",
+    "t15_vector_to_json",
+    "t19_custom_converters",
+    "t21_docling_markdown",
+    "t22_skipped_operations",
+    "t3_extract_changed_record_state",
+    "t4_filter_expression",
+    "t6_logical_table_router",
+    "t8_header_to_value",
+    "w2_top_revenue_orders",
+    "w8_asof_join",
+    "x21_decontamination",
     # re-proof: code touched this round --------------------------------------
-    "h4_special_value_types",          # VSD over-long guard
-    "f5_protobuf_roundtrip",           # NULL-payload decode
-    "x20_dup_clusters",                # convergence-counter init
+    "x6_lsh_candidates",               # arrow impl id-type/NULL routing
+    "k1_merge_upsert",                 # inline-Arrow pos-null + evo ordering
+    "k9_incremental_aggregate",        # aggs-param refactor
+    "f5_protobuf_roundtrip",           # on_error decode path
+    # r5 freshness picks ------------------------------------------------------
+    "w1_pricing_summary",
+    "x4_exact_dedup",
+    "a2_knn_bruteforce",
+    "e1_tumbling_window",
+    "s3_incremental_snapshot_dedup",
+    "p4_transaction_metadata",
 )
 
 

@@ -696,3 +696,112 @@ def a11_ivfpq_search(spark, sf_dir):
         emb, queries, k=5, n_cells=8, nprobe=2, iterations=_IVF_ITERS,
         m=_PQ_M, n_codes=_PQ_K, dim=_PQ_M * _PQ_S, rerank=_PQ_RERANK,
     )
+
+
+# ---------------------------------------------------------------------------
+# A12/A13 — sparse-vector similarity (SparseDoubleVector made computable:
+# struct-level cosine + inverted-index kNN, no densification anywhere)
+# ---------------------------------------------------------------------------
+_SPARSE_DIMS = 1024
+
+
+def _sparse_prelude() -> str:
+    from debezium_spark.analytics.sparse import oracle_sparse_tf_cte
+
+    return "WITH " + oracle_sparse_tf_cte(dims=_SPARSE_DIMS)
+
+
+@register(
+    "a12_sparse_cosine",
+    oracle=_sparse_prelude()
+    + """,
+    q AS (
+        SELECT idx, val FROM tf
+        WHERE doc_id = (SELECT min(doc_id) FROM documents)
+    ),
+    dots AS (
+        SELECT d.doc_id, sum(d.val * q.val) AS dot
+        FROM tf d JOIN q ON d.idx = q.idx
+        GROUP BY 1
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(sum(val * val)) AS nrm FROM tf GROUP BY 1
+    ),
+    qn AS (SELECT sqrt(sum(val * val)) AS nrm FROM q)
+    SELECT n.doc_id,
+           CAST(floor(coalesce(d.dot, 0.0) / (n.nrm * qn.nrm) * 1e6)
+                AS BIGINT) AS cos_q
+    FROM norms n LEFT JOIN dots d USING (doc_id) CROSS JOIN qn
+    """,
+)
+def a12_sparse_cosine(spark, sf_dir):
+    """Struct-level sparse cosine: every document's TF vector (the
+    SparseDoubleVector struct — {dimensions, indices[], values[]},
+    1-based ascending indices) scored against one query vector via
+    map-lookup dot + fold norms, never densified. TF values are integer
+    counts, so dots and norms are EXACT (order-independent) and the
+    floor-quantized cosine hashes bit-identically against the relational
+    replay. The query vector (the min-doc_id document) broadcasts as one
+    row."""
+    from debezium_spark.analytics.sparse import sparse_cosine, sparse_tf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sv = sparse_tf(docs, dims=_SPARSE_DIMS)
+    qid = docs.agg(F.min("doc_id")).collect()[0][0]
+    q = sv.filter(F.col("doc_id") == qid).select(F.col("sv").alias("qv"))
+    return (
+        sv.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.floor(sparse_cosine(F.col("sv"), F.col("qv")) * 1e6)
+            .cast("long")
+            .alias("cos_q"),
+        )
+    )
+
+
+@register(
+    "a13_knn_sparse",
+    oracle=_sparse_prelude()
+    + """,
+    q AS (SELECT * FROM tf WHERE doc_id % 100 = 0),
+    dots AS (
+        SELECT q.doc_id AS qid, d.doc_id, sum(q.val * d.val) AS dot
+        FROM q JOIN tf d ON q.idx = d.idx
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(sum(val * val)) AS nrm FROM tf GROUP BY 1
+    ),
+    scored AS (
+        SELECT dots.qid, dots.doc_id,
+               dots.dot / (dn.nrm * qn.nrm) AS cos
+        FROM dots
+        JOIN norms dn ON dn.doc_id = dots.doc_id
+        JOIN norms qn ON qn.doc_id = dots.qid
+    ),
+    ranked AS (
+        SELECT qid, doc_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id)
+                   AS rank
+        FROM scored
+    )
+    SELECT qid, doc_id, CAST(rank AS INT) AS rank,
+           CAST(floor(cos * 1e6) AS BIGINT) AS cos_q
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def a13_knn_sparse(spark, sf_dir):
+    """Sparse retrieval over an inverted-index posting join (the x18
+    posting shape doing actual search): both sides explode to (id, idx,
+    val) rows, the equi-join on the hashed-vocabulary index computes dot
+    products only where coordinates overlap — never all-pairs, never a
+    dense detour — and a per-query window ranks cosine top-10. Exact
+    integer TF arithmetic makes the DuckDB replay bit-identical."""
+    from debezium_spark.analytics.sparse import knn_sparse, sparse_tf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sv = sparse_tf(docs, dims=_SPARSE_DIMS)
+    queries = sv.filter(F.col("doc_id") % 100 == 0)
+    out = knn_sparse(sv, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("int"))

@@ -814,6 +814,42 @@ def k9_incremental_aggregate(spark, sf_dir):
     )
 
 
+@register(
+    "k11_incremental_avg",
+    oracle=_MERGE_PRELUDE
+    + """
+    SELECT status,
+           CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_balance
+    FROM (
+        SELECT id, status, balance FROM snap ANTI JOIN latest USING (id)
+        UNION ALL
+        SELECT id, status, balance FROM latest WHERE op <> 'd'
+    )
+    GROUP BY status
+    """,
+)
+def k11_incremental_avg(spark, sf_dir):
+    """IVM derived AVG: maintained as explicit exact-decimal sum over
+    exact count, divided once as doubles (IEEE division is deterministic,
+    so the oracle's CAST(sum)/CAST(count) reproduces it bit-for-bit —
+    never a running mean, which differs across engines). The supported-
+    aggregate contract (sum/count/avg; MIN/MAX raise) is asserted in
+    tests/test_merge_edges.py."""
+    from debezium_spark.operators.reduce import maintain_group_aggregate
+
+    env = accounts_snapshot(spark, sf_dir).unionByName(
+        accounts_changefeed(spark, sf_dir)
+    )
+    return maintain_group_aggregate(
+        env,
+        key_cols=["id"],
+        group_col="status",
+        value_col="balance",
+        aggs=("avg",),
+    )
+
+
 # ---------------------------------------------------------------------------
 # K10 — net-effect compaction (changelog-normalize semantics)
 # ---------------------------------------------------------------------------

@@ -123,3 +123,37 @@ def test_lsh_pair_impls_identical(spark, sf_dir):
     expr = sorted(map(tuple, lsh_candidate_pairs(docs, impl="expr").collect()))
     assert arrow == expr
     assert arrow, "fixtures should produce candidate pairs"
+
+
+def test_lsh_pairs_null_text_matches_expr(spark):
+    """NULL texts produce NULL signatures; the arrow kernel must group
+    their NULL band keys exactly like the expression groupBy does (one
+    NULL bucket per band, pairs emitted once from band 0) instead of
+    crashing on a NaN→int64 cast."""
+    from debezium_spark.analytics.text import lsh_candidate_pairs
+
+    rows = [(i, "shared near duplicate text body " * 4) for i in range(4)]
+    rows += [(10, None), (11, None), (12, None)]
+    rows += [(20, f"unique text number twenty {20}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = sorted(map(tuple, lsh_candidate_pairs(docs).collect()))
+    expr = sorted(map(tuple, lsh_candidate_pairs(docs, impl="expr").collect()))
+    assert arrow == expr
+    # the three NULL docs pair with each other exactly once
+    assert {(10, 11), (10, 12), (11, 12)} <= set(arrow)
+
+
+def test_lsh_pairs_string_ids_fall_back_to_expr(spark):
+    """Non-integral id columns can't ride the int64 numpy kernel; the
+    default impl='arrow' call must transparently produce the expression
+    variant's result instead of a cast ValueError mid-task."""
+    from debezium_spark.analytics.text import lsh_candidate_pairs
+
+    rows = [(f"doc-{i}", "shared near duplicate text body " * 4) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = sorted(map(tuple, lsh_candidate_pairs(docs).collect()))
+    expr = sorted(
+        map(tuple, lsh_candidate_pairs(docs, impl="expr").collect())
+    )
+    assert got == expr
+    assert ("doc-0", "doc-1") in set(got)

@@ -329,6 +329,59 @@ def test_incremental_aggregate_numeric_group_key(spark):
     assert out == {10: (10.0, 2), 20: (1.0, 1)}
 
 
+def test_incremental_aggregate_contract(spark):
+    """The aggregate contract is explicit: sum/count/avg are maintainable,
+    anything else (MIN/MAX need a re-scan when the extremum retracts)
+    raises a clear ValueError instead of an AttributeError-shaped
+    surprise. avg = explicit sum/count division, present alongside the
+    chosen outputs only when asked for."""
+    import pytest
+
+    from debezium_spark.envelope import make_envelope
+    from debezium_spark.operators.reduce import maintain_group_aggregate
+
+    ev = spark.createDataFrame(
+        [(1, 1, "c", "a", 4.0), (2, 2, "c", "a", 6.0), (3, 3, "c", "b", 1.0)],
+        "pos long, id long, op string, grp string, bal double",
+    )
+    after_row = F.struct(
+        F.col("id"), F.col("grp").alias("status"), F.col("bal").alias("balance")
+    )
+    env = make_envelope(
+        ev,
+        key=F.struct(F.col("id")),
+        before=F.lit(None).cast("struct<id:long,status:string,balance:double>"),
+        after=F.when(F.col("op") != "d", after_row),
+        op=F.col("op"),
+        db="db",
+        table="t",
+        pos=F.col("pos"),
+        tx_id=F.lit(None).cast("string"),
+        ts_ms=F.lit(0),
+        ts_us=F.lit(0),
+        ts_ns=F.lit(0),
+    )
+    with pytest.raises(ValueError, match="re-scanning"):
+        maintain_group_aggregate(
+            env, key_cols=["id"], group_col="status", value_col="balance",
+            aggs=("max",),
+        )
+    with pytest.raises(ValueError):
+        maintain_group_aggregate(
+            env, key_cols=["id"], group_col="status", value_col="balance",
+            aggs=(),
+        )
+    rows = maintain_group_aggregate(
+        env, key_cols=["id"], group_col="status", value_col="balance",
+        aggs=("sum", "count", "avg"),
+    ).collect()
+    out = {
+        r["status"]: (r["total_balance"], r["n"], r["avg_balance"])
+        for r in rows
+    }
+    assert out == {"a": (10.0, 2, 5.0), "b": (1.0, 1, 1.0)}
+
+
 def test_net_effect_compaction_semantics(spark):
     """The four net-effect outcomes in one window: create+delete vanishes;
     create(+update) → one 'c' with final state; update-only → 'u';

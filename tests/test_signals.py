@@ -274,3 +274,63 @@ def test_source_signal_channel_processes_in_stream_signals(spark, sf_dir, dirs):
     signals.poll(pipe, sig_batch, 1)
     assert not snapshotter.active  # not restarted
     assert len(sink.read().collect()) == n_before
+
+
+def test_kafka_signal_channel_contract(spark, tmp_path):
+    """KafkaSignalChannel semantics driven through the file-backed
+    stand-in consumer (the production spark-sql-kafka binding swaps in
+    behind the same record_source signature): key guard, malformed-JSON
+    and missing-type skip, offset resume, seek + id-dedup replay."""
+    import json as _json
+
+    from debezium_spark.streaming.signals import (
+        KafkaSignalChannel,
+        NotificationLog,
+        file_record_source,
+    )
+
+    topic = tmp_path / "signal_topic.jsonl"
+    recs = [
+        {"key": "conn1", "value": _json.dumps(
+            {"id": "s1", "type": "log", "data": {"message": "hello"}})},
+        {"key": "other-connector", "value": _json.dumps(
+            {"id": "sX", "type": "log", "data": {"message": "not mine"}})},
+        {"key": "conn1", "value": "{not json"},
+        {"key": "conn1", "value": _json.dumps({"id": "s2"})},  # no type
+    ]
+    topic.write_text("".join(_json.dumps(r) + "\n" for r in recs))
+
+    warns = []
+    notes = NotificationLog(str(tmp_path / "notes.jsonl"))
+    ch = KafkaSignalChannel(
+        str(tmp_path / "state"),
+        connector_name="conn1",
+        record_source=file_record_source(str(topic)),
+        notifications=notes,
+        warn=warns.append,
+    )
+    ch.poll(None, None, epoch_id=0)
+
+    msgs = [n for n in notes.read() if n["type"] == "MESSAGE"]
+    assert [m["message"] for m in msgs] == ["hello"]
+    assert len(warns) == 3  # key mismatch + bad JSON + missing type
+    assert ch._load_state()["channel_offset"] == 3  # consumer moved past all
+
+    # idempotent on re-poll: no new records, nothing re-dispatched
+    ch.poll(None, None, epoch_id=1)
+    assert len([n for n in notes.read() if n["type"] == "MESSAGE"]) == 1
+
+    # seek replays the topic; id-dedup suppresses the already-run signal
+    ch.seek(-1)
+    ch.poll(None, None, epoch_id=2)
+    assert len([n for n in notes.read() if n["type"] == "MESSAGE"]) == 1
+
+    # a newly appended record is picked up from the stored offset
+    with open(topic, "a") as f:
+        f.write(_json.dumps({"key": "conn1", "value": _json.dumps(
+            {"id": "s3", "type": "log", "data": {"message": "again"}})}) + "\n")
+    ch.poll(None, None, epoch_id=3)
+    assert [m["message"] for m in notes.read() if m["type"] == "MESSAGE"] == [
+        "hello",
+        "again",
+    ]

@@ -85,3 +85,105 @@ def test_tx_assembly_across_batches(spark, sf_dir, tmp_path):
     # And at least one uncommitted tx was held back (the tail of the feed).
     all_tx = feed_df.select("tx_id").distinct().count()
     assert len(got) <= all_tx
+
+
+def test_tx_retention_expires_abandoned_to_dlq(spark, tmp_path):
+    """Bounded state (the reference's log.mining.transaction.retention.ms):
+    a begin-without-commit transaction idle past retention is expired as an
+    ABANDONED record (routed to the DLQ here), its state row is REMOVED
+    (proved by the late commit re-counting from zero), and committed
+    transactions are unaffected."""
+    import pandas as pd
+
+    from debezium_spark.sinks.dlq import DeadLetterQueue
+    from pyspark.sql import functions as F
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed, exist_ok=True)
+    chunks = [
+        # batch 1: tx A begins (3 events, never commits), tx B commits.
+        pd.DataFrame(
+            {
+                "tx_id": ["A", "A", "A", "B", "B"],
+                "pos": [1, 2, 3, 4, 5],
+                "is_commit": [False, False, False, False, True],
+            }
+        ),
+        # batch 2: unrelated tx C commits; drives the timeout sweep that
+        # expires A (retention 1 ms elapsed since batch 1).
+        pd.DataFrame(
+            {"tx_id": ["C", "C"], "pos": [6, 7], "is_commit": [False, True]}
+        ),
+        # batch 3: A's commit finally arrives — AFTER expiry, so it must
+        # assemble from fresh state (count 1), proving removal.
+        pd.DataFrame({"tx_id": ["A"], "pos": [8], "is_commit": [True]}),
+    ]
+    for i, pdf in enumerate(chunks, 1):
+        spark.createDataFrame(
+            pdf, "tx_id string, pos long, is_commit boolean"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{feed}/../__t{i}")
+        src = f"{feed}/../__t{i}"
+        data = next(f for f in os.listdir(src) if f.endswith(".parquet"))
+        final = f"{feed}/chunk_{i:03d}.parquet"
+        os.replace(os.path.join(src, data), final)
+        shutil.rmtree(src)
+        mt = time.time() + i
+        os.utime(final, (mt, mt))
+
+    stream = (
+        spark.readStream.schema("tx_id string, pos long, is_commit boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    out = transaction_boundaries_stream(stream, retention_ms=1)
+    dlq = DeadLetterQueue(spark, str(tmp_path / "dlq"))
+    done_path = str(tmp_path / "done")
+
+    # ProcessingTimeTimeout makes Spark schedule no-data micro-batches
+    # indefinitely (each could fire a timeout), so an availableNow query
+    # never terminates with the default conf. Expiry only needs A BATCH to
+    # run — batch 2's data batch sweeps A here — so disabling no-data
+    # batches keeps the test deterministic AND terminating. (Production
+    # continuous triggers keep the default: idle streams still expire
+    # abandoned transactions; see transaction_boundaries_stream's docs.)
+    no_data_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(no_data_key)
+    spark.conf.set(no_data_key, "false")
+
+    def route(batch, epoch_id):
+        abandoned = batch.filter(F.col("status") == "ABANDONED")
+        if abandoned.limit(1).count():
+            dlq.quarantine(
+                abandoned,
+                reason="transaction retention expired",
+                epoch_id=epoch_id,
+            )
+        batch.filter(F.col("status") == "END").write.mode("append").parquet(
+            done_path
+        )
+
+    try:
+        q = (
+            out.writeStream.foreachBatch(route)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(no_data_key, prev)
+
+    dlq_rows = dlq.read().collect()
+    assert len(dlq_rows) == 1
+    (ab,) = dlq_rows
+    assert ab["tx_id"] == "A" and ab["status"] == "ABANDONED"
+    assert (ab["event_count"], ab["first_pos"], ab["last_pos"]) == (3, 1, 3)
+    assert ab["__error"] == "transaction retention expired"
+
+    done = {
+        r["tx_id"]: (r["event_count"], r["first_pos"], r["last_pos"])
+        for r in spark.read.parquet(done_path).collect()
+    }
+    # B and C committed normally; A's late commit rebuilt from EMPTY state.
+    assert done == {"B": (2, 4, 5), "C": (2, 6, 7), "A": (1, 8, 8)}
