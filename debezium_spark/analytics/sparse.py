@@ -197,3 +197,82 @@ def knn_sparse(
             F.floor(F.col("cos") * 1e6).cast("long").alias("cos_q"),
         )
     )
+
+
+def bm25_rank(
+    corpus_sv: DataFrame,
+    queries_sv: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranking over the inverted index — the other half of sparse
+    retrieval (cosine ranks by angle; BM25 is what lexical search engines
+    actually score with: Robertson-Spärck Jones term saturation +
+    length normalization).
+
+    Same join shape as :func:`knn_sparse`: postings equi-join on the
+    hashed-vocabulary index, O(nnz) shuffle, never all-pairs. The
+    corpus-level statistics are tiny and broadcast: ``df`` (document
+    frequency per index) is bounded by the vocabulary dims, ``N``/``avgdl``
+    are one row.
+
+    Engine-portable exactness: the per-term score
+    ``idf_r * (tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl)))`` is pure
+    IEEE +,-,*,/ over identically-parenthesized operands (deterministic
+    across engines, unlike libm log), floor-quantized to an integer
+    PER TERM, then summed as BIGINTs — so aggregation order can't change
+    the result and a relational replay hashes bit-identically.
+    ``idf_r = (N - df + 0.5)/(df + 0.5)`` is the rational core of the
+    standard BM25 idf (its log is a monotone transform — drop
+    ``F.log1p`` around it for classic scores when cross-engine
+    bit-parity isn't needed). Query terms contribute binarily (distinct
+    indices), the standard short-query form.
+
+    Output: (qid, {id_col}, rank, score_q) — score_q the summed quantized
+    term scores."""
+    k1 = float(k1)
+    b = float(b)
+    post = explode_postings(corpus_sv, id_col)
+    dl = post.groupBy(id_col).agg(F.sum("val").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    df_tbl = post.groupBy("idx").agg(F.count("*").alias("df"))
+    q_terms = (
+        explode_postings(queries_sv, id_col, id_alias="qid")
+        .select("qid", "idx")
+        .distinct()
+    )
+    joined = (
+        F.broadcast(q_terms)
+        .join(post, "idx")
+        .join(F.broadcast(df_tbl), "idx")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf_r = (F.col("n") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    sat = (F.col("val") * F.lit(k1 + 1.0)) / (
+        F.col("val")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+    )
+    term_q = F.floor((idf_r * sat) * F.lit(1000000.0)).cast("long")
+    scored = (
+        joined.select("qid", id_col, term_q.alias("s"))
+        .groupBy("qid", id_col)
+        .agg(F.sum("s").alias("score_q"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_q").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "rank", "score_q")
+    )

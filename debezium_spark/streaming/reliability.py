@@ -105,3 +105,48 @@ def run_with_retries(
             time.sleep(delay)
             delay *= backoff_multiplier
     raise AssertionError("unreachable")
+
+
+def effectively_once(
+    events,
+    id_cols: tuple[str, ...] = ("source.pos",),
+    *,
+    event_time_col: str = "ts",
+    delay: str = "10 minutes",
+):
+    """At-least-once → effectively-once: drop redelivered events by source
+    position with BOUNDED state.
+
+    The reference's delivery contract is at-least-once — after a connector
+    restart, events between the last committed offset and the crash point
+    are re-emitted and consumers are told to deduplicate by source position
+    (the documented duplicate-handling guidance; offsets commit after
+    delivery in BaseSourceTask/OffsetStorageWriter). This operator is that
+    consumer-side dedup as a stream transform:
+    ``dropDuplicatesWithinWatermark`` keyed on the source position, so a
+    redelivery inside the watermark ``delay`` is suppressed while the state
+    store only retains positions within the watermark — redeliveries can
+    only reach back to the last committed offset, which a restart always
+    replays promptly, so a delay covering restart-replay lag gives
+    exactly-once OUTPUT with O(events-per-delay) state, not O(stream).
+
+    (The MERGE sinks don't need this — an idempotent upsert absorbs
+    replays; it's for append-mode consumers: DLQs, event logs, analytics
+    appends.)
+    """
+    from pyspark.sql import functions as F
+
+    added: list[str] = []
+    keys: list[str] = []
+    for c in id_cols:
+        if "." in c:  # nested (e.g. source.pos): dedup needs a top-level col
+            alias = "__dedup_" + c.replace(".", "_")
+            events = events.withColumn(alias, F.col(c))
+            added.append(alias)
+            keys.append(alias)
+        else:
+            keys.append(c)
+    out = events.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+    return out.drop(*added)

@@ -36,8 +36,9 @@ QUERIES: dict[str, Q] = {}
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
     # --- r7 rotation (the per-query ledger lives in COVERAGE.md):
-    # 1. the three queries registered this round (no driver row yet) —
-    #    IVM derived AVG, sparse struct cosine, inverted-index sparse kNN;
+    # 1. the five queries registered this round (no driver row yet) — IVM
+    #    derived AVG, sparse struct cosine, inverted-index sparse kNN, BM25
+    #    lexical retrieval, sink-fingerprint consistency audit;
     # 2. ALL 37 queries whose last green driver row is r4 (the stalest
     #    evidence after the r6 rotation) — after this window nothing in
     #    the union is older than r5;
@@ -46,12 +47,14 @@ PRIORITY: tuple[str, ...] = (
     #    merge pos-null ordering + evolution-recording order, IVM aggs
     #    refactor, codec on_error decode paths — f4 avro is already in
     #    the stale set);
-    # 4. six freshness picks from the r5 set, one per family (warehouse,
-    #    dedup, ANN, event-time, sources, streaming-infra).
+    # 4. four freshness picks from the r5 set, one per family (warehouse,
+    #    dedup, ANN, sources).
     # never driver-green (new this round) ------------------------------------
     "k11_incremental_avg",             # IVM derived AVG (sum/count contract)
     "a12_sparse_cosine",               # SparseDoubleVector struct cosine
     "a13_knn_sparse",                  # inverted-index sparse retrieval
+    "a14_bm25_rank",                   # BM25 lexical retrieval
+    "k12_sink_fingerprint",            # source↔sink consistency audit
     # last green r4 (all of them) --------------------------------------------
     "a3_knn_lsh",
     "a6_cosine_near_dup",
@@ -99,9 +102,7 @@ PRIORITY: tuple[str, ...] = (
     "w1_pricing_summary",
     "x4_exact_dedup",
     "a2_knn_bruteforce",
-    "e1_tumbling_window",
     "s3_incremental_snapshot_dedup",
-    "p4_transaction_metadata",
 )
 
 

@@ -805,3 +805,66 @@ def a13_knn_sparse(spark, sf_dir):
     queries = sv.filter(F.col("doc_id") % 100 == 0)
     out = knn_sparse(sv, queries, k=10)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "a14_bm25_rank",
+    oracle=_sparse_prelude()
+    + """,
+    dl AS (SELECT doc_id, sum(val) AS dl FROM tf GROUP BY 1),
+    stats AS (
+        SELECT count(*) AS n,
+               sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl
+        FROM dl
+    ),
+    dfreq AS (SELECT idx, count(*) AS df FROM tf GROUP BY 1),
+    q AS (
+        SELECT DISTINCT doc_id AS qid, idx FROM tf WHERE doc_id % 100 = 0
+    ),
+    terms AS (
+        SELECT q.qid, d.doc_id,
+               CAST(floor(
+                   (((n - df + CAST(0.5 AS DOUBLE))
+                     / (df + CAST(0.5 AS DOUBLE)))
+                    * ((val * CAST(2.2 AS DOUBLE))
+                       / (val + CAST(1.2 AS DOUBLE)
+                          * (CAST(0.25 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * (dl.dl / avgdl)))))
+                   * CAST(1000000.0 AS DOUBLE)
+               ) AS BIGINT) AS s
+        FROM q
+        JOIN tf d ON q.idx = d.idx
+        JOIN dfreq ON dfreq.idx = d.idx
+        JOIN dl ON dl.doc_id = d.doc_id
+        CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT qid, doc_id, sum(s) AS score_q FROM terms GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT qid, doc_id, score_q,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY score_q DESC, doc_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT qid, doc_id, CAST(rank AS INT) AS rank, score_q
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def a14_bm25_rank(spark, sf_dir):
+    """BM25 lexical retrieval over the inverted index (the scoring
+    production search engines pair with the a13 cosine leg): rational-idf
+    term scores floor-quantized PER TERM then summed as integers, so the
+    result is aggregation-order-independent and the relational replay
+    hashes bit-identically — the per-term arithmetic is identically
+    parenthesized IEEE +,-,*,/ on both engines (no libm log in the
+    checked output; log1p is a documented monotone drop-in). Corpus
+    stats (df table ≤ vocab dims, N/avgdl one row) broadcast."""
+    from debezium_spark.analytics.sparse import bm25_rank, sparse_tf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sv = sparse_tf(docs, dims=_SPARSE_DIMS)
+    queries = sv.filter(F.col("doc_id") % 100 == 0)
+    out = bm25_rank(sv, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("int"))

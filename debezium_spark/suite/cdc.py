@@ -891,3 +891,44 @@ def k10_net_effect(spark, sf_dir):
         F.col("after.status").alias("status"),
         F.col("after.balance").alias("balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K12 — source↔sink consistency audit (bucketed fingerprints)
+# ---------------------------------------------------------------------------
+def _k12_oracle() -> str:
+    from debezium_spark.operators.audit import oracle_fingerprint_sql
+
+    merged = """(
+        SELECT id, status, balance FROM snap ANTI JOIN latest USING (id)
+        UNION ALL
+        SELECT id, status, balance FROM latest WHERE op <> 'd'
+    )"""
+    return _MERGE_PRELUDE + oracle_fingerprint_sql(
+        merged,
+        ["id"],
+        ["status", "CAST(balance AS DECIMAL(18,2))"],
+        num_buckets=64,
+    )
+
+
+@register("k12_sink_fingerprint", oracle=_k12_oracle())
+def k12_sink_fingerprint(spark, sf_dir):
+    """Consistency audit the way production runs it: the sink's bucketed
+    fingerprint (one scan, one hash agg → 64 rows) against the SOURCE
+    database computing its own fingerprint in plain ANSI SQL — matching
+    rows prove sink ≡ source without either side shipping a row, and a
+    mismatch names the bucket to re-snapshot. Floats render through
+    DECIMAL(18,2) (raw float→string differs across engines); hash sums
+    are mod-prime so BIGINT holds them on any engine."""
+    from debezium_spark.operators.audit import table_fingerprint
+
+    target = _snapshot_flat(spark, sf_dir)
+    env = accounts_changefeed(spark, sf_dir)
+    merged = merge_changes(target, env, ["id"], insert_mode="upsert")
+    return table_fingerprint(
+        merged,
+        ["id"],
+        ["status", F.col("balance").cast("decimal(18,2)")],
+        num_buckets=64,
+    )
