@@ -41,7 +41,13 @@ def sparse_dot(a: Column, b: Column) -> Column:
     """Dot product of two SparseDoubleVector structs: fold over ``a``'s
     entries (ascending index order — deterministic), looking each index up
     in a map built from ``b``; missing coordinates contribute 0. NULL in →
-    NULL out (either side)."""
+    NULL out (either side).
+
+    Relies on the SparseDoubleVector contract of UNIQUE indices (the
+    reference stores one value per dimension —
+    debezium-core/src/main/java/io/debezium/data/vector/SparseDoubleVector.java);
+    a struct violating it fails loudly (Spark's DUPLICATED_MAP_KEY) rather
+    than silently summing a coordinate twice."""
     m = F.map_from_arrays(b["indices"], b["values"])
     entries = F.zip_with(
         a["indices"],

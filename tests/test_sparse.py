@@ -1,0 +1,123 @@
+"""Sparse-vector similarity invariants (analytics/sparse.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _sv(dims, pairs):
+    """Build a SparseDoubleVector struct literal from (idx, val) pairs."""
+    pairs = sorted(pairs)
+    return (
+        dims,
+        [i for i, _ in pairs],
+        [float(v) for _, v in pairs],
+    )
+
+
+def _dense(dims, sv):
+    out = np.zeros(dims)
+    for i, v in zip(sv[1], sv[2]):
+        out[i - 1] = v
+    return out
+
+
+def test_sparse_dot_matches_dense(spark):
+    """sparse_dot over the struct == numpy dense dot, including disjoint
+    supports (0) and integer values (exact at any order)."""
+    from debezium_spark.analytics.sparse import sparse_dot
+
+    rng = np.random.default_rng(7)
+    dims = 50
+    rows = []
+
+    def rand_sv():
+        # dict keyed by index: the SparseDoubleVector contract is UNIQUE
+        # ascending indices (sparse_dot's map build relies on it)
+        entries = {
+            int(rng.integers(1, dims + 1)): int(rng.integers(-5, 6))
+            for _ in range(rng.integers(0, 12))
+        }
+        return _sv(dims, entries.items())
+
+    for _ in range(25):
+        a, b = rand_sv(), rand_sv()
+        rows.append((a, b, float(_dense(dims, a) @ _dense(dims, b))))
+    schema = (
+        "a struct<dimensions:int,indices:array<int>,values:array<double>>, "
+        "b struct<dimensions:int,indices:array<int>,values:array<double>>, "
+        "want double"
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = df.select(
+        sparse_dot(F.col("a"), F.col("b")).alias("dot"), "want"
+    ).collect()
+    for r in got:
+        assert r["dot"] == r["want"]
+
+
+def test_sparse_cosine_null_and_zero_norm(spark):
+    from debezium_spark.analytics.sparse import sparse_cosine
+
+    schema = (
+        "a struct<dimensions:int,indices:array<int>,values:array<double>>, "
+        "b struct<dimensions:int,indices:array<int>,values:array<double>>"
+    )
+    df = spark.createDataFrame(
+        [
+            (_sv(10, [(1, 2)]), _sv(10, [(1, 2)])),   # identical → 1.0
+            (_sv(10, [(1, 2)]), _sv(10, [])),          # zero norm → NULL
+            (None, _sv(10, [(1, 2)])),                 # NULL in → NULL out
+        ],
+        schema,
+    )
+    got = [r[0] for r in df.select(sparse_cosine(F.col("a"), F.col("b"))).collect()]
+    assert got[0] == 1.0
+    assert got[1] is None
+    assert got[2] is None
+
+
+def test_knn_sparse_self_is_rank_one(spark):
+    """Every query doc's nearest neighbor is itself at cosine 1 — the
+    retrieval sanity invariant."""
+    from debezium_spark.analytics.sparse import knn_sparse, sparse_tf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red apples and green apples"),
+            (2, "green pears and yellow pears"),
+            (3, "completely different words here altogether"),
+        ],
+        "doc_id long, text string",
+    )
+    sv = sparse_tf(docs, dims=64)
+    out = knn_sparse(sv, sv, k=2).collect()
+    top = {r["qid"]: (r["doc_id"], r["cos_q"]) for r in out if r["rank"] == 1}
+    assert set(top) == {1, 2, 3}
+    for qid, (doc, cos_q) in top.items():
+        assert doc == qid
+        # self-cosine = s / sqrt(s)² — floats may land a hair under 1,
+        # so the floor-quantized value is 1e6 or 1e6-1
+        assert cos_q in (999999, 1000000)
+
+
+def test_bm25_rare_term_outranks(spark):
+    """A document sharing the query's RARE term must outrank one sharing
+    only a corpus-common term (the idf property BM25 exists for)."""
+    from debezium_spark.analytics.sparse import bm25_rank, sparse_tf
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zyzzyva common"),        # the query
+            (1, "zyzzyva common"),        # shares rare + common term
+            (2, "common common common"),  # shares only the common term
+            (3, "common filler words"),
+            (4, "common other padding"),
+        ],
+        "doc_id long, text string",
+    )
+    sv = sparse_tf(docs, dims=256)
+    q = sv.filter(F.col("doc_id") == 0)
+    got = {r["doc_id"]: r["rank"] for r in bm25_rank(sv, q, k=5).collect()}
+    assert got[1] < got[2]  # rare-term doc ranks strictly better
