@@ -240,3 +240,71 @@ def attach_schema_version(
         "left",
     )
     return joined.drop("__t", "valid_from_pos", "valid_to_pos")
+
+
+class ObjectStoreSchemaHistory(SchemaHistoryBackend):
+    """Single-object history for append-less object stores — the
+    S3 / Azure-blob storage shape (debezium-storage/debezium-storage-s3/
+    src/main/java/io/debezium/storage/s3/history/S3SchemaHistory.java
+    keeps ALL history records in ONE object and re-uploads the whole
+    object on every ``record()``; the azure-blob backend mirrors it).
+
+    Implemented over Hadoop's FileSystem layer, so the SAME code path runs
+    against ``file:/`` in tests and ``s3a://`` / ``abfs://`` / ``hdfs://``
+    in production — the swap is a URI, not new code. Each ``record()``
+    reads the current object and rewrites it whole via ``create(overwrite)``
+    (object PUTs are atomic — readers see the old or the new object, never
+    a torn one, matching the reference's upload semantics); schema changes
+    are rare, so the O(history) rewrite is the right trade for a store
+    with no append."""
+
+    def __init__(self, spark: SparkSession, uri: str):
+        super().__init__(spark)
+        self.uri = uri
+
+    def _fs(self):
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.uri)
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return jvm, fs, path
+
+    def _read_bytes(self) -> bytes:
+        jvm, fs, path = self._fs()
+        if not fs.exists(path):
+            return b""
+        stream = fs.open(path)
+        try:
+            return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+
+    def record(
+        self, table: str, version: int, columns: list[str], valid_from_pos: int
+    ) -> None:
+        rec = {
+            "table": table,
+            "version": version,
+            "columns_json": json.dumps(columns),
+            "valid_from_pos": valid_from_pos,
+        }
+        data = self._read_bytes() + (json.dumps(rec) + "\n").encode("utf-8")
+        _, fs, path = self._fs()
+        out = fs.create(path, True)
+        try:
+            out.write(data)
+        finally:
+            out.close()
+
+    def recover(self) -> DataFrame:
+        rows = [
+            json.loads(line)
+            for line in self._read_bytes().decode("utf-8").splitlines()
+            if line.strip()
+        ]
+        return self.spark.createDataFrame(
+            [
+                (r["table"], r["version"], r["columns_json"], r["valid_from_pos"])
+                for r in rows
+            ],
+            _HISTORY_DDL,
+        )

@@ -436,6 +436,7 @@ class KafkaSignalChannel(FileSignalChannel):
         self.connector_name = connector_name
         self.record_source = record_source
         self.warn = warn
+        self._polled: list | None = None  # one consumer read per poll()
 
     def _load_state(self) -> dict:
         st = super()._load_state()
@@ -451,8 +452,13 @@ class KafkaSignalChannel(FileSignalChannel):
 
     def pending(self) -> list[dict]:
         st = self._load_state()
+        recs = (
+            self._polled
+            if self._polled is not None
+            else self.record_source(st["channel_offset"])
+        )
         out = []
-        for key, value, offset in self.record_source(st["channel_offset"]):
+        for key, value, offset in recs:
             if key != self.connector_name:
                 self.warn(
                     f"signal key {key!r} doesn't match connector "
@@ -481,17 +487,22 @@ class KafkaSignalChannel(FileSignalChannel):
         return out
 
     def poll(self, pipeline, batch_df: DataFrame, epoch_id: int) -> None:
-        recs = self.record_source(self._load_state()["channel_offset"])
-        super().poll(pipeline, batch_df, epoch_id)
-        if recs:
-            # Advance past everything polled (accepted, mismatched, or
-            # malformed — the reference's consumer offset moves the same
-            # way); id-dedup still guards replays after an explicit seek.
-            st = self._load_state()
-            st["channel_offset"] = max(
-                [off for _, _, off in recs] + [st["channel_offset"]]
-            )
-            self._save_state(st)
+        # ONE consumer read per poll: pending() (invoked by the inherited
+        # dispatch) reuses this batch instead of re-polling the source.
+        self._polled = self.record_source(self._load_state()["channel_offset"])
+        try:
+            super().poll(pipeline, batch_df, epoch_id)
+            if self._polled:
+                # Advance past everything polled (accepted, mismatched, or
+                # malformed — the reference's consumer offset moves the same
+                # way); id-dedup still guards replays after an explicit seek.
+                st = self._load_state()
+                st["channel_offset"] = max(
+                    [off for _, _, off in self._polled] + [st["channel_offset"]]
+                )
+                self._save_state(st)
+        finally:
+            self._polled = None
 
 
 def file_record_source(path: str):

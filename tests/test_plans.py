@@ -50,6 +50,25 @@ def test_knn_broadcasts_queries_not_cartesian(spark, qs):
     assert "CartesianProduct" not in plan
 
 
+def test_sparse_retrieval_posting_join_shape(spark, qs):
+    """a13/a14 ride the inverted-index posting join: the QUERY side's
+    postings broadcast (explicit hint), the per-query top-k is a
+    partitioned WindowGroupLimit rank pushdown, and nothing degenerates
+    into a cartesian."""
+    for name in ("a13_knn_sparse", "a14_bm25_rank"):
+        plan = _plan(spark, qs, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "WindowGroupLimit" in plan, name
+
+
+def test_sparse_cosine_broadcasts_one_row_query(spark, qs):
+    plan = _plan(spark, qs, "a12_sparse_cosine")
+    # one-row query vector rides a broadcast nested loop, never a shuffle
+    assert "BroadcastNestedLoop" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_reselect_lookup_join_broadcasts(spark, qs):
     plan = _plan(spark, qs, "t18_reselect_columns")
     assert "BroadcastHashJoin" in plan

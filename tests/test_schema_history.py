@@ -15,6 +15,7 @@ from debezium_spark.schema.history import (
     FileSchemaHistory,
     JdbcSchemaHistory,
     MemorySchemaHistory,
+    ObjectStoreSchemaHistory,
     SchemaRegistry,
 )
 
@@ -31,6 +32,9 @@ def _backends(spark, tmp_path):
         FileSchemaHistory(spark, str(tmp_path / "hist.jsonl")),
         MemorySchemaHistory(spark),
         JdbcSchemaHistory(spark, str(tmp_path / "hist.sqlite")),
+        # object-store (S3/Azure-blob) shape through Hadoop FS — file:/ here,
+        # s3a:// / abfs:// in production, same code path
+        ObjectStoreSchemaHistory(spark, "file:" + str(tmp_path / "hist_obj")),
     ]
 
 
@@ -44,7 +48,7 @@ def test_backends_record_and_recover_identically(spark, tmp_path):
             for r in be.recover().collect()
         )
         recovered.append(rows)
-    assert recovered[0] == recovered[1] == recovered[2] == recovered[3]
+    assert all(r == recovered[0] for r in recovered[1:])
     assert len(recovered[0]) == len(_VERSIONS)
 
 
@@ -136,3 +140,16 @@ def test_jdbc_backend_survives_restart(spark, tmp_path):
     reader = JdbcSchemaHistory(spark, db)
     assert reader.recover().count() == len(_VERSIONS)
     assert reader.schema_at("accounts", 600) == ["id", "status", "balance"]
+
+
+def test_object_store_backend_survives_restart(spark, tmp_path):
+    """A new instance over the same URI recovers everything — the
+    whole-object re-upload semantics (S3SchemaHistory) hold across
+    restarts, and partial writes can't tear the object (old-or-new)."""
+    uri = "file:" + str(tmp_path / "hist_obj")
+    be = ObjectStoreSchemaHistory(spark, uri)
+    for v in _VERSIONS:
+        be.record(*v)
+    fresh = ObjectStoreSchemaHistory(spark, uri)
+    assert fresh.recover().count() == len(_VERSIONS)
+    assert fresh.schema_at("accounts", 600) == ["id", "status", "balance"]
