@@ -205,6 +205,54 @@ def knn_sparse(
     )
 
 
+def rrf_fuse(
+    legs: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+    k0: int = 60,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval legs — how production hybrid
+    search combines lexical (BM25) and vector (cosine) rankings without
+    commensurable scores (Cormack, Clarke & Buettcher, SIGIR 2009:
+    ``RRF(d) = Σ_legs 1/(k0 + rank_leg(d))``, k0=60).
+
+    Each leg is a (qid, {id_col}, rank) DataFrame (ranks 1-based; extra
+    columns ignored). Fusing is rank-only by design — BM25 scores and
+    cosines live on unrelated scales, so RRF beats score interpolation
+    without per-corpus weight tuning.
+
+    Engine-portable exactness: each leg's contribution is the INTEGER
+    quotient ``scale div (k0 + rank)`` summed as BIGINTs — no float
+    anywhere, so any engine replays bit-identically (mirror with
+    ``scale // (k0 + rank)`` relationally). A document absent from a leg
+    contributes 0 (the union simply has no row), matching the paper.
+
+    Scale shape: unioned legs are already top-k-per-query (tiny relative
+    to the corpora that produced them); one hash aggregation on
+    (qid, id) + a per-query top-k window. No join back to the corpus."""
+    contrib = F.expr(f"{int(scale)} div ({int(k0)} + rank)")
+    parts = [
+        leg.select(F.col("qid"), F.col(id_col), contrib.alias("c"))
+        for leg in legs
+    ]
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionAll(p)
+    scored = fused.groupBy("qid", id_col).agg(
+        F.sum("c").cast("long").alias("rrf_q")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rrf_q").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "rank", "rrf_q")
+    )
+
+
 def bm25_rank(
     corpus_sv: DataFrame,
     queries_sv: DataFrame,

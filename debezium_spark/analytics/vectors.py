@@ -813,3 +813,84 @@ def load_vector_index(spark: SparkSession, path: str) -> dict[str, DataFrame]:
             f"no ANN index artifacts ({', '.join(_INDEX_PARTS)}) under {path!r}"
         )
     return out
+
+
+def semdedup(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iterations: int = 1,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup — semantic (embedding-space) deduplication via cluster
+    pruning (Abbas et al. 2023, arXiv:2303.09540): k-means the corpus,
+    compute pairwise cosine ONLY within each cluster, and mark a vector a
+    semantic duplicate when some same-cluster vector with a smaller id
+    sits within ``threshold`` cosine (deterministic keep-lowest-id, the
+    same keep rule as exact dedup's x4).
+
+    This is the third dedup regime next to MinHash/LSH (surface n-grams)
+    and SimHash: near-duplicate MEANING with different wording, the gap
+    the SemDeDup paper shows LSH cannot close. Complements a6's
+    sign-LSH-bucketed cosine pairs: k-means cells give recall that random
+    hyperplane buckets lose at high thresholds, at the price of a
+    training pass.
+
+    Scale shape: training is :func:`ivf_train` (map-side literal-centroid
+    assignment, integer-quantized means); the pairwise stage self-joins
+    WITHIN cells only — never all-pairs. ``n_cells`` scales with the
+    corpus (the paper uses 50k clusters for 5B embeddings) precisely to
+    bound per-cell pair counts; AQE's skew-join splits any hot cell.
+    Per-row norms are computed once before the join and carried through a
+    localCheckpoint barrier so plan inlining cannot re-fold them per pair.
+
+    Pass ``centroids`` (the ``ivf_train`` / ``load_vector_index`` shape)
+    to reuse a trained index — train-once/dedup-many, same lifecycle as
+    ``knn_ivf``'s prebuilt path.
+
+    Returns (``id_col``, cell, is_dup) for every input vector.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_train(
+            vectors,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_cells=n_cells,
+            iterations=iterations,
+        )
+    )
+    member = _nearest_cells(vectors, cents, id_col, vec_col, nprobe=1)
+    e = member.select(
+        F.col("cell"),
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    ).localCheckpoint(eager=True)
+    a, b = e.alias("sda"), e.alias("sdb")
+    cos = dot_product(F.col(f"sda.{vec_col}"), F.col(f"sdb.{vec_col}")) / (
+        F.col("sda.__n") * F.col("sdb.__n")
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("sda.cell") == F.col("sdb.cell"))
+            & (F.col(f"sda.{id_col}") < F.col(f"sdb.{id_col}")),
+        )
+        .where(cos >= F.lit(float(threshold)))
+        .select(F.col(f"sdb.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        member.join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -36,9 +36,10 @@ QUERIES: dict[str, Q] = {}
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
     # --- r7 rotation (the per-query ledger lives in COVERAGE.md):
-    # 1. the five queries registered this round (no driver row yet) — IVM
+    # 1. the seven queries registered this round (no driver row yet) — IVM
     #    derived AVG, sparse struct cosine, inverted-index sparse kNN, BM25
-    #    lexical retrieval, sink-fingerprint consistency audit;
+    #    lexical retrieval, sink-fingerprint consistency audit, RRF hybrid
+    #    fusion, SemDeDup;
     # 2. ALL 37 queries whose last green driver row is r4 (the stalest
     #    evidence after the r6 rotation) — after this window nothing in
     #    the union is older than r5;
@@ -47,14 +48,17 @@ PRIORITY: tuple[str, ...] = (
     #    merge pos-null ordering + evolution-recording order, IVM aggs
     #    refactor, codec on_error decode paths — f4 avro is already in
     #    the stale set);
-    # 4. four freshness picks from the r5 set, one per family (warehouse,
-    #    dedup, ANN, sources).
+    # 4. two freshness picks from the r5 set (warehouse, sources) — two of
+    #    r6's planned four yielded their slots to the late-round a15/a16
+    #    registrations (x4/a2 stay r5-green in the union either way).
     # never driver-green (new this round) ------------------------------------
     "k11_incremental_avg",             # IVM derived AVG (sum/count contract)
     "a12_sparse_cosine",               # SparseDoubleVector struct cosine
     "a13_knn_sparse",                  # inverted-index sparse retrieval
     "a14_bm25_rank",                   # BM25 lexical retrieval
     "k12_sink_fingerprint",            # source↔sink consistency audit
+    "a15_rrf_fusion",                  # hybrid BM25+cosine RRF
+    "a16_semdedup",                    # cluster-pruned semantic dedup
     # last green r4 (all of them) --------------------------------------------
     "a3_knn_lsh",
     "a6_cosine_near_dup",
@@ -100,8 +104,6 @@ PRIORITY: tuple[str, ...] = (
     "f5_protobuf_roundtrip",           # on_error decode path
     # r5 freshness picks ------------------------------------------------------
     "w1_pricing_summary",
-    "x4_exact_dedup",
-    "a2_knn_bruteforce",
     "s3_incremental_snapshot_dedup",
 )
 

@@ -868,3 +868,144 @@ def a14_bm25_rank(spark, sf_dir):
     queries = sv.filter(F.col("doc_id") % 100 == 0)
     out = bm25_rank(sv, queries, k=10)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "a15_rrf_fusion",
+    oracle=_sparse_prelude()
+    + """,
+    q AS (SELECT * FROM tf WHERE doc_id % 100 = 0),
+    cdots AS (
+        SELECT q.doc_id AS qid, d.doc_id, sum(q.val * d.val) AS dot
+        FROM q JOIN tf d ON q.idx = d.idx
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(sum(val * val)) AS nrm FROM tf GROUP BY 1
+    ),
+    cranked AS (
+        SELECT cdots.qid, cdots.doc_id,
+               row_number() OVER (
+                   PARTITION BY cdots.qid
+                   ORDER BY cdots.dot / (dn.nrm * qn.nrm) DESC, cdots.doc_id
+               ) AS rank
+        FROM cdots
+        JOIN norms dn ON dn.doc_id = cdots.doc_id
+        JOIN norms qn ON qn.doc_id = cdots.qid
+    ),
+    dl AS (SELECT doc_id, sum(val) AS dl FROM tf GROUP BY 1),
+    stats AS (
+        SELECT count(*) AS n,
+               sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl
+        FROM dl
+    ),
+    dfreq AS (SELECT idx, count(*) AS df FROM tf GROUP BY 1),
+    qt AS (
+        SELECT DISTINCT doc_id AS qid, idx FROM tf WHERE doc_id % 100 = 0
+    ),
+    terms AS (
+        SELECT qt.qid, d.doc_id,
+               CAST(floor(
+                   (((n - df + CAST(0.5 AS DOUBLE))
+                     / (df + CAST(0.5 AS DOUBLE)))
+                    * ((val * CAST(2.2 AS DOUBLE))
+                       / (val + CAST(1.2 AS DOUBLE)
+                          * (CAST(0.25 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * (dl.dl / avgdl)))))
+                   * CAST(1000000.0 AS DOUBLE)
+               ) AS BIGINT) AS s
+        FROM qt
+        JOIN tf d ON qt.idx = d.idx
+        JOIN dfreq ON dfreq.idx = d.idx
+        JOIN dl ON dl.doc_id = d.doc_id
+        CROSS JOIN stats
+    ),
+    bscored AS (
+        SELECT qid, doc_id, sum(s) AS score_q FROM terms GROUP BY 1, 2
+    ),
+    branked AS (
+        SELECT qid, doc_id,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY score_q DESC, doc_id
+               ) AS rank
+        FROM bscored
+    ),
+    fused AS (
+        SELECT qid, doc_id,
+               CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_q
+        FROM (
+            SELECT qid, doc_id, rank FROM cranked WHERE rank <= 10
+            UNION ALL
+            SELECT qid, doc_id, rank FROM branked WHERE rank <= 10
+        )
+        GROUP BY 1, 2
+    )
+    SELECT qid, doc_id, CAST(rank AS INT) AS rank, rrf_q FROM (
+        SELECT qid, doc_id, rrf_q,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY rrf_q DESC, doc_id
+               ) AS rank
+        FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def a15_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: the a13 cosine leg and the a14 BM25 leg fused by
+    reciprocal-rank fusion (Cormack et al. 2009) — rank-only combination,
+    so the incommensurable score scales never meet. Contributions are
+    integer quotients (scale div (k0+rank)) summed as BIGINTs: zero float
+    arithmetic in the fusion, bit-identical relational replay by
+    construction. Both legs reuse the inverted-index posting join; the
+    fusion itself aggregates two already-top-k relations — tiny at any
+    corpus scale."""
+    from debezium_spark.analytics.sparse import (
+        bm25_rank,
+        knn_sparse,
+        rrf_fuse,
+        sparse_tf,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sv = sparse_tf(docs, dims=_SPARSE_DIMS)
+    queries = sv.filter(F.col("doc_id") % 100 == 0)
+    cos_leg = knn_sparse(sv, queries, k=10)
+    bm_leg = bm25_rank(sv, queries, k=10)
+    return rrf_fuse([cos_leg, bm_leg], k=10)
+
+
+@register(
+    "a16_semdedup",
+    oracle=f"""
+    WITH {_IVF_CTE},
+    massign AS (
+        SELECT e.vec_id, e.embedding, s.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cosine('e.embedding', 's.cvec')} DESC, s.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents s
+    ),
+    member AS (SELECT vec_id, embedding, cell FROM massign WHERE rn = 1),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM member a JOIN member b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_cosine('a.embedding', 'b.embedding')} >= 0.3
+    )
+    SELECT m.vec_id, m.cell, (d.vec_id IS NOT NULL) AS is_dup
+    FROM member m LEFT JOIN dups d ON d.vec_id = m.vec_id
+    """,
+)
+def a16_semdedup(spark, sf_dir):
+    """SemDeDup (cluster-pruned semantic dedup, Abbas et al. 2023): the
+    shared IVF k-means training (bit-identical to the a7 oracle CTEs),
+    map-side nearest-cell assignment, then pairwise cosine WITHIN cells
+    only — a vector is a duplicate when a smaller-id cell-mate sits at
+    cosine ≥ τ. τ=0.3 here so the synthetic fixtures actually contain
+    duplicate pairs; production default is the paper-like 0.95."""
+    from debezium_spark.analytics.vectors import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(
+        emb, n_cells=8, iterations=_IVF_ITERS, threshold=0.3
+    )

@@ -224,3 +224,43 @@ def test_prebuilt_index_roundtrip_serves_queries(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, retrained.collect())
     )
+
+
+def test_semdedup_flags_near_identical_cellmates(spark):
+    """SemDeDup keep-lowest-id semantics: scaled copies of the same
+    direction (cosine 1.0) collapse to the smallest id; orthogonal
+    vectors survive; every input vector appears exactly once in the
+    output."""
+    from debezium_spark.analytics.vectors import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),   # same direction as 1 -> dup
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> kept
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 3.0, 0.0]),   # same direction as 4 -> dup
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(emb, n_cells=2, iterations=1, threshold=0.99)
+    got = {r["vec_id"]: r["is_dup"] for r in out.collect()}
+    assert len(got) == 5
+    assert got[2] and got[5]
+    assert not got[1] and not got[3] and not got[4]
+
+
+def test_semdedup_prebuilt_centroids_skip_training(spark):
+    """The prebuilt-centroids path (train-once/dedup-many) assigns and
+    dedups against the given cells without retraining."""
+    from debezium_spark.analytics.vectors import semdedup
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0], 2), (1, [0.0, 1.0], 1)],
+        "cell int, cvec array<double>, n_members long",
+    )
+    out = semdedup(emb, threshold=0.9, centroids=cents)
+    got = {r["vec_id"]: (r["cell"], r["is_dup"]) for r in out.collect()}
+    assert got[1] == (0, False) and got[2] == (0, True) and got[3] == (1, False)

@@ -121,3 +121,30 @@ def test_bm25_rare_term_outranks(spark):
     q = sv.filter(F.col("doc_id") == 0)
     got = {r["doc_id"]: r["rank"] for r in bm25_rank(sv, q, k=5).collect()}
     assert got[1] < got[2]  # rare-term doc ranks strictly better
+
+
+def test_rrf_fuse_rank_semantics(spark):
+    """RRF invariants: a doc ranked in BOTH legs beats a doc at the same
+    rank in one leg; contributions are the exact integer quotients
+    scale div (k0+rank); a doc absent from a leg simply gets no
+    contribution (no NULL poisoning)."""
+    from debezium_spark.analytics.sparse import rrf_fuse
+
+    leg = "qid long, doc_id long, rank int"
+    cos = spark.createDataFrame([(1, 10, 1), (1, 11, 2), (1, 12, 3)], leg)
+    bm = spark.createDataFrame([(1, 11, 1), (1, 13, 2)], leg)
+    out = rrf_fuse([cos, bm], k=10, k0=60, scale=1_000_000_000)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 11: rank 2 + rank 1 -> 10**9//62 + 10**9//61
+    assert rows[11]["rrf_q"] == 10**9 // 62 + 10**9 // 61
+    assert rows[10]["rrf_q"] == 10**9 // 61
+    assert rows[13]["rrf_q"] == 10**9 // 62
+    assert rows[12]["rrf_q"] == 10**9 // 63
+    # two-leg doc 11 outranks every single-leg doc
+    assert rows[11]["rank"] == 1
+    # deterministic tie-break: equal rrf_q -> smaller doc_id first
+    tie = rrf_fuse(
+        [cos, cos.withColumn("doc_id", F.col("doc_id") + 100)], k=10
+    ).collect()
+    by_rank = sorted(tie, key=lambda r: r["rank"])
+    assert by_rank[0]["doc_id"] == 10 and by_rank[1]["doc_id"] == 110
