@@ -839,7 +839,10 @@ def a13_knn_sparse(spark, sf_dir):
         CROSS JOIN stats
     ),
     scored AS (
-        SELECT qid, doc_id, sum(s) AS score_q FROM terms GROUP BY 1, 2
+        -- CAST: DuckDB sum(BIGINT) widens to HUGEINT, which pandas
+        -- renders as float64 — the checked column must stay integral
+        SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_q
+        FROM terms GROUP BY 1, 2
     ),
     ranked AS (
         SELECT qid, doc_id, score_q,
