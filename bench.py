@@ -36,6 +36,8 @@ HEADLINE = [
     "a8_ivf_search",
     "a4_field_to_embedding",
     "a6_cosine_near_dup",
+    "a13_knn_sparse",
+    "a16_semdedup",
     "w1_pricing_summary",
     "w2_top_revenue_orders",
     "w8_asof_join",

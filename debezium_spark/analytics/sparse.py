@@ -330,3 +330,29 @@ def bm25_rank(
         .filter(F.col("rank") <= k)
         .select("qid", id_col, "rank", "score_q")
     )
+
+
+def hybrid_search(
+    corpus_sv: DataFrame,
+    queries_sv: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+    leg_k: int | None = None,
+    k0: int = 60,
+) -> DataFrame:
+    """Production hybrid retrieval in one call: the lexical leg
+    (:func:`bm25_rank`) and the vector leg (:func:`knn_sparse`) each
+    retrieve their ``leg_k`` (default ``k``) candidates over the SAME
+    inverted index, fused by :func:`rrf_fuse`. Returns
+    (qid, {id_col}, rank, rrf_q) top-``k`` per query."""
+    lk = leg_k or k
+    return rrf_fuse(
+        [
+            knn_sparse(corpus_sv, queries_sv, id_col=id_col, k=lk),
+            bm25_rank(corpus_sv, queries_sv, id_col=id_col, k=lk),
+        ],
+        id_col=id_col,
+        k=k,
+        k0=k0,
+    )

@@ -148,3 +148,34 @@ def test_rrf_fuse_rank_semantics(spark):
     ).collect()
     by_rank = sorted(tie, key=lambda r: r["rank"])
     assert by_rank[0]["doc_id"] == 10 and by_rank[1]["doc_id"] == 110
+
+
+def test_hybrid_search_leg_order_invariant(spark):
+    """hybrid_search == rrf_fuse of its two legs, and RRF is invariant to
+    leg permutation (sum is commutative over integer contributions)."""
+    from debezium_spark.analytics.sparse import (
+        bm25_rank,
+        hybrid_search,
+        knn_sparse,
+        rrf_fuse,
+        sparse_tf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta beta gamma"),
+            (3, "epsilon zeta eta theta"),
+            (4, "alpha delta delta delta"),
+        ],
+        "doc_id long, text string",
+    )
+    sv = sparse_tf(docs, dims=64)
+    q = sv.filter(F.col("doc_id") == 1)
+    combined = hybrid_search(sv, q, k=3)
+    legs = [knn_sparse(sv, q, k=3), bm25_rank(sv, q, k=3)]
+    manual = rrf_fuse(legs, k=3)
+    swapped = rrf_fuse(list(reversed(legs)), k=3)
+    key = lambda r: (r["qid"], r["rank"], r["doc_id"], r["rrf_q"])
+    c, m, s = (sorted(map(key, df.collect())) for df in (combined, manual, swapped))
+    assert c == m == s and len(c) == 3
