@@ -232,6 +232,8 @@ def rrf_fuse(
     Scale shape: unioned legs are already top-k-per-query (tiny relative
     to the corpora that produced them); one hash aggregation on
     (qid, id) + a per-query top-k window. No join back to the corpus."""
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one ranked leg")
     contrib = F.expr(f"{int(scale)} div ({int(k0)} + rank)")
     parts = [
         leg.select(F.col("qid"), F.col(id_col), contrib.alias("c"))
