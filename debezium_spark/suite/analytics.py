@@ -711,6 +711,21 @@ def _sparse_prelude() -> str:
     return "WITH " + oracle_sparse_tf_cte(dims=_SPARSE_DIMS)
 
 
+
+def _sv_index(spark, sf_dir):
+    """documents -> sparse TF index, materialized ONCE (eager
+    localCheckpoint): every sparse query fans the sv relation into several
+    plan branches (postings, norms, query postings, query norms — a15 uses
+    eight), and without a barrier each branch re-runs the whole
+    tokenize+aggregate lineage. Production persists this inverted index to
+    parquet (the x18 posting shape); the checkpoint is the in-session
+    equivalent. Measured at sf0.1: a13 2.9 s -> ~0.8 s."""
+    from debezium_spark.analytics.sparse import sparse_tf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sparse_tf(docs, dims=_SPARSE_DIMS).localCheckpoint(eager=True)
+
+
 @register(
     "a12_sparse_cosine",
     oracle=_sparse_prelude()
@@ -743,10 +758,10 @@ def a12_sparse_cosine(spark, sf_dir):
     floor-quantized cosine hashes bit-identically against the relational
     replay. The query vector (the min-doc_id document) broadcasts as one
     row."""
-    from debezium_spark.analytics.sparse import sparse_cosine, sparse_tf
+    from debezium_spark.analytics.sparse import sparse_cosine
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sv = sparse_tf(docs, dims=_SPARSE_DIMS)
+    sv = _sv_index(spark, sf_dir)
     qid = docs.agg(F.min("doc_id")).collect()[0][0]
     q = sv.filter(F.col("doc_id") == qid).select(F.col("sv").alias("qv"))
     return (
@@ -798,10 +813,9 @@ def a13_knn_sparse(spark, sf_dir):
     products only where coordinates overlap — never all-pairs, never a
     dense detour — and a per-query window ranks cosine top-10. Exact
     integer TF arithmetic makes the DuckDB replay bit-identical."""
-    from debezium_spark.analytics.sparse import knn_sparse, sparse_tf
+    from debezium_spark.analytics.sparse import knn_sparse
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sv = sparse_tf(docs, dims=_SPARSE_DIMS)
+    sv = _sv_index(spark, sf_dir)
     queries = sv.filter(F.col("doc_id") % 100 == 0)
     out = knn_sparse(sv, queries, k=10)
     return out.withColumn("rank", F.col("rank").cast("int"))
@@ -864,10 +878,9 @@ def a14_bm25_rank(spark, sf_dir):
     parenthesized IEEE +,-,*,/ on both engines (no libm log in the
     checked output; log1p is a documented monotone drop-in). Corpus
     stats (df table ≤ vocab dims, N/avgdl one row) broadcast."""
-    from debezium_spark.analytics.sparse import bm25_rank, sparse_tf
+    from debezium_spark.analytics.sparse import bm25_rank
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sv = sparse_tf(docs, dims=_SPARSE_DIMS)
+    sv = _sv_index(spark, sf_dir)
     queries = sv.filter(F.col("doc_id") % 100 == 0)
     out = bm25_rank(sv, queries, k=10)
     return out.withColumn("rank", F.col("rank").cast("int"))
@@ -965,11 +978,9 @@ def a15_rrf_fusion(spark, sf_dir):
         bm25_rank,
         knn_sparse,
         rrf_fuse,
-        sparse_tf,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sv = sparse_tf(docs, dims=_SPARSE_DIMS)
+    sv = _sv_index(spark, sf_dir)
     queries = sv.filter(F.col("doc_id") % 100 == 0)
     cos_leg = knn_sparse(sv, queries, k=10)
     bm_leg = bm25_rank(sv, queries, k=10)

@@ -264,3 +264,31 @@ def test_semdedup_prebuilt_centroids_skip_training(spark):
     out = semdedup(emb, threshold=0.9, centroids=cents)
     got = {r["vec_id"]: (r["cell"], r["is_dup"]) for r in out.collect()}
     assert got[1] == (0, False) and got[2] == (0, True) and got[3] == (1, False)
+
+
+def test_semdedup_arrow_equals_expr(spark):
+    """The numpy pairwise kernel and the expression variant return the
+    SAME verdicts on random clustered data — the cumsum fold is
+    bit-identical to the column-expression fold, so this holds exactly,
+    not approximately."""
+    import numpy as np
+
+    from debezium_spark.analytics.vectors import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    for i in range(120):
+        v = base[i % 6] + rng.normal(scale=0.15, size=8)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in base[j]], 1) for j in range(6)],
+        "cell int, cvec array<double>, n_members long",
+    )
+    kw = dict(threshold=0.9, centroids=cents)
+    got_a = semdedup(emb, impl="arrow", **kw).collect()
+    got_e = semdedup(emb, impl="expr", **kw).collect()
+    key = lambda r: (r["vec_id"], r["cell"], r["is_dup"])
+    assert sorted(map(key, got_a)) == sorted(map(key, got_e))
+    assert any(r["is_dup"] for r in got_a)  # the fixture has real dups
