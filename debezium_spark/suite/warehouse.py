@@ -1166,3 +1166,69 @@ def w30_moving_average(spark, sf_dir):
             / F.count("*").over(w)
         ).cast("double").alias("avg_recent_spend"),
     )
+
+
+@register(
+    "w31_range_join",
+    oracle="""
+    WITH pts AS (
+        SELECT DISTINCT
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1995-03-01'
+          AND CAST(o_orderdate AS DATE) <  DATE '1995-04-01'
+    ),
+    iv AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(l_shipdate AS DATE)) AS s,
+               date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                   + 3 + l_orderkey % 25 AS e
+        FROM lineitem
+    )
+    SELECT p.order_date, CAST(count(iv.s) AS BIGINT) AS n_transit
+    FROM pts p LEFT JOIN iv ON p.d BETWEEN iv.s AND iv.e
+    GROUP BY 1
+    """,
+)
+def w31_range_join(spark, sf_dir):
+    """Point-in-interval join via the binned range-join operator: how many
+    line items were in transit (derived window [shipdate, shipdate + 3 +
+    orderkey%25 days] — deterministic arithmetic both engines replay) on
+    each distinct March-1995 order date. The oracle replays the SEMANTICS
+    with a plain BETWEEN join; the Spark plan is the scale shape — an
+    equi-join on 16-day bins with the exact range predicate as the join's
+    residual, never BroadcastNestedLoop (locked in tests/test_range_join.py
+    and the registry-wide no-cartesian audit)."""
+    from debezium_spark.operators.range_join import range_join
+
+    epoch = F.lit("1970-01-01")
+    o = _t(spark, sf_dir, "orders")
+    pts = (
+        o.filter(
+            (F.col("o_orderdate") >= "1995-03-01")
+            & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("d"),
+        )
+        .distinct()
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("s"),
+        (
+            F.datediff(F.col("l_shipdate").cast("date"), epoch)
+            + F.lit(3)
+            + F.pmod(F.col("l_orderkey"), F.lit(25))
+        ).alias("e"),
+    )
+    joined = range_join(
+        pts, iv, left_point="d", right_start="s", right_end="e",
+        bin_width=16, how="left",
+    )
+    return joined.groupBy("order_date").agg(
+        F.count("s").alias("n_transit")
+    )
