@@ -36,10 +36,10 @@ QUERIES: dict[str, Q] = {}
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
     # --- r7 rotation (the per-query ledger lives in COVERAGE.md):
-    # 1. the eight queries registered this round (no driver row yet) — IVM
+    # 1. the nine queries registered this round (no driver row yet) — IVM
     #    derived AVG, sparse struct cosine, inverted-index sparse kNN, BM25
     #    lexical retrieval, sink-fingerprint consistency audit, RRF hybrid
-    #    fusion, SemDeDup, binned range join;
+    #    fusion, SemDeDup, binned range join, hierarchical rollup;
     # 2. ALL 37 queries whose last green driver row is r4 (the stalest
     #    evidence after the r6 rotation) — after this window nothing in
     #    the union is older than r5;
@@ -48,9 +48,10 @@ PRIORITY: tuple[str, ...] = (
     #    merge pos-null ordering + evolution-recording order, IVM aggs
     #    refactor, codec on_error decode paths — f4 avro is already in
     #    the stale set);
-    # 4. one freshness pick from the r5 set (sources) — three of r6's
-    #    planned four yielded their slots to the late-round a15/a16/w31
-    #    registrations (w1/x4/a2 stay r5-green in the union either way).
+    # 4. r6's planned four freshness picks all yielded their slots to the
+    #    late-round a15/a16/w31/e4 registrations (w1/x4/a2/s3 stay r5-green
+    #    in the union either way — new queries MUST be windowed, freshness
+    #    re-proofs of already-green rows are optional).
     # never driver-green (new this round) ------------------------------------
     "k11_incremental_avg",             # IVM derived AVG (sum/count contract)
     "a12_sparse_cosine",               # SparseDoubleVector struct cosine
@@ -60,6 +61,7 @@ PRIORITY: tuple[str, ...] = (
     "a15_rrf_fusion",                  # hybrid BM25+cosine RRF
     "a16_semdedup",                    # cluster-pruned semantic dedup
     "w31_range_join",                  # binned point-in-interval join
+    "e4_hierarchical_rollup",          # hypertable continuous-aggregate
     # last green r4 (all of them) --------------------------------------------
     "a3_knn_lsh",
     "a6_cosine_near_dup",
@@ -103,8 +105,6 @@ PRIORITY: tuple[str, ...] = (
     "k1_merge_upsert",                 # inline-Arrow pos-null + evo ordering
     "k9_incremental_aggregate",        # aggs-param refactor
     "f5_protobuf_roundtrip",           # on_error decode path
-    # r5 freshness pick -------------------------------------------------------
-    "s3_incremental_snapshot_dedup",
 )
 
 

@@ -139,3 +139,53 @@ def e3_session_window(spark, sf_dir):
         ),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# E4 — hierarchical time-bucket rollup (hypertable continuous-aggregate shape)
+# ---------------------------------------------------------------------------
+def _e4_level_sql(level: str) -> str:
+    return f"""
+    SELECT '{level}' AS level,
+           strftime(date_trunc('{level}', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 2, 3"""
+
+
+@register(
+    "e4_hierarchical_rollup",
+    oracle=" UNION ALL ".join(
+        _e4_level_sql(lv) for lv in ("hour", "day", "week")
+    ),
+)
+def e4_hierarchical_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hour partials from raw, day
+    merged from hour, week merged from day — raw data scanned ONCE. The
+    oracle computes every level directly from raw, so a green row proves
+    the partial-merge telescopes exactly (decimal sums are associative;
+    count/min/max trivially mergeable)."""
+    from debezium_spark.operators.rollup import hierarchical_rollup
+
+    ev = events_with_ts(spark, sf_dir)
+    out = hierarchical_rollup(
+        ev,
+        ts_col="ts_utc",
+        value_col="value",
+        dims=["event_type"],
+        levels=("hour", "day", "week"),
+    )
+    return out.select(
+        "level",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
