@@ -103,6 +103,62 @@ def micro_duration(start: Column, end: Column) -> Column:
     return (F.unix_micros(end) - F.unix_micros(start)).cast("long")
 
 
+def nano_timestamp(ts_col: Column) -> Column:
+    """time.NanoTimestamp encoding (NanoTimestamp.java:toEpochNanos): int64
+    nanoseconds since epoch. Spark timestamps carry µs precision, so the
+    sub-microsecond digits are zero — same as the reference converting a
+    µs-precision source value."""
+    return (F.unix_micros(ts_col) * 1000).cast("long")
+
+
+def nano_time(ts_col: Column) -> Column:
+    """time.NanoTime encoding (NanoTime.java:toNanoOfDay): int64
+    nanoseconds since midnight."""
+    return (micro_time(ts_col) * 1000).cast("long")
+
+
+def enum_set_value(arr: Column, allowed: tuple[str, ...]) -> Column:
+    """EnumSet semantics (data/EnumSet.java:16): the value is a
+    comma-separated string of values from the enumeration. Any element
+    outside the allowed set nulls the whole value — :func:`enum_value`'s
+    per-literal rule lifted to the set (one bad member invalidates the
+    set, matching schema-level validation rather than silently dropping
+    members)."""
+    ok = F.forall(arr, lambda v: v.isin(*allowed))
+    return F.when(arr.isNotNull() & ok, F.array_join(arr, ","))
+
+
+def interval_iso(
+    years: Column,
+    months: Column,
+    days: Column,
+    hours: Column,
+    minutes: Column,
+    seconds: Column,
+) -> Column:
+    """time.Interval encoding (Interval.java:toIsoString): the ISO-8601
+    duration string ``P{y}Y{m}M{d}DT{h}H{min}M{s}S``, with the seconds
+    component rendered like ``BigDecimal.stripTrailingZeros()
+    .toPlainString()`` — fractional trailing zeros dropped, then a bare
+    trailing '.' dropped ('2.500' → '2.5', '2.000' → '2'). ``seconds``
+    should be a decimal column so the text is exact."""
+    sec_txt = F.regexp_replace(
+        F.regexp_replace(seconds.cast("string"), r"(\.\d*?)0+$", "$1"),
+        r"\.$",
+        "",
+    )
+    return F.concat(
+        F.lit("P"),
+        years.cast("long").cast("string"), F.lit("Y"),
+        months.cast("long").cast("string"), F.lit("M"),
+        days.cast("long").cast("string"), F.lit("D"),
+        F.lit("T"),
+        hours.cast("long").cast("string"), F.lit("H"),
+        minutes.cast("long").cast("string"), F.lit("M"),
+        sec_txt, F.lit("S"),
+    )
+
+
 def table_include_exclude(
     df, *, table_col: str = "source.table",
     include: str | None = None, exclude: str | None = None,

@@ -36,18 +36,20 @@ QUERIES: dict[str, Q] = {}
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
     # --- r7 rotation (the per-query ledger lives in COVERAGE.md):
-    # 1. the nine queries registered this round (no driver row yet) — IVM
+    # 1. the ten queries registered this round (no driver row yet) — IVM
     #    derived AVG, sparse struct cosine, inverted-index sparse kNN, BM25
     #    lexical retrieval, sink-fingerprint consistency audit, RRF hybrid
-    #    fusion, SemDeDup, binned range join, hierarchical rollup;
+    #    fusion, SemDeDup, binned range join, hierarchical rollup, the
+    #    Interval/EnumSet/Nano* logical-type batch;
     # 2. ALL 37 queries whose last green driver row is r4 (the stalest
     #    evidence after the r6 rotation) — after this window nothing in
     #    the union is older than r5;
-    # 3. four re-proof slots for operators whose code changed this round
+    # 3. three re-proof slots for operators whose code changed this round
     #    (LSH arrow id-type routing + NULL-signature buckets, inline-Arrow
-    #    merge pos-null ordering + evolution-recording order, IVM aggs
-    #    refactor, codec on_error decode paths — f4 avro is already in
-    #    the stale set);
+    #    merge pos-null ordering + evolution-recording order, codec
+    #    on_error decode paths — f4 avro is already in the stale set; the
+    #    IVM aggs-refactor re-proof yielded its slot to h6, k9 staying
+    #    r6-green and gate-covered);
     # 4. r6's planned four freshness picks all yielded their slots to the
     #    late-round a15/a16/w31/e4 registrations (w1/x4/a2/s3 stay r5-green
     #    in the union either way — new queries MUST be windowed, freshness
@@ -62,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "a16_semdedup",                    # cluster-pruned semantic dedup
     "w31_range_join",                  # binned point-in-interval join
     "e4_hierarchical_rollup",          # hypertable continuous-aggregate
+    "h6_interval_enum_set",            # Interval/EnumSet/Nano* codecs
     # last green r4 (all of them) --------------------------------------------
     "a3_knn_lsh",
     "a6_cosine_near_dup",
@@ -103,7 +106,6 @@ PRIORITY: tuple[str, ...] = (
     # re-proof: code touched this round --------------------------------------
     "x6_lsh_candidates",               # arrow impl id-type/NULL routing
     "k1_merge_upsert",                 # inline-Arrow pos-null + evo ordering
-    "k9_incremental_aggregate",        # aggs-param refactor
     "f5_protobuf_roundtrip",           # on_error decode path
 )
 

@@ -1176,3 +1176,76 @@ def h5_vector_logical_types(spark, sf_dir):
         F.array_join(rt["values"].cast("array<string>"), ",").alias("val_str"),
         ts_vector(F.col("text")).alias("tsvec"),
     )
+
+
+@register(
+    "h6_interval_enum_set",
+    oracle=r"""
+    SELECT l_orderkey, l_linenumber,
+           'P' || CAST(l_linenumber % 3 AS VARCHAR) || 'Y'
+               || CAST(l_partkey % 12 AS VARCHAR) || 'M'
+               || CAST(l_suppkey % 28 AS VARCHAR) || 'D'
+               || 'T'
+               || CAST(l_orderkey % 24 AS VARCHAR) || 'H'
+               || CAST(l_partkey % 60 AS VARCHAR) || 'M'
+               || regexp_replace(
+                      regexp_replace(
+                          CAST(CAST(l_quantity + l_linenumber / 4.0
+                                    AS DECIMAL(12,3)) AS VARCHAR),
+                          '(\.\d*?)0+$', '\1'),
+                      '\.$', '')
+               || 'S' AS interval_iso,
+           CASE WHEN l_returnflag IN ('A', 'N', 'R', 'O')
+                 AND l_linestatus IN ('A', 'N', 'R', 'O')
+                THEN l_returnflag || ',' || l_linestatus END AS flags_set,
+           epoch_us(CAST(l_shipdate AS TIMESTAMP)) * 1000 AS ship_ns,
+           (epoch_us(make_timestamp(epoch_us(CAST(l_shipdate AS TIMESTAMP))
+                                    + (l_orderkey % 86400) * 1000000))
+            - epoch_us(date_trunc('day',
+                  make_timestamp(epoch_us(CAST(l_shipdate AS TIMESTAMP))
+                                 + (l_orderkey % 86400) * 1000000))))
+               * 1000 AS t_ns
+    FROM lineitem
+    """,
+)
+def h6_interval_enum_set(spark, sf_dir):
+    """§1.3 logical types, second batch: Interval's exact ISO-duration text
+    (Interval.java:toIsoString — BigDecimal seconds with trailing zeros
+    stripped; the l_linenumber/4 fractions are binary-exact so the decimal
+    cast has no rounding ambiguity), EnumSet's comma-joined value with
+    whole-set nulling on any disallowed member ('F' is deliberately
+    outside the allowed set so both outcomes appear), and the nanosecond
+    codecs NanoTimestamp (epoch ns) / NanoTime (ns of day, exercised on a
+    derived timestamp with a nonzero time component)."""
+    from debezium_spark.operators.handling import (
+        enum_set_value,
+        interval_iso,
+        nano_time,
+        nano_timestamp,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ship = F.col("l_shipdate").cast("timestamp")
+    t2 = F.timestamp_micros(
+        F.unix_micros(ship) + F.pmod(F.col("l_orderkey"), F.lit(86400)) * 1000000
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        interval_iso(
+            F.pmod(F.col("l_linenumber"), F.lit(3)),
+            F.pmod(F.col("l_partkey"), F.lit(12)),
+            F.pmod(F.col("l_suppkey"), F.lit(28)),
+            F.pmod(F.col("l_orderkey"), F.lit(24)),
+            F.pmod(F.col("l_partkey"), F.lit(60)),
+            (F.col("l_quantity") + F.col("l_linenumber") / F.lit(4.0)).cast(
+                "decimal(12,3)"
+            ),
+        ).alias("interval_iso"),
+        enum_set_value(
+            F.array(F.col("l_returnflag"), F.col("l_linestatus")),
+            ("A", "N", "R", "O"),
+        ).alias("flags_set"),
+        nano_timestamp(ship).alias("ship_ns"),
+        nano_time(t2).alias("t_ns"),
+    )

@@ -157,3 +157,44 @@ def test_lsh_pairs_string_ids_fall_back_to_expr(spark):
     )
     assert got == expr
     assert ("doc-0", "doc-1") in set(got)
+
+
+def test_interval_iso_seconds_rendering(spark):
+    """Interval.toIsoString parity: fractional trailing zeros strip, a bare
+    trailing dot strips, integral seconds with a trailing zero digit ('10')
+    survive, zero renders as '0'."""
+    from debezium_spark.operators.handling import interval_iso
+
+    df = spark.createDataFrame(
+        [(1, "2.500"), (2, "2.000"), (3, "10.000"), (4, "0.000"), (5, "0.125")],
+        "i long, s string",
+    )
+    out = df.select(
+        "i",
+        interval_iso(
+            F.lit(1), F.lit(2), F.lit(3), F.lit(4), F.lit(5),
+            F.col("s").cast("decimal(12,3)"),
+        ).alias("iv"),
+    ).collect()
+    got = {r["i"]: r["iv"] for r in out}
+    assert got[1] == "P1Y2M3DT4H5M2.5S"
+    assert got[2] == "P1Y2M3DT4H5M2S"
+    assert got[3] == "P1Y2M3DT4H5M10S"
+    assert got[4] == "P1Y2M3DT4H5M0S"
+    assert got[5] == "P1Y2M3DT4H5M0.125S"
+
+
+def test_enum_set_nulls_on_any_bad_member(spark):
+    from debezium_spark.operators.handling import enum_set_value
+
+    df = spark.createDataFrame(
+        [(1, ["A", "N"]), (2, ["A", "X"]), (3, [])],
+        "i long, arr array<string>",
+    )
+    out = {
+        r["i"]: r["v"]
+        for r in df.select(
+            "i", enum_set_value(F.col("arr"), ("A", "N")).alias("v")
+        ).collect()
+    }
+    assert out == {1: "A,N", 2: None, 3: ""}
