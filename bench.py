@@ -41,6 +41,8 @@ HEADLINE = [
     "w1_pricing_summary",
     "w2_top_revenue_orders",
     "w8_asof_join",
+    "w31_range_join",
+    "e4_hierarchical_rollup",
     "e1_tumbling_window",
     "e3_session_window",
 ]
