@@ -839,6 +839,55 @@ def quota_per_group(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+    shards: int = 8,
+    seed: str = "pack:",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the layout pass that turns a
+    document corpus into fixed-length training sequences (the standard
+    GPT-style pretraining data prep: concatenate documents, slice every
+    ``seq_len`` tokens).
+
+    The corpus is split into ``shards`` independent token streams by the
+    portable hash of the document id; within a shard, documents are laid
+    end-to-end in ascending id order, and each document's half-open token
+    span ``[begin_tok, end_tok)`` is reported together with the first/last
+    training sequence it lands in (``seq = token_offset div seq_len``).
+    A downstream writer groups by ``(shard, seq)`` range to emit the actual
+    packed batches; this operator owns the deterministic placement.
+
+    Scale shape: one shuffle — a window sum partitioned by the shard key.
+    Parallelism is the shard count (set ``shards`` ≈ cluster cores at
+    100 TB); no global ordering is ever required, which is the whole point
+    of sharding the stream — a single corpus-wide cumulative sum would
+    serialize on one partition. Placement is reproducible across runs and
+    engines (md5 shard routing, id-ordered layout), so re-running the
+    pipeline reproduces byte-identical training sequences.
+    """
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    shard = (portable_hash64(F.col(id_col).cast("string"), seed=seed)
+             % shards).alias("shard")
+    t = df.select(F.col(id_col), shard, n_tok.alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    end = F.sum("n_tokens").over(w)
+    return (
+        t.withColumn("end_tok", end)
+        .withColumn("begin_tok", F.col("end_tok") - F.col("n_tokens"))
+        .withColumn("first_seq", F.expr(f"begin_tok div {seq_len}"))
+        .withColumn("last_seq", F.expr(f"(end_tok - 1) div {seq_len}"))
+        .withColumn("n_seqs", F.col("last_seq") - F.col("first_seq") + 1)
+        .select(
+            id_col, "shard", "n_tokens", "begin_tok", "end_tok",
+            "first_seq", "last_seq", "n_seqs",
+        )
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",

@@ -1061,3 +1061,42 @@ def x26_boilerplate_ngrams(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return boilerplate_ngrams(docs)
+
+
+# ---------------------------------------------------------------------------
+# X27 — concat-and-chunk sequence packing
+# ---------------------------------------------------------------------------
+@register(
+    "x27_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_ohash("CAST(doc_id AS VARCHAR)", "pack:")} % 8 AS shard,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+               ) AS end_tok
+        FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           end_tok - n_tokens AS begin_tok, end_tok,
+           (end_tok - n_tokens) // 512 AS first_seq,
+           (end_tok - 1) // 512 AS last_seq,
+           (end_tok - 1) // 512 - (end_tok - n_tokens) // 512 + 1 AS n_seqs
+    FROM c
+    """,
+)
+def x27_pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining (concat-and-chunk): documents are
+    routed to 8 independent token streams by portable hash, laid end-to-end
+    in id order, and mapped to the 512-token training sequences they span.
+    One window-sum shuffle partitioned by shard — parallelism is the shard
+    count, never a global order."""
+    from debezium_spark.analytics.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, seq_len=512, shards=8)

@@ -198,3 +198,41 @@ def test_enum_set_nulls_on_any_bad_member(spark):
         ).collect()
     }
     assert out == {1: "A,N", 2: None, 3: ""}
+
+
+def test_pack_sequences_layout_invariants(spark):
+    from debezium_spark.analytics.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + (i * 7) % 11))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, seq_len=10, shards=4).collect()
+    assert len(out) == 40
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1  # hash routing actually spreads
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        # end-to-end layout: spans tile the shard stream with no gaps
+        assert rows[0].begin_tok == 0
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.begin_tok == prev.end_tok
+        for r in rows:
+            assert r.end_tok - r.begin_tok == r.n_tokens
+            assert r.first_seq == r.begin_tok // 10
+            assert r.last_seq == (r.end_tok - 1) // 10
+            assert r.n_seqs == r.last_seq - r.first_seq + 1 >= 1
+
+
+def test_pack_sequences_deterministic_across_runs(spark):
+    from debezium_spark.analytics.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "a b c " * (1 + i % 5)) for i in range(25)],
+        "doc_id long, text string",
+    ).repartition(7)
+    a = sorted(map(tuple, pack_sequences(docs).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(3)).collect()))
+    assert a == b
