@@ -57,6 +57,14 @@ def hierarchical_rollup(
             f"levels {levels!r} must be a finest-to-coarsest subset of "
             f"{_GRAIN_ORDER}"
         )
+    if "week" in levels[:-1]:
+        # weeks straddle month/quarter/year boundaries: a coarser bucket is
+        # NOT a disjoint union of weeks, so merging week partials upward
+        # would assign a whole week to the month of its Monday
+        raise ValueError(
+            "'week' buckets cannot be merged into a coarser level — "
+            "use 'week' only as the final level, or chain day→month"
+        )
 
     finest = levels[0]
     partial = df.groupBy(

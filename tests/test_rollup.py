@@ -73,3 +73,15 @@ def test_rollup_rejects_misordered_levels(spark):
         hierarchical_rollup(ev, ts_col="ts", value_col="v", levels=("day", "hour"))
     with pytest.raises(ValueError):
         hierarchical_rollup(ev, ts_col="ts", value_col="v", levels=("day", "fortnight"))
+
+
+def test_rollup_rejects_week_into_month(spark):
+    ev = spark.createDataFrame(
+        [("2024-01-29 00:00:00", 1.0)], "ts string, v double"
+    ).select(F.to_timestamp("ts").alias("ts"), "v")
+    # the week of 2024-01-29 (Mon) ends in February: merging week partials
+    # into month buckets would misplace Feb 1-4 — must be rejected
+    with pytest.raises(ValueError, match="week"):
+        hierarchical_rollup(
+            ev, ts_col="ts", value_col="v", levels=("week", "month")
+        )
