@@ -839,6 +839,87 @@ def quota_per_group(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    default_budget: int | None = None,
+    sub_shards: int = 16,
+    seed: str = "tbs:",
+) -> DataFrame:
+    """Token-budget mixture sampling — "take 200B tokens of web, 30B of
+    code, 5B of books": the data-mixing pass that turns per-source corpus
+    sizes into a target TOKEN composition (quotas in tokens, not rows —
+    x24's row quota can't express "equal token mass" when document lengths
+    differ across sources).
+
+    Per source, documents are laid in a stable hash order (a uniform draw,
+    reproducible across runs/engines) and kept while the running token
+    total stays within the source's budget; ``default_budget`` caps
+    unlisted sources (``None`` keeps them in full). Returns the kept rows
+    as (id, source, n_tokens, end_tok) — ``end_tok`` is the document's
+    position in the source's token stream, so downstream packing can
+    consume the sample without recounting.
+
+    Scale shape: a per-group prefix sum parallelized in TWO levels, so one
+    mega-source never serializes into a single window partition (the skew
+    hazard of a naive ``sum() over (partition by source)``): documents
+    window-sum inside ``(source, sub_shard)`` — ``sub_shards`` × more
+    partitions than sources — then the tiny per-sub-shard totals
+    (|sources| · sub_shards rows) aggregate once, prefix-offset on the
+    driver-scale side, and broadcast back. Integer token counts make the
+    two-level sum EXACTLY equal to the single global window ordered by
+    (sub_shard, hash, id) — which is what the SQL oracle replays."""
+    h = portable_hash64(F.col(id_col).cast("string"), seed=seed)
+    n_tok = F.coalesce(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long"),
+        F.lit(0),
+    )
+    budget = (
+        F.lit(None).cast("long")
+        if default_budget is None
+        else F.lit(int(default_budget)).cast("long")
+    )
+    for k, v in sorted(budgets.items()):
+        budget = F.when(
+            F.col(source_col) == k, F.lit(int(v)).cast("long")
+        ).otherwise(budget)
+    t = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        n_tok.alias("n_tokens"),
+        h.alias("__h"),
+        (h % sub_shards).alias("__sub"),
+        budget.alias("__budget"),
+    )
+    w_local = Window.partitionBy(source_col, "__sub").orderBy("__h", id_col)
+    t = t.withColumn("__local_end", F.sum("n_tokens").over(w_local))
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        t.groupBy(source_col, "__sub")
+        .agg(F.sum("n_tokens").alias("__tot"))
+        .withColumn(
+            "__offset", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+        )
+        .select(source_col, "__sub", "__offset")
+    )
+    return (
+        t.join(F.broadcast(offsets), [source_col, "__sub"])
+        .withColumn("end_tok", F.col("__offset") + F.col("__local_end"))
+        .filter(
+            F.col("__budget").isNull() | (F.col("end_tok") <= F.col("__budget"))
+        )
+        .select(id_col, source_col, "n_tokens", "end_tok")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,

@@ -1100,3 +1100,48 @@ def x27_pack_sequences(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return pack_sequences(docs, seq_len=512, shards=8)
+
+
+# ---------------------------------------------------------------------------
+# X28 — token-budget mixture sampling (data mixing by token mass)
+# ---------------------------------------------------------------------------
+@register(
+    "x28_token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(coalesce(len({_TOKS}), 0) AS BIGINT) AS n_tokens,
+               {_ohash("CAST(doc_id AS VARCHAR)", "tbs:")} AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY h % 16, h, doc_id
+               ) AS BIGINT) AS end_tok
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens, end_tok
+    FROM c
+    WHERE end_tok <= CASE source
+                         WHEN 'src0' THEN 800
+                         WHEN 'src1' THEN 500
+                         ELSE 300
+                     END
+    """,
+)
+def x28_token_budget_sample(spark, sf_dir):
+    """Data mixing by token mass: per-source TOKEN budgets (800 for src0,
+    500 for src1, 300 elsewhere) filled in a stable hash order — the
+    mixture-composition pass of pretraining prep (x24 caps rows; this caps
+    the quantity training actually measures). The per-source prefix sum
+    runs in two levels — window-sum inside (source, sub_shard), tiny
+    totals prefix-offset and broadcast back — so a mega-source never
+    serializes one window partition; integer counts make the two-level
+    sum exactly the oracle's single global window."""
+    from debezium_spark.analytics.text import token_budget_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_budget_sample(
+        docs, {"src0": 800, "src1": 500}, default_budget=300
+    )

@@ -236,3 +236,62 @@ def test_pack_sequences_deterministic_across_runs(spark):
     a = sorted(map(tuple, pack_sequences(docs).collect()))
     b = sorted(map(tuple, pack_sequences(docs.repartition(3)).collect()))
     assert a == b
+
+
+def test_token_budget_sample_honors_budgets(spark):
+    from debezium_spark.analytics.text import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [
+            (i, "web" if i % 2 == 0 else "code", " ".join(["w"] * (5 + i % 7)))
+            for i in range(60)
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_sample(
+        docs, {"web": 40, "code": 25}, default_budget=None
+    ).collect()
+    per_src: dict = {}
+    for r in out:
+        per_src.setdefault(r.source, []).append(r)
+    # every kept doc's cumulative position fits the budget, and the token
+    # totals never exceed it
+    assert sum(r.n_tokens for r in per_src["web"]) <= 40
+    assert sum(r.n_tokens for r in per_src["code"]) <= 25
+    for rows in per_src.values():
+        assert max(r.end_tok for r in rows) == sum(r.n_tokens for r in rows)
+    # budgets actually bite: far fewer than the 30 docs per source survive
+    assert 0 < len(per_src["web"]) < 30
+    assert 0 < len(per_src["code"]) < 30
+
+
+def test_token_budget_sample_default_none_keeps_unlisted(spark):
+    from debezium_spark.analytics.text import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, "books", "x y z") for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_sample(docs, {"web": 5}, default_budget=None)
+    assert out.count() == 10  # unlisted source kept in full
+
+
+def test_token_budget_sample_deterministic_across_partitioning(spark):
+    from debezium_spark.analytics.text import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "t " * (1 + i % 9)) for i in range(45)],
+        "doc_id long, source string, text string",
+    )
+    a = sorted(
+        map(tuple, token_budget_sample(docs, {"s0": 30}, default_budget=20).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            token_budget_sample(
+                docs.repartition(11), {"s0": 30}, default_budget=20
+            ).collect(),
+        )
+    )
+    assert a == b
