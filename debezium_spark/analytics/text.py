@@ -910,8 +910,13 @@ def token_budget_sample(
         )
         .select(source_col, "__sub", "__offset")
     )
+    # NOT a forced broadcast: offsets is |sources|·sub_shards rows — tiny
+    # for named mixtures, but default_budget over a high-cardinality source
+    # column (millions of domains) makes it too big to ship to the driver.
+    # The window above already hash-partitioned t on (source, __sub), so
+    # the equi-join reuses that exchange; AQE broadcasts when it fits.
     return (
-        t.join(F.broadcast(offsets), [source_col, "__sub"])
+        t.join(offsets, [source_col, "__sub"])
         .withColumn("end_tok", F.col("__offset") + F.col("__local_end"))
         .filter(
             F.col("__budget").isNull() | (F.col("end_tok") <= F.col("__budget"))
