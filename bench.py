@@ -32,6 +32,8 @@ HEADLINE = [
     "x4_exact_dedup",
     "x6_lsh_candidates",
     "x8_simhash",
+    "x27_pack_sequences",
+    "x28_token_budget_sample",
     "a2_knn_bruteforce",
     "a8_ivf_search",
     "a4_field_to_embedding",
