@@ -1378,3 +1378,148 @@ def boilerplate_ngrams(
             ).alias("boiler_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — regex scrub for training-data curation
+# ---------------------------------------------------------------------------
+# Category → (pattern, replacement). Patterns are deliberately restricted to
+# the regex subset whose semantics are IDENTICAL between Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded quantifiers, \b word
+# boundaries, alternation — no backreferences, no lookaround. Replacement
+# order is fixed (emails first: their local parts may embed digit runs that
+# later patterns would otherwise bite into).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII scrubbing (the pre-release redaction pass every public training
+    corpus runs — emails/phones/IPs/SSNs → typed placeholder tokens) plus
+    per-category match counts, so downstream policy can drop documents
+    whose PII density exceeds a threshold instead of just masking them.
+
+    The reference ships the masking half as a column SMT
+    (debezium-core/src/main/java/io/debezium/transforms/... mask/truncate,
+    operators/mask.py here); this is the content-level counterpart a
+    text corpus needs.
+
+    Counts are taken per category on the text AS SEEN by that category's
+    pass (i.e. after earlier replacements), exactly mirroring the
+    sequential rewrite — so overlapping matches are never double-counted
+    and `n_<cat>` always equals the number of placeholders inserted by
+    that pass. Purely expression-level (regexp_count/regexp_replace in
+    whole-stage codegen): zero shuffle, scales linearly with the scan.
+    NULL text -> NULL out (counts and text)."""
+    cur = F.col(text_col)
+    cols = [F.col(id_col)]
+    for cat, pat, repl in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{cat}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    cols.append(cur.alias("clean_text"))
+    return df.select(*cols)
+
+
+def oracle_redact_pii_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`redact_pii`'s per-row columns (the SELECT-list
+    fragment after ``doc_id``): same patterns, same sequential-rewrite
+    counting."""
+    cur = text_expr
+    parts = []
+    for cat, pat, repl in PII_PATTERNS:
+        parts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INT)"
+            f" AS n_{cat}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    parts.append(f"{cur} AS clean_text")
+    return ", ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate span removal — x26's detector turned into a rewriter
+# ---------------------------------------------------------------------------
+def remove_boilerplate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """Rewrite documents with corpus-boilerplate spans removed: every token
+    covered by an occurrence of a bank n-gram (the ``top`` highest-
+    document-frequency word n-grams, exactly :func:`boilerplate_ngrams`'s
+    bank) is dropped; the survivors are re-joined in order. This is the
+    transformation half of the C4/RefinedWeb "most common lines" cleanup —
+    x26 scores documents, this one actually cleans them.
+
+    Scale shape: the bank aggregation is x26's (one map-side-combined
+    doc-frequency agg + TakeOrdered for ``top`` rows); the bank — a
+    bounded constant, like the PQ codebooks — is then inlined as a literal
+    array, so the REWRITE itself is a pure per-row expression: mark hit
+    start positions, OR the coverage window over each token, filter, and
+    concat. ZERO additional shuffle — the cleanup runs map-side inside the
+    scan at any corpus size.
+
+    Overlapping occurrences union naturally (a token is dropped once).
+    Documents shorter than ``n`` tokens can still match via the padded
+    single gram (mirroring x26's gram definition). NULL text stays NULL.
+    """
+    grams = df.select(
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("g"),
+    )
+    bank_rows = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("df_"))
+        .orderBy(F.col("df_").desc(), F.col("g"))
+        .limit(top)
+        .select("g")
+        .collect()
+    )
+    bank = F.array(*[F.lit(r["g"]) for r in bank_rows])
+
+    toks = tokenize(F.col(text_col))
+    L = F.size(toks)
+    n_starts = F.greatest(F.lit(1), L - F.lit(n - 1))
+    # hits[i] (1-based): does the gram starting at token i match the bank?
+    hits = F.transform(
+        F.sequence(F.lit(1), n_starts),
+        lambda i: F.array_contains(bank, F.concat_ws(" ", F.slice(toks, i, n))),
+    )
+    # token p survives unless some start i in [p-n+1, p] (clamped to the
+    # valid start range) hit the bank
+    def _covered(p):
+        return F.exists(
+            F.sequence(F.greatest(F.lit(1), p - F.lit(n - 1)), F.least(p, n_starts)),
+            lambda i: F.element_at(hits, i),
+        )
+
+    kept = F.filter(
+        F.zip_with(
+            F.sequence(F.lit(1), L),
+            toks,
+            lambda p, t: F.struct(p.alias("p"), t.alias("t")),
+        ),
+        lambda e: ~_covered(e["p"]),
+    )
+    return df.select(
+        F.col(id_col),
+        L.alias("n_tokens"),
+        (L - F.size(kept)).alias("n_removed"),
+        # concat_ws silently renders a NULL array as '' — keep NULL NULL
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.concat_ws(" ", F.transform(kept, lambda e: e["t"])),
+        ).alias("clean_text"),
+    )

@@ -1145,3 +1145,125 @@ def x28_token_budget_sample(spark, sf_dir):
     return token_budget_sample(
         docs, {"src0": 800, "src1": 500}, default_budget=300
     )
+
+
+# ---------------------------------------------------------------------------
+# X29 — PII redaction (content-level scrub + per-category counts)
+# ---------------------------------------------------------------------------
+from debezium_spark.analytics.text import oracle_redact_pii_sql  # noqa: E402
+
+# The synthetic corpus carries no real PII, so the gate query injects
+# deterministic patterns derived from doc columns — the regexes under test
+# are the production ones; only the fixture text is synthesized (on BOTH
+# engines, identically).
+_PII_AUG_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'"
+    " || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' ip 10.0.' ||"
+    " CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END"
+)
+
+
+@register(
+    "x29_pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+    )
+    SELECT doc_id, {oracle_redact_pii_sql("text")} FROM aug
+    """,
+)
+def x29_pii_redaction(spark, sf_dir):
+    """Pre-release PII scrub: emails/SSNs/phones/IPv4s → typed placeholders
+    plus per-category counts, sequential-rewrite semantics (counts = number
+    of placeholders actually inserted). Pure regexp expressions inside the
+    scan — zero shuffle at any corpus size."""
+    from debezium_spark.analytics.text import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com call 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" ip 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(aug)
+
+
+# ---------------------------------------------------------------------------
+# X30 — boilerplate span removal (x26's detector as a rewriter)
+# ---------------------------------------------------------------------------
+_SLICE_G = "array_to_string(list_slice(toks, i, i + 4), ' ')"
+
+
+@register(
+    "x30_remove_boilerplate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    gr AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(1, len(toks) - 4)),
+            i -> {_SLICE_G}))) AS g
+        FROM t
+    ),
+    dfreq AS (SELECT g, count(*) AS df_ FROM gr GROUP BY 1),
+    bank AS (SELECT g FROM dfreq ORDER BY df_ DESC, g LIMIT 20),
+    starts AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(1, len(toks) - 4))) AS i
+        FROM t
+    ),
+    occ AS (
+        SELECT s.doc_id, s.i, least(s.i + 4, len(s.toks)) AS j
+        FROM starts s JOIN bank b
+          ON b.g = array_to_string(list_slice(s.toks, s.i,
+                                              least(s.i + 4, len(s.toks))), ' ')
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, p
+        FROM (SELECT doc_id, unnest(generate_series(i, j)) AS p FROM occ)
+    ),
+    tokpos AS (
+        SELECT doc_id, p, list_extract(toks, p) AS tok
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS p
+              FROM t)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.p, tp.tok
+        FROM tokpos tp ANTI JOIN covered c USING (doc_id, p)
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INT) AS n_tokens,
+           CAST(len(t.toks) - count(k.p) AS INT) AS n_removed,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+    FROM t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, len(t.toks)
+    """,
+)
+def x30_remove_boilerplate(spark, sf_dir):
+    """Boilerplate REMOVAL: tokens covered by any occurrence of a bank
+    n-gram (x26's top-20 document-frequency bank) are dropped and the
+    document is re-joined in token order. The bank is a bounded literal
+    (like the PQ codebooks), so the rewrite is a pure map-side expression
+    — one corpus aggregation, then zero additional shuffle."""
+    from debezium_spark.analytics.text import remove_boilerplate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_boilerplate_spans(docs)

@@ -295,3 +295,85 @@ def test_token_budget_sample_deterministic_across_partitioning(spark):
         )
     )
     assert a == b
+
+
+def test_redact_pii_counts_and_rewrites(spark):
+    """Every category matches, sequential counting equals placeholders
+    inserted, NULL text stays NULL throughout."""
+    from debezium_spark.analytics.text import redact_pii
+
+    rows = [
+        (1, "mail me at a.b+c@ex.co or 555-123-4567, host 10.0.0.1"),
+        (2, "ssn 123-45-6789 twice 987-65-4321 end"),
+        (3, "plain text no pii at all"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ipv4"], r1["n_ssn"]) == (1, 1, 1, 0)
+    assert r1["clean_text"] == "mail me at <EMAIL> or <PHONE>, host <IP>"
+    assert out[2]["n_ssn"] == 2
+    assert out[2]["clean_text"] == "ssn <SSN> twice <SSN> end"
+    r3 = out[3]
+    assert r3["clean_text"] == "plain text no pii at all"
+    assert r3["n_email"] == r3["n_phone"] == r3["n_ipv4"] == r3["n_ssn"] == 0
+    r4 = out[4]
+    assert r4["clean_text"] is None and r4["n_email"] is None
+
+
+def test_redact_pii_ssn_before_phone_disambiguation(spark):
+    """A 3-2-4 group is an SSN, a 3-3-4 group is a phone — the fixed
+    replacement order must not let one category consume the other."""
+    from debezium_spark.analytics.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "123-45-6789 and 123-456-7890")], "doc_id long, text string"
+    )
+    r = redact_pii(docs).collect()[0]
+    assert r["n_ssn"] == 1 and r["n_phone"] == 1
+    assert r["clean_text"] == "<SSN> and <PHONE>"
+
+
+def test_remove_boilerplate_spans_rewrites(spark):
+    """Covered tokens vanish, overlapping occurrences union, a fully
+    boilerplate doc becomes '', an untouched doc round-trips, NULL stays
+    NULL."""
+    from debezium_spark.analytics.text import remove_boilerplate_spans
+
+    boiler = "one two three"  # will be the top-1 3-gram (df = 3)
+    rows = [
+        (1, f"{boiler} tail words here"),
+        (2, f"head {boiler} middle {boiler}"),
+        (3, boiler),
+        (4, "completely unrelated tokens stay put"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_spans(docs, n=3, top=1).collect()
+    }
+    assert out[1]["clean_text"] == "tail words here"
+    assert out[1]["n_removed"] == 3 and out[1]["n_tokens"] == 6
+    assert out[2]["clean_text"] == "head middle"
+    assert out[2]["n_removed"] == 6
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 3
+    assert out[4]["clean_text"] == "completely unrelated tokens stay put"
+    assert out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] is None
+
+
+def test_remove_boilerplate_overlapping_occurrences_union(spark):
+    """'a b a b a b' with bank gram 'a b a': occurrences at 1 and 3
+    overlap; covered = positions 1..5, survivor just the final 'b'."""
+    from debezium_spark.analytics.text import remove_boilerplate_spans
+
+    rows = [(1, "a b a b a b"), (2, "a b a filler"), (3, "a b a filler2")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_spans(docs, n=3, top=1).collect()
+    }
+    assert out[1]["clean_text"] == "b"
+    assert out[1]["n_removed"] == 5
