@@ -1523,3 +1523,166 @@ def remove_boilerplate_spans(
             F.concat_ws(" ", F.transform(kept, lambda e: e["t"])),
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level deduplication — within-document (x31) and cross-corpus (x32)
+# ---------------------------------------------------------------------------
+def dedupe_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n",
+) -> DataFrame:
+    """Within-document duplicate-line removal (the C4/CCNet cleaning pass
+    that strips repeated nav/menu/footer lines inside one page): keep the
+    FIRST occurrence of each exact line, preserving original order.
+
+    Output: ``(id, n_lines, n_dupes, clean_text)``.
+
+    Purely expression-level — a higher-order ``filter`` with the indexed
+    lambda ``(x, i) -> array_position(lines, x) == i+1`` runs inside the
+    scan projection: zero shuffle at any corpus size. Per-document cost is
+    O(L²) in the LINE count (not chars), bounded by page size, not corpus
+    size. NULL text -> NULL out. ``sep`` is a Java regex (default literal
+    newline)."""
+    lines = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_dupes"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def dedupe_corpus_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n",
+) -> DataFrame:
+    """CROSS-document line deduplication (the CCNet/RefinedWeb corpus pass:
+    boilerplate lines shared by thousands of pages survive in exactly one
+    document). A line occurring in multiple documents is kept only in the
+    smallest ``id_col`` document containing it (all of that document's
+    occurrences — within-doc dedup is :func:`dedupe_lines`'s job) and
+    removed everywhere else. Documents losing every line still emit a row
+    with ``clean_text = ''``.
+
+    Output: ``(id, n_lines, n_removed, clean_text)``.
+
+    Plan shape (100 TB): posexplode is map-side; per-line ``min(doc)`` is a
+    map-side-combinable hash aggregate (one shuffle on the line key);
+    reassembly is one more hash aggregate on the doc key. The keeper table
+    joins back by hash — Spark broadcasts it while its size estimate is
+    small and falls to a sort-merge join (reusing the line-key exchange)
+    when the distinct-line table outgrows the threshold. No driver
+    collect; hot boilerplate lines are exactly the skewed keys AQE's
+    skew-join splitting handles."""
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    )
+    keeper = lines.groupBy("__line").agg(F.min("__id").alias("__keep_id"))
+    flagged = lines.join(keeper, "__line").withColumn(
+        "__keep", F.col("__id") == F.col("__keep_id")
+    )
+    return (
+        flagged.groupBy("__id")
+        .agg(
+            F.count("*").cast("int").alias("n_lines"),
+            F.sum(F.when(F.col("__keep"), 0).otherwise(1))
+            .cast("int")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(
+                                    F.col("__pos").alias("p"),
+                                    F.col("__line").alias("l"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_lines",
+            "n_removed",
+            "clean_text",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality metrics — the Gopher repetition-rule family
+# ---------------------------------------------------------------------------
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_dup_2gram_frac: float = 0.20,
+    max_dup_3gram_frac: float = 0.18,
+    max_top_2gram_cov: float = 0.20,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, the 'repetition
+    removal' quality rules every pretraining corpus applies): per document,
+    the fraction of word n-grams that are duplicates (1 - distinct/total,
+    n=2,3), the coverage of the single most frequent 2-gram
+    (``2·count/ n_tokens``), and a combined ``keep`` flag against the
+    thresholds.
+
+    Output: ``(id, n_tokens, dup_2gram_frac, dup_3gram_frac,
+    top_2gram_count, top_2gram_cov, keep)``.
+
+    Entirely expression-level (higher-order array functions inside the scan
+    projection): zero shuffle. The most-frequent-2-gram search is O(G²)
+    over a DOCUMENT's distinct 2-grams — bounded by document length,
+    independent of corpus size. All fractions are computed as a single
+    double division (+ one subtraction), so the values are bit-identical
+    to any engine doing the same IEEE-754 arithmetic."""
+    col = F.col(text_col)
+    toks = tokenize(col)
+    n_tokens = F.size(toks)
+    g2, g3 = word_ngrams(col, 2), word_ngrams(col, 3)
+
+    def dup_frac(g: Column) -> Column:
+        return F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(
+            g
+        ).cast("double")
+
+    top2_count = F.array_max(
+        F.transform(
+            F.array_distinct(g2),
+            lambda x: F.size(F.filter(g2, lambda y: y == x)),
+        )
+    )
+    dup2 = dup_frac(g2)
+    dup3 = dup_frac(g3)
+    top2_cov = (top2_count * 2).cast("double") / n_tokens.cast("double")
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        dup2.alias("dup_2gram_frac"),
+        dup3.alias("dup_3gram_frac"),
+        top2_count.alias("top_2gram_count"),
+        top2_cov.alias("top_2gram_cov"),
+        (
+            (dup2 <= F.lit(max_dup_2gram_frac))
+            & (dup3 <= F.lit(max_dup_3gram_frac))
+            & (top2_cov <= F.lit(max_top_2gram_cov))
+        ).alias("keep"),
+    )

@@ -1267,3 +1267,195 @@ def x30_remove_boilerplate(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return remove_boilerplate_spans(docs)
+
+
+# ---------------------------------------------------------------------------
+# X31/X32 — line-level dedup. The synthetic corpus is single-line, so (like
+# x29's PII fixtures) both gates synthesize a deterministic multi-line
+# rendering — 6-token lines — identically on BOTH engines; the operators
+# under test are the production ones.
+# ---------------------------------------------------------------------------
+_LINES_SQL = (
+    "list_transform(generate_series(1, CAST(ceil(len(toks) / 6.0) AS INT)),"
+    " i -> array_to_string(list_slice(toks, (i - 1) * 6 + 1, i * 6), ' '))"
+)
+
+
+def _six_token_lines(col):
+    toks = F.split(F.trim(col), r"\s+")
+    return F.transform(
+        F.sequence(
+            F.lit(1), F.ceil(F.size(toks) / F.lit(6.0)).cast("int")
+        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - F.lit(1)) * 6 + 1, 6)),
+    )
+
+
+_X31_KEPT = "list_filter(l2, (x, i) -> list_position(l2, x) = i)"
+
+
+@register(
+    "x31_dedupe_lines",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ls AS (SELECT doc_id, {_LINES_SQL} AS lines FROM t),
+    aug AS (
+        SELECT doc_id,
+               array_to_string(
+                   lines || list_slice(lines, 1, 1) || list_slice(lines, 3, 3),
+                   chr(10)) AS text
+        FROM ls
+    ),
+    sp AS (SELECT doc_id, string_split(text, chr(10)) AS l2 FROM aug)
+    SELECT doc_id,
+           CAST(len(l2) AS INT) AS n_lines,
+           CAST(len(l2) - len({_X31_KEPT}) AS INT) AS n_dupes,
+           array_to_string({_X31_KEPT}, chr(10)) AS clean_text
+    FROM sp
+    """,
+)
+def x31_dedupe_lines(spark, sf_dir):
+    """Within-document duplicate-line removal (C4/CCNet page cleaning):
+    first occurrence of each exact line survives, order preserved. The
+    fixture re-renders each doc as 6-token lines and appends copies of
+    lines 1 and 3, so every doc carries real duplicates. Pure indexed
+    higher-order filter inside the scan projection — zero shuffle."""
+    from debezium_spark.analytics.text import dedupe_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lines = _six_token_lines(F.col("text"))
+    aug = docs.select(
+        "doc_id",
+        F.array_join(
+            F.concat(lines, F.slice(lines, 1, 1), F.slice(lines, 3, 1)),
+            "\n",
+        ).alias("text"),
+    )
+    return dedupe_lines(aug)
+
+
+@register(
+    "x32_dedupe_corpus_lines",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    ls AS (SELECT doc_id, source, {_LINES_SQL} AS lines FROM t),
+    aug AS (
+        SELECT doc_id,
+               array_to_string(
+                   lines || ['subscribe to our newsletter today',
+                             'footer ' || source],
+                   chr(10)) AS text
+        FROM ls
+    ),
+    sp AS (SELECT doc_id, string_split(text, chr(10)) AS l2 FROM aug),
+    lines2 AS (
+        SELECT doc_id, l2,
+               unnest(generate_series(1, len(l2))) AS pos
+        FROM sp
+    ),
+    lx AS (SELECT doc_id, pos, l2[pos] AS line FROM lines2),
+    keeper AS (SELECT line, min(doc_id) AS keep_id FROM lx GROUP BY 1),
+    flagged AS (
+        SELECT l.doc_id, l.pos, l.line,
+               (l.doc_id = k.keep_id) AS keep
+        FROM lx l JOIN keeper k USING (line)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS n_removed,
+           coalesce(string_agg(CASE WHEN keep THEN line END,
+                               chr(10) ORDER BY pos), '') AS clean_text
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def x32_dedupe_corpus_lines(spark, sf_dir):
+    """CROSS-document line dedup (the CCNet corpus pass): a line shared by
+    many documents survives only in the smallest doc_id containing it. The
+    fixture appends a corpus-wide footer line plus a per-source footer to
+    every document — after dedup exactly one doc keeps the global footer
+    and one doc per source keeps its source footer. One line-key hash agg
+    (exchange reused by the join) + one doc-key reassembly agg."""
+    from debezium_spark.analytics.text import dedupe_corpus_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lines = _six_token_lines(F.col("text"))
+    aug = docs.select(
+        "doc_id",
+        F.array_join(
+            F.concat(
+                lines,
+                F.array(
+                    F.lit("subscribe to our newsletter today"),
+                    F.concat(F.lit("footer "), F.col("source")),
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return dedupe_corpus_lines(aug)
+
+
+# ---------------------------------------------------------------------------
+# X33 — Gopher repetition-rule quality metrics
+# ---------------------------------------------------------------------------
+_G2 = (
+    "list_transform(generate_series(1, greatest(1, len(toks) - 1)),"
+    " i -> array_to_string(list_slice(toks, i, i + 1), ' '))"
+)
+_G3 = (
+    "list_transform(generate_series(1, greatest(1, len(toks) - 2)),"
+    " i -> array_to_string(list_slice(toks, i, i + 2), ' '))"
+)
+
+
+@register(
+    "x33_repetition_metrics",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, len(toks) AS n_tokens, {_G2} AS g2, {_G3} AS g3
+        FROM t
+    ),
+    m AS (
+        SELECT doc_id, n_tokens,
+               CAST(1 AS DOUBLE)
+                 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                   / CAST(len(g2) AS DOUBLE) AS dup_2gram_frac,
+               CAST(1 AS DOUBLE)
+                 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                   / CAST(len(g3) AS DOUBLE) AS dup_3gram_frac,
+               list_aggregate(
+                   list_transform(list_distinct(g2),
+                                  x -> len(list_filter(g2, y -> y = x))),
+                   'max') AS topc
+        FROM g
+    ),
+    m2 AS (
+        SELECT doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac, topc,
+               CAST(topc * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   AS top_2gram_cov
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           dup_2gram_frac, dup_3gram_frac,
+           CAST(topc AS INT) AS top_2gram_count,
+           top_2gram_cov,
+           (dup_2gram_frac <= CAST(0.20 AS DOUBLE)
+            AND dup_3gram_frac <= CAST(0.18 AS DOUBLE)
+            AND top_2gram_cov <= CAST(0.20 AS DOUBLE)) AS keep
+    FROM m2
+    """,
+)
+def x33_repetition_metrics(spark, sf_dir):
+    """Gopher repetition rules (duplicate 2/3-gram fractions, top-2-gram
+    coverage, combined keep flag) — the quality filter family applied
+    before every pretraining run. x13 is the single duplicate-bigram
+    signal; this is the full rule set plus the keep DECISION. Entirely
+    expression-level inside the scan: zero shuffle; per-doc cost bounded
+    by document length."""
+    from debezium_spark.analytics.text import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_metrics(docs)

@@ -408,3 +408,25 @@ def test_ivf_cell_assignment_is_shuffle_free(spark):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert assigned.count() == n
+
+
+def test_dedupe_lines_is_shuffle_free(spark, qs):
+    """x31: within-doc line dedup is one indexed higher-order filter in the
+    scan projection — no Exchange at any corpus size."""
+    plan = _plan(spark, qs, "x31_dedupe_lines")
+    assert "Exchange" not in plan
+
+
+def test_repetition_metrics_is_shuffle_free(spark, qs):
+    """x33: the full Gopher repetition rule set stays in-row — no Exchange."""
+    plan = _plan(spark, qs, "x33_repetition_metrics")
+    assert "Exchange" not in plan
+
+
+def test_corpus_line_dedup_bounded_shuffles(spark, qs):
+    """x32: cross-doc line dedup is exactly two hash-key shuffles (per-line
+    min-doc agg + per-doc reassembly agg); the keeper table joins back by
+    hash (broadcast at small SF, SMJ at scale) — never a cartesian."""
+    plan = _plan(spark, qs, "x32_dedupe_corpus_lines")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
