@@ -377,3 +377,69 @@ def test_remove_boilerplate_overlapping_occurrences_union(spark):
     }
     assert out[1]["clean_text"] == "b"
     assert out[1]["n_removed"] == 5
+
+
+def test_dedupe_lines_first_occurrence_wins(spark):
+    """Order preserved, first copy kept, NULL text stays NULL."""
+    from debezium_spark.analytics.text import dedupe_lines
+
+    rows = [
+        (1, "a\nb\na\nc\nb\na"),
+        (2, "only\none\nof\neach"),
+        (3, "same\nsame\nsame"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedupe_lines(docs).collect()}
+    assert out[1]["clean_text"] == "a\nb\nc" and out[1]["n_dupes"] == 3
+    assert out[2]["clean_text"] == "only\none\nof\neach"
+    assert out[2]["n_dupes"] == 0 and out[2]["n_lines"] == 4
+    assert out[3]["clean_text"] == "same" and out[3]["n_dupes"] == 2
+    assert out[4]["clean_text"] is None and out[4]["n_lines"] is None
+
+
+def test_dedupe_corpus_lines_min_doc_keeps(spark):
+    """A shared line survives only in the smallest doc id (ALL its copies
+    there — within-doc dedup is dedupe_lines's job); a doc losing every
+    line still emits a row with empty clean_text."""
+    from debezium_spark.analytics.text import dedupe_corpus_lines
+
+    rows = [
+        (10, "footer\nunique-ten\nfooter"),
+        (20, "unique-twenty\nfooter"),
+        (30, "footer"),  # loses its only line
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedupe_corpus_lines(docs).collect()}
+    assert out[10]["clean_text"] == "footer\nunique-ten\nfooter"
+    assert out[10]["n_removed"] == 0
+    assert out[20]["clean_text"] == "unique-twenty"
+    assert out[20]["n_removed"] == 1
+    assert out[30]["clean_text"] == "" and out[30]["n_removed"] == 1
+    assert out[30]["n_lines"] == 1
+
+
+def test_repetition_metrics_rules(spark):
+    """Known-by-hand fractions: a fully repeated doc fails, a diverse doc
+    passes, a single-token doc degrades to the one clamped n-gram."""
+    from debezium_spark.analytics.text import repetition_metrics
+
+    rows = [
+        (1, "spam spam spam spam"),          # all 2-grams identical
+        # all distinct AND long enough that top-2-gram coverage 2/12 <= 0.2
+        # (short diverse docs legitimately fail the coverage rule)
+        (2, "one two three four five six seven eight nine ten eleven twelve"),
+        (3, "solo"),                          # < n tokens: clamped n-gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    r1 = out[1]
+    # 3 bigrams, 1 distinct -> dup frac 2/3; top bigram covers 2*3/4
+    assert abs(r1["dup_2gram_frac"] - 2 / 3) < 1e-12
+    assert r1["top_2gram_count"] == 3 and not r1["keep"]
+    r2 = out[2]
+    assert r2["dup_2gram_frac"] == 0.0 and r2["dup_3gram_frac"] == 0.0
+    assert r2["top_2gram_count"] == 1 and r2["keep"]
+    r3 = out[3]
+    assert r3["n_tokens"] == 1 and r3["top_2gram_count"] == 1
+    assert r3["dup_2gram_frac"] == 0.0
