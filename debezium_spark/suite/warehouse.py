@@ -1232,3 +1232,82 @@ def w31_range_join(spark, sf_dir):
     return joined.groupBy("order_date").agg(
         F.count("s").alias("n_transit")
     )
+
+
+# ---------------------------------------------------------------------------
+# W32 — waiting suppliers (TPC-H Q21: the semi + anti join composition).
+# The schema has no receipt/commit dates, so "late" is defined as shipping
+# more than 45 days after the order date — same predicate on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "w32_waiting_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 45 DAY)
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+def w32_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept 'F' orders waiting): reference SQL
+    runs the literal EXISTS / NOT-EXISTS pair; the Spark plan decorrelates
+    both subqueries into a TWO-LEVEL aggregation — per (order, supplier)
+    first (late flag + late-row count), then per order (supplier count =
+    the EXISTS, late-supplier count = the NOT EXISTS, the sole late
+    supplier and its late rows). Deliberately NOT two countDistinct()s on
+    one groupBy: that plans an Expand (gid) tripling every joined lineitem
+    row before the partial agg; the two plain hash aggs combine map-side,
+    and at scale the second agg's order-key clustering is already
+    satisfied by the first's (subset of (order, supplier)), so a
+    sort-merge lineitem⋈orders feeds both without a new exchange.
+    Qualifying orders collapse to (suppkey, late_rows); a tiny per-supplier
+    sum, the 25-row supplier dim broadcast, and TakeOrderedAndProject keep
+    the top 20 (never a global sort). Count semantics match Q21's: one per
+    LATE LINEITEM ROW of the waiting supplier, not one per order."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 45 DAYS"
+    )
+    flagged = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", late.alias("__late")
+    )
+    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("__late").alias("__supp_late"),
+        F.sum(F.when(F.col("__late"), 1).otherwise(0)).alias("__rows"),
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("__nsupp"),
+        F.sum(F.col("__supp_late").cast("int")).alias("__nlate_supp"),
+        F.max(
+            F.when(F.col("__supp_late"), F.col("l_suppkey"))
+        ).alias("s_suppkey"),
+        F.sum(
+            F.when(F.col("__supp_late"), F.col("__rows")).otherwise(0)
+        ).alias("__late_rows"),
+    )
+    waiting = per_order.filter(
+        (F.col("__nsupp") >= 2) & (F.col("__nlate_supp") == 1)
+    )
+    return (
+        waiting.groupBy("s_suppkey")
+        .agg(F.sum("__late_rows").cast("long").alias("numwait"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), "s_suppkey")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+        .select("s_suppkey", "s_name", "numwait")
+    )

@@ -430,3 +430,13 @@ def test_corpus_line_dedup_bounded_shuffles(spark, qs):
     plan = _plan(spark, qs, "x32_dedupe_corpus_lines")
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_waiting_suppliers_no_expand_and_topk(spark, qs):
+    """w32 (Q21): the two-level decorrelation must not regress to the
+    Expand/gid multi-distinct plan (3× row inflation before the partial
+    agg), and top-20 must be TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, qs, "w32_waiting_suppliers")
+    assert "Expand" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
