@@ -1686,3 +1686,88 @@ def repetition_metrics(
             & (top2_cov <= F.lit(max_top_2gram_cov))
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup — screen a NEW batch against a persisted index
+# ---------------------------------------------------------------------------
+def lsh_candidates_vs_index(
+    index_sigs: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup screening: LSH candidates between a NEW batch
+    and a PERSISTED signature index — the sign-once/ingest-many dedup
+    lifecycle (the accepted corpus's MinHash signatures live in a parquet
+    table; every incoming crawl batch is screened against them WITHOUT
+    re-signing 100 TB of corpus; mirrors the prebuilt-index contract of
+    ``knn_pq``/``knn_ivfpq``).
+
+    ``index_sigs``: ``(id, mh0..mh{n-1})`` exactly as produced by
+    :func:`minhash_signature` (typically ``spark.read.parquet`` of a saved
+    signature table). The new batch is signed on the fly. Candidates come
+    from a banded equi-join on ``(band, packed-band-key)`` — batch × index
+    is NEVER materialized; the shuffle is O((batch+index)·bands) small
+    rows and AQE splits skewed buckets. ``est_jaccard`` is the standard
+    MinHash agreement estimate (#agreeing hash positions / num_hashes), so
+    the index side needs NO text. Multi-band collisions collapse in the
+    same aggregation that computes the estimate (no extra distinct pass).
+
+    Output: ``(new_id, index_id, est_jaccard, is_dup)`` with ``is_dup`` =
+    ``est_jaccard >= threshold``."""
+    num_bands = num_hashes // rows_per_band
+    mh = [f"mh{j}" for j in range(num_hashes)]
+
+    def bkey_of(b: int) -> Column:
+        cols = [F.col(mh[b * rows_per_band + r]) for r in range(rows_per_band)]
+        if rows_per_band <= 2:  # hashes < P < 2^30: injective bigint pack
+            packed = cols[0]
+            for c in cols[1:]:
+                packed = packed * F.lit(1 << 30) + c
+            return packed
+        return F.md5(F.concat_ws("-", *[c.cast("string") for c in cols]))
+
+    def banded(sigs: DataFrame, side: str) -> DataFrame:
+        bb = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), bkey_of(b).alias("bkey"))
+                for b in range(num_bands)
+            ]
+        )
+        return sigs.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.array(*mh).alias(f"{side}_sig"),
+            F.explode(bb).alias("bb"),
+        ).select(f"{side}_id", f"{side}_sig", "bb.band", "bb.bkey")
+
+    new_sigs = minhash_signature(new_df, text_col, num_hashes, k)
+    cand = banded(new_sigs, "new").join(
+        banded(index_sigs, "index"), ["band", "bkey"]
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("new_sig"),
+            F.col("index_sig"),
+            lambda a, b: (a == b).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.select("new_id", "index_id", est.alias("est_jaccard"))
+        .groupBy("new_id", "index_id")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+        .select(
+            "new_id",
+            "index_id",
+            "est_jaccard",
+            (F.col("est_jaccard") >= F.lit(threshold)).alias("is_dup"),
+        )
+    )

@@ -1459,3 +1459,56 @@ def x33_repetition_metrics(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return repetition_metrics(docs)
+
+
+# ---------------------------------------------------------------------------
+# X34 — incremental dedup: new batch screened against the persisted index.
+# Fixture split: doc_id % 5 == 0 is the incoming batch, the rest is the
+# already-indexed corpus (signatures precomputed, as if loaded from parquet
+# — the save/load round-trip itself is unit-tested in test_components.py).
+# ---------------------------------------------------------------------------
+_EST_SQL = (
+    "CAST("
+    + " + ".join(
+        f"(CASE WHEN sn.mh{j} = si.mh{j} THEN 1 ELSE 0 END)" for j in range(8)
+    )
+    + " AS DOUBLE) / CAST(8 AS DOUBLE)"
+)
+
+
+@register(
+    "x34_incremental_dedup",
+    oracle=f"""
+    WITH {_SIG_CTE}, {_BANDS_CTE},
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+        FROM bands n JOIN bands i
+          ON n.band = i.band AND n.bkey = i.bkey
+        WHERE n.doc_id % 5 = 0 AND i.doc_id % 5 <> 0
+    ),
+    est AS (
+        SELECT c.new_id, c.index_id, {_EST_SQL} AS est_jaccard
+        FROM cand c
+        JOIN sig sn ON sn.doc_id = c.new_id
+        JOIN sig si ON si.doc_id = c.index_id
+    )
+    SELECT new_id, index_id, est_jaccard,
+           est_jaccard >= CAST(0.5 AS DOUBLE) AS is_dup
+    FROM est
+    """,
+)
+def x34_incremental_dedup(spark, sf_dir):
+    """Sign-once/ingest-many dedup: the accepted corpus's MinHash
+    signatures are persisted; each incoming batch is screened against them
+    via a banded equi-join (batch × index never materialized) and scored
+    with the MinHash agreement estimate — no corpus re-signing, no index
+    text needed. The production path for continuous crawl ingestion."""
+    from debezium_spark.analytics.text import (
+        lsh_candidates_vs_index,
+        minhash_signature,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index_sigs = minhash_signature(docs.filter(F.col("doc_id") % 5 != 0))
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    return lsh_candidates_vs_index(index_sigs, new_docs)

@@ -443,3 +443,38 @@ def test_repetition_metrics_rules(spark):
     r3 = out[3]
     assert r3["n_tokens"] == 1 and r3["top_2gram_count"] == 1
     assert r3["dup_2gram_frac"] == 0.0
+
+
+def test_incremental_dedup_vs_persisted_index(spark, tmp_path):
+    """The production lifecycle: signatures saved to parquet, loaded back,
+    a new batch screened against them. An exact copy of an indexed doc
+    must surface with est_jaccard 1.0; an unrelated doc must not pair."""
+    from debezium_spark.analytics.text import (
+        lsh_candidates_vs_index,
+        minhash_signature,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "completely different content about distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sig_index")
+    minhash_signature(corpus).write.parquet(path)
+    index_sigs = spark.read.parquet(path)
+
+    new_batch = spark.createDataFrame(
+        [
+            (105, "the quick brown fox jumps over the lazy dog again today"),
+            (110, "zebra xylophone quartz vex jumbled wharf glyphs"),
+        ],
+        "doc_id long, text string",
+    )
+    out = lsh_candidates_vs_index(index_sigs, new_batch).collect()
+    pairs = {(r["new_id"], r["index_id"]): r for r in out}
+    assert (105, 1) in pairs
+    r = pairs[(105, 1)]
+    assert r["est_jaccard"] == 1.0 and r["is_dup"]
+    assert all(new_id != 110 for new_id, _ in pairs)

@@ -440,3 +440,10 @@ def test_waiting_suppliers_no_expand_and_topk(spark, qs):
     assert "Expand" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_incremental_dedup_is_band_join_not_cartesian(spark, qs):
+    """x34: batch-vs-index screening must stay a banded equi-join —
+    no cartesian/nested-loop between the batch and the corpus index."""
+    plan = _plan(spark, qs, "x34_incremental_dedup")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
