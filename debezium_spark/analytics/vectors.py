@@ -971,3 +971,41 @@ def _semdedup_arrow(
         .groupBy("cell")
         .applyInPandas(emit, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced coreset sampling — diversity-aware data selection
+# ---------------------------------------------------------------------------
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    per_cell: int = 25,
+) -> DataFrame:
+    """Diversity-balanced subset selection in embedding space: route every
+    vector to its nearest trained centroid, then keep at most ``per_cell``
+    vectors per cell in portable-hash order — so one mega-cluster of
+    near-identical content cannot dominate the training sample (the
+    cluster-balanced counterpart of the per-SOURCE quota ``x24``; SemDeDup
+    prunes near-twins, this caps whole REGIONS of the space).
+
+    ``centroids``: ``(cell, cvec)`` from :func:`ivf_train` (or loaded via
+    :func:`load_vector_index`) — train-once/sample-many. Routing is the
+    same literal-centroid map-side argmax as ``knn_ivf`` (zero shuffle,
+    zero row amplification); the cap is ONE shuffle on the cell key, and
+    the hash order makes the draw reproducible across runs and engines.
+    Output: ``(id, cell)`` of the kept vectors."""
+    from debezium_spark.analytics.text import portable_hash64
+
+    assigned = _nearest_cells(vectors, centroids, id_col, vec_col, nprobe=1)
+    w = Window.partitionBy("cell").orderBy(
+        portable_hash64(F.col(id_col).cast("string"), seed="cbs:"),
+        F.col(id_col),
+    )
+    return (
+        assigned.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= per_cell)
+        .select(F.col(id_col), F.col("cell").cast("int").alias("cell"))
+    )

@@ -1023,3 +1023,50 @@ def a16_semdedup(spark, sf_dir):
     return semdedup(
         emb, n_cells=8, iterations=_IVF_ITERS, threshold=0.3
     )
+
+
+# ---------------------------------------------------------------------------
+# A17 — cluster-balanced coreset sampling (diversity-aware selection)
+# ---------------------------------------------------------------------------
+from debezium_spark.analytics.text import oracle_hash64  # noqa: E402
+
+_CBS_HASH = oracle_hash64("CAST(vec_id AS VARCHAR)", "cbs:")
+
+
+@register(
+    "a17_cluster_balanced_sample",
+    oracle=f"""
+    WITH {_IVF_CTE},
+    assign AS (
+        SELECT e.vec_id, s.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cosine('e.embedding', 's.cvec')} DESC, s.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents s
+    ),
+    routed AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+    rk AS (
+        SELECT vec_id, cell,
+               row_number() OVER (
+                   PARTITION BY cell ORDER BY {_CBS_HASH}, vec_id
+               ) AS rk
+        FROM routed
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cell FROM rk WHERE rk <= 25
+    """,
+)
+def a17_cluster_balanced_sample(spark, sf_dir):
+    """Diversity-balanced coreset: nearest-centroid routing (map-side
+    literal argmax, zero shuffle) + at most 25 vectors per cell in
+    portable-hash order — one cell-key shuffle; a mega-cluster of
+    near-identical content contributes exactly 25 no matter its size.
+    SemDeDup (a16) prunes near-twins; this caps whole regions."""
+    from debezium_spark.analytics.vectors import (
+        cluster_balanced_sample,
+        ivf_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train(emb, n_cells=8, iterations=_IVF_ITERS)
+    return cluster_balanced_sample(emb, cents, per_cell=25)

@@ -447,3 +447,13 @@ def test_incremental_dedup_is_band_join_not_cartesian(spark, qs):
     no cartesian/nested-loop between the batch and the corpus index."""
     plan = _plan(spark, qs, "x34_incremental_dedup")
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_cluster_balanced_sample_single_cell_shuffle(spark, qs):
+    """a17: routing must stay the literal-centroid map-side argmax (no
+    corpus×centroid exchange); the quota is the ONLY hash shuffle (cell
+    key), and the cell window is never single-partition."""
+    plan = _plan(spark, qs, "a17_cluster_balanced_sample")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
