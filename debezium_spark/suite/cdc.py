@@ -932,3 +932,33 @@ def k12_sink_fingerprint(spark, sf_dir):
         ["status", F.col("balance").cast("decimal(18,2)")],
         num_buckets=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# K13 — SCD2 history materialization (the type-2 dimension consumer)
+# ---------------------------------------------------------------------------
+@register(
+    "k13_scd2_history",
+    oracle=f"""
+    WITH {CHANGES_CTE},
+    v AS (
+        SELECT id, status, balance, op,
+               pos AS valid_from_pos,
+               lead(pos) OVER (PARTITION BY id ORDER BY pos) AS valid_to_pos
+        FROM changes
+    )
+    SELECT id, status, balance, valid_from_pos, valid_to_pos,
+           (valid_to_pos IS NULL) AS is_current
+    FROM v
+    WHERE op <> 'd'
+    """,
+)
+def k13_scd2_history(spark, sf_dir):
+    """Type-2 dimension from the change feed: every version of every key
+    with its [valid_from_pos, valid_to_pos) interval; deletes close their
+    predecessor and open nothing. One per-key lead() window — the same
+    key-clustered shuffle the MERGE path pays."""
+    from debezium_spark.operators.reduce import scd2_history
+
+    env = accounts_changefeed(spark, sf_dir)
+    return scd2_history(env, key_cols=["id"])

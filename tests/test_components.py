@@ -478,3 +478,45 @@ def test_incremental_dedup_vs_persisted_index(spark, tmp_path):
     r = pairs[(105, 1)]
     assert r["est_jaccard"] == 1.0 and r["is_dup"]
     assert all(new_id != 110 for new_id, _ in pairs)
+
+
+def test_scd2_history_versions_and_delete_semantics(spark):
+    """Snapshot ∪ stream union: r opens the baseline, u supersedes, d closes
+    without opening, a later re-create opens a fresh current version."""
+    from debezium_spark.envelope import make_envelope
+    from debezium_spark.operators.reduce import scd2_history
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "r", "A", 1.0, 10),
+        (1, "u", "B", 2.0, 20),
+        (1, "d", None, None, 30),
+        (1, "c", "C", 3.0, 40),
+        (2, "r", "X", 9.0, 11),
+    ]
+    ev = spark.createDataFrame(
+        rows, "id long, op string, status string, balance double, pos long"
+    )
+    env = make_envelope(
+        ev,
+        key=F.struct(F.col("id")),
+        before=F.lit(None).cast("struct<id:long,status:string,balance:double>"),
+        after=F.when(
+            F.col("op") != "d",
+            F.struct(F.col("id"), F.col("status"), F.col("balance")),
+        ),
+        op=F.col("op"),
+        db="testdb",
+        table="accounts",
+        pos=F.col("pos"),
+    )
+    out = scd2_history(env, key_cols=["id"])
+    got = {
+        (r["id"], r["valid_from_pos"]): r for r in out.collect()
+    }
+    assert len(got) == 4  # the d row emits nothing
+    assert got[(1, 10)]["valid_to_pos"] == 20 and not got[(1, 10)]["is_current"]
+    assert got[(1, 20)]["valid_to_pos"] == 30 and not got[(1, 20)]["is_current"]
+    v3 = got[(1, 40)]
+    assert v3["valid_to_pos"] is None and v3["is_current"] and v3["status"] == "C"
+    assert got[(2, 11)]["is_current"]
