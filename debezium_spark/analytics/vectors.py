@@ -1009,3 +1009,102 @@ def cluster_balanced_sample(
         .filter(F.col("__rk") <= per_cell)
         .select(F.col(id_col), F.col("cell").cast("int").alias("cell"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank — relevance/diversity tradeoff over bounded top-N
+# ---------------------------------------------------------------------------
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    lam: float = 0.7,
+    qid_col: str = "qid",
+    id_col: str = "nid",
+    rel_col: str = "sim",
+    vec_col: str = "nvec",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) rerank:
+    greedily pick ``k`` of each query's candidates maximizing
+    ``lam·rel − (1−lam)·max_sim_to_already_selected`` — the standard
+    diversity pass after a kNN retrieval (near-identical top hits collapse
+    to one representative).
+
+    Scale shape: the retrieval stage already bounded candidates to top-N
+    per query, so the quadratic part is N² per query, NOT corpus-sized.
+    Candidate-pair cosines are computed by the same expression-level
+    fold as every other cosine here (bit-identical to the oracle's), via a
+    per-query self-join (one qid shuffle, ≤N² slim rows per query); the
+    greedy loop itself is pure control flow over those doubles inside ONE
+    cogrouped applyInPandas — each query group independent, thousands of
+    queries rerank in parallel, no driver collect.
+
+    Output: ``(qid, nid, rank, mmr)`` — mmr rounded to 6 for display (the
+    selection uses full precision)."""
+    import pandas as pd
+
+    qid_t = candidates.schema[qid_col].dataType.simpleString()
+    nid_t = candidates.schema[id_col].dataType.simpleString()
+    left = candidates.select(
+        F.col(qid_col).alias("__q"),
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+    )
+    right = candidates.select(
+        F.col(qid_col).alias("__q"),
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+    )
+    pairs = (
+        left.join(right, "__q")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "__q", "a", "b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("ps"),
+        )
+    )
+    cand = candidates.select(
+        F.col(qid_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(rel_col).cast("double").alias("__rel"),
+    )
+    one_minus = 1.0 - lam
+
+    def greedy(key, cdf: pd.DataFrame, pdf: pd.DataFrame):
+        psim = {
+            (a, b): s for a, b, s in zip(pdf["a"], pdf["b"], pdf["ps"])
+        }
+
+        def pair(u, v):
+            return psim[(u, v)] if u < v else psim[(v, u)]
+
+        rem = dict(zip(cdf["__id"], cdf["__rel"]))
+        selected: list = []
+        out = []
+        while rem and len(selected) < k:
+            best = None
+            for nid, rel in rem.items():
+                maxsim = max(
+                    (pair(nid, s) for s in selected), default=0.0
+                )
+                score = lam * rel - one_minus * maxsim
+                cur = (-score, nid)
+                if best is None or cur < best[0]:
+                    best = (cur, nid, score)
+            _, nid, score = best
+            selected.append(nid)
+            del rem[nid]
+            out.append((key[0], nid, len(selected), score))
+        return pd.DataFrame(
+            out, columns=["qid", "nid", "rank", "mmr"]
+        )
+
+    schema = f"qid {qid_t}, nid {nid_t}, rank int, mmr double"
+    ranked = (
+        cand.groupBy("__q")
+        .cogroup(pairs.groupBy("__q"))
+        .applyInPandas(greedy, schema)
+    )
+    # Display rounding in the JVM layer (HALF_UP, matching the oracle's
+    # round()) — Python round() is half-even and would skew ties.
+    return ranked.withColumn("mmr", F.round("mmr", 6))

@@ -1070,3 +1070,98 @@ def a17_cluster_balanced_sample(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = ivf_train(emb, n_cells=8, iterations=_IVF_ITERS)
     return cluster_balanced_sample(emb, cents, per_cell=25)
+
+
+# ---------------------------------------------------------------------------
+# A18 — MMR diversified rerank (greedy relevance/diversity selection)
+# ---------------------------------------------------------------------------
+def _mmr_oracle(n_cand: int = 10, k: int = 5) -> str:
+    """Unrolled greedy MMR in ANSI SQL: stage t anti-joins the already-
+    selected set, takes max pair-cosine to it, and argmaxes the MMR score.
+    Mechanical unrolling keeps DuckDB exact — no recursion extension
+    needed; every float op mirrors the engine bit-for-bit."""
+    lam = "CAST(0.7 AS DOUBLE)"
+    om = f"(CAST(1 AS DOUBLE) - {lam})"
+    parts = [
+        f"""q AS (
+        SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE {_QFILTER}
+    ),
+    scored AS (
+        SELECT q.qid, c.vec_id AS nid,
+               {_cosine('q.qvec', 'c.embedding')} AS sim
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.qid
+    ),
+    cand AS (
+        SELECT qid, nid, round(sim, 6) AS sim
+        FROM (SELECT qid, nid, sim,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, nid) AS rank
+              FROM scored)
+        WHERE rank <= {n_cand}
+    ),
+    psim AS (
+        SELECT a.qid, a.nid AS a, b.nid AS b,
+               {_cosine('ea.embedding', 'eb.embedding')} AS ps
+        FROM cand a
+        JOIN cand b ON a.qid = b.qid AND a.nid < b.nid
+        JOIN embeddings ea ON ea.vec_id = a.nid
+        JOIN embeddings eb ON eb.vec_id = b.nid
+    ),
+    sel1 AS (
+        SELECT qid, nid, 1 AS rank, {lam} * sim AS score
+        FROM cand
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY {lam} * sim DESC, nid) = 1
+    ),
+    selall1 AS (SELECT * FROM sel1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(f"""rem{t} AS (
+        SELECT c.* FROM cand c
+        ANTI JOIN selall{t - 1} s ON c.qid = s.qid AND c.nid = s.nid
+    ),
+    ms{t} AS (
+        SELECT r.qid, r.nid, r.sim, max(p.ps) AS maxsim
+        FROM rem{t} r
+        JOIN selall{t - 1} s ON s.qid = r.qid
+        JOIN psim p ON p.qid = r.qid
+                   AND p.a = least(r.nid, s.nid)
+                   AND p.b = greatest(r.nid, s.nid)
+        GROUP BY r.qid, r.nid, r.sim
+    ),
+    sel{t} AS (
+        SELECT qid, nid, {t} AS rank,
+               {lam} * sim - {om} * maxsim AS score
+        FROM ms{t}
+        QUALIFY row_number() OVER (
+            PARTITION BY qid
+            ORDER BY {lam} * sim - {om} * maxsim DESC, nid) = 1
+    ),
+    selall{t} AS (SELECT * FROM selall{t - 1} UNION ALL SELECT * FROM sel{t})""")
+    body = ",\n    ".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT qid, nid, CAST(rank AS INT) AS rank,"
+        f" round(score, 6) AS mmr FROM selall{k}"
+    )
+
+
+@register("a18_mmr_rerank", oracle=_mmr_oracle())
+def a18_mmr_rerank(spark, sf_dir):
+    """Diversity-aware retrieval: exact top-10 kNN, then greedy MMR keeps 5
+    per query (λ=0.7). Pairwise candidate cosines come from the same
+    expression fold as every cosine here (bit-identical to the oracle);
+    the greedy loop is pure control flow in one cogrouped applyInPandas —
+    per-query cost N², never corpus-sized, queries rerank in parallel."""
+    from debezium_spark.analytics.vectors import knn_bruteforce, mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.expr(_QFILTER))
+    cands = knn_bruteforce(emb, queries, k=10).join(
+        emb.select(
+            F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec")
+        ),
+        "nid",
+    )
+    return mmr_rerank(cands, k=5, lam=0.7)

@@ -520,3 +520,26 @@ def test_scd2_history_versions_and_delete_semantics(spark):
     v3 = got[(1, 40)]
     assert v3["valid_to_pos"] is None and v3["is_current"] and v3["status"] == "C"
     assert got[(2, 11)]["is_current"]
+
+
+def test_mmr_rerank_diversity_beats_redundancy(spark):
+    """λ low → the near-duplicate of the first pick loses to the diverse
+    candidate; λ high → pure relevance order. Hand-computed 2-D fixture."""
+    from debezium_spark.analytics.vectors import mmr_rerank
+
+    rows = [
+        # qid, nid, sim(=rel to query), candidate vector
+        (1, 100, 1.00, [1.0, 0.0]),
+        (1, 200, 0.95, [0.95, 0.3122498999199199]),   # near-twin of 100
+        (1, 300, 0.50, [0.5, 0.8660254037844386]),    # diverse
+    ]
+    cands = spark.createDataFrame(
+        rows, "qid long, nid long, sim double, nvec array<double>"
+    )
+    relevance_first = mmr_rerank(cands, k=2, lam=0.9).collect()
+    by_rank = {r["rank"]: r["nid"] for r in relevance_first}
+    assert by_rank == {1: 100, 2: 200}
+
+    diversity_first = mmr_rerank(cands, k=2, lam=0.3).collect()
+    by_rank = {r["rank"]: r["nid"] for r in diversity_first}
+    assert by_rank == {1: 100, 2: 300}
