@@ -40,6 +40,10 @@ HEADLINE = [
     "a6_cosine_near_dup",
     "a13_knn_sparse",
     "a16_semdedup",
+    "a18_mmr_rerank",
+    "x32_dedupe_corpus_lines",
+    "x34_incremental_dedup",
+    "w32_waiting_suppliers",
     "w1_pricing_summary",
     "w2_top_revenue_orders",
     "w8_asof_join",

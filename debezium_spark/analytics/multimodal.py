@@ -274,3 +274,35 @@ def segment_audio(
             )
 
     return df.mapInPandas(analyze, AUDIO_SEGMENT_SCHEMA)
+
+
+def binary_exact_dedup(
+    df: DataFrame,
+    bin_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of opaque binary payloads (the image/audio twin of the
+    text pipeline's ``x4``): group by a content key — ``(md5(hex(bytes)),
+    byte length)``, hashing computed inside whole-stage codegen, no Python
+    — keep the smallest id as the canonical copy and report the copy
+    count. The hex-md5 key keeps the grouping replayable by any engine;
+    the extra length column guards the (already negligible) md5-collision
+    case. One map-side-combinable hash aggregation; NULL payloads group
+    together under a NULL key and never match real content.
+
+    Output: ``(id, content_key, n_bytes, n_copies)`` — one row per
+    distinct payload."""
+    key = F.md5(F.lower(F.hex(F.col(bin_col))))
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("content_key"),
+            F.length(F.col(bin_col)).cast("int").alias("n_bytes"),
+        )
+        .groupBy("content_key", "n_bytes")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").cast("int").alias("n_copies"),
+        )
+        .select(id_col, "content_key", "n_bytes", "n_copies")
+    )

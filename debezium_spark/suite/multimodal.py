@@ -194,3 +194,53 @@ def m4_image_resize(spark, sf_dir):
         "doc_id", "width", "height", "new_width", "new_height",
         F.hex(F.col("resized")).alias("resized_hex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M5 — exact dedup of binary payloads (content-hash grouping, no Python)
+# Fixture: blob content derives from doc_id % 300, so ids >= 300 repeat an
+# earlier payload — real duplicate groups without any codec.
+# ---------------------------------------------------------------------------
+_DUP = "(doc_id % 300)"
+_M5_HEX = (
+    "'494d4731'"
+    f" || lpad(lower(hex(16 + {_DUP} % 64)), 4, '0')"
+    f" || lpad(lower(hex(16 + ({_DUP} * 7) % 48)), 4, '0')"
+    f" || md5('img:' || CAST({_DUP} AS VARCHAR))"
+)
+
+
+@register(
+    "m5_binary_exact_dedup",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, unhex({_M5_HEX}) AS blob FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id,
+               md5(lower(hex(blob))) AS content_key,
+               CAST(octet_length(blob) AS INT) AS n_bytes
+        FROM b
+    )
+    SELECT min(doc_id) AS doc_id, content_key, n_bytes,
+           CAST(count(*) AS INT) AS n_copies
+    FROM keyed
+    GROUP BY content_key, n_bytes
+    """,
+)
+def m5_binary_exact_dedup(spark, sf_dir):
+    """Image/audio exact dedup by content: group on (md5 of the bytes,
+    length) entirely in whole-stage codegen — the binary-column twin of
+    x4. One map-side-combinable aggregation; the canonical copy is the
+    smallest doc_id."""
+    from debezium_spark.analytics.multimodal import (
+        binary_exact_dedup,
+        synthesize_image_blob,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = docs.select(
+        "doc_id",
+        synthesize_image_blob(F.col("doc_id") % 300).alias("blob"),
+    )
+    return binary_exact_dedup(blobs)
