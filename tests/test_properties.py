@@ -266,3 +266,143 @@ def test_colliding_positions_tiebreak_deterministically(
         == _collect(dist.read().select("id", "status", "balance"))
         == expected
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-dedup invariants (x31/x32) — hypothesis over arbitrary line layouts
+# ---------------------------------------------------------------------------
+_LINE = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"])
+_DOC = st.lists(_LINE, min_size=1, max_size=6).map("\n".join)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_DOC, min_size=1, max_size=5))
+def test_dedupe_lines_idempotent_and_conserving(spark, docs):
+    """dedupe_lines is idempotent (cleaning twice changes nothing), its
+    output lines are exactly the input's distinct lines in first-seen
+    order, and n_lines = kept + dupes."""
+    from debezium_spark.analytics.text import dedupe_lines
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedupe_lines(df).collect()}
+    for i, doc in enumerate(docs):
+        lines = doc.split("\n")
+        seen: list = []
+        for ln in lines:
+            if ln not in seen:
+                seen.append(ln)
+        r = out[i]
+        assert r["clean_text"] == "\n".join(seen)
+        assert r["n_lines"] == len(lines)
+        assert r["n_dupes"] == len(lines) - len(seen)
+    # idempotence: run again on the cleaned text
+    clean = spark.createDataFrame(
+        [(i, out[i]["clean_text"]) for i in range(len(docs))],
+        "doc_id long, text string",
+    )
+    again = {r["doc_id"]: r for r in dedupe_lines(clean).collect()}
+    for i in range(len(docs)):
+        assert again[i]["n_dupes"] == 0
+        assert again[i]["clean_text"] == out[i]["clean_text"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_DOC, min_size=1, max_size=5))
+def test_dedupe_corpus_lines_partition_invariants(spark, docs):
+    """Every distinct line survives in exactly the smallest doc containing
+    it (all its positions there); per-doc accounting conserves lines."""
+    from debezium_spark.analytics.text import dedupe_corpus_lines
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedupe_corpus_lines(df).collect()}
+    first_doc = {}
+    for i, doc in enumerate(docs):
+        for ln in doc.split("\n"):
+            first_doc.setdefault(ln, i)
+    for i, doc in enumerate(docs):
+        lines = doc.split("\n")
+        expect = [ln for ln in lines if first_doc[ln] == i]
+        r = out[i]
+        assert r["clean_text"] == "\n".join(expect)
+        assert r["n_lines"] == len(lines)
+        assert r["n_removed"] == len(lines) - len(expect)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),            # key
+            st.sampled_from("cud"),       # op
+            st.integers(0, 99),           # balance
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_scd2_partitions_pos_axis(spark, evs):
+    """SCD2 invariants for any event interleaving: per key the surviving
+    versions' [from, to) intervals chain exactly over that key's event
+    positions; at most one current version per key, and none when the
+    key's last event is a delete."""
+    from pyspark.sql import functions as F
+    from debezium_spark.envelope import make_envelope
+    from debezium_spark.operators.reduce import scd2_history
+
+    rows = [
+        (k, op, float(b), pos) for pos, (k, op, b) in enumerate(evs)
+    ]
+    ev = spark.createDataFrame(
+        rows, "id long, op string, balance double, pos long"
+    )
+    env = make_envelope(
+        ev,
+        key=F.struct(F.col("id")),
+        before=F.lit(None).cast("struct<id:long,balance:double>"),
+        after=F.when(
+            F.col("op") != "d", F.struct(F.col("id"), F.col("balance"))
+        ),
+        op=F.col("op"),
+        db="t", table="t",
+        pos=F.col("pos"),
+    )
+    got = scd2_history(env, key_cols=["id"]).collect()
+    by_key: dict = {}
+    for r in got:
+        by_key.setdefault(r["id"], []).append(r)
+    events_by_key: dict = {}
+    for k, op, _b, pos in rows:
+        events_by_key.setdefault(k, []).append((pos, op))
+    for k, evs_k in events_by_key.items():
+        evs_k.sort()
+        versions = sorted(by_key.get(k, []), key=lambda r: r["valid_from_pos"])
+        expect = [
+            (pos, nxt[0] if nxt else None)
+            for (pos, op), nxt in zip(
+                evs_k, [*evs_k[1:], None]
+            )
+            if op != "d"
+        ]
+        assert [(v["valid_from_pos"], v["valid_to_pos"]) for v in versions] == expect
+        currents = [v for v in versions if v["is_current"]]
+        if evs_k[-1][1] == "d":
+            assert not currents
+        else:
+            assert len(currents) == 1
+            assert currents[0]["valid_from_pos"] == evs_k[-1][0]
