@@ -1077,9 +1077,9 @@ def x26_boilerplate_ngrams(spark, sf_dir):
     ),
     c AS (
         SELECT doc_id, shard, n_tokens,
-               SUM(n_tokens) OVER (
+               CAST(SUM(n_tokens) OVER (
                    PARTITION BY shard ORDER BY doc_id
-               ) AS end_tok
+               ) AS BIGINT) AS end_tok
         FROM t
     )
     SELECT doc_id, shard, n_tokens,

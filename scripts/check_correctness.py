@@ -39,7 +39,15 @@ def value_hash(df) -> str:
             if v is None or (isinstance(v, float) and v != v):
                 canon.append("∅")
             elif isinstance(v, float):
-                canon.append(f"{v:.10g}")
+                # Keep the .10g print tolerance but never let a float
+                # canonicalize identically to an int: the driver's hash
+                # DISTINGUISHES 1234 from 1234.0 (r3's m1 and r7's x27
+                # both shipped a DuckDB HUGEINT/DOUBLE vs Spark BIGINT
+                # skew that this loose form masked).
+                s = f"{v:.10g}"
+                if s.lstrip("-").isdigit():
+                    s += ".0"
+                canon.append(s)
             elif isinstance(v, (list, tuple)):
                 canon.append(json.dumps(list(v), default=str))
             else:
