@@ -1771,3 +1771,48 @@ def lsh_candidates_vs_index(
             (F.col("est_jaccard") >= F.lit(threshold)).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split assignment — near-dup clusters never straddle splits
+# ---------------------------------------------------------------------------
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    train_buckets: int = 8,
+    val_buckets: int = 1,
+    test_buckets: int = 1,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: documents are routed by the portable hash of their NEAR-DUP
+    CLUSTER id (not their own id), so every member of a duplicate
+    component lands in the same split — the eval-contamination failure
+    mode of naive per-doc hashing (x21 detects contamination after the
+    fact; this prevents the self-inflicted kind).
+
+    Cluster labels come from :func:`duplicate_clusters` (min-label over
+    the banded-LSH pair graph); documents outside any dup component are
+    their own singleton cluster. Split = hash bucket over
+    ``train+val+test`` buckets, reproducible across runs and engines.
+
+    Output: ``(id, cluster, split)``. Cost: the clustering rounds (the
+    dominant, already-bounded part) + one left join + a map-side hash —
+    no new shuffle beyond the join."""
+    total = train_buckets + val_buckets + test_buckets
+    labels = duplicate_clusters(df, text_col=text_col, id_col=id_col)
+    base = df.select(F.col(id_col))
+    joined = base.join(labels, id_col, "left").withColumn(
+        "cluster", F.coalesce(F.col("cluster"), F.col(id_col))
+    )
+    bucket = F.pmod(
+        portable_hash64(F.col("cluster").cast("string"), seed="split:"),
+        F.lit(total),
+    )
+    split = (
+        F.when(bucket < train_buckets, "train")
+        .when(bucket < train_buckets + val_buckets, "val")
+        .otherwise("test")
+    )
+    return joined.select(F.col(id_col), "cluster", split.alias("split"))

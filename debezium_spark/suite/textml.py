@@ -1512,3 +1512,52 @@ def x34_incremental_dedup(spark, sf_dir):
     index_sigs = minhash_signature(docs.filter(F.col("doc_id") % 5 != 0))
     new_docs = docs.filter(F.col("doc_id") % 5 == 0)
     return lsh_candidates_vs_index(index_sigs, new_docs)
+
+
+# ---------------------------------------------------------------------------
+# X35 — leakage-safe split assignment (cluster-hash routed)
+# ---------------------------------------------------------------------------
+_SPLIT_HASH = _ohash("CAST(cluster AS VARCHAR)", "split:")
+
+
+@register(
+    "x35_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_SIG_CTE}, {_BANDS_CTE},
+    pairs AS ({_PAIRS_SQL}),
+    edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs
+    ),
+    walk(node, root) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    labels AS (SELECT node AS doc_id, min(root) AS cluster
+               FROM walk GROUP BY node),
+    assigned AS (
+        SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+    ),
+    bucketed AS (
+        SELECT doc_id, cluster, {_SPLIT_HASH} % 10 AS b FROM assigned
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN b < 8 THEN 'train'
+                WHEN b < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed
+    """,
+)
+def x35_leakage_safe_split(spark, sf_dir):
+    """Train/val/test routing by the hash of the NEAR-DUP CLUSTER id —
+    a duplicate component can never straddle splits (the self-inflicted
+    eval-contamination x21 would otherwise detect after the fact).
+    Singletons are their own cluster; the draw is portable-hash
+    reproducible."""
+    from debezium_spark.analytics.text import leakage_safe_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return leakage_safe_split(docs)

@@ -543,3 +543,29 @@ def test_mmr_rerank_diversity_beats_redundancy(spark):
     diversity_first = mmr_rerank(cands, k=2, lam=0.3).collect()
     by_rank = {r["rank"]: r["nid"] for r in diversity_first}
     assert by_rank == {1: 100, 2: 300}
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every near-dup cluster lands in exactly one split; singletons get
+    their own draw; proportions hit the hash buckets."""
+    from debezium_spark.analytics.text import leakage_safe_split
+
+    dup_text = "shared near duplicate text body repeated words " * 4
+    rows = [(i, dup_text) for i in range(6)]
+    distinct = [
+        "zebra xylophone quartz vex jumbled wharf glyphs dozen",
+        "marble kitchen recipe thyme basil oven temperature roast",
+        "telescope nebula photon spectrum redshift quasar orbit",
+        "ledger accrual amortization dividend solvency audit fiscal",
+    ]
+    rows += [(100 + i, distinct[i]) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 10
+    dup_splits = {by_id[i]["split"] for i in range(6)}
+    assert len(dup_splits) == 1  # the whole component in one split
+    assert {by_id[i]["cluster"] for i in range(6)} == {0}
+    for i in range(4):
+        assert by_id[100 + i]["cluster"] == 100 + i
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
