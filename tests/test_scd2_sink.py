@@ -113,3 +113,49 @@ def test_matches_batch_operator_over_same_feed(spark, sink, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_feed_matches_batch_operator(spark, sf_dir, tmp_path):
+    """End-to-end readStream → foreachBatch(Scd2Sink): the chunked replay
+    of the accounts feed materializes the same SCD2 table as the one-pass
+    batch operator — and a checkpointed restart re-processes nothing."""
+    from debezium_spark.operators.reduce import scd2_history
+    from debezium_spark.sources.changefeed import accounts_changefeed
+    from debezium_spark.streaming import ChangeDataPipeline, replay_feed
+
+    env = accounts_changefeed(spark, sf_dir).filter(F.col("key.id") <= 25)
+    sink = Scd2Sink(spark, str(tmp_path / "scd2"), key_cols=["id"])
+    pipe = ChangeDataPipeline(
+        spark,
+        feed_dir=str(tmp_path / "feed"),
+        envelope_schema=env.schema,
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    replay_feed(env, str(tmp_path / "feed"), num_chunks=4)
+    pipe.run_available()
+    assert pipe.batches_seen >= 4
+
+    got = {
+        (r["id"], r["valid_from_pos"], r["valid_to_pos"], r["is_current"])
+        for r in sink.read()
+        .select("id", "valid_from_pos", "valid_to_pos", "is_current")
+        .collect()
+    }
+    want = {
+        (r["id"], r["valid_from_pos"], r["valid_to_pos"], r["is_current"])
+        for r in scd2_history(env, key_cols=["id"])
+        .select("id", "valid_from_pos", "valid_to_pos", "is_current")
+        .collect()
+    }
+    assert got == want
+
+    before = got
+    pipe.run_available()  # restart on the same checkpoint: nothing new
+    after = {
+        (r["id"], r["valid_from_pos"], r["valid_to_pos"], r["is_current"])
+        for r in sink.read()
+        .select("id", "valid_from_pos", "valid_to_pos", "is_current")
+        .collect()
+    }
+    assert after == before
