@@ -1311,3 +1311,90 @@ def w32_waiting_suppliers(spark, sf_dir):
         .limit(20)
         .select("s_suppkey", "s_name", "numwait")
     )
+
+
+# ---------------------------------------------------------------------------
+# W33 — national market share (TPC-H Q8: nested-ratio star join)
+# ---------------------------------------------------------------------------
+@register(
+    "w33_market_share",
+    oracle="""
+    WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+                     AND r.r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM vol
+    GROUP BY o_year
+    """,
+)
+def w33_market_share(spark, sf_dir):
+    """Q8: NATION_3's share of STANDARD-part revenue sold into AMERICA, by
+    order year. Dimension chain (part filter, supplier→nation, customer→
+    nation→region) broadcasts; the two fact-side joins (lineitem⋈orders on
+    the order key, then the customer filter) are the only shuffles; exact
+    decimal sums, double only at the final ratio — numerator and
+    denominator in ONE aggregation, never two passes."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = _t(spark, sf_dir, "supplier")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    n1 = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_am = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n1.join(
+                    F.broadcast(r),
+                    n1["n_regionkey"] == r["r_regionkey"],
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    vol = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    fact = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(s.join(F.broadcast(n2), "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select("l_orderkey", vol.alias("volume"), "supp_nation")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(cust_am, "o_custkey", "left_semi")
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "volume",
+            "supp_nation",
+        )
+    )
+    target = F.when(
+        F.col("supp_nation") == "NATION_3", F.col("volume")
+    ).otherwise(F.lit(0).cast(_DEC))
+    return fact.groupBy("o_year").agg(
+        (
+            F.sum(target).cast("double") / F.sum("volume").cast("double")
+        ).cast("double").alias("mkt_share")
+    )

@@ -457,3 +457,13 @@ def test_cluster_balanced_sample_single_cell_shuffle(spark, qs):
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_market_share_broadcasts_dims_single_fact_agg(spark, qs):
+    """w33 (Q8): every dimension arrives broadcast; the ratio is ONE
+    aggregation (no numerator/denominator double scan); no cartesian."""
+    plan = _plan(spark, qs, "w33_market_share")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    import re
+    assert len(re.findall(r"HashAggregate\(keys=\[o_year", plan)) <= 2  # partial+final
