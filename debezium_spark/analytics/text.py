@@ -1816,3 +1816,50 @@ def leakage_safe_split(
         .otherwise("test")
     )
     return joined.select(F.col(id_col), "cluster", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic interleaved training order — shuffle without a global sort
+# ---------------------------------------------------------------------------
+def interleaved_order(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document a GLOBAL training-order index that round-robins
+    across sources (the "shuffled, domain-interleaved" epoch layout
+    pretraining wants) without ever building a global sort: within each
+    source, rows get a stable hash-ordered row number ``rn``; the global
+    index is the CLOSED FORM ``(rn-1)·n_sources + source_index``. Consumers
+    write shards ordered by ``order_idx``; two docs from one source are
+    always ``n_sources`` positions apart, so no contiguous run of one
+    domain ever forms.
+
+    Scale shape: one window partitioned BY SOURCE (parallel across
+    sources, never a single global partition — the trap this closed form
+    exists to avoid) plus a driver-side source list (bounded like the IVF
+    centroid literals: sources are a handful of domains, not data-sized).
+
+    Output: ``(id, group, rn, order_idx)``."""
+    sources = sorted(
+        r[0] for r in df.select(group_col).distinct().collect()
+    )
+    n = len(sources)
+    sidx = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(s) for s in sources]),
+            F.array(*[F.lit(i) for i in range(n)]),
+        ),
+        F.col(group_col),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        portable_hash64(F.col(id_col).cast("string"), seed="ord:"),
+        F.col(id_col),
+    )
+    rn = F.row_number().over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        rn.alias("rn"),
+        ((rn - F.lit(1)) * F.lit(n) + sidx).cast("long").alias("order_idx"),
+    )

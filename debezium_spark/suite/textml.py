@@ -1561,3 +1561,42 @@ def x35_leakage_safe_split(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return leakage_safe_split(docs)
+
+
+# ---------------------------------------------------------------------------
+# X36 — interleaved training order (closed-form round-robin, no global sort)
+# ---------------------------------------------------------------------------
+_ORD_HASH = _ohash("CAST(doc_id AS VARCHAR)", "ord:")
+
+
+@register(
+    "x36_interleaved_order",
+    oracle=f"""
+    WITH sidx AS (
+        SELECT source,
+               CAST(row_number() OVER (ORDER BY source) - 1 AS INT) AS si
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    n AS (SELECT count(*) AS ns FROM sidx),
+    rn AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY {_ORD_HASH}, doc_id
+               ) AS INT) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.rn,
+           CAST((r.rn - 1) * n.ns + s.si AS BIGINT) AS order_idx
+    FROM rn r JOIN sidx s USING (source) CROSS JOIN n
+    """,
+)
+def x36_interleaved_order(spark, sf_dir):
+    """Global epoch ordering that interleaves domains WITHOUT a global
+    sort: per-source hash-ordered row numbers (window parallel across
+    sources) + the closed form (rn-1)·n_sources + source_index. Two docs
+    of one domain are always n_sources apart — the curriculum-shuffle
+    layout at scan cost."""
+    from debezium_spark.analytics.text import interleaved_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return interleaved_order(docs)

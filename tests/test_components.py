@@ -569,3 +569,21 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     for i in range(4):
         assert by_id[100 + i]["cluster"] == 100 + i
     assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+def test_interleaved_order_round_robins_domains(spark):
+    """order_idx is a permutation of 0..N-1 on balanced sources, and two
+    docs of one source are always exactly n_sources apart."""
+    from debezium_spark.analytics.text import interleaved_order
+
+    rows = [(i, f"src{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = interleaved_order(docs).collect()
+    idxs = sorted(r["order_idx"] for r in out)
+    assert idxs == list(range(30))
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["order_idx"])
+    for src, lst in by_src.items():
+        lst.sort()
+        assert all(b - a == 3 for a, b in zip(lst, lst[1:])), src
