@@ -1583,7 +1583,9 @@ def dedupe_corpus_lines(
     small and falls to a sort-merge join (reusing the line-key exchange)
     when the distinct-line table outgrows the threshold. No driver
     collect; hot boilerplate lines are exactly the skewed keys AQE's
-    skew-join splitting handles."""
+    skew-join splitting handles. NULL-text documents have no lines to
+    explode and are absent from the output (run :func:`dedupe_lines` for
+    per-doc NULL-in/NULL-out semantics)."""
     lines = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),

@@ -1040,7 +1040,9 @@ def mmr_rerank(
     queries rerank in parallel, no driver collect.
 
     Output: ``(qid, nid, rank, mmr)`` — mmr rounded to 6 for display (the
-    selection uses full precision)."""
+    selection uses full precision). Candidates must carry non-NULL,
+    non-zero-norm vectors (kNN retrieval output always does) — a NULL
+    pairwise cosine would poison that query's greedy comparisons."""
     import pandas as pd
 
     qid_t = candidates.schema[qid_col].dataType.simpleString()
