@@ -1110,3 +1110,171 @@ def mmr_rerank(
     # Display rounding in the JVM layer (HALF_UP, matching the oracle's
     # round()) — Python round() is half-even and would skew ties.
     return ranked.withColumn("mmr", F.round("mmr", 6))
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the third compression point on the ANN
+# memory/recall curve, between exact floats and PQ codes. Reference anchor:
+# the vector logical types the connectors emit
+# (debezium-connector-common/src/main/java/io/debezium/data/vector/
+# DoubleVector.java:22-33) are what a downstream feature store compresses;
+# FAISS's ScalarQuantizer(QT_8bit) is the public model for the codec.
+# ---------------------------------------------------------------------------
+
+
+def sq8_train(
+    vectors: DataFrame, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension quantization bounds: one posexplode + a dim-keyed
+    hash agg (the only shuffle, keyed on ≤``dim`` values). Returns
+    (pos, mn, mx, delta) with ``delta = (mx - mn) / 256`` — the bucket
+    width of an 8-bit uniform quantizer.
+
+    Engine-portable by construction: min/max over doubles are exact, and
+    the delta division is one IEEE op, so a SQL replay reproduces every
+    bound bit-for-bit (no Lloyd iterations, unlike PQ/IVF training).
+
+    Scale shape: the explode is map-side; the agg reduces to ``dim`` rows
+    (64 here) regardless of corpus size — partial aggregation means each
+    task ships at most ``dim`` (min,max) pairs to the shuffle. The result
+    is an index artifact (persist via save_vector_index-style parquet) of
+    ``dim`` rows, broadcast as literals at encode/search time.
+    """
+    return (
+        vectors.select(
+            F.posexplode(_dvec(F.col(vec_col))).alias("pos0", "v")
+        )
+        .groupBy((F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .withColumn("delta", (F.col("mx") - F.col("mn")) / F.lit(256.0))
+    )
+
+
+def _sq8_literals(bounds: DataFrame) -> tuple:
+    """Collect the per-dim bounds (≤dim rows — bounded by the vector
+    width, never the corpus) into literal arrays for map-side use."""
+    rows = sorted(bounds.collect(), key=lambda r: r["pos"])
+    mn = F.array(*[F.lit(float(r["mn"])) for r in rows])
+    delta = F.array(*[F.lit(float(r["delta"])) for r in rows])
+    return mn, delta
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    bounds: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``dim`` uint8 codes (stored as array<int>;
+    parquet's byte-packing keeps them 1 byte each on disk):
+    ``code = clamp(floor((v - mn) / delta), 0, 255)`` per dimension —
+    map-side against literal bounds, zero shuffle. A 64-dim float64
+    vector (512 B) becomes 64 B: 8x smaller, and unlike PQ the decode
+    is a fused multiply-add, not a codebook gather."""
+    mn, delta = _sq8_literals(bounds)
+    codes = F.transform(
+        _dvec(F.col(vec_col)),
+        lambda x, i: F.when(
+            F.element_at(delta, i + 1) == 0.0, F.lit(0.0)
+        )
+        .otherwise(
+            F.least(
+                F.lit(255.0),
+                F.greatest(
+                    F.lit(0.0),
+                    F.floor(
+                        (x - F.element_at(mn, i + 1))
+                        / F.element_at(delta, i + 1)
+                    ).cast("double"),
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    return vectors.select(id_col, vec_col, codes.alias("codes"))
+
+
+def knn_sq8(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int | None = None,
+    bounds: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """SQ8 ANN via asymmetric scoring: queries stay exact; each corpus
+    vector is replaced by its dequantized reconstruction
+    ``mn + (code + 0.5) * delta`` (bucket midpoint) and candidates rank
+    by cosine against it. With ``rerank=R`` the quantized pass only
+    generates candidates and the final top-k is exact — same
+    candidate/rerank discipline as knn_pq, but the scan reads 1 byte/dim
+    instead of m codes, and recall loss is far smaller (8 bits/dim vs
+    32 bits/vector).
+
+    Scale shape: bounds ride as 2*dim literals inside the plan (no join
+    for the codebook), the query side broadcasts, and the only corpus
+    shuffle is the per-query top-R/top-k window. Train-once/search-many:
+    pass pre-trained ``bounds`` (sq8_train's shape) and pre-encoded
+    ``codes`` (sq8_encode's shape) and nothing retrains in-call.
+    """
+    b = (
+        bounds
+        if bounds is not None
+        else sq8_train(vectors, vec_col=vec_col).localCheckpoint(eager=True)
+    )
+    enc = (
+        codes
+        if codes is not None
+        else sq8_encode(vectors, b, id_col=id_col, vec_col=vec_col)
+    )
+    mn, delta = _sq8_literals(b)
+    recon = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(mn, i + 1)
+        + (c.cast("double") + F.lit(0.5)) * F.element_at(delta, i + 1),
+    )
+    corpus = enc.select(
+        F.col(id_col).alias("nid"), recon.alias("rvec")
+    ).withColumn("rnorm", l2_norm(F.col("rvec")))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnorm"),
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col("nid") != F.col("qid")
+    ).withColumn(
+        "sim",
+        dot_product(F.col("qvec"), F.col("rvec"))
+        / (F.col("qnorm") * F.col("rnorm")),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "rank", F.round("sim", 6).alias("sim"))
+        )
+    cands = (
+        scored.withColumn("r1", F.row_number().over(w))
+        .filter(F.col("r1") <= rerank)
+        .select("qid", "qvec", "qnorm", "nid")
+    )
+    exact_side = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("evec")
+    ).withColumn("enorm", l2_norm(F.col("evec")))
+    reranked = cands.join(exact_side, "nid").withColumn(
+        "sim",
+        dot_product(F.col("qvec"), F.col("evec"))
+        / (F.col("qnorm") * F.col("enorm")),
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("sim", 6).alias("sim"))
+    )

@@ -1165,3 +1165,77 @@ def a18_mmr_rerank(spark, sf_dir):
         "nid",
     )
     return mmr_rerank(cands, k=5, lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# A19 — scalar quantization (SQ8): uniform 8-bit codec + asymmetric search
+# ---------------------------------------------------------------------------
+_SQ8_RERANK = 30
+
+
+@register(
+    "a19_sq8_search",
+    oracle=f"""
+    WITH sdims0 AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v0
+        FROM embeddings
+    ),
+    sdims AS (SELECT vec_id, pos, CAST(v0 AS DOUBLE) AS v FROM sdims0),
+    sbounds AS (
+        SELECT pos, min(v) AS mn, (max(v) - min(v)) / 256.0 AS delta
+        FROM sdims GROUP BY pos
+    ),
+    srecon_e AS (
+        SELECT d.vec_id, d.pos,
+               CASE WHEN b.delta = 0 THEN b.mn
+                    ELSE b.mn + (least(255.0, greatest(0.0,
+                             floor((d.v - b.mn) / b.delta))) + 0.5) * b.delta
+               END AS rv
+        FROM sdims d JOIN sbounds b USING (pos)
+    ),
+    srecon AS (
+        SELECT vec_id, list(rv ORDER BY pos) AS rvec
+        FROM srecon_e GROUP BY vec_id
+    ),
+    ascored AS (
+        SELECT q.vec_id AS qid, q.embedding AS qvec, r.vec_id AS nid,
+               {_cosine('q.embedding', 'r.rvec')} AS asim
+        FROM embeddings q JOIN srecon r ON r.vec_id <> q.vec_id
+        WHERE q.{_QFILTER}
+    ),
+    cands AS (
+        SELECT qid, qvec, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY asim DESC, nid)
+                   AS r1
+        FROM ascored
+    ),
+    rer AS (
+        SELECT c.qid, c.nid, {_cosine('c.qvec', 'e.embedding')} AS sim
+        FROM cands c JOIN embeddings e ON e.vec_id = c.nid
+        WHERE c.r1 <= {_SQ8_RERANK}
+    ),
+    ranked AS (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+                   AS rank
+        FROM rer
+    )
+    SELECT qid, nid, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def a19_sq8_search(spark, sf_dir):
+    """Scalar-quantized ANN — the 8-bit point on the compression curve:
+    per-dim uniform bounds from one dim-keyed agg (64 rows however big
+    the corpus), codes at 1 byte/dim (8x vs float64, decode is an FMA
+    not a codebook gather), asymmetric cosine against bucket-midpoint
+    reconstructions generates top-30 candidates, exact rerank keeps 5.
+    The whole index (2*dim doubles) rides the plan as literals — no
+    codebook join at all. Recall floor vs brute force locked in
+    tests/test_ann_quality.py."""
+    from debezium_spark.analytics.vectors import knn_sq8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.expr(_QFILTER))
+    return knn_sq8(emb, queries, k=5, rerank=_SQ8_RERANK)

@@ -292,3 +292,46 @@ def test_semdedup_arrow_equals_expr(spark):
     key = lambda r: (r["vec_id"], r["cell"], r["is_dup"])
     assert sorted(map(key, got_a)) == sorted(map(key, got_e))
     assert any(r["is_dup"] for r in got_a)  # the fixture has real dups
+
+
+def test_sq8_rerank_recall_vs_exact(spark, sf_dir):
+    """SQ8 keeps 8 bits per DIMENSION (vs PQ's 32 bits per VECTOR), so the
+    quantized ranking should sit far closer to exact than PQ's — the
+    rerank=30 pass then recovers nearly all of it. Observed ~0.95+ on the
+    fixtures; the floor guards the codec (a wrong bound, clamp, or
+    midpoint reconstruction craters this immediately) while documenting
+    SQ8's place on the compression curve: 8x smaller scan, near-exact
+    recall."""
+    from debezium_spark.analytics.vectors import knn_sq8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(N_QUERIES)
+    exact = _topk_sets(knn_bruteforce(emb, queries, k=K))
+    approx = _topk_sets(knn_sq8(emb, queries, k=K, rerank=30))
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.85, f"SQ8 rerank recall@{K} = {mean_recall:.2f}"
+
+
+def test_sq8_prebuilt_index_matches_in_call_training(spark, sf_dir):
+    """Train-once/search-many parity for SQ8: searching with pre-trained
+    bounds + pre-encoded codes returns exactly what in-call training
+    returns (training is deterministic — pure min/max, no seeds)."""
+    from debezium_spark.analytics.vectors import knn_sq8, sq8_encode, sq8_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(5)
+    bounds = sq8_train(emb).localCheckpoint(eager=True)
+    codes = sq8_encode(emb, bounds)
+    in_call = sorted(
+        tuple(r) for r in knn_sq8(emb, queries, k=K, rerank=30).collect()
+    )
+    prebuilt = sorted(
+        tuple(r)
+        for r in knn_sq8(
+            emb, queries, k=K, rerank=30, bounds=bounds, codes=codes
+        ).collect()
+    )
+    assert in_call == prebuilt
