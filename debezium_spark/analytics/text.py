@@ -1865,3 +1865,137 @@ def interleaved_order(
         rn.alias("rn"),
         ((rn - F.lit(1)) * F.lit(n) + sidx).cast("long").alias("order_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level duplicated-substring detection — the window-hash variant of
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better"): their suffix-array pass finds substrings >= N chars occurring
+# twice anywhere in the corpus; sliding every N-char window through a
+# corpus-wide occurrence count finds exactly the same positions (a repeated
+# substring of length >= N contains a repeated N-window at each of its
+# starts) without a global suffix sort — the shape that distributes.
+# ---------------------------------------------------------------------------
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 20,
+    key: str = "text",
+) -> DataFrame:
+    """Flag every position whose ``n``-char window occurs >= 2 times in the
+    WHOLE corpus (other documents or elsewhere in the same one), merge
+    overlapping flagged windows into maximal spans, and report per document
+    how much text sits inside a duplicated span — the removal candidates of
+    exact-substring dedup.
+
+    Output: ``(id, n_grams, dup_positions, dup_chars, dup_frac)`` where
+    ``n_grams`` is the window count (``len - n + 1``, 0 for short/NULL
+    text), ``dup_positions`` counts flagged window starts, ``dup_chars``
+    is the merged-span character total, and ``dup_frac`` =
+    ``dup_positions / n_grams`` (NULL when the doc has no windows).
+
+    Plan shape (100 TB): the window explode is map-side off the scan; the
+    occurrence count is ONE map-side-combinable hash agg on the window key;
+    flagged positions join back on the same key (count>=2 windows are a
+    small minority in a clean corpus, so the join's right side is the
+    filtered aggregate, not the corpus); span merge is a per-doc window
+    over FLAGGED positions only. ``key='hash'`` groups by the window's
+    64-bit portable hash instead of its text — the shuffle carries 8 bytes
+    per window instead of ``n`` chars (the production setting; collisions
+    need ~2^32 windows per 50% birthday odds, and a collision only
+    over-flags one window). ``key='text'`` keeps exact semantics for
+    engine-parity oracles. NULL/short docs emit zero-stat rows, not NULLs
+    dropped (a dedup report must account for every document)."""
+    if key not in ("text", "hash"):
+        raise ValueError(f"key must be 'text' or 'hash', got {key!r}")
+    length = F.length(F.col(text_col))
+    grams = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .select(
+            "__id", "__t", F.explode(starts_of(F.col("__t"), n)).alias("__p")
+        )
+        .select(
+            "__id",
+            "__p",
+            F.col("__t").substr(F.col("__p"), F.lit(n)).alias("__g"),
+        )
+    )
+    gkey = portable_hash64(F.col("__g")) if key == "hash" else F.col("__g")
+    grams = grams.select("__id", "__p", gkey.alias("__k"))
+    dup_keys = (
+        grams.groupBy("__k")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__k")
+    )
+    flagged = grams.join(dup_keys, "__k").select("__id", "__p")
+    w_prev = (
+        Window.partitionBy("__id")
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("__id")
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        flagged.withColumn("__e", F.col("__p") + F.lit(n - 1))
+        .withColumn("__pmax", F.max("__e").over(w_prev))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__pmax").isNull() | (F.col("__p") > F.col("__pmax")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__gid", F.sum("__new").over(w_run))
+    )
+    spans = isl.groupBy("__id", "__gid").agg(
+        (F.max("__e") - F.min("__p") + 1).alias("__chars"),
+        F.count("*").alias("__npos"),
+    )
+    per_doc = spans.groupBy("__id").agg(
+        F.sum("__npos").cast("int").alias("dup_positions"),
+        F.sum("__chars").cast("int").alias("dup_chars"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("__id"),
+        F.when(
+            F.col(text_col).isNotNull() & (length >= n), length - n + 1
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("n_grams"),
+    )
+    out = (
+        totals.join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            F.coalesce("dup_positions", F.lit(0)).alias("dup_positions"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce("dup_positions", F.lit(0))
+                    / F.col("n_grams").cast("double"),
+                    6,
+                ),
+            ).alias("dup_frac"),
+        )
+    )
+    return out
+
+
+def starts_of(text: Column, n: int) -> Column:
+    """Window start positions 1..len-n+1 of an ``n``-char sliding window
+    (empty for NULL/short text — guarded because ``sequence(1, 0)`` would
+    count DOWN, not produce an empty array)."""
+    length = F.length(text)
+    return F.when(
+        text.isNotNull() & (length >= n),
+        F.sequence(F.lit(1), (length - n + 1).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))

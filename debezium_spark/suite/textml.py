@@ -1600,3 +1600,80 @@ def x36_interleaved_order(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return interleaved_order(docs)
+
+
+# ---------------------------------------------------------------------------
+# X37 — corpus-level duplicated-substring spans (exact-substring dedup)
+# ---------------------------------------------------------------------------
+_X37_N = 20
+
+
+@register(
+    "x37_duplicated_spans",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    pos AS (
+        SELECT doc_id, text, unnest(range(1, L - {_X37_N} + 2)) AS p
+        FROM d WHERE text IS NOT NULL AND L >= {_X37_N}
+    ),
+    grams AS (SELECT doc_id, p, substr(text, p, {_X37_N}) AS g FROM pos),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    fl AS (
+        SELECT doc_id, p, p + {_X37_N} - 1 AS e
+        FROM grams JOIN dupg USING (g)
+    ),
+    isl AS (
+        SELECT doc_id, p, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR p > max(e) OVER (
+                        PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+               THEN 1 ELSE 0 END AS newf
+        FROM fl
+    ),
+    isl2 AS (
+        SELECT doc_id, p, e,
+               sum(newf) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS UNBOUNDED PRECEDING) AS gid
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, gid, max(e) - min(p) + 1 AS chars, count(*) AS npos
+        FROM isl2 GROUP BY doc_id, gid
+    ),
+    perdoc AS (
+        SELECT doc_id, CAST(sum(npos) AS INT) AS dup_positions,
+               CAST(sum(chars) AS INT) AS dup_chars
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.text IS NOT NULL AND d.L >= {_X37_N}
+                     THEN d.L - {_X37_N} + 1 ELSE 0 END AS INT) AS n_grams,
+           coalesce(pd.dup_positions, 0) AS dup_positions,
+           coalesce(pd.dup_chars, 0) AS dup_chars,
+           CASE WHEN d.L >= {_X37_N} AND d.text IS NOT NULL THEN
+                round(coalesce(pd.dup_positions, 0) /
+                      CAST(d.L - {_X37_N} + 1 AS DOUBLE), 6)
+           END AS dup_frac
+    FROM d LEFT JOIN perdoc pd USING (doc_id)
+    """,
+)
+def x37_duplicated_spans(spark, sf_dir):
+    """Exact-substring dedup report (Lee et al. 2021, the window-hash
+    formulation): every 20-char window occurring twice anywhere in the
+    corpus flags its position; overlapping flags merge into maximal
+    spans; each document reports flagged windows, span chars, and the
+    duplicated fraction. ~7.5% of this corpus's windows duplicate
+    naturally — real removal candidates, not a synthetic plant. One
+    window-key hash agg + a flagged-only per-doc merge window; the
+    registered query keys by window TEXT for engine parity — key='hash'
+    (8-byte shuffle keys) is the production setting, equality-tested in
+    tests/test_components.py."""
+    from debezium_spark.analytics.text import duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_spans(docs, n=_X37_N, key="text")

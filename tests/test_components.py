@@ -587,3 +587,59 @@ def test_interleaved_order_round_robins_domains(spark):
     for src, lst in by_src.items():
         lst.sort()
         assert all(b - a == 3 for a, b in zip(lst, lst[1:])), src
+
+
+def test_duplicated_spans_edges_and_merge(spark):
+    """Hand-checkable corpus for the exact-substring detector (n=10):
+    - doc 1 and doc 2 share a 14-char substring -> both flag 5 window
+      starts that merge into ONE 14-char span each;
+    - doc 3 repeats a 10-char block WITHIN itself -> both occurrences
+      flag (within-doc repeats count, per Lee et al.);
+    - doc 4 is unique text -> zero everywhere;
+    - doc 5 is shorter than n -> n_grams=0, dup_frac NULL;
+    - doc 6 is NULL text -> zero-stat row present, not dropped.
+    """
+    from debezium_spark.analytics.text import duplicated_spans
+
+    shared = "ABCDEFGHIJKLMN"  # 14 chars
+    rows = [
+        (1, "xx" + shared + "yyyy"),
+        (2, "qqqq" + shared + "zz"),
+        (3, "0123456789" + "__pad__" + "0123456789"),
+        (4, "entirely unique text with no repeats at all"),
+        (5, "short"),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans(docs, n=10, key="text").collect()
+    }
+    assert len(out) == 6
+    # docs 1/2: windows starting inside the shared 14-char run: 14-10+1 = 5
+    for d in (1, 2):
+        assert out[d]["dup_positions"] == 5
+        assert out[d]["dup_chars"] == 14  # merged into one span
+    # doc 3: the repeated 10-char block flags exactly its two occurrences
+    assert out[3]["dup_positions"] == 2
+    assert out[3]["dup_chars"] == 20
+    assert out[4]["dup_positions"] == 0 and out[4]["dup_chars"] == 0
+    assert out[5]["n_grams"] == 0 and out[5]["dup_frac"] is None
+    assert out[6]["n_grams"] == 0 and out[6]["dup_positions"] == 0
+
+
+def test_duplicated_spans_hash_key_equals_text_key(spark, sf_dir):
+    """key='hash' (8-byte shuffle keys, the production setting) must
+    produce identical per-doc stats to key='text' on the fixtures —
+    a 64-bit collision inside 130k windows is astronomically unlikely,
+    so any diff is a routing bug, not hash luck."""
+    from debezium_spark.analytics.text import duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(
+        tuple(r) for r in duplicated_spans(docs, n=20, key="text").collect()
+    )
+    b = sorted(
+        tuple(r) for r in duplicated_spans(docs, n=20, key="hash").collect()
+    )
+    assert a == b
