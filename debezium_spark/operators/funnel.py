@@ -1,0 +1,113 @@
+"""Sequential-pattern (funnel) detection over an event stream.
+
+The reference engine has no sequence semantics (SURVEY §2.6 — its event
+model is row-level CDC); this is the MATCH_RECOGNIZE-shaped analytics
+operator every event pipeline bolts onto the change stream: "of the users
+who did A, how many later did B, and later still C?".
+
+Semantics (the standard ordered-funnel definition): step k is reached at
+the EARLIEST event of step k's type at-or-after the step k-1 reach time;
+step 1 at the earliest step-1 event overall. ``t_k = min{t : type=s_k,
+t >= t_{k-1}}`` — deterministic under timestamp ties because only minima
+are taken, never "the next row".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_utc",
+) -> DataFrame:
+    """Per-user funnel reach times: one row per user holding
+    ``t1..t{len(steps)}`` (NULL from the first step not reached).
+
+    Plan shape (100 TB): the stream is pre-filtered to the funnel's event
+    types BEFORE the shuffle (for a 3-type funnel over a many-type stream
+    that is the big reduction), then ONE hash aggregation on the user key
+    collects each user's (ts, type) pairs; the step scan is a per-row
+    array program over that sorted list — no join per step, no window
+    function, no second shuffle. Per-user state is bounded by that user's
+    funnel-type event count; a time-sliced pre-filter bounds it further
+    when users are long-lived. This beats the textbook k-fold
+    join-per-step plan (k shuffles) at any scale.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
+    evs = (
+        events.filter(F.col(type_col).isin(steps))
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(type_col).alias("s"),
+                    )
+                )
+            ).alias("__evs")
+        )
+    )
+
+    def first_at_or_after(prev: Column, step: str) -> Column:
+        hits = F.filter(
+            F.col("__evs"),
+            lambda e: (e["s"] == step)
+            & (F.lit(True) if prev is None else (e["t"] >= prev)),
+        )
+        # F.get: NULL on empty, never an out-of-bounds error (ANSI-safe)
+        return F.get(hits, 0)["t"]
+
+    out = evs
+    prev: Column | None = None
+    for i, s in enumerate(steps, start=1):
+        col = first_at_or_after(prev, s)
+        out = out.withColumn(f"t{i}", col)
+        prev = F.col(f"t{i}")
+    return out.select(
+        F.col("user").alias(user_col), *[f"t{i}" for i in range(1, len(steps) + 1)]
+    )
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_utc",
+) -> DataFrame:
+    """Aggregate funnel: ``(step, step_type, n_users)`` — users reaching
+    each step under :func:`funnel_steps` semantics. The per-user frame
+    reduces to one global row (count of non-NULL t_k), then unpivots to
+    one row per step via ``stack`` — no extra shuffle beyond the per-user
+    aggregation."""
+    per_user = funnel_steps(
+        events, steps, user_col=user_col, type_col=type_col, ts_col=ts_col
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"t{i}").alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', n{i}" for i, s in enumerate(steps, start=1)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack_args}) AS (step, step_type, n_users)"
+        )
+    ).select(F.col("step").cast("int"), "step_type", "n_users")

@@ -189,3 +189,52 @@ def e4_hierarchical_rollup(spark, sf_dir):
         "min_value",
         "max_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# E5 — ordered funnel (sequential-pattern detection: view -> click -> purchase)
+# ---------------------------------------------------------------------------
+@register(
+    "e5_funnel",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (
+        SELECT user_id, min(t) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.t) AS t2
+        FROM e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.t >= s1.t1
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.t) AS t3
+        FROM e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.t >= s2.t2
+        GROUP BY 1
+    )
+    SELECT 1 AS step, 'view' AS step_type, count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'click', count(*) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', count(*) FROM s3
+    """,
+)
+def e5_funnel(spark, sf_dir):
+    """Ordered funnel over the event stream: users reaching view, then
+    click at-or-after their first view, then purchase at-or-after that
+    click — step k at the EARLIEST qualifying event (min-based, so
+    timestamp ties are deterministic). The engine does it in ONE user-key
+    aggregation (pre-filtered to funnel types, per-user sorted array
+    program — no join per step); the oracle is the textbook k-fold
+    join-per-step SQL, proving the single-pass plan computes the same
+    funnel."""
+    from debezium_spark.operators.funnel import funnel_report
+
+    ev = events_with_ts(spark, sf_dir)
+    return funnel_report(ev, ["view", "click", "purchase"])

@@ -77,3 +77,49 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # (n=3, sum=3.0 — not 4/102.0). The 11:00 window is still open (append
     # mode emits only closed windows), so it's absent.
     assert rows == {"10:00": (3, 3.0)}
+
+
+def test_funnel_steps_order_and_edges(spark):
+    """Hand-checkable funnel semantics: step times must be ordered
+    (t1 <= t2 <= t3), a user doing B-before-A never reaches step 2 off
+    that B, equal timestamps qualify (>= not >), and users missing step
+    1 report all-NULL."""
+    from datetime import datetime
+
+    from debezium_spark.operators.funnel import funnel_steps
+
+    T = datetime
+    rows = [
+        # u1: clean A -> B -> C
+        (1, "view", T(2024, 1, 1, 10)),
+        (1, "click", T(2024, 1, 1, 11)),
+        (1, "purchase", T(2024, 1, 1, 12)),
+        # u2: click BEFORE first view -> step2 must use the later click
+        (2, "click", T(2024, 1, 1, 9)),
+        (2, "view", T(2024, 1, 1, 10)),
+        (2, "click", T(2024, 1, 1, 11)),
+        # u3: click at the SAME instant as view -> >= admits it
+        (3, "view", T(2024, 1, 1, 10)),
+        (3, "click", T(2024, 1, 1, 10)),
+        # u4: never views -> no steps at all
+        (4, "click", T(2024, 1, 1, 10)),
+        (4, "purchase", T(2024, 1, 1, 11)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_utc timestamp"
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_steps(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out[1]["t1"] < out[1]["t2"] < out[1]["t3"]
+    assert out[2]["t2"] == T(2024, 1, 1, 11)  # not the 09:00 click
+    assert out[2]["t3"] is None
+    assert out[3]["t2"] == T(2024, 1, 1, 10)  # tie admitted
+    assert out[4]["t1"] is None and out[4]["t2"] is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        funnel_steps(df, ["view"])
+    with pytest.raises(ValueError):
+        funnel_steps(df, ["view", "view"])
