@@ -155,3 +155,49 @@ def reconcile(
         )
         .select("bucket", "n_actual", "n_expected", "h_actual", "h_expected")
     )
+
+
+def sequence_gaps(
+    df: DataFrame,
+    seq_col: str,
+    part_cols: list[str],
+) -> DataFrame:
+    """Per-group sequence-continuity audit: within each ``part_cols``
+    group, report every hole in the ``seq_col`` integer sequence between
+    that group's first and last observed value —
+    ``(part_cols..., gap_start, gap_end, n_missing)``.
+
+    This is the completeness check a CDC consumer runs before trusting a
+    stream slice: the reference's buffered transaction assembly
+    (debezium-connector-oracle's LogMiner buffer) implicitly requires
+    every event of a transaction before COMMIT emission, and Kafka
+    consumers audit per-partition offset contiguity the same way. A gap
+    means events were lost (DLQ'd, dropped, or still in flight) — feed
+    the gap's group key into an incremental-snapshot signal (S3) to
+    re-sync, exactly like a mismatched `reconcile` bucket.
+
+    Plan shape (100 TB): one shuffle on the group key, per-group sort
+    inside the window (Spark spills; group size is a transaction/topic
+    partition, not the corpus), gaps emitted by a single lag compare —
+    no self-join, no explode of expected ranges. Boundary losses (before
+    the first / after the last observed event of a group) are invisible
+    by construction — cross-check group COUNTS via `reconcile` for
+    those."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*part_cols).orderBy(seq_col)
+    prev = F.lag(seq_col).over(w)
+    return (
+        df.select(*part_cols, seq_col)
+        .withColumn("__prev", prev)
+        .filter(
+            F.col("__prev").isNotNull()
+            & (F.col(seq_col) > F.col("__prev") + 1)
+        )
+        .select(
+            *part_cols,
+            (F.col("__prev") + 1).alias("gap_start"),
+            (F.col(seq_col) - 1).alias("gap_end"),
+            (F.col(seq_col) - F.col("__prev") - 1).alias("n_missing"),
+        )
+    )

@@ -962,3 +962,50 @@ def k13_scd2_history(spark, sf_dir):
 
     env = accounts_changefeed(spark, sf_dir)
     return scd2_history(env, key_cols=["id"])
+
+
+# ---------------------------------------------------------------------------
+# K14 — sequence-continuity audit (per-transaction gap detection)
+# ---------------------------------------------------------------------------
+@register(
+    "k14_sequence_gaps",
+    oracle=f"""
+    WITH {CHANGES_CTE},
+    surv AS (
+        SELECT CAST(tx_id AS BIGINT) AS tx, pos FROM changes
+        WHERE pos % 97 <> 0
+    ),
+    lagged AS (
+        SELECT tx, pos,
+               lag(pos) OVER (PARTITION BY tx ORDER BY pos) AS prev
+        FROM surv
+    )
+    SELECT tx, prev + 1 AS gap_start, pos - 1 AS gap_end,
+           pos - prev - 1 AS n_missing
+    FROM lagged
+    WHERE prev IS NOT NULL AND pos > prev + 1
+    """,
+)
+def k14_sequence_gaps(spark, sf_dir):
+    """Within-transaction sequence audit: drop every 97th event (simulated
+    loss — DLQ'd, dropped, in flight) and report each transaction's
+    missing position ranges. The reference's buffered LogMiner assembly
+    implicitly needs every event of a tx before COMMIT emission; this is
+    that completeness check as a first-class operator (and the Kafka
+    per-partition offset-contiguity audit, same shape). One tx-key
+    shuffle, per-tx lag — thousands of independent groups, no
+    single-partition window, no expected-range explode. Pairs with k12:
+    fingerprints say WHETHER a slice diverged, gaps say exactly WHICH
+    positions to re-snapshot."""
+    from debezium_spark.operators.audit import sequence_gaps
+    from debezium_spark.sources.changefeed import accounts_changefeed
+
+    feed = (
+        accounts_changefeed(spark, sf_dir)
+        .filter(F.col("source.pos") % 97 != 0)
+        .select(
+            F.col("source.tx_id").cast("long").alias("tx"),
+            F.col("source.pos").alias("pos"),
+        )
+    )
+    return sequence_gaps(feed, "pos", ["tx"])

@@ -1398,3 +1398,112 @@ def w33_market_share(spark, sf_dir):
             F.sum(target).cast("double") / F.sum("volume").cast("double")
         ).cast("double").alias("mkt_share")
     )
+
+
+# ---------------------------------------------------------------------------
+# W34 — Q11 shape: group value vs a global-threshold scalar subquery
+# ---------------------------------------------------------------------------
+@register(
+    "w34_important_parts",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+                     AND n.n_name = 'NATION_5'
+        GROUP BY 1
+    )
+    SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM v
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT CAST(sum(value) AS DOUBLE) FROM v) * 0.002
+    """,
+)
+def w34_important_parts(spark, sf_dir):
+    """Q11 (important stock identification), re-based on lineitem revenue
+    since the fixtures carry no partsupp: parts whose NATION_5-supplied
+    revenue exceeds 0.2% of that nation's total. The scalar subquery
+    decorrelates to a 1-row broadcast joined onto the PER-PART aggregate
+    (2,000 rows), not the fact table — the fact scans once, the grouped
+    result is reused for both sides via a self-agg, and no
+    single-partition window appears anywhere. Exact decimal sums; double
+    only at the threshold compare and display."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    supp5 = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).select("s_suppkey")
+    val = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    per_part = (
+        li.join(F.broadcast(supp5), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(val).alias("__value"))
+    )
+    total = per_part.agg(
+        (F.sum("__value").cast("double") * F.lit(0.002)).alias("__thresh")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("__value").cast("double") > F.col("__thresh"))
+        .select(
+            "p_partkey", F.col("__value").cast("double").alias("part_value")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W35 — Q15 shape: top supplier(s) by windowed revenue, ties kept
+# ---------------------------------------------------------------------------
+@register(
+    "w35_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS s_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT r.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM rev r JOIN supplier s USING (s_suppkey)
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def w35_top_supplier(spark, sf_dir):
+    """Q15 (top supplier): the supplier(s) with maximum revenue over one
+    shipdate quarter — ALL ties kept, per the spec's revenue-view + max
+    subquery formulation (a top-1-by-row_number would silently drop
+    ties). The quarter filter pushes into the scan; one supplier-key agg
+    builds the revenue view; the max is a 1-row broadcast onto that
+    2,000-row view (never the fact table); equality compares exact
+    decimals, so ties are exact, not float-luck."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    val = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum(val).alias("__rev")
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(s), "s_suppkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+    )

@@ -142,3 +142,21 @@ def test_effectively_once_drops_redelivered_positions(spark, tmp_path):
         (r["pos"], r["payload"]) for r in spark.read.parquet(out).collect()
     )
     assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_sequence_gaps_finds_exact_ranges(spark):
+    """Hand-checkable gap report: per group, interior holes come out as
+    [start, end] ranges with counts; boundary losses are invisible (by
+    contract — reconcile covers counts); a dense group reports nothing."""
+    from debezium_spark.operators.audit import sequence_gaps
+
+    rows = (
+        [("a", p) for p in [1, 2, 5, 6, 10]]  # gaps 3-4 and 7-9
+        + [("b", p) for p in [7, 8, 9]]  # dense
+        + [("c", p) for p in [100]]  # single row: nothing to compare
+    )
+    df = spark.createDataFrame(rows, "grp string, pos long")
+    out = sorted(
+        tuple(r) for r in sequence_gaps(df, "pos", ["grp"]).collect()
+    )
+    assert out == [("a", 3, 4, 2), ("a", 7, 9, 3)]
