@@ -1677,3 +1677,66 @@ def x37_duplicated_spans(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return duplicated_spans(docs, n=_X37_N, key="text")
+
+
+# ---------------------------------------------------------------------------
+# X38 — character-LM quality score (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+@register(
+    "x38_charlm_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(s) - 1),
+                                     i -> substr(s, i, 2))) AS bg
+        FROM t WHERE s IS NOT NULL AND length(s) >= 2
+    ),
+    db AS (SELECT doc_id, bg, count(*) AS cnt FROM bi GROUP BY 1, 2),
+    model AS (SELECT bg, sum(cnt) AS c FROM db GROUP BY 1),
+    ctx AS (SELECT substr(bg, 1, 1) AS c1, sum(c) AS n FROM model GROUP BY 1),
+    vocab AS (
+        SELECT count(DISTINCT ch) AS v FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, greatest(length(s), 1)),
+                       i -> substr(s, i, 1))) AS ch
+            FROM t WHERE s IS NOT NULL
+        ) WHERE ch <> ''
+    ),
+    terms AS (
+        SELECT d.doc_id, d.cnt,
+               CAST(floor(log2(CAST(m.c + 1 AS DOUBLE)
+                               / CAST(x.n + vv.v AS DOUBLE))
+                          * 1000000000.0) AS BIGINT) AS tq
+        FROM db d
+        JOIN model m USING (bg)
+        JOIN ctx x ON x.c1 = substr(d.bg, 1, 1)
+        CROSS JOIN vocab vv
+    ),
+    pd AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+               sum(cnt * tq) AS sq
+        FROM terms GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN pd.n_bigrams > 0 THEN
+                round(-CAST(pd.sq AS DOUBLE) / 1000000000.0
+                      / CAST(pd.n_bigrams AS DOUBLE), 6)
+           END AS bits_per_char
+    FROM t LEFT JOIN pd USING (doc_id)
+    """,
+)
+def x38_charlm_quality(spark, sf_dir):
+    """CCNet-style LM quality filter in its distributable char-bigram
+    form: corpus-trained add-one-smoothed bigram model, per-doc
+    bits-per-char cross-entropy (gibberish scores high, fluent text
+    low). The model's key space is bounded by |charset|² — it
+    BROADCASTS by construction at any corpus size; per-term fixed-point
+    quantization (floor(log2 p * 1e9) as int64) makes the per-doc sum
+    order-independent, so both engines agree bit-for-bit without
+    constraining aggregation order."""
+    from debezium_spark.analytics.text import charlm_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return charlm_quality(docs)

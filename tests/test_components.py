@@ -643,3 +643,27 @@ def test_duplicated_spans_hash_key_equals_text_key(spark, sf_dir):
         tuple(r) for r in duplicated_spans(docs, n=20, key="hash").collect()
     )
     assert a == b
+
+
+def test_charlm_quality_separates_fluent_from_gibberish(spark):
+    """The quality signal must point the right way: text drawn from the
+    corpus's own character distribution scores LOWER bits-per-char than
+    uniform-random gibberish over a wide alphabet; short/NULL docs get
+    zero-bigram rows with NULL bits."""
+    from debezium_spark.analytics.text import charlm_quality
+
+    fluent = "the quick brown fox jumps over the lazy dog and then "
+    rows = [
+        (1, fluent * 4),
+        (2, fluent * 3 + "the lazy dog jumps over the quick brown fox "),
+        (3, "zq7#xk9@wj2%vp4&mh8*bt3!ng6^rd1($fy5)cl0azq7#xk9@wj2"),
+        (4, "a"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in charlm_quality(df).collect()}
+    assert len(out) == 5
+    assert out[1]["bits_per_char"] < out[3]["bits_per_char"]
+    assert out[2]["bits_per_char"] < out[3]["bits_per_char"]
+    assert out[4]["n_bigrams"] == 0 and out[4]["bits_per_char"] is None
+    assert out[5]["n_bigrams"] == 0 and out[5]["bits_per_char"] is None
