@@ -43,6 +43,10 @@ HEADLINE = [
     "a18_mmr_rerank",
     "x32_dedupe_corpus_lines",
     "x34_incremental_dedup",
+    "x37_duplicated_spans",
+    "x38_charlm_quality",
+    "a19_sq8_search",
+    "e5_funnel",
     "w32_waiting_suppliers",
     "w1_pricing_summary",
     "w2_top_revenue_orders",
