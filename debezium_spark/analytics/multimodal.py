@@ -306,3 +306,64 @@ def binary_exact_dedup(
         )
         .select(id_col, "content_key", "n_bytes", "n_copies")
     )
+
+
+def shard_payloads(
+    manifest: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bytes_col: str = "n_bytes",
+    budget: int = 8192,
+    streams: int = 4,
+) -> DataFrame:
+    """Plan WebDataset-style training shards from a payload MANIFEST —
+    ``(id, n_bytes)`` rows, never the payload bytes themselves (at 100 TB
+    the plan must come from metadata; shuffling blobs to decide where
+    they go would move the corpus twice). Records are atomic: each is
+    assigned to the shard where its first byte lands in its stream's
+    concatenated layout, so a shard's actual size overshoots ``budget``
+    by at most one payload — the standard tar-shard contract.
+
+    Output per record: ``(id, n_bytes, stream, shard, offset)`` where
+    ``shard`` numbers locally within the stream and ``offset`` is the
+    record's byte position inside its shard's target window.
+
+    Plan shape: records hash-route to ``streams`` independent streams
+    (set ≈ cores at scale — same two-level trick as x27's token
+    packing), the running byte sum windows PER STREAM (never one global
+    ordered partition), and placement is md5-deterministic: reruns emit
+    identical shard layouts, which is what makes shard manifests
+    resumable/cacheable artifacts. Rows with NULL byte counts are
+    excluded — a manifest row without a size cannot be placed honestly
+    (validate the manifest upstream; silently treating NULL as 0 would
+    corrupt every offset after it)."""
+    from debezium_spark.analytics.text import portable_hash64
+    from pyspark.sql import Window
+
+    stream = F.pmod(
+        portable_hash64(F.col(id_col).cast("string"), seed="shard:"),
+        F.lit(streams),
+    ).cast("int")
+    okey = portable_hash64(F.col(id_col).cast("string"), seed="order:")
+    base = manifest.filter(F.col(bytes_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(bytes_col).cast("long").alias("n_bytes"),
+        stream.alias("stream"),
+        okey.alias("__ok"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("__ok", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+    return (
+        base.withColumn("__cb", cum_before)
+        .select(
+            id_col,
+            "n_bytes",
+            "stream",
+            F.floor(F.col("__cb") / budget).cast("int").alias("shard"),
+            (F.col("__cb") % budget).cast("long").alias("offset"),
+        )
+    )

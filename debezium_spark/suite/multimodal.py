@@ -244,3 +244,63 @@ def m5_binary_exact_dedup(spark, sf_dir):
         synthesize_image_blob(F.col("doc_id") % 300).alias("blob"),
     )
     return binary_exact_dedup(blobs)
+
+
+# ---------------------------------------------------------------------------
+# M6 — manifest-driven shard packing (WebDataset tar-shard layout planning)
+# ---------------------------------------------------------------------------
+_M6_BUDGET = 65536
+_M6_STREAMS = 4
+
+
+@register(
+    "m6_shard_packing",
+    oracle=f"""
+    WITH man AS (
+        SELECT doc_id,
+               CAST(1000 + (doc_id * 37) % 9000 AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    routed AS (
+        SELECT doc_id, n_bytes,
+               CAST({oracle_hash64("CAST(doc_id AS VARCHAR)", seed="shard:")}
+                    % {_M6_STREAMS} AS INT) AS stream,
+               {oracle_hash64("CAST(doc_id AS VARCHAR)", seed="order:")} AS ok
+        FROM man
+    ),
+    placed AS (
+        SELECT doc_id, n_bytes, stream,
+               coalesce(sum(n_bytes) OVER (
+                   PARTITION BY stream ORDER BY ok, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cb
+        FROM routed
+    )
+    SELECT doc_id, n_bytes, stream,
+           CAST(floor(cb / {_M6_BUDGET}) AS INT) AS shard,
+           CAST(cb % {_M6_BUDGET} AS BIGINT) AS offset
+    FROM placed
+    """,
+)
+def m6_shard_packing(spark, sf_dir):
+    """Training-shard layout for multimodal payloads, planned from the
+    MANIFEST (id, n_bytes) — payload bytes never shuffle to decide where
+    they go. Synthetic but realistic sizes (1-10 KB, id-derived so both
+    engines rebuild them); hash-routed to 4 independent streams so the
+    running byte sum never serializes into one ordered partition;
+    placement md5-deterministic, so reruns emit identical shard
+    manifests. Records atomic: shard overshoot bounded by one payload."""
+    from debezium_spark.analytics.multimodal import shard_payloads
+
+    man = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            (F.lit(1000) + (F.col("doc_id") * 37) % 9000)
+            .cast("long")
+            .alias("n_bytes"),
+        )
+    )
+    return shard_payloads(
+        man, budget=_M6_BUDGET, streams=_M6_STREAMS
+    )
