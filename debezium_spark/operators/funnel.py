@@ -47,7 +47,12 @@ def funnel_steps(
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps!r}")
     evs = (
-        events.filter(F.col(type_col).isin(steps))
+        # NULL timestamps carry no ordering information and must not occupy
+        # the "earliest" slot (array_sort places a null-t struct first and
+        # F.get(hits, 0)['t'] would null the whole funnel even when a real
+        # timestamped event exists) — drop them before the aggregation,
+        # matching min(t)'s NULL-skipping in the SQL formulation.
+        events.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
         .groupBy(F.col(user_col).alias("user"))
         .agg(
             F.array_sort(
@@ -103,8 +108,11 @@ def funnel_report(
             for i in range(1, len(steps) + 1)
         ]
     )
+    # Step names are interpolated into stack()'s SQL literals — escape
+    # embedded single quotes so a name can't break (or inject into) the expr.
     stack_args = ", ".join(
-        f"{i}, '{s}', n{i}" for i, s in enumerate(steps, start=1)
+        "{}, '{}', n{}".format(i, s.replace("'", "''"), i)
+        for i, s in enumerate(steps, start=1)
     )
     return counts.select(
         F.expr(

@@ -35,78 +35,71 @@ QUERIES: dict[str, Q] = {}
 # Everything not listed still registers (and is value-checked by the in-repo
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
-    # --- r7 rotation (the per-query ledger lives in COVERAGE.md):
-    # 1. the ten queries registered this round (no driver row yet) — IVM
-    #    derived AVG, sparse struct cosine, inverted-index sparse kNN, BM25
-    #    lexical retrieval, sink-fingerprint consistency audit, RRF hybrid
-    #    fusion, SemDeDup, binned range join, hierarchical rollup, the
-    #    Interval/EnumSet/Nano* logical-type batch;
-    # 2. ALL 37 queries whose last green driver row is r4 (the stalest
-    #    evidence after the r6 rotation) — after this window nothing in
-    #    the union is older than r5;
-    # 3. three re-proof slots for operators whose code changed this round
-    #    (LSH arrow id-type routing + NULL-signature buckets, inline-Arrow
-    #    merge pos-null ordering + evolution-recording order, codec
-    #    on_error decode paths — f4 avro is already in the stale set; the
-    #    IVM aggs-refactor re-proof yielded its slot to h6, k9 staying
-    #    r6-green and gate-covered);
-    # 4. r6's planned four freshness picks all yielded their slots to the
-    #    late-round a15/a16/w31/e4 registrations (w1/x4/a2/s3 stay r5-green
-    #    in the union either way — new queries MUST be windowed, freshness
-    #    re-proofs of already-green rows are optional).
-    # never driver-green (new this round) ------------------------------------
-    "k11_incremental_avg",             # IVM derived AVG (sum/count contract)
-    "a12_sparse_cosine",               # SparseDoubleVector struct cosine
-    "a13_knn_sparse",                  # inverted-index sparse retrieval
-    "a14_bm25_rank",                   # BM25 lexical retrieval
-    "k12_sink_fingerprint",            # source↔sink consistency audit
-    "a15_rrf_fusion",                  # hybrid BM25+cosine RRF
-    "a16_semdedup",                    # cluster-pruned semantic dedup
-    "w31_range_join",                  # binned point-in-interval join
-    "e4_hierarchical_rollup",          # hypertable continuous-aggregate
-    "h6_interval_enum_set",            # Interval/EnumSet/Nano* codecs
-    # last green r4 (all of them) --------------------------------------------
-    "a3_knn_lsh",
-    "a6_cosine_near_dup",
-    "a8_ivf_search",
-    "e2_sliding_window",
-    "f1_cloudevents_roundtrip",
-    "f4_avro_roundtrip",               # also re-proof: on_error decode path
-    "h2_table_filters",
-    "h3_temporal_logical_types",
-    "k2_merge_insert_mode",
-    "k4_reduce_last_per_key",
-    "k6_schema_evolution",
-    "k7_naming_strategy",
-    "m2_frame_sample",
-    "m4_image_resize",
-    "p9_dlq_quarantine",
-    "s10_lsn_window_poll",
-    "s11_mongo_update_description",
-    "s12_snapshot_override",
-    "s14_envelope_timestamps",
-    "s4_readonly_incremental",
-    "s7_binlog_dispatch",
-    "s9_commit_ordered",
-    "t10_partition_routing",
-    "t11_enforce_record_size",
-    "t12_schema_change_filter",
-    "t14b_geometry_circle_line",
-    "t15_vector_to_json",
-    "t19_custom_converters",
-    "t21_docling_markdown",
-    "t22_skipped_operations",
-    "t3_extract_changed_record_state",
-    "t4_filter_expression",
-    "t6_logical_table_router",
-    "t8_header_to_value",
-    "w2_top_revenue_orders",
-    "w8_asof_join",
-    "x21_decontamination",
-    # re-proof: code touched this round --------------------------------------
-    "x6_lsh_candidates",               # arrow impl id-type/NULL routing
-    "k1_merge_upsert",                 # inline-Arrow pos-null + evo ordering
-    "f5_protobuf_roundtrip",           # on_error decode path
+    # --- r8 rotation (the per-query ledger lives in COVERAGE.md):
+    # 1. ALL 24 queries with no driver row yet — everything registered
+    #    after the r7 window froze (a17–a19, k13/k14, m5/m6, w32–w35, e5,
+    #    x27–x38). m6's registration was dead at HEAD in r7 (missing
+    #    import, fixed this round) and e5's NULL-timestamp bug was fixed —
+    #    both need fresh driver evidence on the corrected code.
+    # 2. 26 of the 45 queries whose last green driver row is r5 (the
+    #    stalest tier): every non-warehouse r5 query plus four warehouse
+    #    representatives (w1 scan-agg, w9 salted join, w13 exists-anti,
+    #    w25 cube). The 19 remaining r5 warehouse legs stay gate-verified
+    #    and rotate in r9 — after this window nothing outside that set is
+    #    older than r6.
+    # never driver-green (registered after the r7 window froze) --------------
+    "m6_shard_packing",                # WebDataset shard planner (fixed import)
+    "e5_funnel",                       # ordered funnel (NULL-ts fix re-proof)
+    "x37_duplicated_spans",            # exact-substring spans (perf rework)
+    "x38_charlm_quality",              # char-bigram LM quality scoring
+    "a19_sq8_search",                  # SQ8 scalar-quantized ANN
+    "a17_cluster_balanced_sample",     # coreset sampling
+    "a18_mmr_rerank",                  # MMR diversified rerank
+    "k13_scd2_history",                # SCD2 history materialization
+    "k14_sequence_gaps",               # sequence-gap audit
+    "m5_binary_exact_dedup",           # binary twin of x4
+    "w32_waiting_suppliers",           # TPC-H Q21 shape
+    "w33_market_share",                # TPC-H Q8 shape
+    "w34_important_parts",             # TPC-H Q11 shape
+    "w35_top_supplier",                # TPC-H Q15 shape
+    "x27_pack_sequences",              # concat-and-chunk packing
+    "x28_token_budget_sample",         # token-budget mixture sampling
+    "x29_pii_redaction",
+    "x30_remove_boilerplate",
+    "x31_dedupe_lines",
+    "x32_dedupe_corpus_lines",
+    "x33_repetition_metrics",          # Gopher repetition rules
+    "x34_incremental_dedup",           # batch-vs-persisted-index dedup
+    "x35_leakage_safe_split",
+    "x36_interleaved_order",
+    # last green r5 (stalest tier; every non-warehouse one) ------------------
+    "a2_knn_bruteforce",
+    "a4_field_to_embedding",
+    "a5_embed_similarity",
+    "a7_ivf_centroids",
+    "e1_tumbling_window",
+    "m1_image_meta",
+    "p4_transaction_metadata",
+    "s3_incremental_snapshot_dedup",
+    "t1_extract_new_record_state",
+    "x1_text_stats",
+    "x3_token_count",
+    "x4_exact_dedup",
+    "x9_quality_filter",
+    "x10_word_ngram_jaccard",
+    "x11_chunk_documents",
+    "x11_corpus_pipeline",
+    "x12_train_val_split",
+    "x13_repetition_ratio",
+    "x14_priority_dedup",
+    "x17_cm_heavy_hitters",
+    "x18_posting_lists",
+    "x19_char_entropy",
+    # last green r5: four warehouse representatives --------------------------
+    "w1_pricing_summary",
+    "w9_salted_join",
+    "w13_exists_anti",
+    "w25_cube_counts",
 )
 
 
@@ -118,29 +111,41 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+SUITE_MODULES: tuple[str, ...] = (
+    "cdc",
+    "cdc2",
+    "analytics",
+    "textml",
+    "multimodal",
+    "warehouse",
+    "windows",
+)
+
+#: module name -> formatted traceback for every suite module that failed to
+#: import during load_all(). Tests assert this stays empty so the guarded
+#: loader can never silently mask a dead registration again (the r7 failure
+#: mode: a NameError in multimodal.py dropped m6 without failing anything).
+LOAD_FAILURES: dict[str, str] = {}
+
+
 def load_all() -> dict[str, Q]:
     """Import all suite modules (side effect: registration) and return the map.
 
     Imports are guarded per-module so one broken suite file degrades to a
     smaller registry instead of zeroing every query (the round-1 failure
-    mode: a missing module made queries() itself raise).
+    mode: a missing module made queries() itself raise). Every failure is
+    recorded in LOAD_FAILURES and tests/test_suite_loader.py turns any entry
+    into a hard test failure.
     """
     import importlib
     import sys
     import traceback
 
-    for mod in (
-        "cdc",
-        "cdc2",
-        "analytics",
-        "textml",
-        "multimodal",
-        "warehouse",
-        "windows",
-    ):
+    for mod in SUITE_MODULES:
         try:
             importlib.import_module(f"debezium_spark.suite.{mod}")
         except Exception:  # pragma: no cover - defensive
+            LOAD_FAILURES[mod] = traceback.format_exc()
             print(f"suite module {mod!r} failed to load:", file=sys.stderr)
             traceback.print_exc()
     ordered = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}

@@ -15,6 +15,7 @@ from debezium_spark.analytics.multimodal import (
     sample_frames,
     synthesize_image_blob,
 )
+from debezium_spark.analytics.text import oracle_hash64
 from debezium_spark.suite import register
 
 _MD5 = "md5('img:' || CAST(doc_id AS VARCHAR))"

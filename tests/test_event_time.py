@@ -123,3 +123,55 @@ def test_funnel_steps_order_and_edges(spark):
         funnel_steps(df, ["view"])
     with pytest.raises(ValueError):
         funnel_steps(df, ["view", "view"])
+
+
+def test_funnel_null_timestamps_ignored(spark):
+    """A NULL-timestamp event of the step-1 type must not null the user's
+    funnel: the earliest REAL timestamped event wins (the r7 ADVICE repro —
+    array_sort used to place the null-t struct first and F.get(hits,0)['t']
+    returned NULL even though a timestamped view existed)."""
+    from datetime import datetime
+
+    from debezium_spark.operators.funnel import funnel_steps
+
+    T = datetime
+    rows = [
+        (1, "view", None),
+        (1, "view", T(2024, 1, 1, 10)),
+        (1, "click", T(2024, 1, 1, 11)),
+        # u2: ONLY a null-ts view -> never reaches step 1
+        (2, "view", None),
+        (2, "click", T(2024, 1, 1, 9)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_utc timestamp"
+    )
+    out = {
+        r["user_id"]: r for r in funnel_steps(df, ["view", "click"]).collect()
+    }
+    assert out[1]["t1"] == T(2024, 1, 1, 10)
+    assert out[1]["t2"] == T(2024, 1, 1, 11)
+    assert out[2]["t1"] is None and out[2]["t2"] is None
+
+
+def test_funnel_report_quoted_step_names(spark):
+    """Step names containing single quotes must be escaped, not break (or
+    inject into) the stack() SQL expression."""
+    from datetime import datetime
+
+    from debezium_spark.operators.funnel import funnel_report
+
+    T = datetime
+    rows = [
+        (1, "add'l view", T(2024, 1, 1, 10)),
+        (1, "click", T(2024, 1, 1, 11)),
+        (2, "add'l view", T(2024, 1, 1, 10)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_utc timestamp"
+    )
+    got = {
+        r["step_type"]: r["n_users"]
+        for r in funnel_report(df, ["add'l view", "click"]).collect()
+    }
+    assert got == {"add'l view": 2, "click": 1}
