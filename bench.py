@@ -43,7 +43,7 @@ HEADLINE = [
     "a18_mmr_rerank",
     "x32_dedupe_corpus_lines",
     "x34_incremental_dedup",
-    "x37_duplicated_spans",
+    "x39_duplicated_spans_sampled",
     "x38_charlm_quality",
     "a19_sq8_search",
     "e5_funnel",

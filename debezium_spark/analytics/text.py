@@ -1883,6 +1883,7 @@ def duplicated_spans(
     *,
     n: int = 20,
     key: str = "text",
+    stride: int = 1,
 ) -> DataFrame:
     """Flag every position whose ``n``-char window occurs >= 2 times in the
     WHOLE corpus (other documents or elsewhere in the same one), merge
@@ -1903,27 +1904,74 @@ def duplicated_spans(
     filtered aggregate, not the corpus); span merge is a per-doc window
     over FLAGGED positions only. ``key='hash'`` groups by the window's
     64-bit portable hash instead of its text — the shuffle carries 8 bytes
-    per window instead of ``n`` chars (the production setting; collisions
-    need ~2^32 windows per 50% birthday odds, and a collision only
-    over-flags one window). ``key='text'`` keeps exact semantics for
-    engine-parity oracles. NULL/short docs emit zero-stat rows, not NULLs
-    dropped (a dedup report must account for every document)."""
-    if key not in ("text", "hash"):
-        raise ValueError(f"key must be 'text' or 'hash', got {key!r}")
+    per window instead of ``n`` chars (collisions need ~2^32 windows per
+    50% birthday odds, and a collision only over-flags one window).
+    ``key='xxhash'`` is the same plan on Spark's JVM xxhash64 — much
+    cheaper per window than md5 but with no ANSI-SQL twin, so it's the
+    production setting where no engine-parity oracle is needed.
+    ``key='text'`` keeps exact semantics for engine-parity oracles.
+    NULL/short docs emit zero-stat rows, not NULLs dropped (a dedup
+    report must account for every document).
+
+    ``stride=k`` (k > 1, requires a hash key) is the 100 TB path: only
+    windows whose key hash ≡ 0 (mod k) enter the count/join — 0-mod-p
+    fingerprint sampling (the MOSS/winnowing family, Schleimer et al.
+    2003). Selection is CONTENT-defined, so every copy of a duplicated
+    substring selects the SAME windows wherever it sits — a positional
+    stride would miss unaligned cross-document copies entirely. This
+    cuts the shuffled row count (the exact plan's scale killer: one
+    ~20-byte row per character of corpus) by k× at the cost of
+    resolution: a duplicated span is detected iff it contains a selected
+    window (expected selection gap k, so spans ≥ n + k chars are caught
+    with probability → 1; at k=4, a missed 100-char span needs all ~81
+    of its windows unselected, p ≈ 0.75^81 ≈ 1e-10). With sampling,
+    ``n_grams``/``dup_positions``/``dup_frac`` count SELECTED windows —
+    dup_frac stays an unbiased density estimate over the same sample
+    space — and ``dup_chars`` merges selected flagged windows (each
+    still covering its full n chars), an underestimate by at most the
+    unselected span edges."""
+    if key not in ("text", "hash", "xxhash", "poly"):
+        raise ValueError(
+            f"key must be 'text', 'hash', 'xxhash' or 'poly', got {key!r}"
+        )
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if stride > 1 and key == "text":
+        raise ValueError("stride sampling needs a hash key")
+
+    def gkey(g: Column) -> Column:
+        if key == "hash":
+            return portable_hash64(g)
+        if key == "xxhash":
+            return F.xxhash64(g)
+        return g
+
     length = F.length(F.col(text_col))
-    grams = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-        .select(
-            "__id", "__t", F.explode(starts_of(F.col("__t"), n)).alias("__p")
+    totals = None
+    if key == "poly":
+        grams, totals = _poly_window_grams(
+            df, text_col=text_col, id_col=id_col, n=n, stride=stride
         )
-        .select(
-            "__id",
-            "__p",
-            F.col("__t").substr(F.col("__p"), F.lit(n)).alias("__g"),
+    else:
+        grams = (
+            df.select(
+                F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+            )
+            .select(
+                "__id",
+                "__t",
+                F.explode(starts_of(F.col("__t"), n)).alias("__p"),
+            )
+            .select(
+                "__id",
+                "__p",
+                gkey(F.col("__t").substr(F.col("__p"), F.lit(n))).alias("__k"),
+            )
         )
-    )
-    gkey = portable_hash64(F.col("__g")) if key == "hash" else F.col("__g")
-    grams = grams.select("__id", "__p", gkey.alias("__k"))
+        if stride > 1:
+            # Selection happens in the SAME map-side project that computes
+            # the key — unselected windows never become shuffle rows.
+            grams = grams.filter(F.pmod(F.col("__k"), F.lit(stride)) == 0)
     dup_keys = (
         grams.groupBy("__k")
         .agg(F.count("*").alias("__c"))
@@ -1961,15 +2009,32 @@ def duplicated_spans(
         F.sum("__npos").cast("int").alias("dup_positions"),
         F.sum("__chars").cast("int").alias("dup_chars"),
     )
-    totals = df.select(
-        F.col(id_col).alias("__id"),
-        F.when(
-            F.col(text_col).isNotNull() & (length >= n), length - n + 1
+    if totals is None:
+        if stride > 1:
+            # Denominator = SELECTED window count, computed map-side in a
+            # narrow second scan (array expression, no explode, no
+            # shuffle); exact so the sampled dup_frac is
+            # engine-reproducible.
+            t = F.col(text_col)
+            n_grams_expr = F.size(
+                F.filter(
+                    F.transform(
+                        starts_of(t, n),
+                        lambda p: F.pmod(
+                            gkey(t.substr(p, F.lit(n))), F.lit(stride)
+                        ),
+                    ),
+                    lambda m: m == 0,
+                )
+            )
+        else:
+            n_grams_expr = F.when(
+                F.col(text_col).isNotNull() & (length >= n), length - n + 1
+            ).otherwise(F.lit(0))
+        totals = df.select(
+            F.col(id_col).alias("__id"),
+            n_grams_expr.cast("int").alias("n_grams"),
         )
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("n_grams"),
-    )
     out = (
         totals.join(per_doc, "__id", "left")
         .select(
@@ -1988,6 +2053,95 @@ def duplicated_spans(
         )
     )
     return out
+
+
+# Second polynomial base for duplicated_spans' 60-bit combined window key
+# (first base is SHINGLE_POLY_BASE): two independent degree-(n-1) hashes
+# h1, h2 mod P combine as h1·P + h2 < 2^60 — small enough for exact BIGINT
+# replay in ANSI SQL, wide enough that birthday collisions only over-flag
+# ~(windows/2^60)·windows positions (0.004% at 10^14 windows).
+SPAN_POLY_BASE2 = 137
+
+
+def _poly_window_grams(
+    df: DataFrame, *, text_col: str, id_col: str, n: int, stride: int
+):
+    """Selected window keys for :func:`duplicated_spans`'s ``key='poly'``
+    path: one Arrow-batched numpy kernel slides both polynomial hashes
+    over each document (two int64 matmuls over a stride-tricks window
+    view — no explode, no per-window substr/md5) and emits ONLY the
+    windows whose combined key ≡ 0 (mod stride), plus one summary row per
+    document carrying its selected-window count. Returns ``(grams,
+    totals)`` = ``(__id, __p, __k)`` selected rows and ``(__id, n_grams)``
+    per-doc denominators. The kernel output is lazily localCheckpoint-ed:
+    three plan branches consume it (key counts, flag join, totals) and a
+    mapInPandas subtree would otherwise re-run per branch — in production
+    this materialization is the persisted fingerprint table."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    P = MINHASH_PRIME
+    pows1 = np.array(
+        [pow(SHINGLE_POLY_BASE, n - 1 - i, P) for i in range(n)],
+        dtype=np.int64,
+    )
+    pows2 = np.array(
+        [pow(SPAN_POLY_BASE2, n - 1 - i, P) for i in range(n)], dtype=np.int64
+    )
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("__id", id_field.dataType, True),
+            StructField("__p", IntegerType(), True),
+            StructField("__k", LongType(), True),
+            StructField("__nsel", IntegerType(), True),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, poss, keys, nsels = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                nsel = 0
+                if text is not None and len(text) >= n:
+                    codes = np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    wins = np.lib.stride_tricks.sliding_window_view(codes, n)
+                    h1 = (wins @ pows1) % P
+                    h2 = (wins @ pows2) % P
+                    k = h1 * P + h2
+                    sel = (
+                        np.nonzero(k % stride == 0)[0]
+                        if stride > 1
+                        else np.arange(len(k))
+                    )
+                    nsel = len(sel)
+                    if nsel:
+                        ids.extend([doc_id] * nsel)
+                        poss.extend((sel + 1).tolist())
+                        keys.extend(k[sel].tolist())
+                        nsels.extend([None] * nsel)
+                ids.append(doc_id)
+                poss.append(None)
+                keys.append(None)
+                nsels.append(nsel)
+            yield pd.DataFrame(
+                {"__id": ids, "__p": poss, "__k": keys, "__nsel": nsels}
+            )
+
+    src = ensure_parallelism(df.select(id_col, text_col), target=16)
+    out = src.mapInPandas(kernel, out_schema).localCheckpoint(eager=False)
+    grams = out.filter(F.col("__p").isNotNull()).select("__id", "__p", "__k")
+    totals = out.filter(F.col("__p").isNull()).select(
+        "__id", F.col("__nsel").alias("n_grams")
+    )
+    return grams, totals
 
 
 def starts_of(text: Column, n: int) -> Column:

@@ -645,6 +645,71 @@ def test_duplicated_spans_hash_key_equals_text_key(spark, sf_dir):
     assert a == b
 
 
+def test_duplicated_spans_poly_stride1_equals_text_key(spark, sf_dir):
+    """key='poly' at stride=1 (the numpy two-hash kernel, no explode) must
+    reproduce key='text' exactly on the fixtures — a 60-bit combined-key
+    collision inside 130k windows is astronomically unlikely, so any diff
+    is a kernel bug, not hash luck."""
+    from debezium_spark.analytics.text import duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(
+        tuple(r) for r in duplicated_spans(docs, n=20, key="text").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in duplicated_spans(docs, n=20, key="poly", stride=1).collect()
+    )
+    assert a == b
+
+
+def test_duplicated_spans_sampled_detects_planted_duplicates(spark):
+    """stride=4 sampling (x39, the 100 TB path): content-defined selection
+    must catch a long duplicated span even when the two copies sit at
+    DIFFERENT offsets in their documents (a positional stride would miss
+    this), and a unique doc must stay clean. Deterministic data, fixed
+    hash constants -> stable assertion."""
+    from debezium_spark.analytics.text import duplicated_spans
+
+    dup = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, "A" + dup + "tail one"),           # copy at offset 1
+        (2, "prefix of length 16" + dup),      # copy at offset 19
+        (3, "entirely unique text with no repeats whatsoever inside it, "
+            "every twenty-char window here occurs exactly once overall"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans(
+            docs, n=20, key="poly", stride=4
+        ).collect()
+    }
+    assert len(out) == 4
+    # Both unaligned copies of the ~183-char duplicated run flag windows
+    # (expected ~1/4 of its 164 window starts selected; missing ALL is
+    # p ~ 0.75^164) and merge them into a substantial span.
+    for d in (1, 2):
+        assert out[d]["dup_positions"] > 10, out[d]
+        assert out[d]["dup_chars"] > 100, out[d]
+    assert out[3]["dup_positions"] == 0 and out[3]["dup_chars"] == 0
+    assert out[4]["n_grams"] == 0 and out[4]["dup_positions"] == 0
+
+
+def test_duplicated_spans_argument_validation():
+    import pytest
+
+    from debezium_spark.analytics.text import duplicated_spans
+
+    with pytest.raises(ValueError):
+        duplicated_spans(None, key="bogus")
+    with pytest.raises(ValueError):
+        duplicated_spans(None, key="text", stride=4)
+    with pytest.raises(ValueError):
+        duplicated_spans(None, key="poly", stride=0)
+
+
 def test_charlm_quality_separates_fluent_from_gibberish(spark):
     """The quality signal must point the right way: text drawn from the
     corpus's own character distribution scores LOWER bits-per-char than
