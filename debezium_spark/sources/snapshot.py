@@ -47,14 +47,16 @@ def snapshot_table(
 def chunked_snapshot_bounds(
     df: DataFrame, pk_col: str, chunk_size: int
 ) -> list[tuple[int, int]]:
-    """S2: compute key-range chunk boundaries for a parallel snapshot.
+    """S2: compute key-range chunk boundaries for a parallel snapshot
+    over a SINGLE NUMERIC key (equi-width integer ranges).
 
     Reference walks keyset-paginated boundary queries
     (ChunkBoundaryCalculator.java:56-107). Distributed version: exact
     min/max plus equi-width ranges — the scan itself is then issued as one
     filter per range (or, for JDBC, as numPartitions on the reader). At
     100 TB the boundary computation is a single cheap agg, not N boundary
-    round-trips.
+    round-trips. Composite or non-numeric keys (UUID/string/date) go
+    through :func:`chunked_snapshot_splits` instead.
     """
     row = df.agg(F.min(pk_col).alias("lo"), F.max(pk_col).alias("hi")).collect()[0]
     lo, hi = int(row["lo"]), int(row["hi"])
@@ -65,6 +67,24 @@ def chunked_snapshot_bounds(
         b = min(hi, a + chunk_size - 1)
         bounds.append((a, b))
     return bounds
+
+
+def chunked_snapshot_splits(
+    df: DataFrame, key_cols: list[str], chunk_size: int
+) -> list[tuple]:
+    """S2 for composite and non-numeric primary keys: split points over
+    the lexicographic key order (sample-based, RangePartitioner's
+    algorithm — `sources/keyset.py`). Chunk ``i`` reads
+    ``keyset_range(key_cols, splits[i-1], splits[i])``: approximate
+    sizes, EXACT coverage (consecutive half-open row-value ranges
+    partition the table no matter the sample). This is the reference's
+    multi-column chunk query builder
+    (AbstractChunkQueryBuilder.java:49-119) re-expressed as a
+    distributed range partitioning instead of N sequential keyset
+    round-trips."""
+    from debezium_spark.sources.keyset import chunk_split_points
+
+    return chunk_split_points(df, key_cols, chunk_size)
 
 
 def jdbc_snapshot(

@@ -33,6 +33,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from debezium_spark.sources.keyset import keyset_gt
+
+
+def _json_key(v):
+    """A chunk-bound key value in JSON-persistable form (ISO strings for
+    temporal types; Spark casts them back inside the keyset predicate)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    iso = getattr(v, "isoformat", None)
+    return iso() if iso is not None else str(v)
+
 
 class NotificationLog:
     """P7: append-only progress log (Notification.java:21)."""
@@ -192,7 +203,7 @@ class IncrementalSnapshotter:
         *,
         source_loader: Callable[[], DataFrame],
         wrap_chunk: Callable[[DataFrame], DataFrame],
-        pk_col: str,
+        pk_col: str | list[str],
         state_dir: str,
         chunk_size: int = 1024,
         notifications: NotificationLog | None = None,
@@ -201,7 +212,13 @@ class IncrementalSnapshotter:
         self.spark = spark
         self.source_loader = source_loader
         self.wrap_chunk = wrap_chunk
-        self.pk_col = pk_col
+        # Composite keys (order_line(order_id, line_no)) and non-numeric
+        # keys (UUID/string) are first-class: pass a list and every chunk
+        # bound becomes a lexicographic row-value predicate
+        # (AbstractChunkQueryBuilder.java:49-119 keyset pagination). A
+        # single string keeps the original API.
+        self.pk_cols = [pk_col] if isinstance(pk_col, str) else list(pk_col)
+        self.pk_col = self.pk_cols[0]
         self.table = table
         self.chunk_size = chunk_size
         self.state_dir = state_dir
@@ -272,7 +289,7 @@ class IncrementalSnapshotter:
             scoped = scoped.filter(F.col("source.table") == self.table)
         keys = (
             scoped
-            .select(F.col(f"key.{self.pk_col}").alias(self.pk_col))
+            .select(*[F.col(f"key.{c}").alias(c) for c in self.pk_cols])
             .distinct()
         )
         keys.write.mode("append").parquet(self._touched_dir)
@@ -297,9 +314,16 @@ class IncrementalSnapshotter:
             # filtered-out rows are never read, chunked, or deduped.
             src = src.filter(F.expr(p["condition"]))
         if p["bound"] is not None:
-            src = src.filter(F.col(self.pk_col) > p["bound"])
+            bound = p["bound"]
+            if not isinstance(bound, list):  # legacy single-key progress
+                bound = [bound]
+            # Row-value (k1,k2,..) > (b1,b2,..) expansion; the leading
+            # k1 > b1 disjunct alone prunes files via min-max stats.
+            src = src.filter(keyset_gt(self.pk_cols, bound))
         # Keyset chunk: TopK by pk, no full sort (ChunkBoundaryCalculator.java:56).
-        chunk = src.orderBy(F.col(self.pk_col)).limit(self.chunk_size)
+        chunk = src.orderBy(*[F.col(c) for c in self.pk_cols]).limit(
+            self.chunk_size
+        )
         chunk = chunk.localCheckpoint(eager=True)  # stable across the two uses
         n = chunk.count()
         if n == 0:
@@ -314,7 +338,7 @@ class IncrementalSnapshotter:
             # No broadcast hint: the touched-keys side grows with stream
             # history; AQE picks broadcast while it's small and falls back
             # to a shuffled join when it isn't.
-            survivors = chunk.join(touched.distinct(), [self.pk_col], "left_anti")
+            survivors = chunk.join(touched.distinct(), self.pk_cols, "left_anti")
         # Persist the allocated chunk epoch BEFORE writing: a crash between
         # the write and the progress save replays the same chunk into the
         # same epoch dir (idempotent overwrite) instead of a duplicate.
@@ -326,7 +350,18 @@ class IncrementalSnapshotter:
                 self._save(p)
         pipeline.sink.write_batch(self.wrap_chunk(survivors), chunk_epoch)
 
-        new_bound = chunk.agg(F.max(self.pk_col)).collect()[0][0]
+        # Lexicographic max of the composite key — struct comparison
+        # matches ORDER BY k1, k2, ... exactly. Persisted as a JSON list
+        # (ints/strings round-trip natively; date/timestamp bounds persist
+        # as ISO strings, which Spark casts back in the comparison).
+        max_row = chunk.agg(
+            F.max(F.struct(*[F.col(c) for c in self.pk_cols])).alias("m")
+        ).collect()[0]["m"]
+        new_bound = [_json_key(v) for v in max_row]
+        if len(self.pk_cols) == 1:
+            # Keep single-key progress files in their historical scalar
+            # shape so in-flight snapshots resume across this upgrade.
+            new_bound = new_bound[0]
         p["bound"] = new_bound
         if chunk_epoch is not None:
             p["chunk_epoch"] = chunk_epoch - 1

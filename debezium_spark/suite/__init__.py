@@ -41,14 +41,14 @@ PRIORITY: tuple[str, ...] = (
     #    x27–x38). m6's registration was dead at HEAD in r7 (missing
     #    import, fixed this round) and e5's NULL-timestamp bug was fixed —
     #    both need fresh driver evidence on the corrected code.
-    # 2. x39 (sampled duplicated-spans, registered THIS round — new
-    #    queries must be windowed);
-    # 3. 25 of the 45 queries whose last green driver row is r5 (the
-    #    stalest tier): every non-warehouse r5 query plus three warehouse
-    #    representatives (w1 scan-agg, w9 salted join, w13 exists-anti).
-    #    The 20 remaining r5 warehouse legs stay gate-verified and rotate
-    #    in r9 — after this window nothing outside that set is older
-    #    than r6.
+    # 2. the three queries registered THIS round (new queries must be
+    #    windowed): x39 sampled duplicated-spans, s15 composite-PK exact
+    #    rank chunking, s16 string-key row-value chunk read;
+    # 3. 23 of the 45 queries whose last green driver row is r5 (the
+    #    stalest tier): every non-warehouse r5 query plus one warehouse
+    #    representative (w1 scan-agg). The 22 remaining r5 warehouse legs
+    #    stay gate-verified and rotate in r9 — after this window nothing
+    #    outside that set is older than r6.
     # never driver-green (registered after the r7 window froze) --------------
     "m6_shard_packing",                # WebDataset shard planner (fixed import)
     "e5_funnel",                       # ordered funnel (NULL-ts fix re-proof)
@@ -97,12 +97,12 @@ PRIORITY: tuple[str, ...] = (
     "x17_cm_heavy_hitters",
     "x18_posting_lists",
     "x19_char_entropy",
-    # last green r5: four warehouse representatives --------------------------
+    # last green r5: one warehouse representative ----------------------------
     "w1_pricing_summary",
-    "w9_salted_join",
-    "w13_exists_anti",
-    # registered this round ---------------------------------------------------
+    # registered this round (new queries must be windowed) --------------------
     "x39_duplicated_spans_sampled",    # 0-mod-p sampled exact-substring spans
+    "s15_composite_key_chunks",        # composite-PK exact rank chunking
+    "s16_string_keyset_chunk",         # string-key row-value chunk read
 )
 
 

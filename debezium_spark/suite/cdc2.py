@@ -1249,3 +1249,69 @@ def h6_interval_enum_set(spark, sf_dir):
         nano_timestamp(ship).alias("ship_ns"),
         nano_time(t2).alias("t_ns"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S15 — composite-key chunked snapshot (exact rank chunking, 2 passes)
+# ---------------------------------------------------------------------------
+@register(
+    "s15_composite_key_chunks",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor((rank() OVER (ORDER BY l_orderkey, l_linenumber)
+                       - 1) / 8192) AS INT) AS chunk_id
+    FROM lineitem
+    """,
+)
+def s15_composite_key_chunks(spark, sf_dir):
+    """S2/S3 for composite primary keys (order_line(order_id, line_no)
+    style): exact chunk assignment over the lexicographic key order —
+    chunk boundaries identical to the reference's sequential keyset walk
+    (AbstractChunkQueryBuilder.java:49-119) but computed in two
+    distributed passes (range repartition + per-partition row_number
+    with collected offsets — never one global ordered window). Min-rank
+    (SQL rank()) semantics keep duplicated keys in ONE chunk, so the
+    assignment is deterministic even on non-unique key data (this
+    synthetic lineitem repeats line numbers). The oracle is the
+    definition itself: floor((rank()-1)/chunk_size) under
+    ORDER BY (k1, k2)."""
+    from debezium_spark.sources.keyset import exact_rank_chunks
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = exact_rank_chunks(li, ["l_orderkey", "l_linenumber"], 8192)
+    return out.select("l_orderkey", "l_linenumber", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# S16 — string-key keyset chunk read (row-value predicate pushdown)
+# ---------------------------------------------------------------------------
+@register(
+    "s16_string_keyset_chunk",
+    oracle="""
+    SELECT c_name, c_custkey, c_nationkey
+    FROM customer
+    WHERE (c_name > 'Customer#000000300'
+           OR (c_name = 'Customer#000000300' AND c_custkey > 300))
+      AND NOT (c_name > 'Customer#000000900'
+           OR (c_name = 'Customer#000000900' AND c_custkey > 900))
+    """,
+)
+def s16_string_keyset_chunk(spark, sf_dir):
+    """One chunk of a NON-NUMERIC (string) keyset-paginated snapshot:
+    rows with ('Customer#000000300', 300) < (c_name, c_custkey) <=
+    ('Customer#000000900', 900) via the lexicographic row-value
+    expansion (keyset_gt). The oracle uses DuckDB's native row-value
+    comparison, so the expansion's correctness — including the
+    tie-breaking equality chain — is verified value-for-value. The
+    leading c_name > bound disjunct reaches the parquet scan as a
+    pushed filter (plan-locked in tests/test_plans.py)."""
+    from debezium_spark.sources.keyset import keyset_range
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.filter(
+        keyset_range(
+            ["c_name", "c_custkey"],
+            ["Customer#000000300", 300],
+            ["Customer#000000900", 900],
+        )
+    ).select("c_name", "c_custkey", "c_nationkey")

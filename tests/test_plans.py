@@ -467,3 +467,34 @@ def test_market_share_broadcasts_dims_single_fact_agg(spark, qs):
     assert plan.count("BroadcastHashJoin") >= 3
     import re
     assert len(re.findall(r"HashAggregate\(keys=\[o_year", plan)) <= 2  # partial+final
+
+
+def test_string_keyset_chunk_pushes_rowvalue_filter(spark, qs):
+    """s16: the row-value expansion must reach the parquet scan — the
+    leading c_name disjunct bounds appear in PushedFilters (min-max file
+    pruning), and only the three projected columns are read."""
+    plan = _plan(spark, qs, "s16_string_keyset_chunk")
+    assert (
+        "PushedFilters: [IsNotNull(c_name), "
+        "Or(GreaterThan(c_name,Customer#000000300)" in plan
+    )
+    # Catalyst additionally derives the pure-prefix upper bound from the
+    # NOT side: c_name <= hi prunes files on min-max stats alone.
+    assert "(c_name#1 <= Customer#000000900)" in plan
+    assert (
+        "ReadSchema: struct<c_custkey:bigint,c_name:string,c_nationkey:int>"
+        in plan
+    )
+
+
+def test_composite_chunks_no_global_window(spark, qs):
+    """s15: the two-level rank must never serialize into one global
+    ordered window — every Window partitions by the bucket column."""
+    plan = _plan(spark, qs, "s15_composite_key_chunks")
+    import re
+
+    for m in re.finditer(r"Window \[.*?\]", plan):
+        assert "partitionBy" not in m.group(0) or "__b" in m.group(0)
+    # the window's exchange is hash-partitioned on the bucket, not a
+    # single-partition sort
+    assert "SinglePartition" not in plan
