@@ -44,9 +44,11 @@ PRIORITY: tuple[str, ...] = (
     # 2. the three queries registered THIS round (new queries must be
     #    windowed): x39 sampled duplicated-spans, s15 composite-PK exact
     #    rank chunking, s16 string-key row-value chunk read;
-    # 3. 23 of the 45 queries whose last green driver row is r5 (the
-    #    stalest tier): every non-warehouse r5 query plus one warehouse
-    #    representative (w1 scan-agg). The 22 remaining r5 warehouse legs
+    # 2b. s17 (DDL-text parsing, also new this round);
+    # 3. 22 of the 45 queries whose last green driver row is r5 (the
+    #    stalest tier): the non-warehouse r5 queries (minus x13, whose
+    #    repetition family is covered by the windowed x33) plus one
+    #    warehouse representative (w1 scan-agg). The 23 remaining r5 legs
     #    stay gate-verified and rotate in r9 — after this window nothing
     #    outside that set is older than r6.
     # never driver-green (registered after the r7 window froze) --------------
@@ -92,7 +94,6 @@ PRIORITY: tuple[str, ...] = (
     "x11_chunk_documents",
     "x11_corpus_pipeline",
     "x12_train_val_split",
-    "x13_repetition_ratio",
     "x14_priority_dedup",
     "x17_cm_heavy_hitters",
     "x18_posting_lists",
@@ -103,6 +104,7 @@ PRIORITY: tuple[str, ...] = (
     "x39_duplicated_spans_sampled",    # 0-mod-p sampled exact-substring spans
     "s15_composite_key_chunks",        # composite-PK exact rank chunking
     "s16_string_keyset_chunk",         # string-key row-value chunk read
+    "s17_ddl_schema_history",          # binlog DDL-text parse -> history
 )
 
 

@@ -1315,3 +1315,76 @@ def s16_string_keyset_chunk(spark, sf_dir):
             ["Customer#000000900", 900],
         )
     ).select("c_name", "c_custkey", "c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# S17 — DDL-text parsing into the schema history (binlog DDL events)
+# ---------------------------------------------------------------------------
+@register(
+    "s17_ddl_schema_history",
+    oracle="""
+    WITH adds AS (
+        SELECT event_id,
+               row_number() OVER (ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'signup' AND event_id % 1000 = 0
+    ),
+    cum AS (
+        SELECT event_id, rn,
+               string_agg(',tier_' || CAST(event_id AS VARCHAR), '')
+                   OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS added
+        FROM adds
+    )
+    SELECT 'accounts' AS tbl, 1 AS version,
+           'id,status,balance' AS cols_csv, CAST(0 AS BIGINT) AS pos
+    UNION ALL
+    SELECT 'accounts', CAST(rn + 1 AS INT),
+           'id,status,balance' || added, CAST(event_id AS BIGINT)
+    FROM cum
+    """,
+)
+def s17_ddl_schema_history(spark, sf_dir):
+    """DDL TEXT arriving in the log (the MySQL binlog shape): a
+    deterministic DDL stream — CREATE TABLE at pos 0, then one
+    ``ALTER TABLE .. ADD COLUMN tier_<id> INT`` per signup event with
+    id % 1000 = 0 — is PARSED (schema/ddl.py's CREATE/ALTER subset;
+    reference: MySqlParser.g4 + MySqlDatabaseSchema, descoped per SURVEY
+    §7 step 6) and folded into versioned schema-history rows. The oracle
+    rebuilds the expected history from the closed form, so the parser,
+    the apply loop, and version/validity bookkeeping are all
+    value-checked. DDL events are rare and strictly ordered — the fold is
+    a driver-side loop by design (the reference parses DDL serially on
+    the binlog reader thread too); the heavy side (resolving each
+    record's schema version at 100 TB) stays the broadcast range join of
+    T13."""
+    from debezium_spark.schema.ddl import DdlSchemaTracker
+    from debezium_spark.schema.history import MemorySchemaHistory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    add_ids = [
+        r["event_id"]
+        for r in ev.filter(
+            (F.col("event_type") == "signup") & (F.col("event_id") % 1000 == 0)
+        )
+        .select("event_id")
+        .orderBy("event_id")
+        .collect()
+    ]
+    hist = MemorySchemaHistory(spark)
+    trk = DdlSchemaTracker(hist)
+    trk.apply(
+        "CREATE TABLE accounts (id BIGINT PRIMARY KEY, "
+        "status VARCHAR(16), balance DOUBLE)",
+        pos=0,
+    )
+    for eid in add_ids:
+        trk.apply(
+            f"ALTER TABLE accounts ADD COLUMN tier_{eid} INT", pos=int(eid)
+        )
+    return hist.recover().select(
+        F.col("table").alias("tbl"),
+        "version",
+        F.array_join(F.from_json("columns_json", "array<string>"), ",").alias(
+            "cols_csv"
+        ),
+        F.col("valid_from_pos").alias("pos"),
+    )

@@ -1,0 +1,134 @@
+"""DDL-text parsing subset (schema/ddl.py) — the minimal
+CREATE/ALTER/DROP/RENAME grammar feeding the schema-history registry
+(reference semantics: MySqlDatabaseSchema + debezium-ddl-parser's
+MySqlParser.g4, scoped per SURVEY §7 step 6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from debezium_spark.schema.ddl import (
+    DdlSchemaTracker,
+    apply_change,
+    map_type,
+    parse_ddl,
+)
+
+
+def test_create_table_full():
+    c = parse_ddl(
+        """
+        CREATE TABLE IF NOT EXISTS `shop`.`order_line` (
+          `order_id` BIGINT NOT NULL,
+          line_no INT NOT NULL,
+          sku VARCHAR(64) NOT NULL,
+          qty INT DEFAULT 1,
+          price DECIMAL(12,2),
+          note TEXT,
+          flag TINYINT(1) NOT NULL DEFAULT 0,
+          created DATETIME DEFAULT CURRENT_TIMESTAMP(),
+          PRIMARY KEY (order_id, line_no),
+          KEY idx_sku (sku)
+        ) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;
+        """
+    )
+    assert c.kind == "create" and c.table == "order_line"
+    names = [s.name for s in c.columns]
+    assert names == [
+        "order_id", "line_no", "sku", "qty", "price", "note", "flag",
+        "created",
+    ]
+    by = {s.name: s for s in c.columns}
+    assert by["order_id"].primary_key and not by["order_id"].nullable
+    assert by["line_no"].primary_key
+    assert by["sku"].spark_type == "string" and not by["sku"].nullable
+    assert by["qty"].default == "1" and by["qty"].nullable
+    assert by["price"].spark_type == "decimal(12,2)"
+    assert by["flag"].spark_type == "boolean"  # TINYINT(1) convention
+    assert by["created"].spark_type == "timestamp"
+
+
+def test_type_mapping():
+    assert map_type("INT UNSIGNED") == "bigint"
+    assert map_type("BIGINT UNSIGNED") == "decimal(20,0)"
+    assert map_type("TINYINT(1)") == "boolean"
+    assert map_type("TINYINT(4)") == "tinyint"
+    assert map_type("NUMERIC(5)") == "decimal(5,0)"
+    assert map_type("enum('a','b')".replace("'a','b'", "8")) == "string"
+    with pytest.raises(ValueError):
+        map_type("GEOMETRYCOLLECTION")
+
+
+def test_alter_multi_action_and_positions():
+    base = parse_ddl(
+        "CREATE TABLE t (a INT PRIMARY KEY, b VARCHAR(10), c INT)"
+    ).columns
+    change = parse_ddl(
+        "ALTER TABLE t ADD COLUMN d BIGINT NOT NULL AFTER a, "
+        "DROP COLUMN c, MODIFY b TEXT, ADD e DATE FIRST"
+    )
+    cols = apply_change(base, change)
+    assert [c.name for c in cols] == ["e", "a", "d", "b"]
+    assert {c.name: c.spark_type for c in cols}["b"] == "string"
+    assert not {c.name: c.nullable for c in cols}["d"]
+
+
+def test_alter_change_rename_and_neutral_actions():
+    base = parse_ddl("CREATE TABLE t (a INT, b INT)").columns
+    change = parse_ddl(
+        "ALTER TABLE t CHANGE COLUMN b b2 BIGINT, ENGINE=InnoDB, "
+        "ADD INDEX idx_a (a)"
+    )
+    cols = apply_change(base, change)
+    assert [(c.name, c.spark_type) for c in cols] == [
+        ("a", "int"), ("b2", "bigint"),
+    ]
+
+
+def test_alter_errors():
+    base = parse_ddl("CREATE TABLE t (a INT)").columns
+    with pytest.raises(ValueError):
+        apply_change(base, parse_ddl("ALTER TABLE t ADD a INT"))
+    with pytest.raises(ValueError):
+        apply_change(base, parse_ddl("ALTER TABLE t DROP COLUMN nope"))
+
+
+def test_non_schema_statements_ignored():
+    assert parse_ddl("CREATE INDEX i ON t (a)").kind == "ignore"
+    assert parse_ddl("SET NAMES utf8").kind == "ignore"
+    assert parse_ddl("GRANT ALL ON *.* TO x").kind == "ignore"
+    assert parse_ddl("TRUNCATE TABLE t").kind == "truncate"
+    d = parse_ddl("DROP TABLE IF EXISTS `sch`.`t`")
+    assert d.kind == "drop" and d.table == "t"
+    r = parse_ddl("RENAME TABLE a TO b")
+    assert r.kind == "rename" and (r.table, r.new_table) == ("a", "b")
+
+
+def test_tracker_versions_into_history(spark):
+    """The applySchemaChange -> SchemaHistory.record loop: versions
+    increment per table, renames carry version counters, schema_at
+    resolves the columns in effect at any position."""
+    from debezium_spark.schema.history import MemorySchemaHistory
+
+    hist = MemorySchemaHistory(spark)
+    trk = DdlSchemaTracker(hist)
+    trk.apply("CREATE TABLE accounts (id BIGINT PRIMARY KEY, "
+              "status VARCHAR(16), balance DOUBLE)", pos=0)
+    trk.apply("ALTER TABLE accounts ADD COLUMN tier INT", pos=500)
+    trk.apply("SET NAMES utf8", pos=600)            # neutral
+    trk.apply("ALTER TABLE accounts DROP COLUMN status, "
+              "RENAME TO accounts_v2", pos=900)
+    rows = sorted(
+        (r["table"], r["version"], r["columns_json"], r["valid_from_pos"])
+        for r in hist.recover().collect()
+    )
+    assert rows == [
+        ("accounts", 1, '["id", "status", "balance"]', 0),
+        ("accounts", 2, '["id", "status", "balance", "tier"]', 500),
+        ("accounts_v2", 3, '["id", "balance", "tier"]', 900),
+    ]
+    assert hist.schema_at("accounts", 700) == [
+        "id", "status", "balance", "tier"
+    ]
+    with pytest.raises(KeyError):
+        trk.apply("ALTER TABLE ghost ADD c INT", pos=1000)
