@@ -44,7 +44,10 @@ PRIORITY: tuple[str, ...] = (
     # 2. the three queries registered THIS round (new queries must be
     #    windowed): x39 sampled duplicated-spans, s15 composite-PK exact
     #    rank chunking, s16 string-key row-value chunk read;
-    # 2b. s17 (DDL-text parsing, also new this round);
+    # 2b. s17 (DDL-text parsing, also new this round). w36/w37 (Q9/Q16
+    #    warehouse shapes, also new) are NOT windowed: compositions of
+    #    long-proven built-ins, gate-verified, queued for r9 — windowing
+    #    them would displace stale-operator re-proofs;
     # 3. 22 of the 45 queries whose last green driver row is r5 (the
     #    stalest tier): the non-warehouse r5 queries (minus x13, whose
     #    repetition family is covered by the windowed x33) plus one

@@ -1507,3 +1507,111 @@ def w35_top_supplier(spark, sf_dir):
             F.col("__rev").cast("double").alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W36 — product-type profit (TPC-H Q9 shape: LIKE-filtered 5-table join,
+# nation × year profit). No partsupp in the fixtures, so supply cost is
+# synthesized deterministically from the part's retail price.
+# ---------------------------------------------------------------------------
+@register(
+    "w36_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(18,2))
+                      * CAST(0.6 AS DECIMAL(2,1))
+                      * CAST(l.l_quantity AS DECIMAL(18,2)))
+                AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type LIKE '%M%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INT)
+    """,
+)
+def w36_product_profit(spark, sf_dir):
+    """Q9: profit on parts whose type contains 'M' (MEDIUM/SMALL/ECONOMY/PROMO in these fixtures) by supplier nation and order year.
+    Plan: part (LIKE-filtered) and supplier⋈nation broadcast into the
+    lineitem scan; the single shuffle-join is lineitem⋈orders on the
+    order key; ONE hash aggregation on (nation, year) with exact decimal
+    profit terms (revenue minus synthesized unit cost × quantity — the
+    fixtures carry no partsupp, so cost = 0.6 × retail price as EXACT
+    decimal multiplication — no float rounding anywhere, so both engines
+    agree bit-for-bit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type").like("%M%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    cost = F.col("p_retailprice").cast(_DEC) * F.lit("0.6").cast(
+        "decimal(2,1)"
+    )
+    profit_term = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    ) - cost * F.col("l_quantity").cast(_DEC)
+    fact = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(s.join(F.broadcast(n), "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select("l_orderkey", "nation", profit_term.alias("term"))
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "term",
+        )
+    )
+    return fact.groupBy("nation", "o_year").agg(
+        F.sum("term").cast("double").alias("profit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W37 — supplier-count distribution with exclusion (TPC-H Q16 shape:
+# count-distinct per part group, anti-joined against a complaint list).
+# ---------------------------------------------------------------------------
+@register(
+    "w37_part_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+                AND p.p_brand <> 'Brand#1' AND p.p_size IN (1, 4, 7)
+    WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0
+    )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def w37_part_supplier_counts(spark, sf_dir):
+    """Q16: how many distinct suppliers stock each (brand, size) group,
+    excluding a complaint list. Plan: the filtered part dim and the
+    (tiny) exclusion list broadcast — the exclusion is a broadcast
+    left-anti join, never a NOT-IN null-aware subquery plan; one
+    count-distinct hash aggregation on the group key (Spark expands it
+    to a two-level agg with map-side partials)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7)
+    )
+    excl = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(excl), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
