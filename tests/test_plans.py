@@ -480,7 +480,10 @@ def test_string_keyset_chunk_pushes_rowvalue_filter(spark, qs):
     )
     # Catalyst additionally derives the pure-prefix upper bound from the
     # NOT side: c_name <= hi prunes files on min-max stats alone.
-    assert "(c_name#1 <= Customer#000000900)" in plan
+    # (expression ids like c_name#1 are session-dependent — match without)
+    import re
+
+    assert re.search(r"c_name#\d+ <= Customer#000000900\)", plan)
     assert (
         "ReadSchema: struct<c_custkey:bigint,c_name:string,c_nationkey:int>"
         in plan
