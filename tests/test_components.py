@@ -732,3 +732,19 @@ def test_charlm_quality_separates_fluent_from_gibberish(spark):
     assert out[2]["bits_per_char"] < out[3]["bits_per_char"]
     assert out[4]["n_bigrams"] == 0 and out[4]["bits_per_char"] is None
     assert out[5]["n_bigrams"] == 0 and out[5]["bits_per_char"] is None
+
+
+def test_charlm_arrow_equals_expr(spark, sf_dir):
+    """impl='arrow' (numpy distinct-bigram kernel) must equal the
+    expression variant exactly — it's exact counting, so any diff is a
+    kernel bug (packing, unicode decode), not float luck."""
+    from debezium_spark.analytics.text import charlm_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, charlm_quality(docs, impl="expr").collect()))
+    b = sorted(map(tuple, charlm_quality(docs, impl="arrow").collect()))
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError):
+        charlm_quality(docs, impl="bogus")
