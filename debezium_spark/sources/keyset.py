@@ -186,3 +186,44 @@ def exact_rank_chunks(
         )
         .drop("__b", "__rank")
     )
+
+
+def jdbc_chunk_predicates(
+    key_cols: Sequence[str], splits: Sequence[Sequence]
+) -> list[str]:
+    """Render split points as SQL WHERE fragments for Spark's
+    ``spark.read.jdbc(url, table, predicates=[...])`` — one predicate per
+    chunk, so a live-database snapshot reads composite/string-keyed
+    tables in parallel exactly like the reference's chunk workers
+    (numeric keys keep the simpler partitionColumn bounds path in
+    `sources/snapshot.py:jdbc_snapshot`). Values are rendered as SQL
+    literals: strings escape embedded quotes, temporal types render as
+    ISO strings (every major dialect casts them in comparisons)."""
+
+    def lit(v) -> str:
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        iso = getattr(v, "isoformat", None)
+        s = iso() if iso is not None else str(v)
+        return "'" + s.replace("'", "''") + "'"
+
+    def gt(bound: Sequence) -> str:
+        disjuncts = []
+        for i, col in enumerate(key_cols):
+            eqs = [f"{key_cols[j]} = {lit(bound[j])}" for j in range(i)]
+            eqs.append(f"{col} > {lit(bound[i])}")
+            disjuncts.append("(" + " AND ".join(eqs) + ")")
+        return "(" + " OR ".join(disjuncts) + ")"
+
+    bounds = [None, *[list(s) for s in splits], None]
+    preds = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        parts = []
+        if lo is not None:
+            parts.append(gt(lo))
+        if hi is not None:
+            parts.append(f"NOT {gt(hi)}")
+        preds.append(" AND ".join(parts) if parts else "1 = 1")
+    return preds

@@ -196,3 +196,20 @@ def test_incremental_snapshotter_composite_key_walk(spark, tmp_path):
 def test_keyset_gt_arity_mismatch():
     with pytest.raises(ValueError):
         keyset_gt(["a", "b"], [1])
+
+
+def test_jdbc_chunk_predicates_render_and_partition(spark):
+    """The rendered SQL fragments must partition rows exactly like the
+    Column predicates (checked by filtering with F.expr on each fragment)
+    and escape embedded quotes in string keys."""
+    from debezium_spark.sources.keyset import jdbc_chunk_predicates
+
+    rows = [(i % 7, f"nm'{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "a int, b string")
+    splits = [(2, "nm'10"), (4, "nm'30")]
+    preds = jdbc_chunk_predicates(["a", "b"], splits)
+    assert len(preds) == 3
+    counts = [df.filter(F.expr(p)).count() for p in preds]
+    assert sum(counts) == 40 and all(c > 0 for c in counts)
+    # no-splits degenerate case: one full-table predicate
+    assert jdbc_chunk_predicates(["a"], []) == ["1 = 1"]
