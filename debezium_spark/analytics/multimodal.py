@@ -367,3 +367,124 @@ def shard_payloads(
             (F.col("__cb") % budget).cast("long").alias("offset"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-duplicate detection (the image modality's SimHash):
+# average-hash over the decoded thumbnail, banded Hamming bucket join.
+# ---------------------------------------------------------------------------
+def perceptual_hash(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Average-hash (aHash) per image: bit i = pixel_i ≥ mean(pixels),
+    computed as the division-free integer comparison
+    ``pixel_i · n_pixels ≥ sum(pixels)``. The "thumbnail" here is the
+    synthetic blob's 16 payload bytes (the deterministic decode stub —
+    production swaps in a real decode + 8×8 grayscale resize and the hash
+    widens to the standard 64 bits); everything else — hex slicing, bit
+    packing, the downstream join — is real and entirely JVM-side
+    codegen, no UDF.
+
+    Output: ``(id, phash)`` with a 16-bit hash. Near-duplicate images
+    (re-encodes, slight crops/brightness shifts on real decodes) differ
+    in a few bits; exact duplicates are m5's content-hash job, not this.
+    """
+    hexs = F.hex(F.col(blob_col))
+    nbytes = 16
+    payload = [
+        F.conv(F.substring(hexs, 17 + 2 * i, 2), 16, 10).cast("long")
+        for i in range(nbytes)
+    ]
+    total = payload[0]
+    for b in payload[1:]:
+        total = total + b
+    ph = F.lit(0).cast("long")
+    for i, b in enumerate(payload):
+        ph = ph + F.when(b * nbytes >= total, F.lit(1 << i)).otherwise(0)
+    return df.select(F.col(id_col), ph.alias("phash"))
+
+
+def image_near_dups(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs of perceptually-similar images: ``(a, b, hamming)``
+    with ``hamming(phash_a, phash_b) <= max_hamming``, ``a < b``.
+
+    Plan shape (100 TB): by pigeonhole, two hashes within Hamming
+    ``bands - 1`` agree on at least one of ``bands`` disjoint bit-bands,
+    so candidates come from ``bands`` bucket joins on the band value —
+    never an all-pairs comparison. Pairs are emitted once, from their
+    FIRST matching band (computed from the two hashes directly — x6's
+    duplicate-suppression trick, no global distinct shuffle), then the
+    exact Hamming filter (``bit_count(a XOR b)``) verifies. At the
+    production 64-bit hash, 8-bit bands give 256-way bucketing per band;
+    in-bucket pair expansion is the same bounded shape as SimHash's.
+    """
+    band_bits = 16 // bands
+    mask = (1 << band_bits) - 1
+    ph = perceptual_hash(df, blob_col=blob_col, id_col=id_col)
+
+    def nib(col: Column, b: int) -> Column:
+        return F.shiftright(col, b * band_bits).bitwiseAND(F.lit(mask))
+
+    banded = ph.select(
+        F.col(id_col).alias("__id"),
+        F.col("phash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    nib(F.col("phash"), b).alias("bkey"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("__bb"),
+    ).select("__id", "phash", "__bb.band", "__bb.bkey")
+    grouped = (
+        banded.groupBy("band", "bkey")
+        .agg(F.collect_list(F.struct("__id", "phash")).alias("__members"))
+        .filter(F.size("__members") >= 2)
+    )
+    pairs = (
+        grouped.select(
+            "band",
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("__members"),
+                            lambda x: F.transform(
+                                F.col("__members"),
+                                lambda y: F.struct(
+                                    x["__id"].alias("a"),
+                                    y["__id"].alias("b"),
+                                    x["phash"].alias("pa"),
+                                    y["phash"].alias("pb"),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["a"] < p["b"],
+                )
+            ).alias("__p"),
+        )
+        .select("band", "__p.a", "__p.b", "__p.pa", "__p.pb")
+    )
+    first_match = F.lit(bands - 1)
+    for b in range(bands - 1, -1, -1):
+        first_match = F.when(
+            nib(F.col("pa"), b) == nib(F.col("pb"), b), F.lit(b)
+        ).otherwise(first_match)
+    ham = F.bit_count(
+        F.col("pa").bitwiseXOR(F.col("pb"))
+    ).cast("int")
+    return (
+        pairs.filter(F.col("band") == first_match)
+        .filter(ham <= max_hamming)
+        .select("a", "b", ham.alias("hamming"))
+    )

@@ -305,3 +305,58 @@ def m6_shard_packing(spark, sf_dir):
     return shard_payloads(
         man, budget=_M6_BUDGET, streams=_M6_STREAMS
     )
+
+
+# ---------------------------------------------------------------------------
+# M7 — perceptual near-duplicate images (aHash + banded Hamming join)
+# ---------------------------------------------------------------------------
+_M7_BYTES = ",\n           ".join(
+    f"{_BYTE(_MD5, i + 1)} AS b{i}" for i in range(16)
+)
+_M7_TOTAL = " + ".join(f"b{i}" for i in range(16))
+_M7_PH = " + ".join(
+    f"CASE WHEN b{i} * 16 >= total THEN {1 << i} ELSE 0 END"
+    for i in range(16)
+)
+_M7_ANY_BAND = " OR ".join(
+    f"((x.p >> {4 * b}) & 15) = ((y.p >> {4 * b}) & 15)" for b in range(4)
+)
+
+
+@register(
+    "m7_image_near_dups",
+    oracle=f"""
+    WITH bytes AS (
+        SELECT doc_id,
+           {_M7_BYTES}
+        FROM documents
+    ),
+    tot AS (SELECT *, {_M7_TOTAL} AS total FROM bytes),
+    ph AS (SELECT doc_id, CAST({_M7_PH} AS BIGINT) AS p FROM tot)
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.p, y.p)) AS INT) AS hamming
+    FROM ph x JOIN ph y ON x.doc_id < y.doc_id
+    WHERE ({_M7_ANY_BAND})
+      AND bit_count(xor(x.p, y.p)) <= 3
+    """,
+)
+def m7_image_near_dups(spark, sf_dir):
+    """Perceptual image near-dup candidates — the image modality's
+    SimHash: average-hash over the (stubbed, deterministic) decoded
+    thumbnail, then a banded Hamming bucket join (pigeonhole: hashes
+    within Hamming 3 share one of 4 disjoint bands) with exact
+    ``bit_count(xor)`` verification and first-matching-band duplicate
+    suppression. All hash arithmetic is JVM-side codegen on the blob hex
+    — the oracle's O(n²) self-join is the proof the banded plan never
+    runs at scale."""
+    from debezium_spark.analytics.multimodal import (
+        image_near_dups,
+        synthesize_image_blob,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .withColumn("blob", synthesize_image_blob(F.col("doc_id")))
+    )
+    return image_near_dups(docs)
