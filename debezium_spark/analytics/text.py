@@ -1979,6 +1979,43 @@ def duplicated_spans(
         .select("__k")
     )
     flagged = grams.join(dup_keys, "__k").select("__id", "__p")
+    if totals is None:
+        if stride > 1:
+            # Denominator = SELECTED window count, computed map-side in a
+            # narrow second scan (array expression, no explode, no
+            # shuffle); exact so the sampled dup_frac is
+            # engine-reproducible.
+            t = F.col(text_col)
+            n_grams_expr = F.size(
+                F.filter(
+                    F.transform(
+                        starts_of(t, n),
+                        lambda p: F.pmod(
+                            gkey(t.substr(p, F.lit(n))), F.lit(stride)
+                        ),
+                    ),
+                    lambda m: m == 0,
+                )
+            )
+        else:
+            n_grams_expr = F.when(
+                F.col(text_col).isNotNull() & (length >= n), length - n + 1
+            ).otherwise(F.lit(0))
+        totals = df.select(
+            F.col(id_col).alias("__id"),
+            n_grams_expr.cast("int").alias("n_grams"),
+        )
+    return _merge_flagged_spans(flagged, totals, id_col=id_col, n=n)
+
+
+def _merge_flagged_spans(
+    flagged: DataFrame, totals: DataFrame, *, id_col: str, n: int
+) -> DataFrame:
+    """Shared tail of the exact-substring detectors: merge FLAGGED window
+    starts ``(__id, __p)`` into maximal per-doc spans (gaps-and-islands
+    over flagged rows only — a small minority in a clean corpus) and join
+    the per-doc report onto ``totals`` = ``(__id, n_grams)`` so every
+    document is accounted for."""
     w_prev = (
         Window.partitionBy("__id")
         .orderBy("__p")
@@ -2009,33 +2046,7 @@ def duplicated_spans(
         F.sum("__npos").cast("int").alias("dup_positions"),
         F.sum("__chars").cast("int").alias("dup_chars"),
     )
-    if totals is None:
-        if stride > 1:
-            # Denominator = SELECTED window count, computed map-side in a
-            # narrow second scan (array expression, no explode, no
-            # shuffle); exact so the sampled dup_frac is
-            # engine-reproducible.
-            t = F.col(text_col)
-            n_grams_expr = F.size(
-                F.filter(
-                    F.transform(
-                        starts_of(t, n),
-                        lambda p: F.pmod(
-                            gkey(t.substr(p, F.lit(n))), F.lit(stride)
-                        ),
-                    ),
-                    lambda m: m == 0,
-                )
-            )
-        else:
-            n_grams_expr = F.when(
-                F.col(text_col).isNotNull() & (length >= n), length - n + 1
-            ).otherwise(F.lit(0))
-        totals = df.select(
-            F.col(id_col).alias("__id"),
-            n_grams_expr.cast("int").alias("n_grams"),
-        )
-    out = (
+    return (
         totals.join(per_doc, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
@@ -2052,7 +2063,6 @@ def duplicated_spans(
             ).alias("dup_frac"),
         )
     )
-    return out
 
 
 # Second polynomial base for duplicated_spans' 60-bit combined window key
@@ -2142,6 +2152,68 @@ def _poly_window_grams(
         "__id", F.col("__nsel").alias("n_grams")
     )
     return grams, totals
+
+
+def span_fingerprint_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 20,
+    stride: int = 4,
+) -> DataFrame:
+    """The persisted half of incremental exact-substring dedup: the
+    corpus's DISTINCT selected window keys (one ``__k`` column) — built
+    once, written to parquet, reused by every ingest batch. Size is
+    bounded by distinct selected windows ≤ corpus_chars/stride rows of
+    8 bytes; the corpus text itself is never needed again."""
+    grams, _ = _poly_window_grams(
+        df, text_col=text_col, id_col=id_col, n=n, stride=stride
+    )
+    return grams.select("__k").distinct()
+
+
+def duplicated_spans_vs_index(
+    batch: DataFrame,
+    index_keys: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 20,
+    stride: int = 4,
+) -> DataFrame:
+    """Incremental exact-substring dedup (the x34 contract for spans):
+    flag a NEW batch's windows against the accepted corpus's persisted
+    fingerprint index (:func:`span_fingerprint_index`) plus within-batch
+    repeats — the corpus is never re-fingerprinted, and its text never
+    re-read. Same per-document report as :func:`duplicated_spans`
+    (sampled semantics: counts are over selected windows).
+
+    Plan shape (100 TB corpus, bounded ingest batch): the batch's
+    selected grams join the index on the 8-byte key — the batch side is
+    small, so AQE broadcasts it against the index scan; within-batch
+    repeats are one hash agg on the batch's own keys. Flag sources are
+    combined with marker left-joins (an OR of two semi-joins), so a
+    window duplicated BOTH ways still flags exactly once."""
+    grams, totals = _poly_window_grams(
+        batch, text_col=text_col, id_col=id_col, n=n, stride=stride
+    )
+    batch_dups = (
+        grams.groupBy("__k")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__k", F.lit(1).alias("__in_batch"))
+    )
+    idx = index_keys.select(
+        F.col(index_keys.columns[0]).alias("__k"), F.lit(1).alias("__in_idx")
+    )
+    flagged = (
+        grams.join(idx, "__k", "left")
+        .join(batch_dups, "__k", "left")
+        .filter(F.col("__in_idx").isNotNull() | F.col("__in_batch").isNotNull())
+        .select("__id", "__p")
+    )
+    return _merge_flagged_spans(flagged, totals, id_col=id_col, n=n)
 
 
 def starts_of(text: Column, n: int) -> Column:

@@ -50,9 +50,10 @@ PRIORITY: tuple[str, ...] = (
     #    them would displace stale-operator re-proofs;
     # 3. 22 of the 45 queries whose last green driver row is r5 (the
     #    stalest tier): the non-warehouse r5 queries (minus x13, whose
-    #    repetition family is covered by the windowed x33, and minus
+    #    repetition family is covered by the windowed x33, minus
     #    x11_corpus_pipeline, whose x11_chunk_documents sibling is
-    #    windowed) plus one
+    #    windowed, and minus x12_train_val_split, whose split family is
+    #    covered by the windowed x35) plus one
     #    warehouse representative (w1 scan-agg). The 23 remaining r5 legs
     #    stay gate-verified and rotate in r9 — after this window nothing
     #    outside that set is older than r6.
@@ -97,7 +98,6 @@ PRIORITY: tuple[str, ...] = (
     "x9_quality_filter",
     "x10_word_ngram_jaccard",
     "x11_chunk_documents",
-    "x12_train_val_split",
     "x14_priority_dedup",
     "x17_cm_heavy_hitters",
     "x18_posting_lists",
@@ -110,6 +110,7 @@ PRIORITY: tuple[str, ...] = (
     "s16_string_keyset_chunk",         # string-key row-value chunk read
     "s17_ddl_schema_history",          # binlog DDL-text parse -> history
     "m7_image_near_dups",              # perceptual aHash + banded Hamming
+    "x40_incremental_spans",           # batch-vs-persisted-index spans
 )
 
 

@@ -1837,3 +1837,91 @@ def x39_duplicated_spans_sampled(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return duplicated_spans(docs, n=_X37_N, key="poly", stride=_X39_STRIDE)
+
+
+# ---------------------------------------------------------------------------
+# X40 — incremental exact-substring dedup vs a persisted fingerprint index
+# ---------------------------------------------------------------------------
+@register(
+    "x40_incremental_spans",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    pos AS (
+        SELECT doc_id, text, unnest(range(1, L - {_X37_N} + 2)) AS p
+        FROM d WHERE text IS NOT NULL AND L >= {_X37_N}
+    ),
+    grams AS (
+        SELECT doc_id, p,
+               {_x39_poly_sql(131)} * {_X39_P} + {_x39_poly_sql(137)} AS k
+        FROM pos
+    ),
+    sel AS (SELECT doc_id, p, k FROM grams WHERE k % {_X39_STRIDE} = 0),
+    idx AS (SELECT DISTINCT k FROM sel WHERE doc_id % 5 <> 0),
+    batch AS (SELECT doc_id, p, k FROM sel WHERE doc_id % 5 = 0),
+    bdup AS (SELECT k FROM batch GROUP BY k HAVING count(*) >= 2),
+    fl AS (
+        SELECT doc_id, p, p + {_X37_N} - 1 AS e
+        FROM batch b
+        WHERE EXISTS (SELECT 1 FROM idx i WHERE i.k = b.k)
+           OR EXISTS (SELECT 1 FROM bdup x WHERE x.k = b.k)
+    ),
+    isl AS (
+        SELECT doc_id, p, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR p > max(e) OVER (
+                        PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+               THEN 1 ELSE 0 END AS newf
+        FROM fl
+    ),
+    isl2 AS (
+        SELECT doc_id, p, e,
+               sum(newf) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS UNBOUNDED PRECEDING) AS gid
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, gid, max(e) - min(p) + 1 AS chars, count(*) AS npos
+        FROM isl2 GROUP BY doc_id, gid
+    ),
+    perdoc AS (
+        SELECT doc_id, CAST(sum(npos) AS INT) AS dup_positions,
+               CAST(sum(chars) AS INT) AS dup_chars
+        FROM spans GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(count(*) AS INT) AS n_grams
+            FROM batch GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(t.n_grams, 0) AS n_grams,
+           coalesce(pd.dup_positions, 0) AS dup_positions,
+           coalesce(pd.dup_chars, 0) AS dup_chars,
+           CASE WHEN coalesce(t.n_grams, 0) > 0 THEN
+                round(coalesce(pd.dup_positions, 0) /
+                      CAST(t.n_grams AS DOUBLE), 6)
+           END AS dup_frac
+    FROM d LEFT JOIN tot t USING (doc_id) LEFT JOIN perdoc pd USING (doc_id)
+    WHERE d.doc_id % 5 = 0
+    """,
+)
+def x40_incremental_spans(spark, sf_dir):
+    """Fingerprint-once/ingest-many exact-substring dedup: the accepted
+    corpus's selected window keys persist as an 8-byte-key index
+    (span_fingerprint_index); each incoming batch flags its windows
+    against that index plus within-batch repeats — the corpus text is
+    never re-read, never re-hashed (the x34 contract applied to the
+    x39 sampled-spans path). Corpus = doc_id % 5 != 0, batch = the
+    rest; the oracle replays both sides with the identical polynomial
+    arithmetic."""
+    from debezium_spark.analytics.text import (
+        duplicated_spans_vs_index,
+        span_fingerprint_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index_keys = span_fingerprint_index(docs.filter(F.col("doc_id") % 5 != 0))
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return duplicated_spans_vs_index(batch, index_keys)

@@ -748,3 +748,39 @@ def test_charlm_arrow_equals_expr(spark, sf_dir):
 
     with pytest.raises(ValueError):
         charlm_quality(docs, impl="bogus")
+
+
+def test_incremental_spans_vs_index(spark):
+    """Planted incremental exact-substring dedup: a batch doc copying a
+    long corpus passage flags (without the corpus being re-read), a
+    within-batch duplicated passage flags in both its batch copies, and
+    a unique batch doc stays clean."""
+    from debezium_spark.analytics.text import (
+        duplicated_spans_vs_index,
+        span_fingerprint_index,
+    )
+
+    passage = "the archived corpus carries this exact long passage verbatim " * 3
+    batch_dup = "two ingest documents share this other long run of text too " * 3
+    corpus = spark.createDataFrame(
+        [(1, "corpus filler " + passage), (2, "other corpus text entirely")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "prefix " + passage + " suffix"),   # dup vs corpus
+            (101, batch_dup),                          # dup within batch
+            (102, "x " + batch_dup),                   # (unaligned copy)
+            (103, "completely novel ingest document with fresh content"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = span_fingerprint_index(corpus)
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans_vs_index(batch, idx).collect()
+    }
+    assert len(out) == 4
+    assert out[100]["dup_chars"] > 100
+    assert out[101]["dup_chars"] > 100 and out[102]["dup_chars"] > 100
+    assert out[103]["dup_positions"] == 0 and out[103]["dup_chars"] == 0
