@@ -119,3 +119,111 @@ def funnel_report(
             f"stack({len(steps)}, {stack_args}) AS (step, step_type, n_users)"
         )
     ).select(F.col("step").cast("int"), "step_type", "n_users")
+
+
+def funnel_steps_stream(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_utc",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming funnel: per-user reach times maintained across
+    micro-batches with ``applyInPandasWithState`` — the stream form of
+    :func:`funnel_steps`, same ``t_k = min{t : type=s_k, t >= t_{k-1}}``
+    semantics. Emits one row per user per micro-batch in which their
+    funnel PROGRESSED: ``(user, step_reached, t1..tk)`` — the latest row
+    per user is the batch operator's result.
+
+    Exactness contract: each batch's events fold in ``(ts, step)`` order
+    (step index breaks timestamp ties so an equal-timestamp successor
+    still qualifies under ``>=``), which reproduces the batch semantics
+    exactly as long as per-user arrival order across batches is
+    non-decreasing in event time — the log-order guarantee a CDC feed
+    carries. A cross-batch straggler (an earlier-timestamped step
+    arriving after later steps folded) can only improve future progress,
+    never corrupt recorded times. NULL timestamps are dropped, matching
+    the batch operator.
+
+    State is one row of ``len(steps)`` epoch-micro longs per user — tiny
+    but user-cardinality-bound, so production streams set
+    ``idle_timeout_ms`` (the funnel observation window, SURVEY §7.3's
+    unbounded-state rule): a user idle past it is evicted silently; a
+    returning user restarts their funnel."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
+    k = len(steps)
+
+    user_type = events.schema[user_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("user", user_type),
+            T.StructField("step_reached", T.IntegerType()),
+            *[T.StructField(f"t{i}", T.TimestampType()) for i in range(1, k + 1)],
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField(f"u{i}", T.LongType()) for i in range(1, k + 1)]
+    )
+
+    step_idx = F.lit(None).cast("int")
+    for i, s in enumerate(steps):
+        step_idx = F.when(F.col(type_col) == s, F.lit(i)).otherwise(step_idx)
+    prepared = events.filter(
+        F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("user"),
+        step_idx.alias("step"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        (user,) = key
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()  # observation window closed; no emission
+            return
+        ts = list(state.get) if state.exists else [None] * k
+        before = list(ts)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["us", "step"])
+            for us, step in zip(batch["us"], batch["step"]):
+                i = int(step)
+                if ts[i] is not None:
+                    continue
+                if i == 0 or (ts[i - 1] is not None and us >= ts[i - 1]):
+                    ts[i] = int(us)
+        if ts != before:
+            state.update(tuple(ts))
+            reached = sum(1 for t in ts if t is not None)
+            row = {"user": [user], "step_reached": [reached]}
+            for i in range(1, k + 1):
+                v = ts[i - 1]
+                row[f"t{i}"] = [
+                    pd.Timestamp(v, unit="us") if v is not None else pd.NaT
+                ]
+            yield pd.DataFrame(row)
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return prepared.groupBy("user").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

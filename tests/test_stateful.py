@@ -187,3 +187,71 @@ def test_tx_retention_expires_abandoned_to_dlq(spark, tmp_path):
     }
     # B and C committed normally; A's late commit rebuilt from EMPTY state.
     assert done == {"B": (2, 4, 5), "C": (2, 6, 7), "A": (1, 8, 8)}
+
+
+def test_funnel_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming funnel's final per-user state (latest emitted row per
+    user) must equal the batch operator exactly when events replay in
+    event-time order across micro-batches — the CDC log-order contract.
+    Also: a user whose funnel doesn't progress in a batch emits nothing
+    that batch (append-mode discipline)."""
+    from debezium_spark.operators.funnel import (
+        funnel_steps,
+        funnel_steps_stream,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts_utc"),
+            F.col("event_id").alias("pos"),
+        )
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+    )
+    steps = ["view", "click", "purchase"]
+    # replay in EVENT-TIME order so cross-batch arrival honors the contract
+    feed_df = ev.withColumn("pos", F.unix_micros("ts_utc"))
+    feed = str(tmp_path / "feed")
+    _write_ordered_chunks(feed_df, feed, 4)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts_utc timestamp, pos long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    out = funnel_steps_stream(stream, steps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.sql("SELECT * FROM funnel_stream").collect()
+    assert emitted, "stream should emit progress rows"
+    # latest emission per user = final state (step_reached is monotone)
+    final = {}
+    for r in emitted:
+        cur = final.get(r["user"])
+        if cur is None or r["step_reached"] > cur["step_reached"]:
+            final[r["user"]] = r
+    got = {
+        u: (r["t1"], r["t2"], r["t3"]) for u, r in final.items()
+    }
+    batch = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_steps(ev, steps).collect()
+    }
+    # streaming emits only users who progressed at least to step 1; the
+    # batch frame carries all-NULL rows for users who never reached step 1
+    batch_reached = {u: t for u, t in batch.items() if t[0] is not None}
+    assert got == batch_reached
+    # append discipline: total emissions <= users x steps (one per progress)
+    assert len(emitted) <= len(batch_reached) * len(steps)
