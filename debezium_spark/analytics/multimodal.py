@@ -411,6 +411,7 @@ def image_near_dups(
     *,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
     """Candidate pairs of perceptually-similar images: ``(a, b, hamming)``
     with ``hamming(phash_a, phash_b) <= max_hamming``, ``a < b``.
@@ -424,6 +425,12 @@ def image_near_dups(
     exact Hamming filter (``bit_count(a XOR b)``) verifies. At the
     production 64-bit hash, 8-bit bands give 256-way bucketing per band;
     in-bucket pair expansion is the same bounded shape as SimHash's.
+
+    With the 16-bit stub hash, 4-bit bands give only 16 bucket values per
+    band, so a large corpus would collapse into a few unbounded arrays —
+    ``max_bucket_size`` guards that: any bucket above it fails the job
+    with an explicit message (raise-early beats an executor OOM), telling
+    the caller to widen the hash or the bands before running at scale.
     """
     band_bits = 16 // bands
     mask = (1 << band_bits) - 1
@@ -449,6 +456,27 @@ def image_near_dups(
         banded.groupBy("band", "bkey")
         .agg(F.collect_list(F.struct("__id", "phash")).alias("__members"))
         .filter(F.size("__members") >= 2)
+        .withColumn(
+            "__members",
+            F.when(
+                F.size("__members") <= max_bucket_size, F.col("__members")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "image_near_dups: band bucket exceeds "
+                            f"max_bucket_size={max_bucket_size} "
+                            "(size "
+                        ),
+                        F.size("__members").cast("string"),
+                        F.lit(
+                            ") — widen the perceptual hash / band width "
+                            "before running at this scale"
+                        ),
+                    )
+                )
+            ),
+        )
     )
     pairs = (
         grouped.select(

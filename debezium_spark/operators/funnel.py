@@ -208,8 +208,13 @@ def funnel_steps_stream(
             row = {"user": [user], "step_reached": [reached]}
             for i in range(1, k + 1):
                 v = ts[i - 1]
+                # tz-aware so Arrow preserves the instant under any
+                # spark.sql.session.timeZone (a naive pandas timestamp is
+                # read in session-local time and would shift by the offset)
                 row[f"t{i}"] = [
-                    pd.Timestamp(v, unit="us") if v is not None else pd.NaT
+                    pd.Timestamp(v, unit="us", tz="UTC")
+                    if v is not None
+                    else pd.NaT
                 ]
             yield pd.DataFrame(row)
         if idle_timeout_ms is not None:

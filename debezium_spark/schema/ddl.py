@@ -13,9 +13,10 @@ user whose log carries DDL text gets correct schema versions:
   PRIMARY KEY (a, b))``
 * ``ALTER TABLE t ADD [COLUMN] c TYPE [FIRST | AFTER col]``,
   ``DROP [COLUMN] c``, ``MODIFY [COLUMN] c TYPE``,
-  ``CHANGE [COLUMN] old new TYPE``, ``RENAME [TO] t2``
-  (comma-separated multi-actions supported)
-* ``DROP TABLE [IF EXISTS] t`` / ``RENAME TABLE a TO b``
+  ``CHANGE [COLUMN] old new TYPE``, ``RENAME COLUMN a TO b`` (MySQL 8),
+  ``RENAME [TO|AS] t2`` (comma-separated multi-actions supported;
+  ``RENAME INDEX/KEY`` is schema-neutral)
+* ``DROP TABLE [IF EXISTS] a[, b...]`` / ``RENAME TABLE a TO b[, c TO d...]``
 * ``TRUNCATE TABLE t`` (no schema effect; parsed so the stream doesn't
   need pre-filtering)
 
@@ -25,6 +26,11 @@ parses to ``kind='ignore'`` — schema-neutral for capture purposes.
 Type mapping follows the reference's JdbcValueConverters defaults
 (TINYINT(1) → boolean, DATETIME/TIMESTAMP → timestamp, TEXT/VARCHAR →
 string, DECIMAL(p,s) preserved).
+
+``MODIFY``/``CHANGE`` type changes are validated against the K6 widening
+matrix (`schema/evolution.py`): a lossless widening applies, anything
+else raises — the reference's fail-the-record path for lossy dialect
+ALTERs, so bad DDL quarantines instead of silently rewriting history.
 """
 
 from __future__ import annotations
@@ -50,6 +56,10 @@ class DdlChange:
     columns: list[ColumnSpec] = field(default_factory=list)
     actions: list[tuple] = field(default_factory=list)  # alter sub-ops
     new_table: str | None = None
+    #: every target of a multi-table DROP (table = first, for compat)
+    tables: list[str] = field(default_factory=list)
+    #: every (old, new) pair of a multi-table RENAME TABLE
+    renames: list[tuple[str, str]] = field(default_factory=list)
 
 
 _TYPE_MAP = {
@@ -174,13 +184,18 @@ def _parse_column_def(text: str) -> ColumnSpec | None:
     name, type_text, rest = _unquote(m.group(1)), m.group(2), m.group(3)
     rest_u = f" {rest.upper()} "
     dm = _DEFAULT_RE.search(rest)
+    # DEFAULT NULL is the absence of a default, not the literal "NULL"
+    # (Column.defaultValueExpression is null in the reference too).
+    default = dm.group(1) if dm else None
+    if default is not None and default.upper() == "NULL":
+        default = None
     return ColumnSpec(
         name=name,
         type_text=type_text.strip(),
         spark_type=map_type(type_text),
         nullable=" NOT NULL " not in re.sub(r"\s+", " ", rest_u),
         primary_key="PRIMARY KEY" in re.sub(r"\s+", " ", rest_u),
-        default=dm.group(1) if dm else None,
+        default=default,
     )
 
 
@@ -267,12 +282,37 @@ def parse_ddl(statement: str) -> DdlChange:
             elif au.startswith("CHANGE "):
                 body = re.sub(r"^CHANGE\s+(COLUMN\s+)?", "", act, flags=re.I)
                 om = re.match(rf"({_IDENT})\s+(.*)$", body, re.S)
+                if not om:
+                    raise ValueError(f"unparseable CHANGE action: {act!r}")
                 old = _unquote(om.group(1))
                 spec = _parse_column_def(om.group(2))
                 actions.append(("change", old, spec))
             elif au.startswith("RENAME"):
-                nm = re.sub(r"^RENAME\s+(TO\s+|AS\s+)?", "", act, flags=re.I)
-                new_table = _unquote(nm.strip().split(".")[-1])
+                # Three distinct MySQL forms share the keyword: RENAME
+                # COLUMN a TO b (a column op), RENAME INDEX/KEY
+                # (schema-neutral), and RENAME [TO|AS] t2 (table rename).
+                # Matching them all as a table rename corrupts history.
+                if re.match(r"^RENAME\s+(INDEX|KEY)\b", au):
+                    continue
+                cm = re.match(
+                    rf"^RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$",
+                    act.strip(),
+                    re.I,
+                )
+                if cm:
+                    actions.append(
+                        ("rename_col", _unquote(cm.group(1)),
+                         _unquote(cm.group(2)))
+                    )
+                    continue
+                nm = re.match(
+                    rf"^RENAME\s+(?:TO\s+|AS\s+)?({_IDENT}(?:\.{_IDENT})?)\s*$",
+                    act.strip(),
+                    re.I,
+                )
+                if not nm:
+                    raise ValueError(f"unparseable RENAME action: {act!r}")
+                new_table = _unquote(nm.group(1).split(".")[-1])
                 actions.append(("rename", new_table))
             # everything else (engine/charset/index options): schema-neutral
         return DdlChange(
@@ -280,27 +320,47 @@ def parse_ddl(statement: str) -> DdlChange:
         )
 
     if u.startswith("DROP TABLE"):
-        m = re.match(
-            rf"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_IDENT}(?:\.{_IDENT})?)",
-            s,
-            re.I,
+        body = re.sub(
+            r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?", "", s, flags=re.I
         )
-        return DdlChange(kind="drop", table=_unquote(m.group(1).split(".")[-1]))
+        tables: list[str] = []
+        for target in _split_top_level(body):
+            m = re.match(rf"^({_IDENT}(?:\.{_IDENT})?)$", target.strip())
+            if not m:
+                raise ValueError(f"unparseable DROP TABLE: {statement!r}")
+            tables.append(_unquote(m.group(1).split(".")[-1]))
+        if not tables:
+            raise ValueError(f"unparseable DROP TABLE: {statement!r}")
+        return DdlChange(kind="drop", table=tables[0], tables=tables)
 
     if u.startswith("RENAME TABLE"):
-        m = re.match(
-            rf"RENAME\s+TABLE\s+({_IDENT}(?:\.{_IDENT})?)\s+TO\s+({_IDENT}(?:\.{_IDENT})?)",
-            s,
-            re.I,
-        )
+        body = re.sub(r"^RENAME\s+TABLE\s+", "", s, flags=re.I)
+        renames: list[tuple[str, str]] = []
+        for pair in _split_top_level(body):
+            m = re.match(
+                rf"^({_IDENT}(?:\.{_IDENT})?)\s+TO\s+({_IDENT}(?:\.{_IDENT})?)$",
+                pair.strip(),
+                re.I,
+            )
+            if not m:
+                raise ValueError(f"unparseable RENAME TABLE: {statement!r}")
+            renames.append(
+                (_unquote(m.group(1).split(".")[-1]),
+                 _unquote(m.group(2).split(".")[-1]))
+            )
+        if not renames:
+            raise ValueError(f"unparseable RENAME TABLE: {statement!r}")
         return DdlChange(
             kind="rename",
-            table=_unquote(m.group(1).split(".")[-1]),
-            new_table=_unquote(m.group(2).split(".")[-1]),
+            table=renames[0][0],
+            new_table=renames[0][1],
+            renames=renames,
         )
 
     if u.startswith("TRUNCATE"):
         m = re.search(rf"({_IDENT}(?:\.{_IDENT})?)\s*$", s)
+        if not m:
+            raise ValueError(f"unparseable TRUNCATE: {statement!r}")
         return DdlChange(
             kind="truncate", table=_unquote(m.group(1).split(".")[-1])
         )
@@ -308,12 +368,58 @@ def parse_ddl(statement: str) -> DdlChange:
     return DdlChange(kind="ignore")
 
 
+def _to_dtype(spark_type: str):
+    """map_type's closed output set → a DataType instance (no session
+    needed, unlike DataType.fromDDL which parses through the JVM)."""
+    from pyspark.sql import types as T
+
+    m = re.match(r"^decimal\((\d+),(\d+)\)$", spark_type)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    return {
+        "tinyint": T.ByteType(),
+        "smallint": T.ShortType(),
+        "int": T.IntegerType(),
+        "bigint": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "string": T.StringType(),
+        "binary": T.BinaryType(),
+    }[spark_type]
+
+
+def _check_widen(old: ColumnSpec, new: ColumnSpec) -> None:
+    """Validate a MODIFY/CHANGE type transition against the K6 widening
+    matrix (`schema/evolution.py`): lossless widenings apply, anything
+    else raises — the reference refuses lossy dialect ALTERs (the JDBC
+    sink's fail-the-record path), so a narrowing MODIFY quarantines
+    instead of silently rewriting history."""
+    if old.spark_type == new.spark_type:
+        return
+    from debezium_spark.schema.evolution import can_widen
+
+    if not can_widen(_to_dtype(old.spark_type), _to_dtype(new.spark_type)):
+        raise ValueError(
+            f"lossy type change for column {new.name!r}: "
+            f"{old.spark_type} -> {new.spark_type} is not a lossless widening"
+        )
+
+
 def apply_change(
-    columns: list[ColumnSpec], change: DdlChange
+    columns: list[ColumnSpec],
+    change: DdlChange,
+    *,
+    enforce_widening: bool = True,
 ) -> list[ColumnSpec]:
     """Apply one parsed ALTER to a column list (the relational-model
     update MySqlDatabaseSchema performs per DDL event). Pure function —
-    returns a new list."""
+    returns a new list. MODIFY/CHANGE type transitions are validated
+    against the widening matrix unless ``enforce_widening=False``."""
+    import dataclasses
+
     cols = list(columns)
     for action in change.actions:
         if action[0] == "add":
@@ -336,11 +442,32 @@ def apply_change(
             cols = [c for c in cols if c.name != name]
         elif action[0] == "modify":
             _, spec = action
+            old = next((c for c in cols if c.name == spec.name), None)
+            if old is None:
+                raise ValueError(f"MODIFY of unknown column {spec.name!r}")
+            if enforce_widening:
+                _check_widen(old, spec)
             cols = [spec if c.name == spec.name else c for c in cols]
         elif action[0] == "change":
-            _, old, spec = action
-            cols = [spec if c.name == old else c for c in cols]
-        # rename handled by the tracker (table-level)
+            _, old_name, spec = action
+            old = next((c for c in cols if c.name == old_name), None)
+            if old is None:
+                raise ValueError(f"CHANGE of unknown column {old_name!r}")
+            if enforce_widening:
+                _check_widen(old, spec)
+            cols = [spec if c.name == old_name else c for c in cols]
+        elif action[0] == "rename_col":
+            _, old_name, new_name = action
+            old = next((c for c in cols if c.name == old_name), None)
+            if old is None:
+                raise ValueError(
+                    f"RENAME COLUMN of unknown column {old_name!r}"
+                )
+            if any(c.name == new_name for c in cols):
+                raise ValueError(f"duplicate column {new_name!r}")
+            renamed = dataclasses.replace(old, name=new_name)
+            cols = [renamed if c.name == old_name else c for c in cols]
+        # table-level rename handled by the tracker
     return cols
 
 
@@ -382,20 +509,24 @@ class DdlSchemaTracker:
                 self._state[change.table] = cols
                 self._record(change.table, pos)
         elif change.kind == "drop":
-            self._state.pop(change.table, None)
-            self._versions.pop(change.table, None)
+            for tbl in change.tables or [change.table]:
+                self._state.pop(tbl, None)
+                self._versions.pop(tbl, None)
         elif change.kind == "rename":
-            cols = self._state.pop(change.table)
-            self._state[change.new_table] = cols
-            self._versions[change.new_table] = self._versions.pop(
-                change.table
-            )
-            self._record(change.new_table, pos)
+            for old, new in change.renames or [(change.table, change.new_table)]:
+                cols = self._state.pop(old)
+                self._state[new] = cols
+                self._versions[new] = self._versions.pop(old)
+                self._record(new, pos)
         return change
 
     def _record(self, table: str, pos: int) -> None:
         v = self._versions.get(table, 0) + 1
         self._versions[table] = v
+        cols = self._state[table]
+        defaults = {
+            c.name: c.default for c in cols if c.default is not None
+        }
         self.history.record(
-            table, v, [c.name for c in self._state[table]], pos
+            table, v, [c.name for c in cols], pos, defaults or None
         )

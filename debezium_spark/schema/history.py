@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 
 _HISTORY_DDL = (
-    "table string, version int, columns_json string, valid_from_pos long"
+    "table string, version int, columns_json string, valid_from_pos long,"
+    " defaults_json string"
 )
 
 
@@ -45,8 +46,17 @@ class SchemaHistoryBackend:
         self.spark = spark
 
     def record(
-        self, table: str, version: int, columns: list[str], valid_from_pos: int
+        self,
+        table: str,
+        version: int,
+        columns: list[str],
+        valid_from_pos: int,
+        defaults: dict[str, str] | None = None,
     ) -> None:
+        """Append one version row. ``defaults`` carries column DEFAULT
+        expressions (the reference's ``Column.defaultValueExpression``
+        propagated through schema history); None when the source has
+        none."""
         raise NotImplementedError
 
     def recover(self) -> DataFrame:
@@ -75,10 +85,18 @@ class SchemaRegistry(SchemaHistoryBackend):
         self.path = path
 
     def record(
-        self, table: str, version: int, columns: list[str], valid_from_pos: int
+        self,
+        table: str,
+        version: int,
+        columns: list[str],
+        valid_from_pos: int,
+        defaults: dict[str, str] | None = None,
     ) -> None:
         """SchemaHistory.record: append one version row."""
-        row = [(table, version, json.dumps(columns), valid_from_pos)]
+        row = [(
+            table, version, json.dumps(columns), valid_from_pos,
+            json.dumps(defaults) if defaults else None,
+        )]
         df = self.spark.createDataFrame(row, _HISTORY_DDL)
         df.coalesce(1).write.mode("append").parquet(self.path)
 
@@ -100,7 +118,12 @@ class FileSchemaHistory(SchemaHistoryBackend):
         self.path = path
 
     def record(
-        self, table: str, version: int, columns: list[str], valid_from_pos: int
+        self,
+        table: str,
+        version: int,
+        columns: list[str],
+        valid_from_pos: int,
+        defaults: dict[str, str] | None = None,
     ) -> None:
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         rec = {
@@ -108,6 +131,7 @@ class FileSchemaHistory(SchemaHistoryBackend):
             "version": version,
             "columns_json": json.dumps(columns),
             "valid_from_pos": valid_from_pos,
+            "defaults_json": json.dumps(defaults) if defaults else None,
         }
         with open(self.path, "a", encoding="utf-8") as fh:
             fh.write(json.dumps(rec) + "\n")
@@ -119,7 +143,8 @@ class FileSchemaHistory(SchemaHistoryBackend):
             rows = [json.loads(line) for line in fh if line.strip()]
         return self.spark.createDataFrame(
             [
-                (r["table"], r["version"], r["columns_json"], r["valid_from_pos"])
+                (r["table"], r["version"], r["columns_json"],
+                 r["valid_from_pos"], r.get("defaults_json"))
                 for r in rows
             ],
             _HISTORY_DDL,
@@ -136,9 +161,17 @@ class MemorySchemaHistory(SchemaHistoryBackend):
         self._rows: list[tuple] = []
 
     def record(
-        self, table: str, version: int, columns: list[str], valid_from_pos: int
+        self,
+        table: str,
+        version: int,
+        columns: list[str],
+        valid_from_pos: int,
+        defaults: dict[str, str] | None = None,
     ) -> None:
-        self._rows.append((table, version, json.dumps(columns), valid_from_pos))
+        self._rows.append((
+            table, version, json.dumps(columns), valid_from_pos,
+            json.dumps(defaults) if defaults else None,
+        ))
 
     def recover(self) -> DataFrame:
         return self.spark.createDataFrame(list(self._rows), _HISTORY_DDL)
@@ -158,7 +191,8 @@ class JdbcSchemaHistory(SchemaHistoryBackend):
         "  tbl TEXT NOT NULL,"
         "  version INTEGER NOT NULL,"
         "  columns_json TEXT NOT NULL,"
-        "  valid_from_pos INTEGER NOT NULL)"
+        "  valid_from_pos INTEGER NOT NULL,"
+        "  defaults_json TEXT)"
     )
 
     def __init__(self, spark: SparkSession, db_path: str):
@@ -174,7 +208,12 @@ class JdbcSchemaHistory(SchemaHistoryBackend):
         return conn
 
     def record(
-        self, table: str, version: int, columns: list[str], valid_from_pos: int
+        self,
+        table: str,
+        version: int,
+        columns: list[str],
+        valid_from_pos: int,
+        defaults: dict[str, str] | None = None,
     ) -> None:
         # `with conn` alone only scopes the transaction (commit/rollback),
         # not the file handle — closing() prevents a descriptor leak per
@@ -184,9 +223,10 @@ class JdbcSchemaHistory(SchemaHistoryBackend):
         with closing(self._conn()) as conn, conn:
             conn.execute(
                 "INSERT INTO debezium_schema_history"
-                " (tbl, version, columns_json, valid_from_pos)"
-                " VALUES (?, ?, ?, ?)",
-                (table, version, json.dumps(columns), valid_from_pos),
+                " (tbl, version, columns_json, valid_from_pos, defaults_json)"
+                " VALUES (?, ?, ?, ?, ?)",
+                (table, version, json.dumps(columns), valid_from_pos,
+                 json.dumps(defaults) if defaults else None),
             )
 
     def recover(self) -> DataFrame:
@@ -196,7 +236,8 @@ class JdbcSchemaHistory(SchemaHistoryBackend):
             return self.spark.createDataFrame([], _HISTORY_DDL)
         with closing(self._conn()) as conn, conn:
             rows = conn.execute(
-                "SELECT tbl, version, columns_json, valid_from_pos"
+                "SELECT tbl, version, columns_json, valid_from_pos,"
+                " defaults_json"
                 " FROM debezium_schema_history ORDER BY seq"
             ).fetchall()
         return self.spark.createDataFrame(rows, _HISTORY_DDL)
@@ -279,13 +320,19 @@ class ObjectStoreSchemaHistory(SchemaHistoryBackend):
             stream.close()
 
     def record(
-        self, table: str, version: int, columns: list[str], valid_from_pos: int
+        self,
+        table: str,
+        version: int,
+        columns: list[str],
+        valid_from_pos: int,
+        defaults: dict[str, str] | None = None,
     ) -> None:
         rec = {
             "table": table,
             "version": version,
             "columns_json": json.dumps(columns),
             "valid_from_pos": valid_from_pos,
+            "defaults_json": json.dumps(defaults) if defaults else None,
         }
         data = self._read_bytes() + (json.dumps(rec) + "\n").encode("utf-8")
         _, fs, path = self._fs()
@@ -303,7 +350,8 @@ class ObjectStoreSchemaHistory(SchemaHistoryBackend):
         ]
         return self.spark.createDataFrame(
             [
-                (r["table"], r["version"], r["columns_json"], r["valid_from_pos"])
+                (r["table"], r["version"], r["columns_json"],
+                 r["valid_from_pos"], r.get("defaults_json"))
                 for r in rows
             ],
             _HISTORY_DDL,

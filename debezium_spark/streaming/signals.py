@@ -38,11 +38,36 @@ from debezium_spark.sources.keyset import keyset_gt
 
 def _json_key(v):
     """A chunk-bound key value in JSON-persistable form (ISO strings for
-    temporal types; Spark casts them back inside the keyset predicate)."""
+    temporal types, decimal digits for Decimal; ``_typed_bound`` rebuilds
+    the exact typed literal on reload)."""
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
     iso = getattr(v, "isoformat", None)
     return iso() if iso is not None else str(v)
+
+
+def _typed_bound(schema, pk_cols, bound):
+    """Rebuild persisted JSON bound values as exact typed literals.
+
+    A Decimal key persists as its digit string; comparing that string
+    literal to a decimal column would coerce BOTH to double (precision
+    loss above 2^53 — exactly the decimal(20,0) range BIGINT UNSIGNED
+    keys live in), so the literal is rebuilt as a Decimal and the keyset
+    predicate compares decimal-to-decimal exactly. Temporal ISO strings
+    stay strings: Spark casts the literal (not the column) back
+    losslessly."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    out = []
+    for c, v in zip(pk_cols, bound):
+        if isinstance(schema[c].dataType, T.DecimalType) and isinstance(
+            v, str
+        ):
+            v = Decimal(v)
+        out.append(v)
+    return out
 
 
 class NotificationLog:
@@ -319,7 +344,12 @@ class IncrementalSnapshotter:
                 bound = [bound]
             # Row-value (k1,k2,..) > (b1,b2,..) expansion; the leading
             # k1 > b1 disjunct alone prunes files via min-max stats.
-            src = src.filter(keyset_gt(self.pk_cols, bound))
+            src = src.filter(
+                keyset_gt(
+                    self.pk_cols,
+                    _typed_bound(src.schema, self.pk_cols, bound),
+                )
+            )
         # Keyset chunk: TopK by pk, no full sort (ChunkBoundaryCalculator.java:56).
         chunk = src.orderBy(*[F.col(c) for c in self.pk_cols]).limit(
             self.chunk_size

@@ -91,6 +91,91 @@ def test_alter_errors():
         apply_change(base, parse_ddl("ALTER TABLE t ADD a INT"))
     with pytest.raises(ValueError):
         apply_change(base, parse_ddl("ALTER TABLE t DROP COLUMN nope"))
+    # MODIFY/CHANGE of an unknown column raises like DROP does
+    with pytest.raises(ValueError):
+        apply_change(base, parse_ddl("ALTER TABLE t MODIFY nope BIGINT"))
+    with pytest.raises(ValueError):
+        apply_change(base, parse_ddl("ALTER TABLE t CHANGE nope n2 INT"))
+
+
+def test_rename_column_and_neutral_renames():
+    """MySQL 8 RENAME COLUMN is a column op (not a table rename), RENAME
+    INDEX/KEY is schema-neutral, and a malformed RENAME raises instead of
+    corrupting history (the r8 ADVICE bug: 'RENAME COLUMN a TO b' parsed
+    as new_table='COLUMN a TO b')."""
+    base = parse_ddl("CREATE TABLE t (a INT, b VARCHAR(10))").columns
+    c = parse_ddl("ALTER TABLE t RENAME COLUMN a TO a2")
+    assert c.new_table is None
+    cols = apply_change(base, c)
+    assert [(x.name, x.spark_type) for x in cols] == [
+        ("a2", "int"), ("b", "string"),
+    ]
+    # rename preserves the spec (type/nullability), only the name changes
+    n = parse_ddl("ALTER TABLE t RENAME INDEX i1 TO i2")
+    assert n.new_table is None and n.actions == []
+    r = parse_ddl("ALTER TABLE t RENAME TO t2, RENAME KEY k1 TO k2")
+    assert r.new_table == "t2"
+    with pytest.raises(ValueError):
+        apply_change(base, parse_ddl("ALTER TABLE t RENAME COLUMN nope TO x"))
+    with pytest.raises(ValueError):
+        apply_change(base, parse_ddl("ALTER TABLE t RENAME COLUMN a TO b"))
+    with pytest.raises(ValueError):
+        parse_ddl("ALTER TABLE t RENAME TO x y z")
+
+
+def test_multi_table_drop_and_rename():
+    d = parse_ddl("DROP TABLE IF EXISTS a, `sch`.`b`, c")
+    assert d.kind == "drop" and d.tables == ["a", "b", "c"]
+    r = parse_ddl("RENAME TABLE a TO a2, sch.b TO b2")
+    assert r.renames == [("a", "a2"), ("b", "b2")]
+    with pytest.raises(ValueError):
+        parse_ddl("DROP TABLE a b")  # missing comma: malformed, not silent
+    with pytest.raises(ValueError):
+        parse_ddl("RENAME TABLE a")  # no TO clause
+
+
+def test_modify_widening_enforced():
+    """K6's widening matrix gates MODIFY/CHANGE: lossless widenings apply,
+    a narrowing or cross-family change raises (the reference's
+    fail-the-record path for lossy dialect ALTERs)."""
+    base = parse_ddl(
+        "CREATE TABLE t (a INT, b BIGINT, p DECIMAL(10,2), s VARCHAR(10))"
+    ).columns
+    # widenings apply
+    cols = apply_change(base, parse_ddl(
+        "ALTER TABLE t MODIFY a BIGINT, MODIFY p DECIMAL(14,4)"
+    ))
+    by = {c.name: c.spark_type for c in cols}
+    assert by["a"] == "bigint" and by["p"] == "decimal(14,4)"
+    # same-type MODIFY (nullability-only) is always fine
+    apply_change(base, parse_ddl("ALTER TABLE t MODIFY s VARCHAR(500) NOT NULL"))
+    # narrowing raises
+    with pytest.raises(ValueError, match="lossless widening"):
+        apply_change(base, parse_ddl("ALTER TABLE t MODIFY b INT"))
+    with pytest.raises(ValueError, match="lossless widening"):
+        apply_change(base, parse_ddl("ALTER TABLE t MODIFY p DECIMAL(8,2)"))
+    with pytest.raises(ValueError, match="lossless widening"):
+        apply_change(base, parse_ddl("ALTER TABLE t CHANGE s s2 INT"))
+    # CHANGE with a widening still applies (rename + widen together)
+    cols = apply_change(base, parse_ddl("ALTER TABLE t CHANGE a a2 BIGINT"))
+    assert {c.name: c.spark_type for c in cols}["a2"] == "bigint"
+    # escape hatch for intentionally lossy migrations
+    cols = apply_change(
+        base, parse_ddl("ALTER TABLE t MODIFY b INT"),
+        enforce_widening=False,
+    )
+    assert {c.name: c.spark_type for c in cols}["b"] == "int"
+
+
+def test_default_null_normalizes_to_none():
+    c = parse_ddl(
+        "CREATE TABLE t (a INT DEFAULT NULL, b INT DEFAULT -5, "
+        "c DATETIME DEFAULT CURRENT_TIMESTAMP)"
+    )
+    by = {s.name: s.default for s in c.columns}
+    assert by["a"] is None
+    assert by["b"] == "-5"
+    assert by["c"] == "CURRENT_TIMESTAMP"
 
 
 def test_non_schema_statements_ignored():
@@ -132,3 +217,53 @@ def test_tracker_versions_into_history(spark):
     ]
     with pytest.raises(KeyError):
         trk.apply("ALTER TABLE ghost ADD c INT", pos=1000)
+
+
+def test_tracker_defaults_into_history(spark):
+    """Column DEFAULTs propagate into the history row (the reference's
+    Column.defaultValueExpression through SchemaHistory.record): an ALTER
+    ADD .. DEFAULT populates defaults_json for that version."""
+    import json as _json
+
+    from debezium_spark.schema.history import MemorySchemaHistory
+
+    hist = MemorySchemaHistory(spark)
+    trk = DdlSchemaTracker(hist)
+    trk.apply("CREATE TABLE t (id BIGINT PRIMARY KEY, s VARCHAR(8))", pos=0)
+    trk.apply(
+        "ALTER TABLE t ADD COLUMN qty INT NOT NULL DEFAULT 1, "
+        "ADD created DATETIME DEFAULT CURRENT_TIMESTAMP",
+        pos=10,
+    )
+    rows = {r["version"]: r for r in hist.recover().collect()}
+    assert rows[1]["defaults_json"] is None
+    assert _json.loads(rows[2]["defaults_json"]) == {
+        "qty": "1", "created": "CURRENT_TIMESTAMP",
+    }
+
+
+def test_tracker_multi_drop_and_widening_quarantine(spark):
+    from debezium_spark.schema.history import MemorySchemaHistory
+
+    hist = MemorySchemaHistory(spark)
+    trk = DdlSchemaTracker(hist)
+    trk.apply("CREATE TABLE a (id INT PRIMARY KEY, v BIGINT)", pos=0)
+    trk.apply("CREATE TABLE b (id INT PRIMARY KEY)", pos=1)
+    # widening MODIFY applies and records a new version
+    trk.apply("ALTER TABLE a MODIFY id BIGINT", pos=5)
+    assert [c.spark_type for c in trk.table_columns("a")] == [
+        "bigint", "bigint",
+    ]
+    # narrowing MODIFY quarantines: raises, history NOT rewritten
+    n_before = hist.recover().count()
+    with pytest.raises(ValueError, match="lossless widening"):
+        trk.apply("ALTER TABLE a MODIFY v INT", pos=6)
+    assert hist.recover().count() == n_before
+    assert [c.spark_type for c in trk.table_columns("a")] == [
+        "bigint", "bigint",
+    ]
+    # multi-table DROP removes every target
+    trk.apply("DROP TABLE a, b", pos=9)
+    for tbl in ("a", "b"):
+        with pytest.raises(KeyError):
+            trk.table_columns(tbl)

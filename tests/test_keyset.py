@@ -213,3 +213,27 @@ def test_jdbc_chunk_predicates_render_and_partition(spark):
     assert sum(counts) == 40 and all(c > 0 for c in counts)
     # no-splits degenerate case: one full-table predicate
     assert jdbc_chunk_predicates(["a"], []) == ["1 = 1"]
+
+
+def test_decimal_bound_roundtrips_exactly(spark):
+    """A decimal(20,0) PK bound (the BIGINT UNSIGNED mapping) must resume
+    exactly: the persisted JSON string is rebuilt as a Decimal literal so
+    the keyset predicate compares decimal-to-decimal. A raw string literal
+    would coerce both sides to double and lose precision above 2^53."""
+    from decimal import Decimal
+
+    from debezium_spark.streaming.signals import _json_key, _typed_bound
+
+    base = Decimal(2**63)  # far above double's 2^53 integer precision
+    vals = [base + i for i in range(4)]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "pk decimal(20,0)"
+    )
+    persisted = [_json_key(vals[1])]
+    assert persisted == [str(vals[1])]  # JSON-safe digit string
+    typed = _typed_bound(df.schema, ["pk"], persisted)
+    assert typed == [vals[1]] and isinstance(typed[0], Decimal)
+    got = sorted(
+        r["pk"] for r in df.filter(keyset_gt(["pk"], typed)).collect()
+    )
+    assert got == vals[2:]  # exact: adjacent +1/+2 survive, bound doesn't
