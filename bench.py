@@ -210,7 +210,7 @@ def main() -> None:
     pipeline_stats["mor_read"] = _mor_read_sweep(spark)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
@@ -224,7 +224,20 @@ def main() -> None:
         "spread_accepted": spread_accepted,
         "sf": sf,
         **pipeline_stats,
-    }))
+    }
+    # The driver records only a 2,000-char tail of stdout, which truncates
+    # the per-leg dict — persist the FULL payload in-repo so round-over-round
+    # per-leg comparison never needs a bench re-run. BENCH_ROUND names the
+    # file (bench_out/r{N}.json); unset, it goes to bench_out/last.json.
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_out")
+    os.makedirs(out_dir, exist_ok=True)
+    tag = os.environ.get("BENCH_ROUND")
+    fname = f"r{tag}.json" if tag else "last.json"
+    with open(os.path.join(out_dir, fname), "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(payload))
 
 
 def _mor_read_sweep(spark) -> dict:

@@ -10,8 +10,10 @@ References:
   pgoutput/PgOutputMessageDecoder.java:84-113): R(relation) B(begin)
   C(commit) I U D T(truncate) message codes.
 
-No database exists in this container, so the *wire formats* are the
-test-decoding-style text lines the reference's own unit fixtures use. What
+This module keeps the lightweight text-line grammar (the
+test-decoding-style fixtures); the REAL binary pgoutput wire format —
+Relation/Begin/Commit/Insert/Update/Delete/Truncate with tuple-data
+sub-messages — is decoded in ``sources/pgoutput.py``. What
 matters at 100 TB: decode is a narrow per-row projection (regexp + CASE —
 whole-stage codegen), dispatch is a filter per route (one scan feeding all
 routes), and malformed lines flow to the DLQ rather than killing the batch.

@@ -1,0 +1,502 @@
+"""S8 — binary pgoutput wire-format decode (the real replication protocol).
+
+Reference: ``debezium-connector-postgres/.../connection/pgoutput/
+PgOutputMessageDecoder.java`` — message codes (:84-113), BEGIN/COMMIT
+(:264-295), RELATION (:320-372), INSERT/UPDATE/DELETE (:447-548),
+TRUNCATE (:556-612), the NUL-terminated string and length-prefixed value
+reads (:726-746), and tuple-data sub-messages 't'/'n'/'u' (:756-820).
+
+Wire format (all integers big-endian, matching the protocol):
+
+* ``B`` begin: int64 final-LSN of the tx, int64 commit timestamp
+  (microseconds since the Postgres epoch 2000-01-01), int32 xid.
+* ``C`` commit: int8 flags, int64 commit LSN, int64 end LSN, int64
+  commit timestamp.
+* ``R`` relation: int32 relation id, cstring schema, cstring table,
+  int8 replica-identity code, int16 column count, then per column:
+  int8 flags (1 = part of key), cstring name, int32 type OID,
+  int32 atttypmod.
+* ``I`` insert: int32 relation id, 'N', TupleData.
+* ``U`` update: int32 relation id, optional ('K'|'O') TupleData for the
+  old key / old row, then 'N' TupleData.
+* ``D`` delete: int32 relation id, ('K'|'O') TupleData.
+* ``T`` truncate: int32 relation count, int8 option bits
+  (1=CASCADE, 2=RESTART IDENTITY), int32[] relation ids.
+* TupleData: int16 column count, then per column 't' (int32 length +
+  UTF-8 bytes), 'n' (null), or 'u' (unchanged TOAST value not sent).
+
+Spark shape: the decode itself is an Arrow-batched ``mapInPandas``
+kernel over the BinaryType message column (never a per-row UDF);
+RELATION messages — rare, bounded by table count × schema changes — are
+parsed driver-side into a versioned registry (valid-from/to LSN
+intervals, same shape as T13's schema history) and column naming is a
+broadcast range join plus JVM-side ``zip_with``/``map_from_entries``.
+Transaction metadata rides the BEGIN message's final-LSN field: each tx
+is an ``[begin_lsn, final_lsn]`` interval, so data messages attach their
+xid/commit-ts by a broadcast range join — no global window, no stateful
+pairing (protocol v1 data messages do not carry the xid; v2 streaming
+does, which would turn this into a plain equi-join).
+
+No live Postgres exists in this sandbox, so fixtures are generated
+offline by the encoder half below (byte-identical to the protocol; the
+unit goldens in tests/test_pgoutput.py pin exact byte strings per
+message type).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: replication message codes handled by the decoder
+#: (PgOutputMessageDecoder.java:95-115; 'Y' type and 'M' logical-decoding
+#: messages parse to kind='skip' like the reference's default branch)
+MESSAGE_CODES = {
+    "R": "relation",
+    "B": "begin",
+    "C": "commit",
+    "I": "insert",
+    "U": "update",
+    "D": "delete",
+    "T": "truncate",
+    "O": "origin",
+    "Y": "skip",
+    "M": "skip",
+}
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python single-message parse/encode (shared by the Arrow kernel and
+# the byte-fixture goldens)
+# ---------------------------------------------------------------------------
+def _read_cstring(buf: bytes, off: int) -> tuple[str, int]:
+    end = buf.index(b"\x00", off)
+    return buf[off:end].decode("utf-8"), end + 1
+
+
+def _read_tuple_data(buf: bytes, off: int) -> tuple[list[tuple], int]:
+    (ncols,) = struct.unpack_from(">h", buf, off)
+    off += 2
+    cols: list[tuple] = []
+    for _ in range(ncols):
+        kind = chr(buf[off])
+        off += 1
+        if kind == "t":
+            (length,) = struct.unpack_from(">i", buf, off)
+            off += 4
+            cols.append(("t", buf[off : off + length].decode("utf-8")))
+            off += length
+        elif kind in ("n", "u"):
+            cols.append((kind, None))
+        else:
+            raise ValueError(f"unsupported tuple sub-message {kind!r}")
+    return cols, off
+
+
+def parse_message(buf: bytes) -> dict:
+    """Parse ONE binary replication message into a plain dict (the
+    per-message half of PgOutputMessageDecoder.processNotEmptyMessage).
+    Unknown message codes return ``{"kind": "skip"}`` — the reference
+    ignores unhandled types rather than failing the stream."""
+    code = chr(buf[0])
+    kind = MESSAGE_CODES.get(code, "skip")
+    if kind == "begin":
+        final_lsn, ts_us, xid = struct.unpack_from(">qqi", buf, 1)
+        return {
+            "kind": "begin",
+            "final_lsn": final_lsn,
+            "commit_ts_us": ts_us,
+            # Integer.toUnsignedLong(buffer.getInt()) — xid is uint32
+            "xid": xid & 0xFFFFFFFF,
+        }
+    if kind == "commit":
+        flags = buf[1]
+        commit_lsn, end_lsn, ts_us = struct.unpack_from(">qqq", buf, 2)
+        return {
+            "kind": "commit",
+            "flags": flags,
+            "commit_lsn": commit_lsn,
+            "end_lsn": end_lsn,
+            "commit_ts_us": ts_us,
+        }
+    if kind == "relation":
+        (relid,) = struct.unpack_from(">i", buf, 1)
+        off = 5
+        schema, off = _read_cstring(buf, off)
+        table, off = _read_cstring(buf, off)
+        replica_identity = chr(buf[off])
+        off += 1
+        (ncols,) = struct.unpack_from(">h", buf, off)
+        off += 2
+        columns = []
+        for _ in range(ncols):
+            flags = buf[off]
+            off += 1
+            name, off = _read_cstring(buf, off)
+            type_oid, atttypmod = struct.unpack_from(">ii", buf, off)
+            off += 8
+            columns.append(
+                {
+                    "flags": flags,
+                    "name": name,
+                    "type_oid": type_oid,
+                    "atttypmod": atttypmod,
+                }
+            )
+        return {
+            "kind": "relation",
+            "relation_id": relid,
+            "schema": schema,
+            "table": table,
+            "replica_identity": replica_identity,
+            "columns": columns,
+        }
+    if kind == "insert":
+        (relid,) = struct.unpack_from(">i", buf, 1)
+        tuple_type = chr(buf[5])  # always 'N' for inserts
+        if tuple_type != "N":
+            raise ValueError(f"INSERT tuple type {tuple_type!r}, expected 'N'")
+        after, _ = _read_tuple_data(buf, 6)
+        return {"kind": "insert", "relation_id": relid, "after": after}
+    if kind == "update":
+        (relid,) = struct.unpack_from(">i", buf, 1)
+        off = 5
+        tuple_type = chr(buf[off])
+        off += 1
+        before = None
+        before_kind = None
+        if tuple_type in ("K", "O"):
+            before, off = _read_tuple_data(buf, off)
+            before_kind = tuple_type
+            tuple_type = chr(buf[off])  # read the 'N' tuple type
+            off += 1
+        if tuple_type != "N":
+            raise ValueError(f"UPDATE tuple type {tuple_type!r}, expected 'N'")
+        after, _ = _read_tuple_data(buf, off)
+        return {
+            "kind": "update",
+            "relation_id": relid,
+            "before": before,
+            "before_kind": before_kind,
+            "after": after,
+        }
+    if kind == "delete":
+        (relid,) = struct.unpack_from(">i", buf, 1)
+        before_kind = chr(buf[5])
+        if before_kind not in ("K", "O"):
+            raise ValueError(f"DELETE tuple type {before_kind!r}")
+        before, _ = _read_tuple_data(buf, 6)
+        return {
+            "kind": "delete",
+            "relation_id": relid,
+            "before": before,
+            "before_kind": before_kind,
+        }
+    if kind == "truncate":
+        (nrels,) = struct.unpack_from(">i", buf, 1)
+        flags = buf[5]
+        relids = list(struct.unpack_from(f">{nrels}i", buf, 6))
+        return {"kind": "truncate", "relation_ids": relids, "flags": flags}
+    if kind == "origin":
+        (commit_lsn,) = struct.unpack_from(">q", buf, 1)
+        name, _ = _read_cstring(buf, 9)
+        return {"kind": "origin", "commit_lsn": commit_lsn, "name": name}
+    return {"kind": "skip"}
+
+
+# -- encoder half (fixture generation; byte-identical to the protocol) ------
+def _enc_cstring(s: str) -> bytes:
+    return s.encode("utf-8") + b"\x00"
+
+
+def encode_tuple_data(cols: list[tuple]) -> bytes:
+    out = struct.pack(">h", len(cols))
+    for col in cols:
+        kind = col[0]
+        if kind == "t":
+            v = col[1].encode("utf-8")
+            out += b"t" + struct.pack(">i", len(v)) + v
+        elif kind in ("n", "u"):
+            out += kind.encode()
+        else:
+            raise ValueError(f"unsupported tuple sub-message {kind!r}")
+    return out
+
+
+def encode_begin(final_lsn: int, commit_ts_us: int, xid: int) -> bytes:
+    return b"B" + struct.pack(">qqi", final_lsn, commit_ts_us, xid)
+
+
+def encode_commit(
+    commit_lsn: int, end_lsn: int, commit_ts_us: int, flags: int = 0
+) -> bytes:
+    return b"C" + bytes([flags]) + struct.pack(
+        ">qqq", commit_lsn, end_lsn, commit_ts_us
+    )
+
+
+def encode_relation(
+    relation_id: int,
+    schema: str,
+    table: str,
+    columns: list[tuple],
+    replica_identity: str = "d",
+) -> bytes:
+    """``columns``: list of (flags, name, type_oid, atttypmod)."""
+    out = (
+        b"R"
+        + struct.pack(">i", relation_id)
+        + _enc_cstring(schema)
+        + _enc_cstring(table)
+        + replica_identity.encode()
+        + struct.pack(">h", len(columns))
+    )
+    for flags, name, type_oid, atttypmod in columns:
+        out += bytes([flags]) + _enc_cstring(name) + struct.pack(
+            ">ii", type_oid, atttypmod
+        )
+    return out
+
+
+def encode_insert(relation_id: int, after: list[tuple]) -> bytes:
+    return b"I" + struct.pack(">i", relation_id) + b"N" + encode_tuple_data(
+        after
+    )
+
+
+def encode_update(
+    relation_id: int,
+    after: list[tuple],
+    before: list[tuple] | None = None,
+    before_kind: str = "K",
+) -> bytes:
+    out = b"U" + struct.pack(">i", relation_id)
+    if before is not None:
+        out += before_kind.encode() + encode_tuple_data(before)
+    return out + b"N" + encode_tuple_data(after)
+
+
+def encode_delete(
+    relation_id: int, before: list[tuple], before_kind: str = "K"
+) -> bytes:
+    return (
+        b"D"
+        + struct.pack(">i", relation_id)
+        + before_kind.encode()
+        + encode_tuple_data(before)
+    )
+
+
+def encode_truncate(relation_ids: list[int], flags: int = 0) -> bytes:
+    return (
+        b"T"
+        + struct.pack(">i", len(relation_ids))
+        + bytes([flags])
+        + struct.pack(f">{len(relation_ids)}i", *relation_ids)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed decode
+# ---------------------------------------------------------------------------
+_FRAME_SCHEMA = (
+    "lsn long, kind string, relation_id int, xid long, final_lsn long,"
+    " commit_ts_us long, before_kind string,"
+    " before array<struct<k:string, v:string>>,"
+    " after array<struct<k:string, v:string>>,"
+    " truncate_relids array<int>, truncate_flags int"
+)
+
+
+def decode_frames(
+    df: DataFrame, msg_col: str = "msg", lsn_col: str = "lsn"
+) -> DataFrame:
+    """Arrow-batched decode of every message into a positional frame
+    (column names attach later from the relation registry). One Python
+    pass per Arrow batch; the parse is pure byte slicing."""
+    import pandas as pd
+
+    out_cols = [
+        "lsn", "kind", "relation_id", "xid", "final_lsn", "commit_ts_us",
+        "before_kind", "before", "after", "truncate_relids",
+        "truncate_flags",
+    ]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for lsn, raw in zip(pdf[lsn_col], pdf[msg_col]):
+                m = parse_message(bytes(raw))
+
+                def cells(cols):
+                    if cols is None:
+                        return None
+                    return [{"k": k, "v": v} for k, v in cols]
+
+                rows.append(
+                    (
+                        int(lsn),
+                        m["kind"],
+                        m.get("relation_id"),
+                        m.get("xid"),
+                        m.get("final_lsn"),
+                        m.get("commit_ts_us"),
+                        m.get("before_kind"),
+                        cells(m.get("before")),
+                        cells(m.get("after")),
+                        m.get("relation_ids"),
+                        m.get("flags") if m["kind"] == "truncate" else None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(lsn_col, msg_col).mapInPandas(run, _FRAME_SCHEMA)
+
+
+def relation_registry(
+    spark, df: DataFrame, msg_col: str = "msg", lsn_col: str = "lsn"
+) -> DataFrame:
+    """Versioned relation registry from the stream's 'R' messages: one row
+    per (relation_id, version) with a [valid_from_lsn, valid_to_lsn) LSN
+    interval — the same validity shape as T13's schema history. RELATION
+    messages are rare (tables × schema changes), so the driver-side
+    collect is bounded; intervals are built with a plain sort, never a
+    Spark window."""
+    rel_rows = (
+        df.filter(F.expr(f"substring({msg_col}, 1, 1) = X'52'"))  # 'R'
+        .select(lsn_col, msg_col)
+        .collect()
+    )
+    parsed = sorted(
+        (r[lsn_col], parse_message(bytes(r[msg_col]))) for r in rel_rows
+    )
+    by_relid: dict[int, list] = {}
+    for lsn, m in parsed:
+        by_relid.setdefault(m["relation_id"], []).append((lsn, m))
+    rows = []
+    for relid, versions in by_relid.items():
+        for i, (lsn, m) in enumerate(versions):
+            valid_to = versions[i + 1][0] if i + 1 < len(versions) else 2**62
+            rows.append(
+                (
+                    relid,
+                    m["schema"],
+                    m["table"],
+                    m["replica_identity"],
+                    [c["name"] for c in m["columns"]],
+                    [c["flags"] for c in m["columns"]],
+                    [c["type_oid"] for c in m["columns"]],
+                    lsn,
+                    valid_to,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "relation_id int, schema string, table string,"
+        " replica_identity string, col_names array<string>,"
+        " col_flags array<int>, col_oids array<int>,"
+        " valid_from_lsn long, valid_to_lsn long",
+    )
+
+
+def _named(cells, names):
+    return F.zip_with(
+        names,
+        cells,
+        lambda n, c: F.struct(
+            n.alias("name"), c["k"].alias("k"), c["v"].alias("v")
+        ),
+    )
+
+
+def _text_map(named):
+    return F.map_from_entries(
+        F.transform(
+            F.filter(named, lambda x: x["k"] == "t"),
+            lambda x: F.struct(x["name"].alias("key"), x["v"].alias("value")),
+        )
+    )
+
+
+def _names_where(named, kind):
+    return F.transform(
+        F.filter(named, lambda x: x["k"] == kind), lambda x: x["name"]
+    )
+
+
+def decode_pgoutput_binary(
+    spark, df: DataFrame, msg_col: str = "msg", lsn_col: str = "lsn"
+) -> DataFrame:
+    """Full binary pgoutput decode: frames → named envelopes with
+    transaction metadata.
+
+    Output per data message: ``(lsn, op, schema, table, xid,
+    commit_ts_us, before, before_nulls, after, after_nulls,
+    after_toasted)`` where before/after are ``map<string,string>`` of the
+    text-form values ('t' cells), the ``*_nulls`` arrays name 'n' cells,
+    and ``after_toasted`` names unchanged-TOAST 'u' cells the server did
+    not resend (UnchangedToastedReplicationMessageColumn).
+
+    Plan shape: the relation registry and the begin-interval table are
+    both tiny relative to the stream and join broadcast; column naming is
+    JVM-side array/map expressions; the only Python is the Arrow decode
+    kernel. The tx attach is a broadcast LSN-range join against BEGIN
+    intervals ([message lsn, final-LSN field]) — per micro-batch the
+    begin side is bounded by transactions-per-batch."""
+    frames = decode_frames(df, msg_col=msg_col, lsn_col=lsn_col)
+    reg = relation_registry(spark, df, msg_col=msg_col, lsn_col=lsn_col)
+
+    data = frames.filter(F.col("kind").isin("insert", "update", "delete"))
+    named_data = data.join(
+        F.broadcast(reg),
+        (data["relation_id"] == reg["relation_id"])
+        & (data["lsn"] >= reg["valid_from_lsn"])
+        & (data["lsn"] < reg["valid_to_lsn"]),
+        "left",
+    ).drop(reg["relation_id"])
+
+    begins = (
+        frames.filter(F.col("kind") == "begin")
+        .select(
+            F.col("lsn").alias("__begin_lsn"),
+            F.col("final_lsn").alias("__end_lsn"),
+            F.col("xid").alias("__xid"),
+            F.col("commit_ts_us").alias("__tx_ts_us"),
+        )
+    )
+    with_tx = named_data.join(
+        F.broadcast(begins),
+        (F.col("lsn") >= F.col("__begin_lsn"))
+        & (F.col("lsn") <= F.col("__end_lsn")),
+        "left",
+    )
+
+    b = _named(F.col("before"), F.col("col_names"))
+    a = _named(F.col("after"), F.col("col_names"))
+    op = (
+        F.when(F.col("kind") == "insert", F.lit("c"))
+        .when(F.col("kind") == "update", F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    return with_tx.select(
+        F.col("lsn"),
+        op.alias("op"),
+        F.col("schema"),
+        F.col("table"),
+        F.col("__xid").alias("xid"),
+        F.col("__tx_ts_us").alias("commit_ts_us"),
+        F.col("before_kind"),
+        F.when(F.col("before").isNotNull(), _text_map(b)).alias("before"),
+        F.when(F.col("before").isNotNull(), _names_where(b, "n")).alias(
+            "before_nulls"
+        ),
+        F.when(F.col("after").isNotNull(), _text_map(a)).alias("after"),
+        F.when(F.col("after").isNotNull(), _names_where(a, "n")).alias(
+            "after_nulls"
+        ),
+        F.when(F.col("after").isNotNull(), _names_where(a, "u")).alias(
+            "after_toasted"
+        ),
+    )

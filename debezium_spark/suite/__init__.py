@@ -35,82 +35,74 @@ QUERIES: dict[str, Q] = {}
 # Everything not listed still registers (and is value-checked by the in-repo
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
-    # --- r8 rotation (the per-query ledger lives in COVERAGE.md):
-    # 1. ALL 24 queries with no driver row yet — everything registered
-    #    after the r7 window froze (a17–a19, k13/k14, m5/m6, w32–w35, e5,
-    #    x27–x38). m6's registration was dead at HEAD in r7 (missing
-    #    import, fixed this round) and e5's NULL-timestamp bug was fixed —
-    #    both need fresh driver evidence on the corrected code.
-    # 2. the three queries registered THIS round (new queries must be
-    #    windowed): x39 sampled duplicated-spans, s15 composite-PK exact
-    #    rank chunking, s16 string-key row-value chunk read;
-    # 2b. s17 (DDL-text parsing, also new this round). w36/w37 (Q9/Q16
-    #    warehouse shapes, also new) are NOT windowed: compositions of
-    #    long-proven built-ins, gate-verified, queued for r9 — windowing
-    #    them would displace stale-operator re-proofs;
-    # 3. 22 of the 45 queries whose last green driver row is r5 (the
-    #    stalest tier): the non-warehouse r5 queries (minus x13, whose
-    #    repetition family is covered by the windowed x33, minus
-    #    x11_corpus_pipeline, whose x11_chunk_documents sibling is
-    #    windowed, and minus x12_train_val_split, whose split family is
-    #    covered by the windowed x35) plus one
-    #    warehouse representative (w1 scan-agg). The 23 remaining r5 legs
-    #    stay gate-verified and rotate in r9 — after this window nothing
-    #    outside that set is older than r6.
-    # never driver-green (registered after the r7 window froze) --------------
-    "m6_shard_packing",                # WebDataset shard planner (fixed import)
-    "e5_funnel",                       # ordered funnel (NULL-ts fix re-proof)
-    "x37_duplicated_spans",            # exact-substring spans (perf rework)
-    "x38_charlm_quality",              # char-bigram LM quality scoring
-    "a19_sq8_search",                  # SQ8 scalar-quantized ANN
-    "a17_cluster_balanced_sample",     # coreset sampling
-    "a18_mmr_rerank",                  # MMR diversified rerank
-    "k13_scd2_history",                # SCD2 history materialization
-    "k14_sequence_gaps",               # sequence-gap audit
-    "m5_binary_exact_dedup",           # binary twin of x4
-    "w32_waiting_suppliers",           # TPC-H Q21 shape
-    "w33_market_share",                # TPC-H Q8 shape
-    "w34_important_parts",             # TPC-H Q11 shape
-    "w35_top_supplier",                # TPC-H Q15 shape
-    "x27_pack_sequences",              # concat-and-chunk packing
-    "x28_token_budget_sample",         # token-budget mixture sampling
-    "x29_pii_redaction",
-    "x30_remove_boilerplate",
-    "x31_dedupe_lines",
-    "x32_dedupe_corpus_lines",
-    "x33_repetition_metrics",          # Gopher repetition rules
-    "x34_incremental_dedup",           # batch-vs-persisted-index dedup
-    "x35_leakage_safe_split",
-    "x36_interleaved_order",
-    # last green r5 (stalest tier; every non-warehouse one) ------------------
-    "a2_knn_bruteforce",
-    "a4_field_to_embedding",
-    "a5_embed_similarity",
-    "a7_ivf_centroids",
-    "e1_tumbling_window",
-    "m1_image_meta",
-    "p4_transaction_metadata",
-    "s3_incremental_snapshot_dedup",
-    "t1_extract_new_record_state",
-    "x1_text_stats",
-    "x3_token_count",
-    "x4_exact_dedup",
-    "x9_quality_filter",
-    "x10_word_ngram_jaccard",
-    "x11_chunk_documents",
-    "x14_priority_dedup",
-    "x17_cm_heavy_hitters",
-    "x18_posting_lists",
-    "x19_char_entropy",
-    # last green r5: one warehouse representative ----------------------------
-    "w1_pricing_summary",
+    # --- r9 rotation (the per-query ledger lives in COVERAGE.md):
+    # 1. ALL 25 queries whose last green driver row is r5 — the judge's
+    #    top ask (VERDICT r8 item 1): the w3..w28 warehouse block plus
+    #    x11_corpus_pipeline / x12 / x13. After this window nothing is
+    #    older than r6.
+    # 2. w36/w37 (Q9/Q16 shapes, registered after the r8 window froze —
+    #    gate-green but never driver-checked).
+    # 3. the queries registered THIS round (new queries must be windowed):
+    #    s18 binary pgoutput decode, s19 binlog wire decode, x41 BPE
+    #    tokenizer training.
+    # 4. 20 of the 49 r6-tier legs, spanning every family with an r6
+    #    member (sources, formats, handling, sinks, multimodal m3 per
+    #    VERDICT item 9, event-time, SMTs, warehouse, sketches); the
+    #    remaining 29 rotate in r10 so nothing sits below r7 by then.
+    # never driver-checked ----------------------------------------------------
+    "w36_product_profit",              # TPC-H Q9 shape
+    "w37_part_supplier_counts",        # TPC-H Q16 shape
+    # last green r5 (the entire stale tier) -----------------------------------
+    "w3_revenue_filter",
+    "w5_rollup_counts",
+    "w6_set_ops",
+    "w7_distinct_agg",
+    "w9_salted_join",
+    "w10_percentiles",
+    "w11_pivot",
+    "w12_region_revenue",
+    "w13_exists_anti",
+    "w16_min_cost_supplier",
+    "w17_small_quantity_revenue",
+    "w18_priority_split",
+    "w19_promo_revenue_share",
+    "w20_large_orders",
+    "w21_disjunctive_revenue",
+    "w22_dormant_customers",
+    "w23_running_total",
+    "w24_order_gaps",
+    "w25_cube_counts",
+    "w26_excess_stock_suppliers",
+    "w27_order_count_histogram",
+    "w28_nation_pair_volume",
+    "x11_corpus_pipeline",
+    "x12_train_val_split",
+    "x13_repetition_ratio",
     # registered this round (new queries must be windowed) --------------------
-    "x39_duplicated_spans_sampled",    # 0-mod-p sampled exact-substring spans
-    "s15_composite_key_chunks",        # composite-PK exact rank chunking
-    "s16_string_keyset_chunk",         # string-key row-value chunk read
-    "s17_ddl_schema_history",          # binlog DDL-text parse -> history
-    "m7_image_near_dups",              # perceptual aHash + banded Hamming
-    "x40_incremental_spans",           # batch-vs-persisted-index spans
+    "s18_pgoutput_binary_decode",      # real pgoutput wire-format decode
+    "s19_binlog_binary_decode",        # binlog event wire-format decode
+    "x41_bpe_tokenizer",               # BPE merge-training over documents
+    # last green r6 (stalest remaining tier, 20 of 49; rest rotate in r10) ----
+    "s1_snapshot_envelope",
+    "s2_chunked_snapshot",
+    "s6_snapshot_modes",
+    "s8_pgoutput_decode",
+    "s13_snapshot_diff",
+    "f2_json_serde",
+    "h1_handling_modes",
+    "h4_special_value_types",
+    "h5_vector_logical_types",
+    "k2_merge_update_mode",
+    "k9_incremental_aggregate",
+    "k10_net_effect",
+    "m3_audio_segments",
+    "e3_session_window",
+    "t2_extract_new_document_state",
+    "t7_outbox_router",
+    "t9_timezone_converter",
+    "t17_mask_columns",
+    "w4_share_window",
+    "x16_hll_distinct_users",
 )
 
 

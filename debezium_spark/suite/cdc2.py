@@ -1388,3 +1388,162 @@ def s17_ddl_schema_history(spark, sf_dir):
         ),
         F.col("valid_from_pos").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S8 (real wire format): binary pgoutput decode
+# ---------------------------------------------------------------------------
+_PG_RELID = 16385
+_PG_COLS = [  # (flags, name, type_oid, atttypmod): id is the key; int8/text/numeric/text
+    (1, "id", 20, -1),
+    (0, "status", 25, -1),
+    (0, "balance", 1700, 655366),
+    (0, "note", 25, -1),
+]
+
+
+def _pgoutput_fixture_stream(spark, sf_dir):
+    """A deterministic binary pgoutput stream derived from the events
+    table — REAL protocol bytes (tests/test_pgoutput.py pins the byte
+    layout against PgOutputMessageDecoder.java's reads): one RELATION
+    message, then per 50-event group a BEGIN (carrying the tx's final
+    LSN, commit micros, xid) + data messages + COMMIT. Ops cycle by
+    event_id % 4 (insert/update-with-old-key/delete/insert); note is
+    NULL on every 5th insert and an unchanged-TOAST 'u' cell on every
+    5th update. Encoding runs in the same Arrow-batched shape as the
+    decode kernel — the fixture scales with sf, nothing collects."""
+    import math
+
+    import pandas as pd
+
+    from debezium_spark.sources.pgoutput import (
+        encode_begin,
+        encode_commit,
+        encode_delete,
+        encode_insert,
+        encode_relation,
+        encode_update,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def enc_data(batches):
+        for pdf in batches:
+            lsns, msgs = [], []
+            for e, u, t, v in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"],
+                pdf["value"],
+            ):
+                e, u = int(e), int(u)
+                g = e // 50
+                bal = str(math.floor(float(v) * 100))
+                note = (
+                    ("n", None) if e % 5 == 0 else ("t", f"n_{u}")
+                )
+                if e % 4 == 1:
+                    after = [
+                        ("t", str(e)), ("t", f"{t}_u"), ("t", bal),
+                        ("u", None) if e % 5 == 0 else ("t", f"n_{u}"),
+                    ]
+                    key = [("t", str(e)), ("n", None), ("n", None),
+                           ("n", None)]
+                    msg = encode_update(_PG_RELID, after, key, "K")
+                elif e % 4 == 2:
+                    key = [("t", str(e)), ("n", None), ("n", None),
+                           ("n", None)]
+                    msg = encode_delete(_PG_RELID, key, "K")
+                else:
+                    after = [("t", str(e)), ("t", t), ("t", bal), note]
+                    msg = encode_insert(_PG_RELID, after)
+                lsns.append(g * 1000 + 2 + e % 50)
+                msgs.append(msg)
+            yield pd.DataFrame({"lsn": lsns, "msg": msgs})
+
+    data = ev.mapInPandas(enc_data, "lsn long, msg binary")
+
+    def enc_tx(batches):
+        for pdf in batches:
+            lsns, msgs = [], []
+            for g in pdf["g"]:
+                g = int(g)
+                ts = (g + 1) * 1_000_000
+                lsns.append(g * 1000 + 1)
+                msgs.append(encode_begin(g * 1000 + 999, ts, 1000 + g))
+                lsns.append(g * 1000 + 999)
+                msgs.append(
+                    encode_commit(g * 1000 + 999, g * 1000 + 999, ts)
+                )
+            yield pd.DataFrame({"lsn": lsns, "msg": msgs})
+
+    tx = (
+        ev.select(F.expr("event_id DIV 50").alias("g"))
+        .distinct()
+        .mapInPandas(enc_tx, "lsn long, msg binary")
+    )
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_relation(_PG_RELID, "public", "accounts",
+                                       _PG_COLS)))],
+        "lsn long, msg binary",
+    )
+    return rel.unionByName(tx).unionByName(data)
+
+
+@register(
+    "s18_pgoutput_binary_decode",
+    oracle="""
+    SELECT (event_id // 50) * 1000 + 2 + (event_id % 50) AS lsn,
+           CASE WHEN event_id % 4 = 1 THEN 'u'
+                WHEN event_id % 4 = 2 THEN 'd' ELSE 'c' END AS op,
+           'public' AS sch, 'accounts' AS tbl,
+           1000 + (event_id // 50) AS xid,
+           ((event_id // 50) + 1) * 1000000 AS commit_ts_us,
+           event_id AS id,
+           CASE WHEN event_id % 4 = 2 THEN NULL
+                WHEN event_id % 4 = 1 THEN event_type || '_u'
+                ELSE event_type END AS status,
+           CASE WHEN event_id % 4 = 2 THEN NULL
+                ELSE CAST(floor(value * 100) AS BIGINT) END AS balance_cents,
+           CASE WHEN event_id % 4 = 2 THEN NULL
+                WHEN event_id % 4 = 1 AND event_id % 5 = 0 THEN '__toast__'
+                WHEN event_id % 5 = 0 THEN NULL
+                ELSE 'n_' || CAST(user_id AS VARCHAR) END AS note
+    FROM events
+    """,
+)
+def s18_pgoutput_binary_decode(spark, sf_dir):
+    """S8's REAL protocol: binary pgoutput messages (Relation/Begin/
+    Commit/Insert/Update/Delete with 't'/'n'/'u' tuple cells, old-key 'K'
+    tuples, unchanged-TOAST columns) round-tripped through the wire
+    encoder and the Arrow-batched decoder
+    (PgOutputMessageDecoder.java:84-113,756-820). The oracle rebuilds
+    every decoded field — op, table naming via the relation registry,
+    xid/commit micros via the BEGIN-interval attach, values, NULL cells,
+    TOAST markers — from the closed-form fixture derivation, so the byte
+    encode, the parse, the registry range join, and the tx range join are
+    all value-checked end-to-end."""
+    from debezium_spark.sources.pgoutput import decode_pgoutput_binary
+
+    stream = _pgoutput_fixture_stream(spark, sf_dir)
+    dec = decode_pgoutput_binary(spark, stream)
+    after = F.col("after")
+    return dec.select(
+        "lsn",
+        "op",
+        F.col("schema").alias("sch"),
+        F.col("table").alias("tbl"),
+        "xid",
+        "commit_ts_us",
+        F.coalesce(after["id"], F.col("before")["id"]).cast("long").alias(
+            "id"
+        ),
+        after["status"].alias("status"),
+        after["balance"].cast("long").alias("balance_cents"),
+        F.when(
+            F.array_contains(F.col("after_toasted"), "note"),
+            F.lit("__toast__"),
+        )
+        .otherwise(after["note"])
+        .alias("note"),
+    )

@@ -1,0 +1,228 @@
+"""Binary pgoutput wire-format goldens (sources/pgoutput.py).
+
+Byte layouts pinned against PgOutputMessageDecoder.java's reads: BEGIN
+(:264-274), COMMIT (:281-294), RELATION (:320-372), INSERT (:447-469),
+UPDATE (:478-516), DELETE (:525-549), TRUNCATE (:556-612), cstring/value
+reads (:726-746), tuple sub-messages 't'/'n'/'u' (:756-820). Every
+expected value below is a hand-written byte string — the decode side is
+checked against the PROTOCOL, not against our own encoder.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from debezium_spark.sources.pgoutput import (
+    decode_pgoutput_binary,
+    encode_begin,
+    encode_commit,
+    encode_delete,
+    encode_insert,
+    encode_relation,
+    encode_truncate,
+    encode_tuple_data,
+    encode_update,
+    parse_message,
+)
+
+
+def test_begin_bytes_and_parse():
+    raw = encode_begin(final_lsn=999, commit_ts_us=5_000_000, xid=42)
+    assert raw == (
+        b"B"
+        + (999).to_bytes(8, "big")
+        + (5_000_000).to_bytes(8, "big")
+        + (42).to_bytes(4, "big")
+    )
+    m = parse_message(raw)
+    assert m == {
+        "kind": "begin", "final_lsn": 999, "commit_ts_us": 5_000_000,
+        "xid": 42,
+    }
+
+
+def test_begin_xid_is_unsigned_int32():
+    """Integer.toUnsignedLong(buffer.getInt()) — an xid past 2^31 must not
+    come back negative."""
+    xid = 0xFFFF_FFF0  # 4294967280, negative as signed int32
+    raw = b"B" + (1).to_bytes(8, "big") + (2).to_bytes(8, "big") + (
+        xid
+    ).to_bytes(4, "big")
+    assert parse_message(raw)["xid"] == xid
+
+
+def test_commit_bytes_and_parse():
+    raw = encode_commit(commit_lsn=7, end_lsn=9, commit_ts_us=123, flags=0)
+    assert raw == (
+        b"C\x00"
+        + (7).to_bytes(8, "big")
+        + (9).to_bytes(8, "big")
+        + (123).to_bytes(8, "big")
+    )
+    assert parse_message(raw) == {
+        "kind": "commit", "flags": 0, "commit_lsn": 7, "end_lsn": 9,
+        "commit_ts_us": 123,
+    }
+
+
+def test_relation_bytes_and_parse():
+    raw = encode_relation(
+        16385, "public", "t", [(1, "id", 20, -1), (0, "s", 25, -1)],
+        replica_identity="d",
+    )
+    expected = (
+        b"R"
+        + (16385).to_bytes(4, "big")
+        + b"public\x00t\x00d"
+        + (2).to_bytes(2, "big")
+        + b"\x01id\x00" + (20).to_bytes(4, "big") + b"\xff\xff\xff\xff"
+        + b"\x00s\x00" + (25).to_bytes(4, "big") + b"\xff\xff\xff\xff"
+    )
+    assert raw == expected
+    m = parse_message(raw)
+    assert (m["kind"], m["relation_id"], m["schema"], m["table"]) == (
+        "relation", 16385, "public", "t",
+    )
+    assert m["replica_identity"] == "d"
+    assert m["columns"] == [
+        {"flags": 1, "name": "id", "type_oid": 20, "atttypmod": -1},
+        {"flags": 0, "name": "s", "type_oid": 25, "atttypmod": -1},
+    ]
+
+
+def test_tuple_data_sub_messages():
+    raw = encode_tuple_data([("t", "héllo"), ("n", None), ("u", None)])
+    payload = "héllo".encode("utf-8")
+    assert raw == (
+        (3).to_bytes(2, "big")
+        + b"t" + len(payload).to_bytes(4, "big") + payload
+        + b"n" + b"u"
+    )
+    with pytest.raises(ValueError, match="sub-message"):
+        encode_tuple_data([("x", "?")])
+
+
+def test_insert_bytes_and_parse():
+    raw = encode_insert(16385, [("t", "1"), ("n", None)])
+    assert raw == (
+        b"I" + (16385).to_bytes(4, "big") + b"N"
+        + (2).to_bytes(2, "big") + b"t" + (1).to_bytes(4, "big") + b"1"
+        + b"n"
+    )
+    m = parse_message(raw)
+    assert m == {
+        "kind": "insert", "relation_id": 16385,
+        "after": [("t", "1"), ("n", None)],
+    }
+
+
+def test_update_with_and_without_old_tuple():
+    plain = parse_message(encode_update(5, [("t", "a")]))
+    assert plain["before"] is None and plain["before_kind"] is None
+    assert plain["after"] == [("t", "a")]
+
+    keyed = encode_update(
+        5, [("t", "a")], before=[("t", "k"), ("n", None)], before_kind="K"
+    )
+    assert keyed == (
+        b"U" + (5).to_bytes(4, "big")
+        + b"K" + (2).to_bytes(2, "big")
+        + b"t" + (1).to_bytes(4, "big") + b"k" + b"n"
+        + b"N" + (1).to_bytes(2, "big")
+        + b"t" + (1).to_bytes(4, "big") + b"a"
+    )
+    m = parse_message(keyed)
+    assert m["before_kind"] == "K"
+    assert m["before"] == [("t", "k"), ("n", None)]
+    # replica identity FULL sends the whole old row as 'O'
+    full = parse_message(
+        encode_update(5, [("t", "a")], before=[("t", "x")], before_kind="O")
+    )
+    assert full["before_kind"] == "O" and full["before"] == [("t", "x")]
+
+
+def test_delete_bytes_and_parse():
+    raw = encode_delete(5, [("t", "k")], before_kind="K")
+    assert raw == (
+        b"D" + (5).to_bytes(4, "big") + b"K"
+        + (1).to_bytes(2, "big") + b"t" + (1).to_bytes(4, "big") + b"k"
+    )
+    m = parse_message(raw)
+    assert (m["kind"], m["before_kind"], m["before"]) == (
+        "delete", "K", [("t", "k")],
+    )
+
+
+def test_truncate_bytes_flags_and_parse():
+    raw = encode_truncate([1, 2, 3], flags=3)  # RESTART IDENTITY + CASCADE
+    assert raw == (
+        b"T" + (3).to_bytes(4, "big") + b"\x03"
+        + (1).to_bytes(4, "big") + (2).to_bytes(4, "big")
+        + (3).to_bytes(4, "big")
+    )
+    assert parse_message(raw) == {
+        "kind": "truncate", "relation_ids": [1, 2, 3], "flags": 3,
+    }
+
+
+def test_origin_and_unknown_messages():
+    raw = b"O" + (77).to_bytes(8, "big") + b"node-a\x00"
+    assert parse_message(raw) == {
+        "kind": "origin", "commit_lsn": 77, "name": "node-a",
+    }
+    # 'M' logical decoding message and anything unknown skip, never raise
+    assert parse_message(b"Mwhatever")["kind"] == "skip"
+    assert parse_message(b"Zjunk")["kind"] == "skip"
+
+
+def test_distributed_decode_with_schema_evolution_and_toast(spark):
+    """End-to-end over the Spark kernels: a relation that EVOLVES
+    mid-stream (two 'R' versions) names tuples by the version in effect
+    at each message's LSN; TOAST and null cells and old-key tuples land
+    in the right output fields; tx metadata attaches from the BEGIN
+    interval."""
+    from debezium_spark.sources.pgoutput import encode_commit as _c
+
+    msgs = [
+        (0, encode_relation(9, "public", "t", [(1, "id", 20, -1),
+                                               (0, "v", 25, -1)])),
+        (1, encode_begin(4, 1_000_000, 100)),
+        (2, encode_insert(9, [("t", "1"), ("t", "a")])),
+        (3, encode_update(9, [("t", "1"), ("u", None)],
+                          before=[("t", "1"), ("n", None)],
+                          before_kind="K")),
+        (4, _c(4, 4, 1_000_000)),
+        # schema evolution: column added; later messages carry 3 cells
+        (5, encode_relation(9, "public", "t", [(1, "id", 20, -1),
+                                               (0, "v", 25, -1),
+                                               (0, "w", 23, -1)])),
+        (6, encode_begin(9, 2_000_000, 101)),
+        (7, encode_insert(9, [("t", "2"), ("n", None), ("t", "9")])),
+        (8, encode_delete(9, [("t", "2"), ("n", None), ("n", None)])),
+        (9, _c(9, 9, 2_000_000)),
+    ]
+    df = spark.createDataFrame(
+        [(lsn, bytearray(m)) for lsn, m in msgs], "lsn long, msg binary"
+    )
+    out = {
+        r["lsn"]: r
+        for r in decode_pgoutput_binary(spark, df).collect()
+    }
+    assert len(out) == 4  # only data messages
+    ins1 = out[2]
+    assert (ins1["op"], ins1["table"], ins1["xid"]) == ("c", "t", 100)
+    assert ins1["commit_ts_us"] == 1_000_000
+    assert ins1["after"] == {"id": "1", "v": "a"}
+    assert ins1["before"] is None
+    upd = out[3]
+    assert upd["op"] == "u" and upd["before_kind"] == "K"
+    assert upd["before"] == {"id": "1"} and upd["before_nulls"] == ["v"]
+    assert upd["after"] == {"id": "1"} and upd["after_toasted"] == ["v"]
+    ins2 = out[7]  # post-evolution: third column named
+    assert ins2["xid"] == 101
+    assert ins2["after"] == {"id": "2", "w": "9"}
+    assert ins2["after_nulls"] == ["v"]
+    dele = out[8]
+    assert dele["op"] == "d" and dele["after"] is None
+    assert dele["before"] == {"id": "2"}
+    assert sorted(dele["before_nulls"]) == ["v", "w"]
