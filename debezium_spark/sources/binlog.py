@@ -1,0 +1,524 @@
+"""S7 — MySQL binlog wire-format decode (the real binary event format).
+
+Reference: ``debezium-connector-binlog/.../BinlogStreamingChangeEventSource
+.java`` — the event dispatch table (:197-222: TABLE_MAP→metadata,
+QUERY→DDL/BEGIN, XID→tx commit, WRITE/UPDATE/DELETE_ROWS incl. the EXT_*
+v2 variants→insert/update/delete) and the deserializer wiring (:549-560).
+The reference delegates byte-level deserialization to the public
+mysql-binlog-connector-java library; this module implements the same
+public binlog v4 layout directly:
+
+* Event header (19 bytes, little-endian like the whole format):
+  uint32 timestamp, uint8 event type, uint32 server id, uint32 event
+  size, uint32 next-event position (``log_pos``), uint16 flags.
+* TABLE_MAP (19): uint48 table id, uint16 flags, 1-byte-len + schema +
+  NUL, 1-byte-len + table + NUL, lenenc column count, column type
+  bytes, lenenc-length metadata block, nullability bitmap.
+* WRITE/UPDATE/DELETE_ROWS v2 (30/31/32): uint48 table id, uint16
+  flags, uint16 extra-data length (self-inclusive), lenenc column
+  count, columns-present bitmap(s) — UPDATE has two (before, after) —
+  then per row image: null bitmap (one bit per present column,
+  LSB-first) + values for the non-null columns.
+* QUERY (2): uint32 thread id, uint32 exec time, uint8 schema length,
+  uint16 error code, uint16 status-vars length, status vars, schema,
+  NUL, SQL text. Carries both DDL and the tx ``BEGIN`` marker.
+* XID (16): uint64 xid — the transaction commit.
+
+Column-type slice (value layouts): LONG=3 (int32), DOUBLE=5 (IEEE
+float64, metadata byte 8), LONGLONG=8 (int64), VARCHAR=15 (metadata
+uint16 max length; values are 1-byte length-prefixed below 256, 2-byte
+otherwise). These cover the fixture tables; other type codes raise so a
+wider slice is an explicit extension, not silent corruption. Event
+checksums (5.6+ CRC32 trailers) are out of scope — fixtures are
+generated checksum-free, matching a FORMAT_DESCRIPTION that declares
+checksum algorithm 0.
+
+Spark shape mirrors ``sources/pgoutput.py``: TABLE_MAP events — deduped,
+bounded by table count — parse driver-side into a broadcast registry
+(rows-event decoding NEEDS the column types, so the registry is a kernel
+closure, not a join); the rows decode itself is one Arrow-batched
+``mapInPandas`` kernel, never a per-row UDF.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# event type codes (binlog v4)
+QUERY_EVENT = 2
+ROTATE_EVENT = 4
+FORMAT_DESCRIPTION_EVENT = 15
+XID_EVENT = 16
+TABLE_MAP_EVENT = 19
+WRITE_ROWS_EVENT = 30  # v2 ("EXT_WRITE_ROWS" in the reference's enum)
+UPDATE_ROWS_EVENT = 31
+DELETE_ROWS_EVENT = 32
+
+EVENT_NAMES = {
+    QUERY_EVENT: "query",
+    ROTATE_EVENT: "rotate",
+    FORMAT_DESCRIPTION_EVENT: "format_description",
+    XID_EVENT: "xid",
+    TABLE_MAP_EVENT: "table_map",
+    WRITE_ROWS_EVENT: "write_rows",
+    UPDATE_ROWS_EVENT: "update_rows",
+    DELETE_ROWS_EVENT: "delete_rows",
+}
+
+# column type codes (the decoded slice)
+TYPE_LONG = 3
+TYPE_DOUBLE = 5
+TYPE_LONGLONG = 8
+TYPE_VARCHAR = 15
+
+HEADER_LEN = 19
+
+
+# ---------------------------------------------------------------------------
+# primitive reads/writes
+# ---------------------------------------------------------------------------
+def _read_lenenc(buf: bytes, off: int) -> tuple[int, int]:
+    b = buf[off]
+    if b < 0xFB:
+        return b, off + 1
+    if b == 0xFC:
+        return struct.unpack_from("<H", buf, off + 1)[0], off + 3
+    if b == 0xFD:
+        return int.from_bytes(buf[off + 1 : off + 4], "little"), off + 4
+    if b == 0xFE:
+        return struct.unpack_from("<Q", buf, off + 1)[0], off + 9
+    raise ValueError(f"bad length-encoded integer prefix {b:#x}")
+
+
+def _enc_lenenc(n: int) -> bytes:
+    if n < 0xFB:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + struct.pack("<H", n)
+    if n < 1 << 24:
+        return b"\xfd" + n.to_bytes(3, "little")
+    return b"\xfe" + struct.pack("<Q", n)
+
+
+def _bitmap_get(bm: bytes, i: int) -> bool:
+    return bool(bm[i // 8] >> (i % 8) & 1)
+
+
+def _enc_bitmap(bits: list[bool]) -> bytes:
+    out = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            out[i // 8] |= 1 << (i % 8)
+    return bytes(out)
+
+
+def _read_value(buf: bytes, off: int, type_code: int, meta: int):
+    if type_code == TYPE_LONG:
+        return struct.unpack_from("<i", buf, off)[0], off + 4
+    if type_code == TYPE_LONGLONG:
+        return struct.unpack_from("<q", buf, off)[0], off + 8
+    if type_code == TYPE_DOUBLE:
+        return struct.unpack_from("<d", buf, off)[0], off + 8
+    if type_code == TYPE_VARCHAR:
+        if meta < 256:
+            n = buf[off]
+            off += 1
+        else:
+            n = struct.unpack_from("<H", buf, off)[0]
+            off += 2
+        return buf[off : off + n].decode("utf-8"), off + n
+    raise ValueError(f"column type {type_code} outside the decoded slice")
+
+
+def _enc_value(v, type_code: int, meta: int) -> bytes:
+    if type_code == TYPE_LONG:
+        return struct.pack("<i", v)
+    if type_code == TYPE_LONGLONG:
+        return struct.pack("<q", v)
+    if type_code == TYPE_DOUBLE:
+        return struct.pack("<d", v)
+    if type_code == TYPE_VARCHAR:
+        raw = v.encode("utf-8")
+        pre = bytes([len(raw)]) if meta < 256 else struct.pack("<H", len(raw))
+        return pre + raw
+    raise ValueError(f"column type {type_code} outside the encoded slice")
+
+
+def _read_row_image(buf, off, types, metas, present):
+    """One row image: null bitmap over the PRESENT columns (LSB-first),
+    then values for present-and-non-null columns in order. Returns a list
+    over ALL columns (absent → None too; the fixture always sends all)."""
+    n_present = sum(present)
+    nb_len = (n_present + 7) // 8
+    null_bm = buf[off : off + nb_len]
+    off += nb_len
+    values, pi = [], 0
+    for i, p in enumerate(present):
+        if not p:
+            values.append(None)
+            continue
+        if _bitmap_get(null_bm, pi):
+            values.append(None)
+        else:
+            v, off = _read_value(buf, off, types[i], metas[i])
+            values.append(v)
+        pi += 1
+    return values, off
+
+
+def _enc_row_image(values, types, metas, present) -> bytes:
+    nulls = [v is None for v, p in zip(values, present) if p]
+    out = bytearray(_enc_bitmap(nulls))
+    for v, t, m, p in zip(values, types, metas, present):
+        if p and v is not None:
+            out += _enc_value(v, t, m)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# event parse/encode
+# ---------------------------------------------------------------------------
+def parse_header(buf: bytes) -> dict:
+    ts, etype, server_id, size, log_pos, flags = struct.unpack_from(
+        "<IBIIIH", buf, 0
+    )
+    return {
+        "timestamp": ts,
+        "type_code": etype,
+        "kind": EVENT_NAMES.get(etype, "skip"),
+        "server_id": server_id,
+        "event_size": size,
+        "log_pos": log_pos,
+        "flags": flags,
+    }
+
+
+def encode_header(
+    type_code: int,
+    body_len: int,
+    *,
+    timestamp: int = 0,
+    server_id: int = 1,
+    log_pos: int = 0,
+    flags: int = 0,
+) -> bytes:
+    return struct.pack(
+        "<IBIIIH",
+        timestamp,
+        type_code,
+        server_id,
+        HEADER_LEN + body_len,
+        log_pos,
+        flags,
+    )
+
+
+def parse_table_map(body: bytes) -> dict:
+    table_id = int.from_bytes(body[0:6], "little")
+    off = 8  # 6-byte table id + 2-byte flags
+    slen = body[off]
+    schema = body[off + 1 : off + 1 + slen].decode("utf-8")
+    off += 2 + slen  # len byte + name + NUL
+    tlen = body[off]
+    table = body[off + 1 : off + 1 + tlen].decode("utf-8")
+    off += 2 + tlen
+    ncols, off = _read_lenenc(body, off)
+    types = list(body[off : off + ncols])
+    off += ncols
+    meta_len, off = _read_lenenc(body, off)
+    meta_end = off + meta_len
+    metas = []
+    for t in types:
+        if t == TYPE_VARCHAR:
+            metas.append(struct.unpack_from("<H", body, off)[0])
+            off += 2
+        elif t == TYPE_DOUBLE:
+            metas.append(body[off])
+            off += 1
+        else:  # LONG / LONGLONG carry no metadata
+            metas.append(0)
+    if off != meta_end:
+        raise ValueError("TABLE_MAP metadata block length mismatch")
+    null_bm = body[off : off + (ncols + 7) // 8]
+    return {
+        "kind": "table_map",
+        "table_id": table_id,
+        "schema": schema,
+        "table": table,
+        "types": types,
+        "metas": metas,
+        "nullable": [_bitmap_get(null_bm, i) for i in range(ncols)],
+    }
+
+
+def encode_table_map(
+    table_id: int,
+    schema: str,
+    table: str,
+    types: list[int],
+    metas: list[int],
+    nullable: list[bool],
+    **hdr,
+) -> bytes:
+    meta = b""
+    for t, m in zip(types, metas):
+        if t == TYPE_VARCHAR:
+            meta += struct.pack("<H", m)
+        elif t == TYPE_DOUBLE:
+            meta += bytes([m])
+    s, t_ = schema.encode(), table.encode()
+    body = (
+        table_id.to_bytes(6, "little")
+        + struct.pack("<H", 1)  # flags
+        + bytes([len(s)]) + s + b"\x00"
+        + bytes([len(t_)]) + t_ + b"\x00"
+        + _enc_lenenc(len(types))
+        + bytes(types)
+        + _enc_lenenc(len(meta)) + meta
+        + _enc_bitmap(nullable)
+    )
+    return encode_header(TABLE_MAP_EVENT, len(body), **hdr) + body
+
+
+def parse_rows_event(body: bytes, type_code: int, registry: dict) -> dict:
+    """WRITE/UPDATE/DELETE_ROWS v2 payload; ``registry`` maps table_id →
+    the TABLE_MAP parse (types/metas are REQUIRED to walk the values)."""
+    table_id = int.from_bytes(body[0:6], "little")
+    tm = registry.get(table_id)
+    if tm is None:
+        raise ValueError(f"rows event for unmapped table id {table_id}")
+    types, metas = tm["types"], tm["metas"]
+    off = 8  # table id + flags
+    extra_len = struct.unpack_from("<H", body, off)[0]
+    off += extra_len  # self-inclusive
+    ncols, off = _read_lenenc(body, off)
+    if ncols != len(types):
+        raise ValueError("rows event column count != TABLE_MAP")
+    bm_len = (ncols + 7) // 8
+    present = [_bitmap_get(body[off : off + bm_len], i) for i in range(ncols)]
+    off += bm_len
+    present_after = present
+    if type_code == UPDATE_ROWS_EVENT:
+        present_after = [
+            _bitmap_get(body[off : off + bm_len], i) for i in range(ncols)
+        ]
+        off += bm_len
+    rows = []
+    while off < len(body):
+        img, off = _read_row_image(body, off, types, metas, present)
+        if type_code == UPDATE_ROWS_EVENT:
+            after, off = _read_row_image(
+                body, off, types, metas, present_after
+            )
+            rows.append({"before": img, "after": after})
+        elif type_code == DELETE_ROWS_EVENT:
+            rows.append({"before": img, "after": None})
+        else:
+            rows.append({"before": None, "after": img})
+    return {
+        "kind": EVENT_NAMES[type_code],
+        "table_id": table_id,
+        "schema": tm["schema"],
+        "table": tm["table"],
+        "rows": rows,
+    }
+
+
+def encode_rows_event(
+    type_code: int,
+    table_id: int,
+    types: list[int],
+    metas: list[int],
+    rows: list[dict],
+    **hdr,
+) -> bytes:
+    ncols = len(types)
+    present = [True] * ncols
+    body = (
+        table_id.to_bytes(6, "little")
+        + struct.pack("<H", 1)
+        + struct.pack("<H", 2)  # extra-data length (just itself)
+        + _enc_lenenc(ncols)
+        + _enc_bitmap(present)
+    )
+    if type_code == UPDATE_ROWS_EVENT:
+        body += _enc_bitmap(present)
+    for row in rows:
+        if type_code == WRITE_ROWS_EVENT:
+            body += _enc_row_image(row["after"], types, metas, present)
+        elif type_code == DELETE_ROWS_EVENT:
+            body += _enc_row_image(row["before"], types, metas, present)
+        else:
+            body += _enc_row_image(row["before"], types, metas, present)
+            body += _enc_row_image(row["after"], types, metas, present)
+    return encode_header(type_code, len(body), **hdr) + body
+
+
+def parse_query(body: bytes) -> dict:
+    _thread_id, _exec_time = struct.unpack_from("<II", body, 0)
+    slen = body[8]
+    _err, svlen = struct.unpack_from("<HH", body, 9)
+    off = 13 + svlen
+    schema = body[off : off + slen].decode("utf-8")
+    off += slen + 1  # NUL
+    return {
+        "kind": "query",
+        "schema": schema,
+        "query": body[off:].decode("utf-8"),
+    }
+
+
+def encode_query(schema: str, query: str, **hdr) -> bytes:
+    s, q = schema.encode(), query.encode()
+    body = (
+        struct.pack("<II", 1, 0)
+        + bytes([len(s)])
+        + struct.pack("<HH", 0, 0)
+        + s + b"\x00" + q
+    )
+    return encode_header(QUERY_EVENT, len(body), **hdr) + body
+
+
+def parse_xid(body: bytes) -> dict:
+    return {"kind": "xid", "xid": struct.unpack_from("<Q", body, 0)[0]}
+
+
+def encode_xid(xid: int, **hdr) -> bytes:
+    return encode_header(XID_EVENT, 8, **hdr) + struct.pack("<Q", xid)
+
+
+def parse_event(buf: bytes, registry: dict) -> dict:
+    """One full event (header + payload) → dict; unknown event types
+    return kind='skip' with the header fields (the reference's dispatch
+    ignores unregistered handlers)."""
+    hdr = parse_header(buf)
+    body = buf[HEADER_LEN:]
+    code = hdr["type_code"]
+    if code == TABLE_MAP_EVENT:
+        out = parse_table_map(body)
+    elif code in (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT):
+        out = parse_rows_event(body, code, registry)
+    elif code == QUERY_EVENT:
+        out = parse_query(body)
+    elif code == XID_EVENT:
+        out = parse_xid(body)
+    else:
+        out = {"kind": "skip"}
+    out["log_pos"] = hdr["log_pos"]
+    out["timestamp"] = hdr["timestamp"]
+    out["server_id"] = hdr["server_id"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# distributed decode
+# ---------------------------------------------------------------------------
+def table_map_registry(
+    df: DataFrame, msg_col: str = "msg"
+) -> dict[int, dict]:
+    """Parse the stream's TABLE_MAP events driver-side into
+    ``{table_id: table_map}``. Real binlogs repeat a TABLE_MAP before
+    every rows event, so the scan dedupes to distinct messages FIRST
+    (bounded by table count × schema changes) before collecting."""
+    rel_rows = (
+        df.filter(
+            F.expr(f"substring({msg_col}, 5, 1)")
+            == bytes([TABLE_MAP_EVENT])
+        )
+        .select(msg_col)
+        .distinct()
+        .collect()
+    )
+    registry: dict[int, dict] = {}
+    for r in rel_rows:
+        tm = parse_table_map(bytes(r[msg_col])[HEADER_LEN:])
+        registry[tm["table_id"]] = tm
+    return registry
+
+
+_ROW_SCHEMA = (
+    "log_pos long, kind string, schema string, table string,"
+    " before array<string>, after array<string>,"
+    " before_nums array<double>, after_nums array<double>"
+)
+
+
+def decode_binlog_rows(df: DataFrame, msg_col: str = "msg") -> DataFrame:
+    """Arrow-batched decode of WRITE/UPDATE/DELETE_ROWS events into one
+    output row per row-image pair. Values surface twice — text form
+    (ints/strings rendered exactly) and numeric form (for DOUBLE columns;
+    text would lose float bits) — the same dual the reference's value
+    converters expose. Non-rows events pass through kind-only so tx
+    markers (query BEGIN / xid) stay joinable downstream."""
+    import pandas as pd
+
+    registry = table_map_registry(df, msg_col=msg_col)
+
+    def to_text(vals):
+        if vals is None:
+            return None
+        out = []
+        for v in vals:
+            if v is None or isinstance(v, float):
+                out.append(None)  # DOUBLEs surface in *_nums only
+            elif isinstance(v, str):
+                out.append(v)
+            else:
+                out.append(str(int(v)))
+        return out
+
+    def to_num(vals):
+        if vals is None:
+            return None
+        return [float(v) if isinstance(v, float) else None for v in vals]
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for raw in pdf[msg_col]:
+                ev = parse_event(bytes(raw), registry)
+                if ev["kind"] in ("write_rows", "update_rows", "delete_rows"):
+                    op = {
+                        "write_rows": "c",
+                        "update_rows": "u",
+                        "delete_rows": "d",
+                    }[ev["kind"]]
+                    for row in ev["rows"]:
+                        out.append(
+                            (
+                                ev["log_pos"],
+                                op,
+                                ev["schema"],
+                                ev["table"],
+                                to_text(row["before"]),
+                                to_text(row["after"]),
+                                to_num(row["before"]),
+                                to_num(row["after"]),
+                            )
+                        )
+                elif ev["kind"] in ("query", "xid"):
+                    out.append(
+                        (
+                            ev["log_pos"],
+                            ev["kind"],
+                            ev.get("schema"),
+                            None,
+                            None,
+                            [ev["query"]] if ev["kind"] == "query"
+                            else [str(ev["xid"])],
+                            None,
+                            None,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "log_pos", "kind", "schema", "table", "before",
+                    "after", "before_nums", "after_nums",
+                ],
+            )
+
+    return df.select(msg_col).mapInPandas(run, _ROW_SCHEMA)

@@ -13,7 +13,8 @@ References:
 This module keeps the lightweight text-line grammar (the
 test-decoding-style fixtures); the REAL binary pgoutput wire format —
 Relation/Begin/Commit/Insert/Update/Delete/Truncate with tuple-data
-sub-messages — is decoded in ``sources/pgoutput.py``. What
+sub-messages — is decoded in ``sources/pgoutput.py``, and the binlog v4 event format
+(headers, TABLE_MAP, v2 rows events) in ``sources/binlog.py``. What
 matters at 100 TB: decode is a narrow per-row projection (regexp + CASE —
 whole-stage codegen), dispatch is a filter per route (one scan feeding all
 routes), and malformed lines flow to the DLQ rather than killing the batch.

@@ -1547,3 +1547,165 @@ def s18_pgoutput_binary_decode(spark, sf_dir):
         .otherwise(after["note"])
         .alias("note"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S7 (real wire format): binlog event decode
+# ---------------------------------------------------------------------------
+def _binlog_fixture_stream(spark, sf_dir):
+    """A deterministic binary binlog stream from the events table — real
+    v4 event layout (19-byte little-endian headers, TABLE_MAP metadata,
+    v2 rows events with present/null bitmaps, QUERY BEGIN + XID tx
+    markers). Ops cycle by event_id % 4 like the pgoutput fixture but the
+    column slice differs (LONGLONG/VARCHAR/DOUBLE) so the value walk —
+    length-prefixed strings, IEEE doubles, null-bitmap skips — is
+    genuinely exercised. Encoding is Arrow-batched and scales with sf."""
+    import pandas as pd
+
+    from debezium_spark.sources.binlog import (
+        DELETE_ROWS_EVENT,
+        TYPE_DOUBLE,
+        TYPE_LONGLONG,
+        TYPE_VARCHAR,
+        UPDATE_ROWS_EVENT,
+        WRITE_ROWS_EVENT,
+        encode_query,
+        encode_rows_event,
+        encode_table_map,
+        encode_xid,
+    )
+
+    TID = 313
+    TYPES = [TYPE_LONGLONG, TYPE_VARCHAR, TYPE_DOUBLE, TYPE_VARCHAR]
+    METAS = [0, 64, 8, 300]  # note VARCHAR(300): 2-byte length prefix path
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def enc_data(batches):
+        for pdf in batches:
+            poss, msgs = [], []
+            for e, u, t, v in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"],
+                pdf["value"],
+            ):
+                e, u, v = int(e), int(u), float(v)
+                pos = 1000 + e * 100
+                note = None if e % 5 == 0 else f"n_{u}"
+                old_note = None if e % 7 == 0 else f"o_{u}"
+                if e % 4 == 1:
+                    msg = encode_rows_event(
+                        UPDATE_ROWS_EVENT, TID, TYPES, METAS,
+                        [{"before": [e, t, v, old_note],
+                          "after": [e, f"{t}_u", v, note]}],
+                        log_pos=pos,
+                    )
+                elif e % 4 == 2:
+                    msg = encode_rows_event(
+                        DELETE_ROWS_EVENT, TID, TYPES, METAS,
+                        [{"before": [e, t, v, old_note], "after": None}],
+                        log_pos=pos,
+                    )
+                else:
+                    msg = encode_rows_event(
+                        WRITE_ROWS_EVENT, TID, TYPES, METAS,
+                        [{"before": None, "after": [e, t, v, note]}],
+                        log_pos=pos,
+                    )
+                poss.append(pos)
+                msgs.append(msg)
+            yield pd.DataFrame({"pos": poss, "msg": msgs})
+
+    data = ev.mapInPandas(enc_data, "pos long, msg binary")
+
+    def enc_tx(batches):
+        for pdf in batches:
+            poss, msgs = [], []
+            for g in pdf["g"]:
+                g = int(g)
+                poss.append(g * 5000 + 1)
+                msgs.append(
+                    encode_query("inventory", "BEGIN", log_pos=g * 5000 + 1)
+                )
+                poss.append((g + 1) * 5000)
+                msgs.append(encode_xid(7000 + g, log_pos=(g + 1) * 5000))
+            yield pd.DataFrame({"pos": poss, "msg": msgs})
+
+    tx = (
+        ev.select(F.expr("event_id DIV 50").alias("g"))
+        .distinct()
+        .mapInPandas(enc_tx, "pos long, msg binary")
+    )
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_table_map(
+            TID, "inventory", "products", TYPES, METAS,
+            [False, False, False, True], log_pos=0,
+        )))],
+        "pos long, msg binary",
+    )
+    return rel.unionByName(tx).unionByName(data)
+
+
+@register(
+    "s19_binlog_binary_decode",
+    oracle="""
+    SELECT 1000 + event_id * 100 AS pos,
+           CASE WHEN event_id % 4 = 1 THEN 'u'
+                WHEN event_id % 4 = 2 THEN 'd' ELSE 'c' END AS op,
+           'inventory' AS db, 'products' AS tbl,
+           event_id AS id,
+           CASE WHEN event_id % 4 = 2 THEN event_type
+                WHEN event_id % 4 = 1 THEN event_type || '_u'
+                ELSE event_type END AS status,
+           value AS val,
+           CASE WHEN event_id % 4 = 2
+                THEN CASE WHEN event_id % 7 = 0 THEN NULL
+                          ELSE 'o_' || CAST(user_id AS VARCHAR) END
+                ELSE CASE WHEN event_id % 5 = 0 THEN NULL
+                          ELSE 'n_' || CAST(user_id AS VARCHAR) END
+           END AS note,
+           CASE WHEN event_id % 4 = 1
+                THEN CASE WHEN event_id % 7 = 0 THEN NULL
+                          ELSE 'o_' || CAST(user_id AS VARCHAR) END
+           END AS old_note
+    FROM events
+    """,
+)
+def s19_binlog_binary_decode(spark, sf_dir):
+    """S7's REAL event format: binlog v4 bytes (little-endian headers,
+    TABLE_MAP column types/metadata/null bitmaps, v2 rows events with
+    present + null bitmaps, 1- and 2-byte VARCHAR length prefixes, IEEE
+    doubles) round-tripped through the encoder and the Arrow-batched
+    decoder (dispatch per BinlogStreamingChangeEventSource.java:197-222;
+    byte layout per the public binlog v4 spec the reference's
+    deserializer library implements). The oracle rebuilds op, table
+    naming via the TABLE_MAP registry, every value, the null-bitmap
+    cells, and the update's old row image from the closed form. Deletes
+    surface their full before image (binlog carries it; pgoutput's 'K'
+    tuple does not) — exercising the opposite row-image path from s18."""
+    from debezium_spark.sources.binlog import decode_binlog_rows
+
+    stream = _binlog_fixture_stream(spark, sf_dir)
+    dec = decode_binlog_rows(stream).filter(
+        F.col("kind").isin("c", "u", "d")
+    )
+    img = F.when(F.col("kind") == "d", F.col("before")).otherwise(
+        F.col("after")
+    )
+    nums = F.when(F.col("kind") == "d", F.col("before_nums")).otherwise(
+        F.col("after_nums")
+    )
+    return dec.select(
+        F.col("log_pos").alias("pos"),
+        F.col("kind").alias("op"),
+        F.col("schema").alias("db"),
+        F.col("table").alias("tbl"),
+        F.element_at(img, 1).cast("long").alias("id"),
+        F.element_at(img, 2).alias("status"),
+        F.element_at(nums, 3).alias("val"),
+        F.element_at(img, 4).alias("note"),
+        F.when(
+            F.col("kind") == "u", F.element_at(F.col("before"), 4)
+        ).alias("old_note"),
+    )
