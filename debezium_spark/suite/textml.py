@@ -1925,3 +1925,76 @@ def x40_incremental_spans(spark, sf_dir):
     index_keys = span_fingerprint_index(docs.filter(F.col("doc_id") % 5 != 0))
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     return duplicated_spans_vs_index(batch, index_keys)
+
+
+# ---------------------------------------------------------------------------
+# X41 — BPE tokenizer training (analytics/bpe.py)
+# ---------------------------------------------------------------------------
+def _bpe_oracle(n_merges: int = 8, vocab: int = 200) -> str:
+    """The DuckDB replay of BPE training, UNROLLED: one
+    (tokenize → pair-count → deterministic argmax → replace-merge) CTE
+    block per round. Possible only because the Spark path's tie-breaks
+    (count DESC, left ASC, right ASC; vocab truncation by freq DESC,
+    word ASC) are total orders — the two engines walk identical merge
+    sequences."""
+    sql = f"""
+    WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents
+        ) GROUP BY w ORDER BY freq DESC, w LIMIT {vocab}
+    ),
+    st0 AS MATERIALIZED (
+        SELECT freq, regexp_replace(w, '(.)', '|\\1|', 'g') AS W FROM words
+    )"""
+    for k in range(n_merges):
+        sql += f""",
+    tk{k} AS MATERIALIZED (
+        SELECT freq,
+               list_filter(string_split(W, '|'), t -> t <> '') AS toks
+        FROM st{k}
+    ),
+    p{k} AS (
+        SELECT toks[i] AS a, toks[i + 1] AS b,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq, toks, unnest(range(1, len(toks))) AS i
+              FROM tk{k})
+        GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    st{k + 1} AS MATERIALIZED (
+        SELECT freq,
+               replace(W,
+                       '|' || (SELECT a FROM b{k}) || '||'
+                           || (SELECT b FROM b{k}) || '|',
+                       '|' || (SELECT a FROM b{k})
+                           || (SELECT b FROM b{k}) || '|') AS W
+        FROM st{k}
+    )"""
+    sql += "\n    " + "\n    UNION ALL ".join(
+        f"SELECT {k} AS step, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, cnt FROM b{k}"
+        for k in range(n_merges)
+    )
+    return sql
+
+
+@register("x41_bpe_tokenizer", oracle=_bpe_oracle())
+def x41_bpe_tokenizer(spark, sf_dir):
+    """BPE tokenizer training (Sennrich 2016) — the LLM-pipeline stage
+    with no prior analog here (x15's vocabulary top-k is its corpus
+    pass). One corpus-wide shuffle builds the word-frequency table; 8
+    merge rounds then each cost one JVM-side pair-count aggregation over
+    the bounded vocab plus a one-row argmax collect. Fully deterministic
+    tie-breaks let the DuckDB oracle replay the exact merge sequence
+    round by round — training is value-checked, not just shape-checked."""
+    from debezium_spark.analytics.bpe import bpe_train, word_frequencies
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = word_frequencies(docs, text_col="text", vocab_size=200)
+    merges = bpe_train(words, n_merges=8)
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string,"
+        " cnt bigint",
+    )
