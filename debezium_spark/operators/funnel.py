@@ -232,3 +232,140 @@ def funnel_steps_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def funnel_steps_stream_event_time(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_utc",
+    watermark_delay: str = "10 minutes",
+    horizon_ms: int = 3_600_000,
+) -> DataFrame:
+    """Out-of-order-tolerant streaming funnel: the event-time variant of
+    :func:`funnel_steps_stream` for non-CDC feeds with no log-order
+    guarantee. A straggler (an earlier-timestamped step arriving after
+    later steps) RE-FOLDS the user's funnel, so e.g. a step-1 event
+    landing a batch after its step-2 event still completes the funnel —
+    the log-order variant would drop that progress.
+
+    Mechanics: per user the state keeps (a) the finalized reach times
+    folded from events already below the watermark and (b) a live buffer
+    of events at-or-above it. Every batch re-folds ``final ∪ live`` in
+    event-time order (the batch operator's exact semantics), emits on
+    progress CHANGE, then compacts: once the watermark passes time W, no
+    event below W can arrive, so sub-W decisions are final — fired
+    events are absorbed into the finalized times and unfired sub-W
+    events can never fire later (their missing predecessor can only be
+    set to a LATER time), so both leave the buffer. State is therefore
+    bounded by the watermark delay × per-user event rate, not by stream
+    length; ``horizon_ms`` of event-time idleness evicts the user
+    (EventTimeTimeout), closing the observation window.
+
+    Exactness contract: equals the batch operator over all non-dropped
+    events — arrival order is irrelevant as long as events beat the
+    watermark (Spark drops later ones before the stateful operator, the
+    standard bounded-lateness trade)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
+    k = len(steps)
+
+    user_type = events.schema[user_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("user", user_type),
+            T.StructField("step_reached", T.IntegerType()),
+            *[T.StructField(f"t{i}", T.TimestampType()) for i in range(1, k + 1)],
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("final_ts", T.ArrayType(T.LongType())),
+            T.StructField("prev_ts", T.ArrayType(T.LongType())),
+            T.StructField("ev_us", T.ArrayType(T.LongType())),
+            T.StructField("ev_step", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    step_idx = F.lit(None).cast("int")
+    for i, s in enumerate(steps):
+        step_idx = F.when(F.col(type_col) == s, F.lit(i)).otherwise(step_idx)
+    prepared = (
+        events.withWatermark(ts_col, watermark_delay)
+        .filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("user"),
+            step_idx.alias("step"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            F.col(ts_col).alias("__wm_ts"),  # keeps the watermark column
+        )
+    )
+
+    def _fold(base: list, evs: list) -> list:
+        cur = list(base)
+        for us, st in evs:
+            if cur[st] is not None:
+                continue
+            if st == 0 or (cur[st - 1] is not None and us >= cur[st - 1]):
+                cur[st] = us
+        return cur
+
+    def fold(key, pdfs, state: GroupState):
+        (user,) = key
+        if state.hasTimedOut:
+            state.remove()  # observation window closed
+            return
+        if state.exists:
+            final_ts, prev, eus, estep = state.get
+            final_ts, prev = list(final_ts), list(prev)
+            live = list(zip(eus, estep))
+        else:
+            final_ts, prev, live = [None] * k, [None] * k, []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        live += [
+            (int(us), int(st)) for us, st in zip(batch["us"], batch["step"])
+        ]
+        live.sort(key=lambda p: (p[0], p[1]))
+        cur = _fold(final_ts, live)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        new_final = _fold(
+            final_ts, [(us, st) for us, st in live if us < wm_us]
+        )
+        keep = [(us, st) for us, st in live if us >= wm_us]
+        if cur != prev:
+            reached = sum(1 for t in cur if t is not None)
+            row = {"user": [user], "step_reached": [reached]}
+            for i in range(1, k + 1):
+                v = cur[i - 1]
+                row[f"t{i}"] = [
+                    pd.Timestamp(v, unit="us", tz="UTC")
+                    if v is not None
+                    else pd.NaT
+                ]
+            yield pd.DataFrame(row)
+        state.update(
+            (
+                new_final,
+                cur,
+                [us for us, _ in keep],
+                [st for _, st in keep],
+            )
+        )
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizon_ms)
+
+    return prepared.groupBy("user").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -255,3 +255,71 @@ def test_funnel_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch_reached
     # append discipline: total emissions <= users x steps (one per progress)
     assert len(emitted) <= len(batch_reached) * len(steps)
+
+
+def test_funnel_event_time_straggler_completes(spark, tmp_path):
+    """Event-time variant: a straggler step-1 event arriving a micro-batch
+    AFTER its user's step-2 event still completes the funnel (the
+    log-order variant drops that progress by design). Watermark is wide
+    enough that nothing is late-dropped."""
+    import datetime as dt
+
+    from debezium_spark.operators.funnel import (
+        funnel_steps,
+        funnel_steps_stream_event_time,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    # u1: step-2 first (batch 1), straggler step-1 later (batch 2)
+    # u2: in-order control across the same batches
+    batch1 = [(1, "click", t(20)), (2, "view", t(5))]
+    batch2 = [(1, "view", t(10)), (2, "click", t(25))]
+    schema = "user_id long, event_type string, ts_utc timestamp"
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed, exist_ok=True)
+    for i, rows in enumerate([batch1, batch2], start=1):
+        tmp = f"{feed}/__t{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        data = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, data), f"{feed}/chunk_{i:03d}.parquet")
+        shutil.rmtree(tmp)
+        mt = time.time() + i
+        os.utime(f"{feed}/chunk_{i:03d}.parquet", (mt, mt))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    out = funnel_steps_stream_event_time(
+        stream, ["view", "click"], watermark_delay="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_et")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM funnel_et").collect()
+    final = {}
+    for r in emitted:
+        cur = final.get(r["user"])
+        if cur is None or r["step_reached"] >= cur["step_reached"]:
+            final[r["user"]] = r
+    # u1 completed DESPITE the out-of-order arrival
+    assert final[1]["step_reached"] == 2
+    assert (final[1]["t1"], final[1]["t2"]) == (t(10), t(20))
+    assert final[2]["step_reached"] == 2
+    # exactness: equals the batch operator over the union of all events
+    ev = spark.createDataFrame(batch1 + batch2, schema)
+    batch = {
+        r["user_id"]: (r["t1"], r["t2"])
+        for r in funnel_steps(ev, ["view", "click"]).collect()
+    }
+    got = {u: (r["t1"], r["t2"]) for u, r in final.items()}
+    assert got == batch
