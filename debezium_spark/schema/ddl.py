@@ -47,6 +47,10 @@ class ColumnSpec:
     nullable: bool = True
     primary_key: bool = False
     default: str | None = None
+    #: generation expression text for GENERATED ALWAYS AS (...) columns
+    #: (MySQL 5.7+; the reference's parser marks these so sinks skip them
+    #: on write) — None for plain columns
+    generated: str | None = None
 
 
 @dataclass
@@ -183,12 +187,21 @@ def _parse_column_def(text: str) -> ColumnSpec | None:
         raise ValueError(f"unparseable column definition: {text!r}")
     name, type_text, rest = _unquote(m.group(1)), m.group(2), m.group(3)
     rest_u = f" {rest.upper()} "
+    # generated column: [GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]
+    gm = re.search(
+        r"(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)\s*(?:VIRTUAL|STORED)?\s*",
+        rest,
+        re.I | re.S,
+    )
+    generated = gm.group(1).strip() if gm else None
     dm = _DEFAULT_RE.search(rest)
     # DEFAULT NULL is the absence of a default, not the literal "NULL"
     # (Column.defaultValueExpression is null in the reference too).
     default = dm.group(1) if dm else None
     if default is not None and default.upper() == "NULL":
         default = None
+    if generated is not None:
+        default = None  # a generation expression is not a default
     return ColumnSpec(
         name=name,
         type_text=type_text.strip(),
@@ -196,6 +209,7 @@ def _parse_column_def(text: str) -> ColumnSpec | None:
         nullable=" NOT NULL " not in re.sub(r"\s+", " ", rest_u),
         primary_key="PRIMARY KEY" in re.sub(r"\s+", " ", rest_u),
         default=default,
+        generated=generated,
     )
 
 

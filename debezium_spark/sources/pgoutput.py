@@ -63,7 +63,7 @@ MESSAGE_CODES = {
     "T": "truncate",
     "O": "origin",
     "Y": "skip",
-    "M": "skip",
+    "M": "message",
 }
 
 
@@ -203,6 +203,22 @@ def parse_message(buf: bytes) -> dict:
         (commit_lsn,) = struct.unpack_from(">q", buf, 1)
         name, _ = _read_cstring(buf, 9)
         return {"kind": "origin", "commit_lsn": commit_lsn, "name": name}
+    if kind == "message":
+        # PG14 logical decoding message (handleLogicalDecodingMessage,
+        # PgOutputMessageDecoder.java:628-660): int8 transactional flag,
+        # int64 LSN, cstring prefix, int32 content length, content bytes.
+        transactional = buf[1] == 1
+        (lsn,) = struct.unpack_from(">q", buf, 2)
+        prefix, off = _read_cstring(buf, 10)
+        (clen,) = struct.unpack_from(">i", buf, off)
+        content = buf[off + 4 : off + 4 + clen]
+        return {
+            "kind": "message",
+            "transactional": transactional,
+            "message_lsn": lsn,
+            "prefix": prefix,
+            "content": content,
+        }
     return {"kind": "skip"}
 
 
@@ -286,6 +302,19 @@ def encode_delete(
         + struct.pack(">i", relation_id)
         + before_kind.encode()
         + encode_tuple_data(before)
+    )
+
+
+def encode_logical_message(
+    prefix: str, content: bytes, *, transactional: bool = True, lsn: int = 0
+) -> bytes:
+    return (
+        b"M"
+        + (b"\x01" if transactional else b"\x00")
+        + struct.pack(">q", lsn)
+        + _enc_cstring(prefix)
+        + struct.pack(">i", len(content))
+        + content
     )
 
 

@@ -267,3 +267,25 @@ def test_tracker_multi_drop_and_widening_quarantine(spark):
     for tbl in ("a", "b"):
         with pytest.raises(KeyError):
             trk.table_columns(tbl)
+
+
+def test_generated_columns_parse():
+    """MySQL 5.7+ generated columns: the expression is captured (the
+    reference marks these via Column so sinks skip them on write) and is
+    NOT mistaken for a DEFAULT."""
+    c = parse_ddl(
+        "CREATE TABLE t (a INT, b INT, "
+        "s INT GENERATED ALWAYS AS (a + b) STORED, "
+        "v VARCHAR(20) AS (concat(a, '-', b)) VIRTUAL, "
+        "d INT DEFAULT 3)"
+    )
+    by = {s.name: s for s in c.columns}
+    assert by["s"].generated == "a + b" and by["s"].default is None
+    assert by["v"].generated == "concat(a, '-', b)"
+    assert by["d"].generated is None and by["d"].default == "3"
+    # ALTER ADD of a generated column flows through apply_change
+    cols = apply_change(
+        c.columns,
+        parse_ddl("ALTER TABLE t ADD g BIGINT GENERATED ALWAYS AS (a * 2)"),
+    )
+    assert {x.name: x.generated for x in cols}["g"] == "a * 2"

@@ -170,9 +170,31 @@ def test_origin_and_unknown_messages():
     assert parse_message(raw) == {
         "kind": "origin", "commit_lsn": 77, "name": "node-a",
     }
-    # 'M' logical decoding message and anything unknown skip, never raise
-    assert parse_message(b"Mwhatever")["kind"] == "skip"
+    # unknown message codes skip, never raise
     assert parse_message(b"Zjunk")["kind"] == "skip"
+
+
+def test_logical_decoding_message():
+    """PG14 'M' message (PgOutputMessageDecoder.java:628-660): flag, LSN,
+    prefix cstring, length-prefixed content."""
+    from debezium_spark.sources.pgoutput import encode_logical_message
+
+    raw = encode_logical_message(
+        "wal2json", b"\x01\x02", transactional=True, lsn=55
+    )
+    assert raw == (
+        b"M\x01" + (55).to_bytes(8, "big") + b"wal2json\x00"
+        + (2).to_bytes(4, "big") + b"\x01\x02"
+    )
+    m = parse_message(raw)
+    assert (m["kind"], m["transactional"], m["message_lsn"]) == (
+        "message", True, 55,
+    )
+    assert (m["prefix"], m["content"]) == ("wal2json", b"\x01\x02")
+    nt = parse_message(
+        encode_logical_message("p", b"", transactional=False, lsn=1)
+    )
+    assert nt["transactional"] is False and nt["content"] == b""
 
 
 def test_distributed_decode_with_schema_evolution_and_toast(spark):
