@@ -27,6 +27,7 @@ HEADLINE = [
     "k1_merge_upsert",
     "k4_reduce_last_per_key",
     "s3_incremental_snapshot_dedup",
+    "s18_pgoutput_binary_decode",
     "t1_extract_new_record_state",
     "p4_transaction_metadata",
     "x4_exact_dedup",
@@ -45,6 +46,7 @@ HEADLINE = [
     "x34_incremental_dedup",
     "x39_duplicated_spans_sampled",
     "x38_charlm_quality",
+    "x41_bpe_tokenizer",
     "a19_sq8_search",
     "e5_funnel",
     "w32_waiting_suppliers",

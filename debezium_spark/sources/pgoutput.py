@@ -474,10 +474,19 @@ def decode_pgoutput_binary(
     kernel. The tx attach is a broadcast LSN-range join against BEGIN
     intervals ([message lsn, final-LSN field]) — per micro-batch the
     begin side is bounded by transactions-per-batch."""
-    frames = decode_frames(df, msg_col=msg_col, lsn_col=lsn_col)
     reg = relation_registry(spark, df, msg_col=msg_col, lsn_col=lsn_col)
 
-    data = frames.filter(F.col("kind").isin("insert", "update", "delete"))
+    # Pre-filter each branch by message code on the RAW bytes (a codegen
+    # substring compare) so the Python parse kernel runs once per message
+    # of the relevant class — decoding the whole stream twice (once for
+    # data, once for begins) would double the kernel cost for nothing.
+    data = decode_frames(
+        df.filter(
+            F.expr(f"substring({msg_col}, 1, 1) IN (X'49', X'55', X'44')")
+        ),
+        msg_col=msg_col,
+        lsn_col=lsn_col,
+    )
     named_data = data.join(
         F.broadcast(reg),
         (data["relation_id"] == reg["relation_id"])
@@ -487,20 +496,55 @@ def decode_pgoutput_binary(
     ).drop(reg["relation_id"])
 
     begins = (
-        frames.filter(F.col("kind") == "begin")
+        decode_frames(
+            df.filter(F.expr(f"substring({msg_col}, 1, 1) = X'42'")),
+            msg_col=msg_col,
+            lsn_col=lsn_col,
+        )
         .select(
             F.col("lsn").alias("__begin_lsn"),
             F.col("final_lsn").alias("__end_lsn"),
             F.col("xid").alias("__xid"),
             F.col("commit_ts_us").alias("__tx_ts_us"),
         )
+        .localCheckpoint(eager=True)  # reused for the width agg + join
     )
-    with_tx = named_data.join(
-        F.broadcast(begins),
-        (F.col("lsn") >= F.col("__begin_lsn"))
+    # Bucketed interval join, not a nested-loop range join: a plain
+    # broadcast range join costs O(txs-per-batch × data rows) comparisons
+    # — ruinous once a batch carries many transactions. With bucket width
+    # W = the widest tx interval, every interval spans ≤ 2 buckets, so
+    # begins explode to ≤ 2 rows each and the data side EQUI-joins on its
+    # single bucket (hash lookup), then one residual range filter. Tx
+    # intervals never overlap in protocol v1 (the server serializes
+    # transactions onto the stream), so each data row matches ≤ 1 tx.
+    width = (
+        begins.agg(
+            F.max(F.col("__end_lsn") - F.col("__begin_lsn") + 1)
+        ).first()[0]
+        or 1
+    )
+    banded = begins.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__begin_lsn") / width),
+                F.floor(F.col("__end_lsn") / width),
+            )
+        ).alias("__bkt"),
+    )
+    # The range belongs in the JOIN condition (Catalyst hashes the bucket
+    # equality and evaluates the range as the join's residual), so a
+    # bucket shared by several small intervals still matches each data
+    # row at most once — a post-join filter would instead emit one row
+    # per co-bucketed interval.
+    keyed = named_data.withColumn("__bkt", F.floor(F.col("lsn") / width))
+    with_tx = keyed.join(
+        F.broadcast(banded),
+        (keyed["__bkt"] == banded["__bkt"])
+        & (F.col("lsn") >= F.col("__begin_lsn"))
         & (F.col("lsn") <= F.col("__end_lsn")),
         "left",
-    )
+    ).drop("__bkt")
 
     b = _named(F.col("before"), F.col("col_names"))
     a = _named(F.col("after"), F.col("col_names"))

@@ -1487,7 +1487,10 @@ def _pgoutput_fixture_stream(spark, sf_dir):
                                        _PG_COLS)))],
         "lsn long, msg binary",
     )
-    return rel.unionByName(tx).unionByName(data)
+    # Materialize the fixture once: the decoder walks the stream twice
+    # (relation-registry scan + frame decode) and a real deployment reads
+    # an already-written log, not a recomputed one.
+    return rel.unionByName(tx).unionByName(data).localCheckpoint(eager=True)
 
 
 @register(
@@ -1644,7 +1647,9 @@ def _binlog_fixture_stream(spark, sf_dir):
         )))],
         "pos long, msg binary",
     )
-    return rel.unionByName(tx).unionByName(data)
+    # Materialized for the same reason as the pgoutput fixture: the
+    # TABLE_MAP registry scan and the rows decode both read the stream.
+    return rel.unionByName(tx).unionByName(data).localCheckpoint(eager=True)
 
 
 @register(
