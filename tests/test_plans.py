@@ -501,3 +501,20 @@ def test_composite_chunks_no_global_window(spark, qs):
     # the window's exchange is hash-partitioned on the bucket, not a
     # single-partition sort
     assert "SinglePartition" not in plan
+
+
+def test_pgoutput_tx_attach_is_hash_join_not_nested_loop(spark):
+    """s18's two attach joins (relation registry by lsn validity, tx
+    metadata by BEGIN interval) must both plan as BroadcastHashJoin on
+    the bucket/relation keys with the range as residual — a
+    BroadcastNestedLoopJoin here costs O(txs-per-batch x data rows) and
+    is the shape this operator exists to avoid."""
+    from debezium_spark.suite import load_all
+
+    q = load_all()["s18_pgoutput_binary_decode"]
+    plan = (
+        q.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
