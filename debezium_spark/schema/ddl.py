@@ -301,6 +301,25 @@ def parse_ddl(statement: str) -> DdlChange:
                 old = _unquote(om.group(1))
                 spec = _parse_column_def(om.group(2))
                 actions.append(("change", old, spec))
+            elif au.startswith("ALTER "):
+                # ALTER [COLUMN] c SET DEFAULT <lit> | DROP DEFAULT
+                am = re.match(
+                    rf"^ALTER\s+(?:COLUMN\s+)?({_IDENT})\s+"
+                    rf"(SET\s+DEFAULT\s+(.+)|DROP\s+DEFAULT)\s*$",
+                    act.strip(),
+                    re.I | re.S,
+                )
+                if not am:
+                    raise ValueError(f"unparseable ALTER action: {act!r}")
+                col = _unquote(am.group(1))
+                if am.group(2).upper().startswith("DROP"):
+                    actions.append(("set_default", col, None))
+                else:
+                    lit = am.group(3).strip()
+                    actions.append(
+                        ("set_default", col,
+                         None if lit.upper() == "NULL" else lit)
+                    )
             elif au.startswith("RENAME"):
                 # Three distinct MySQL forms share the keyword: RENAME
                 # COLUMN a TO b (a column op), RENAME INDEX/KEY
@@ -470,6 +489,15 @@ def apply_change(
             if enforce_widening:
                 _check_widen(old, spec)
             cols = [spec if c.name == old_name else c for c in cols]
+        elif action[0] == "set_default":
+            _, name, lit = action
+            old = next((c for c in cols if c.name == name), None)
+            if old is None:
+                raise ValueError(
+                    f"SET/DROP DEFAULT of unknown column {name!r}"
+                )
+            updated = dataclasses.replace(old, default=lit)
+            cols = [updated if c.name == name else c for c in cols]
         elif action[0] == "rename_col":
             _, old_name, new_name = action
             old = next((c for c in cols if c.name == old_name), None)

@@ -289,3 +289,34 @@ def test_generated_columns_parse():
         parse_ddl("ALTER TABLE t ADD g BIGINT GENERATED ALWAYS AS (a * 2)"),
     )
     assert {x.name: x.generated for x in cols}["g"] == "a * 2"
+
+
+def test_alter_column_set_and_drop_default(spark):
+    """MySQL ALTER TABLE .. ALTER [COLUMN] c SET DEFAULT / DROP DEFAULT —
+    the default-only ALTER that must not touch the type — and its
+    propagation into the history row's defaults_json."""
+    import json as _json
+
+    from debezium_spark.schema.history import MemorySchemaHistory
+
+    base = parse_ddl("CREATE TABLE t (a INT, b INT DEFAULT 7)").columns
+    cols = apply_change(
+        base, parse_ddl("ALTER TABLE t ALTER COLUMN a SET DEFAULT 5")
+    )
+    by = {c.name: c for c in cols}
+    assert by["a"].default == "5" and by["a"].spark_type == "int"
+    cols = apply_change(cols, parse_ddl("ALTER TABLE t ALTER b DROP DEFAULT"))
+    assert {c.name: c.default for c in cols} == {"a": "5", "b": None}
+    with pytest.raises(ValueError):
+        apply_change(base, parse_ddl("ALTER TABLE t ALTER nope SET DEFAULT 1"))
+    with pytest.raises(ValueError):
+        parse_ddl("ALTER TABLE t ALTER COLUMN a SET GIBBERISH")
+
+    hist = MemorySchemaHistory(spark)
+    trk = DdlSchemaTracker(hist)
+    trk.apply("CREATE TABLE t (a INT, b INT DEFAULT 7)", pos=0)
+    trk.apply("ALTER TABLE t ALTER COLUMN a SET DEFAULT 5, "
+              "ALTER b DROP DEFAULT", pos=10)
+    rows = {r["version"]: r for r in hist.recover().collect()}
+    assert _json.loads(rows[1]["defaults_json"]) == {"b": "7"}
+    assert _json.loads(rows[2]["defaults_json"]) == {"a": "5"}
