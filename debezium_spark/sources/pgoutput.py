@@ -62,7 +62,7 @@ MESSAGE_CODES = {
     "D": "delete",
     "T": "truncate",
     "O": "origin",
-    "Y": "skip",
+    "Y": "type",
     "M": "message",
 }
 
@@ -203,6 +203,19 @@ def parse_message(buf: bytes) -> dict:
         (commit_lsn,) = struct.unpack_from(">q", buf, 1)
         name, _ = _read_cstring(buf, 9)
         return {"kind": "origin", "commit_lsn": commit_lsn, "name": name}
+    if kind == "type":
+        # 'Y' type message (handleTypeMessage): int32 type OID, cstring
+        # namespace, cstring name — how custom/extension types announce
+        # themselves before a relation references their OID.
+        (type_oid,) = struct.unpack_from(">i", buf, 1)
+        namespace, off = _read_cstring(buf, 5)
+        name, _ = _read_cstring(buf, off)
+        return {
+            "kind": "type",
+            "type_oid": type_oid,
+            "namespace": namespace,
+            "name": name,
+        }
     if kind == "message":
         # PG14 logical decoding message (handleLogicalDecodingMessage,
         # PgOutputMessageDecoder.java:628-660): int8 transactional flag,

@@ -248,3 +248,12 @@ def test_distributed_decode_with_schema_evolution_and_toast(spark):
     assert dele["op"] == "d" and dele["after"] is None
     assert dele["before"] == {"id": "2"}
     assert sorted(dele["before_nulls"]) == ["v", "w"]
+
+
+def test_type_message():
+    """'Y' type message: int32 OID, namespace cstring, name cstring."""
+    raw = b"Y" + (90210).to_bytes(4, "big") + b"public\x00citext\x00"
+    assert parse_message(raw) == {
+        "kind": "type", "type_oid": 90210, "namespace": "public",
+        "name": "citext",
+    }
