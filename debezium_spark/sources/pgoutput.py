@@ -51,8 +51,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: replication message codes handled by the decoder
-#: (PgOutputMessageDecoder.java:95-115; 'Y' type and 'M' logical-decoding
-#: messages parse to kind='skip' like the reference's default branch)
+#: (PgOutputMessageDecoder.java:95-115); anything else parses to
+#: kind='skip' like the reference's default branch
 MESSAGE_CODES = {
     "R": "relation",
     "B": "begin",
@@ -397,25 +397,29 @@ def decode_frames(
     return df.select(lsn_col, msg_col).mapInPandas(run, _FRAME_SCHEMA)
 
 
-def relation_registry(
-    spark, df: DataFrame, msg_col: str = "msg", lsn_col: str = "lsn"
-) -> DataFrame:
-    """Versioned relation registry from the stream's 'R' messages: one row
-    per (relation_id, version) with a [valid_from_lsn, valid_to_lsn) LSN
-    interval — the same validity shape as T13's schema history. RELATION
-    messages are rare (tables × schema changes), so the driver-side
-    collect is bounded; intervals are built with a plain sort, never a
-    Spark window."""
+def collect_relations(
+    df: DataFrame, msg_col: str = "msg", lsn_col: str = "lsn"
+) -> list[tuple[int, dict]]:
+    """Parse a frame's 'R' messages driver-side into [(lsn, parsed)].
+    RELATION messages are rare (tables × schema changes), so the collect
+    is bounded."""
     rel_rows = (
         df.filter(F.expr(f"substring({msg_col}, 1, 1) = X'52'"))  # 'R'
         .select(lsn_col, msg_col)
         .collect()
     )
-    parsed = sorted(
+    return sorted(
         (r[lsn_col], parse_message(bytes(r[msg_col]))) for r in rel_rows
     )
+
+
+def registry_df(spark, parsed: list[tuple[int, dict]]) -> DataFrame:
+    """Versioned relation registry: one row per (relation_id, version)
+    with a [valid_from_lsn, valid_to_lsn) LSN interval — the same
+    validity shape as T13's schema history. Intervals are built with a
+    plain sort, never a Spark window."""
     by_relid: dict[int, list] = {}
-    for lsn, m in parsed:
+    for lsn, m in sorted(parsed):
         by_relid.setdefault(m["relation_id"], []).append((lsn, m))
     rows = []
     for relid, versions in by_relid.items():
@@ -440,6 +444,15 @@ def relation_registry(
         " replica_identity string, col_names array<string>,"
         " col_flags array<int>, col_oids array<int>,"
         " valid_from_lsn long, valid_to_lsn long",
+    )
+
+
+def relation_registry(
+    spark, df: DataFrame, msg_col: str = "msg", lsn_col: str = "lsn"
+) -> DataFrame:
+    """Registry built from one frame's own 'R' messages (batch decode)."""
+    return registry_df(
+        spark, collect_relations(df, msg_col=msg_col, lsn_col=lsn_col)
     )
 
 
@@ -469,7 +482,11 @@ def _names_where(named, kind):
 
 
 def decode_pgoutput_binary(
-    spark, df: DataFrame, msg_col: str = "msg", lsn_col: str = "lsn"
+    spark,
+    df: DataFrame,
+    msg_col: str = "msg",
+    lsn_col: str = "lsn",
+    registry: DataFrame | None = None,
 ) -> DataFrame:
     """Full binary pgoutput decode: frames → named envelopes with
     transaction metadata.
@@ -486,8 +503,15 @@ def decode_pgoutput_binary(
     JVM-side array/map expressions; the only Python is the Arrow decode
     kernel. The tx attach is a broadcast LSN-range join against BEGIN
     intervals ([message lsn, final-LSN field]) — per micro-batch the
-    begin side is bounded by transactions-per-batch."""
-    reg = relation_registry(spark, df, msg_col=msg_col, lsn_col=lsn_col)
+    begin side is bounded by transactions-per-batch. ``registry`` injects
+    a prebuilt relation registry (the streaming decoder persists one
+    across micro-batches — a batch's 'R' message must outlive its batch);
+    None derives it from this frame's own 'R' messages."""
+    reg = (
+        registry
+        if registry is not None
+        else relation_registry(spark, df, msg_col=msg_col, lsn_col=lsn_col)
+    )
 
     # Pre-filter each branch by message code on the RAW bytes (a codegen
     # substring compare) so the Python parse kernel runs once per message
@@ -586,3 +610,48 @@ def decode_pgoutput_binary(
             "after_toasted"
         ),
     )
+
+
+class PgOutputStreamDecoder:
+    """Cross-micro-batch decode state for a streaming pgoutput feed.
+
+    A RELATION message arrives ONCE (at slot creation or on schema
+    change) but names every later tuple — so a per-batch registry derived
+    only from the batch's own 'R' messages goes blind the moment data
+    and relation messages land in different micro-batches. The reference
+    holds this state in the long-lived decoder
+    (``PgOutputMessageDecoder``'s relation cache); Spark-side the
+    equivalent is this driver-held accumulator used from
+    ``foreachBatch``::
+
+        dec = PgOutputStreamDecoder(spark)
+        stream.writeStream.foreachBatch(
+            lambda b, _: sink.write(dec.decode_batch(b))
+        )
+
+    The persisted state is the parsed 'R' list — bounded by tables ×
+    schema changes, the same budget as schema history. Restart recovery:
+    feed ``bootstrap`` with the parsed relations persisted alongside the
+    checkpoint (``relations`` exposes them for exactly that)."""
+
+    def __init__(self, spark, bootstrap: list[tuple[int, dict]] | None = None):
+        self.spark = spark
+        self._relations: list[tuple[int, dict]] = list(bootstrap or [])
+
+    @property
+    def relations(self) -> list[tuple[int, dict]]:
+        return list(self._relations)
+
+    def decode_batch(
+        self, batch_df: DataFrame, msg_col: str = "msg", lsn_col: str = "lsn"
+    ) -> DataFrame:
+        self._relations.extend(
+            collect_relations(batch_df, msg_col=msg_col, lsn_col=lsn_col)
+        )
+        return decode_pgoutput_binary(
+            self.spark,
+            batch_df,
+            msg_col=msg_col,
+            lsn_col=lsn_col,
+            registry=registry_df(self.spark, self._relations),
+        )

@@ -257,3 +257,56 @@ def test_type_message():
         "kind": "type", "type_oid": 90210, "namespace": "public",
         "name": "citext",
     }
+
+
+def test_stream_decoder_carries_relations_across_batches(spark):
+    """A RELATION message from micro-batch 1 must still name tuples in
+    micro-batch 2 (which carries no 'R' of its own), and a schema-change
+    'R' in a later batch versions the registry from its LSN on."""
+    from debezium_spark.sources.pgoutput import PgOutputStreamDecoder
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(lsn, bytearray(m)) for lsn, m in rows], "lsn long, msg binary"
+        )
+
+    dec = PgOutputStreamDecoder(spark)
+    b1 = frame([
+        (0, encode_relation(9, "public", "t", [(1, "id", 20, -1),
+                                               (0, "v", 25, -1)])),
+        (1, encode_begin(3, 1_000_000, 100)),
+        (2, encode_insert(9, [("t", "1"), ("t", "a")])),
+        (3, encode_commit(3, 3, 1_000_000)),
+    ])
+    out1 = {r["lsn"]: r for r in dec.decode_batch(b1).collect()}
+    assert out1[2]["after"] == {"id": "1", "v": "a"}
+
+    # batch 2: NO relation message — the persisted registry names it
+    b2 = frame([
+        (4, encode_begin(6, 2_000_000, 101)),
+        (5, encode_insert(9, [("t", "2"), ("n", None)])),
+        (6, encode_commit(6, 6, 2_000_000)),
+    ])
+    out2 = {r["lsn"]: r for r in dec.decode_batch(b2).collect()}
+    assert out2[5]["after"] == {"id": "2"}
+    assert out2[5]["after_nulls"] == ["v"]
+    assert out2[5]["xid"] == 101
+
+    # batch 3: schema change, then data under the NEW relation version
+    b3 = frame([
+        (7, encode_relation(9, "public", "t", [(1, "id", 20, -1),
+                                               (0, "v", 25, -1),
+                                               (0, "w", 23, -1)])),
+        (8, encode_begin(10, 3_000_000, 102)),
+        (9, encode_insert(9, [("t", "3"), ("t", "b"), ("t", "7")])),
+        (10, encode_commit(10, 10, 3_000_000)),
+    ])
+    out3 = {r["lsn"]: r for r in dec.decode_batch(b3).collect()}
+    assert out3[9]["after"] == {"id": "3", "v": "b", "w": "7"}
+    # restart recovery surface: relations are exportable and re-feedable
+    dec2 = PgOutputStreamDecoder(spark, bootstrap=dec.relations)
+    out2b = {r["lsn"]: r for r in dec2.decode_batch(frame([
+        (11, encode_insert(9, [("t", "4"), ("n", None), ("n", None)])),
+    ])).collect()}
+    assert out2b[11]["after"] == {"id": "4"}
+    assert sorted(out2b[11]["after_nulls"]) == ["v", "w"]
