@@ -116,6 +116,26 @@ def _noise_probe() -> list[float]:
     return [round(cpu, 3), round(bw, 3)]
 
 
+def _job_latency_probe(spark) -> list[float]:
+    """Per-JOB scheduling latency: three timed runs of a trivial 2-stage
+    (shuffle) job over 1,000 rows. Calm reference ~0.03-0.08 s/job; a
+    degraded-host mode observed in r9 pins this at ~0.34 s/job while BOTH
+    _noise_probe parts read calm — single-threaded burns don't see
+    scheduler/timer degradation. Multi-job queries (IVF training, any
+    driver-sequenced loop) inflate linearly with this number even though
+    single-job scans measure normal, so record it per run: it's the
+    diagnostic that separates "code regressed" from "the host's job
+    floor moved"."""
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    df.count()  # warm
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        df.groupBy((df.id % 7).alias("k")).count().collect()
+        runs.append(round(time.time() - t0, 3))
+    return runs
+
+
 def main() -> None:
     from debezium_spark.session import get_spark
     from debezium_spark.suite import load_all
@@ -152,6 +172,7 @@ def main() -> None:
     #   The noise probes interleaved below give the reader an independent
     #   machine-health trace to judge any surprising delta against.
     noise = [_noise_probe()]
+    job_latency = [_job_latency_probe(spark)]
     requeues: dict[str, int] = {}
     noisy_accepted: list[str] = []
     spread_accepted: list[str] = []
@@ -205,6 +226,8 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = [round(r, 3) for r in runs]
 
+    job_latency.append(_job_latency_probe(spark))
+
     # Streaming-pipeline throughput (BASELINE targets: >=2048 events per
     # micro-batch sustained; snapshot read parallelism >= 4).
     pipeline_stats = _pipeline_throughput(spark)
@@ -235,6 +258,8 @@ def main() -> None:
         "queries_first_run": first_runs,
         "query_runs": spreads,
         "noise_probe_sec": noise,
+        "job_latency_probe_sec": job_latency,
+        "job_latency_calm_reference": [0.03, 0.08],
         "calm_probe_reference": CALM_PROBE,
         "noise_requeues": requeues,
         "noisy_accepted": noisy_accepted,
