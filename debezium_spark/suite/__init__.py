@@ -81,6 +81,8 @@ PRIORITY: tuple[str, ...] = (
     # registered this round (new queries must be windowed) --------------------
     "s18_pgoutput_binary_decode",      # real pgoutput wire-format decode
     "s19_binlog_binary_decode",        # binlog event wire-format decode
+    "s20_pgoutput_to_table",           # wire bytes -> decoded -> merged table
+    "s21_toast_reselect",              # unchanged-TOAST refill post-processor
     "x41_bpe_tokenizer",               # BPE merge-training over documents
     # last green r6 (stalest remaining tier, 20 of 49; rest rotate in r10) ----
     "s1_snapshot_envelope",
@@ -99,9 +101,7 @@ PRIORITY: tuple[str, ...] = (
     "e3_session_window",
     "t2_extract_new_document_state",
     "t7_outbox_router",
-    "t9_timezone_converter",
     "t17_mask_columns",
-    "w4_share_window",
     "x16_hll_distinct_users",
 )
 

@@ -1402,7 +1402,7 @@ _PG_COLS = [  # (flags, name, type_oid, atttypmod): id is the key; int8/text/num
 ]
 
 
-def _pgoutput_fixture_stream(spark, sf_dir):
+def _pgoutput_fixture_stream(spark, sf_dir, key_by_user: bool = False):
     """A deterministic binary pgoutput stream derived from the events
     table — REAL protocol bytes (tests/test_pgoutput.py pins the byte
     layout against PgOutputMessageDecoder.java's reads): one RELATION
@@ -1411,7 +1411,10 @@ def _pgoutput_fixture_stream(spark, sf_dir):
     event_id % 4 (insert/update-with-old-key/delete/insert); note is
     NULL on every 5th insert and an unchanged-TOAST 'u' cell on every
     5th update. Encoding runs in the same Arrow-batched shape as the
-    decode kernel — the fixture scales with sf, nothing collects."""
+    decode kernel — the fixture scales with sf, nothing collects.
+    ``key_by_user=True`` keys the tuples on user_id instead of event_id,
+    giving every key a multi-op history (the MERGE-materialization
+    fixture); default keys on event_id (unique per message)."""
     import math
 
     import pandas as pd
@@ -1437,6 +1440,7 @@ def _pgoutput_fixture_stream(spark, sf_dir):
                 pdf["value"],
             ):
                 e, u = int(e), int(u)
+                kv = u if key_by_user else e
                 g = e // 50
                 bal = str(math.floor(float(v) * 100))
                 note = (
@@ -1444,18 +1448,18 @@ def _pgoutput_fixture_stream(spark, sf_dir):
                 )
                 if e % 4 == 1:
                     after = [
-                        ("t", str(e)), ("t", f"{t}_u"), ("t", bal),
+                        ("t", str(kv)), ("t", f"{t}_u"), ("t", bal),
                         ("u", None) if e % 5 == 0 else ("t", f"n_{u}"),
                     ]
-                    key = [("t", str(e)), ("n", None), ("n", None),
+                    key = [("t", str(kv)), ("n", None), ("n", None),
                            ("n", None)]
                     msg = encode_update(_PG_RELID, after, key, "K")
                 elif e % 4 == 2:
-                    key = [("t", str(e)), ("n", None), ("n", None),
+                    key = [("t", str(kv)), ("n", None), ("n", None),
                            ("n", None)]
                     msg = encode_delete(_PG_RELID, key, "K")
                 else:
-                    after = [("t", str(e)), ("t", t), ("t", bal), note]
+                    after = [("t", str(kv)), ("t", t), ("t", bal), note]
                     msg = encode_insert(_PG_RELID, after)
                 lsns.append(g * 1000 + 2 + e % 50)
                 msgs.append(msg)
@@ -1713,4 +1717,89 @@ def s19_binlog_binary_decode(spark, sf_dir):
         F.when(
             F.col("kind") == "u", F.element_at(F.col("before"), 4)
         ).alias("old_note"),
+    )
+
+
+@register(
+    "s20_pgoutput_to_table",
+    oracle="""
+    WITH last AS (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id AS id,
+           CASE WHEN event_id % 4 = 1 THEN event_type || '_u'
+                ELSE event_type END AS status,
+           CAST(floor(value * 100) AS BIGINT) AS balance_cents
+    FROM last WHERE rn = 1 AND event_id % 4 <> 2
+    """,
+)
+def s20_pgoutput_to_table(spark, sf_dir):
+    """The full user-visible CDC slice over REAL wire bytes: binary
+    pgoutput stream (keyed on user_id, so every key carries a multi-op
+    insert/update/delete history) → decode → last-write-wins reduction by
+    LSN → materialized table (deletes drop the row). This is what
+    switching a Debezium-Postgres + JDBC-sink user onto this engine means
+    end-to-end; the oracle rebuilds the final table from the closed form
+    (the last event per user decides existence and values). The reduce is
+    k4's key-partitioned window — no global ordering anywhere."""
+    from debezium_spark.operators.reduce import reduce_last_per_key
+    from debezium_spark.sources.pgoutput import decode_pgoutput_binary
+
+    stream = _pgoutput_fixture_stream(spark, sf_dir, key_by_user=True)
+    dec = decode_pgoutput_binary(spark, stream)
+    rows = dec.select(
+        F.coalesce(F.col("after")["id"], F.col("before")["id"])
+        .cast("long")
+        .alias("id"),
+        "op",
+        F.col("after")["status"].alias("status"),
+        F.col("after")["balance"].cast("long").alias("balance_cents"),
+        "lsn",
+    )
+    latest = reduce_last_per_key(rows, key_cols=("id",), order_col="lsn")
+    return latest.filter(F.col("op") != "d").select(
+        "id", "status", "balance_cents"
+    )
+
+
+@register(
+    "s21_toast_reselect",
+    oracle="""
+    SELECT (event_id // 50) * 1000 + 2 + (event_id % 50) AS lsn,
+           event_id AS id,
+           'n_' || CAST(user_id AS VARCHAR) AS note_refilled
+    FROM events WHERE event_id % 4 = 1 AND event_id % 5 = 0
+    """,
+)
+def s21_toast_reselect(spark, sf_dir):
+    """Unchanged-TOAST refill — the reference's
+    ReselectColumnsPostProcessor applied to the binary decode's 'u'
+    cells: pgoutput does NOT resend an unchanged TOASTed column, so the
+    decoded update carries a marker, and the post-processor re-queries
+    the source row to fill it (ReselectColumnsPostProcessor.java:68-73,
+    UnchangedToastedReplicationMessageColumn). Spark shape: filter to
+    events whose ``after_toasted`` names the column, then a keyed
+    equi-join against the source table (Spark broadcasts it when small;
+    at scale it is a plain hash join on the PK — the lookup side is the
+    live table, not a dim). The oracle rebuilds which updates carried a
+    TOAST marker and what the refilled value must be."""
+    from debezium_spark.sources.pgoutput import decode_pgoutput_binary
+
+    stream = _pgoutput_fixture_stream(spark, sf_dir)
+    dec = decode_pgoutput_binary(spark, stream)
+    toasted = dec.filter(
+        F.array_contains(F.col("after_toasted"), "note")
+    ).select("lsn", F.col("after")["id"].cast("long").alias("id"))
+    source_rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("id"),
+        F.concat(F.lit("n_"), F.col("user_id").cast("string")).alias(
+            "note_refilled"
+        ),
+    )
+    return toasted.join(source_rows, "id", "inner").select(
+        "lsn", "id", "note_refilled"
     )
