@@ -56,6 +56,7 @@ TABLE_MAP_EVENT = 19
 WRITE_ROWS_EVENT = 30  # v2 ("EXT_WRITE_ROWS" in the reference's enum)
 UPDATE_ROWS_EVENT = 31
 DELETE_ROWS_EVENT = 32
+GTID_EVENT = 33
 
 EVENT_NAMES = {
     QUERY_EVENT: "query",
@@ -66,6 +67,7 @@ EVENT_NAMES = {
     WRITE_ROWS_EVENT: "write_rows",
     UPDATE_ROWS_EVENT: "update_rows",
     DELETE_ROWS_EVENT: "delete_rows",
+    GTID_EVENT: "gtid",
 }
 
 # column type codes (the decoded slice)
@@ -382,6 +384,45 @@ def encode_query(schema: str, query: str, **hdr) -> bytes:
     return encode_header(QUERY_EVENT, len(body), **hdr) + body
 
 
+def parse_rotate(body: bytes) -> dict:
+    """ROTATE: uint64 position in the next file + the next file's name —
+    the offset-tracking handoff (handleRotateLogsEvent dispatches it to
+    reset the offset context's binlog filename)."""
+    (position,) = struct.unpack_from("<Q", body, 0)
+    return {
+        "kind": "rotate",
+        "position": position,
+        "next_file": body[8:].decode("utf-8"),
+    }
+
+
+def encode_rotate(position: int, next_file: str, **hdr) -> bytes:
+    body = struct.pack("<Q", position) + next_file.encode("utf-8")
+    return encode_header(ROTATE_EVENT, len(body), **hdr) + body
+
+
+def parse_gtid(body: bytes) -> dict:
+    """GTID: uint8 flags, 16-byte source-server UUID, int64 transaction
+    number — the global transaction id Debezium records per offset
+    (GtidEventDataDeserializer in the reference's deserializer wiring)."""
+    import uuid
+
+    flags = body[0]
+    sid = str(uuid.UUID(bytes=bytes(body[1:17])))
+    (gno,) = struct.unpack_from("<q", body, 17)
+    return {"kind": "gtid", "flags": flags, "source_id": sid, "gno": gno,
+            "gtid": f"{sid}:{gno}"}
+
+
+def encode_gtid(source_id: str, gno: int, flags: int = 1, **hdr) -> bytes:
+    import uuid
+
+    body = bytes([flags]) + uuid.UUID(source_id).bytes + struct.pack(
+        "<q", gno
+    )
+    return encode_header(GTID_EVENT, len(body), **hdr) + body
+
+
 def parse_xid(body: bytes) -> dict:
     return {"kind": "xid", "xid": struct.unpack_from("<Q", body, 0)[0]}
 
@@ -405,6 +446,10 @@ def parse_event(buf: bytes, registry: dict) -> dict:
         out = parse_query(body)
     elif code == XID_EVENT:
         out = parse_xid(body)
+    elif code == ROTATE_EVENT:
+        out = parse_rotate(body)
+    elif code == GTID_EVENT:
+        out = parse_gtid(body)
     else:
         out = {"kind": "skip"}
     out["log_pos"] = hdr["log_pos"]

@@ -185,9 +185,27 @@ def test_query_and_xid_events():
     assert (ev["kind"], ev["xid"], ev["log_pos"]) == ("xid", 2**40 + 5, 9)
 
 
+def test_rotate_and_gtid_events():
+    """Offset-tracking events: ROTATE hands off the next binlog file,
+    GTID carries the (server-uuid, tx-number) identity per transaction."""
+    from debezium_spark.sources.binlog import encode_gtid, encode_rotate
+
+    r = encode_rotate(4, "binlog.000042", log_pos=0)
+    assert r[HEADER_LEN:] == (4).to_bytes(8, "little") + b"binlog.000042"
+    ev = parse_event(r, {})
+    assert (ev["kind"], ev["position"], ev["next_file"]) == (
+        "rotate", 4, "binlog.000042",
+    )
+    sid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    g = encode_gtid(sid, 23, flags=1)
+    ev = parse_event(g, {})
+    assert (ev["kind"], ev["flags"], ev["gno"]) == ("gtid", 1, 23)
+    assert ev["gtid"] == f"{sid}:23"
+
+
 def test_unknown_event_skips_and_errors_are_loud():
-    rotate = encode_header(4, 0)  # ROTATE with empty body
-    assert parse_event(rotate, {})["kind"] == "skip"
+    stop = encode_header(3, 0)  # STOP event, not handled
+    assert parse_event(stop, {})["kind"] == "skip"
     # rows event for an unmapped table id raises (can't walk values blind)
     raw = encode_rows_event(
         WRITE_ROWS_EVENT, 404, [TYPE_LONGLONG], [0],
