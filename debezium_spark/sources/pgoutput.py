@@ -33,9 +33,13 @@ intervals, same shape as T13's schema history) and column naming is a
 broadcast range join plus JVM-side ``zip_with``/``map_from_entries``.
 Transaction metadata rides the BEGIN message's final-LSN field: each tx
 is an ``[begin_lsn, final_lsn]`` interval, so data messages attach their
-xid/commit-ts by a broadcast range join — no global window, no stateful
-pairing (protocol v1 data messages do not carry the xid; v2 streaming
-does, which would turn this into a plain equi-join).
+xid/commit-ts by a bucketed broadcast interval join — no global window,
+no stateful pairing. Protocol v2 (PG14 streamed transactions — the
+reference pins proto_version 1, so this is the scale extension) is also
+decoded: Stream Start/Stop/Commit/Abort messages plus the int32-xid
+prefix in-segment data messages carry, which turns the tx attach into a
+plain equi-join on ``stream_xid`` (see ``decode_frames``'s
+``in_stream_col``).
 
 No live Postgres exists in this sandbox, so fixtures are generated
 offline by the encoder half below (byte-identical to the protocol; the
@@ -64,6 +68,15 @@ MESSAGE_CODES = {
     "O": "origin",
     "Y": "type",
     "M": "message",
+    # protocol v2 (PG14+) streamed-transaction framing. The reference pins
+    # proto_version 1 (PostgresReplicationConnection's slot options), so
+    # v1 is the parity surface; v2 is the SCALE extension — a large tx
+    # streams before commit and every data message carries its xid, which
+    # turns the tx attach from an interval join into a plain equi-join.
+    "S": "stream_start",
+    "E": "stream_stop",
+    "c": "stream_commit",
+    "A": "stream_abort",
 }
 
 
@@ -95,13 +108,59 @@ def _read_tuple_data(buf: bytes, off: int) -> tuple[list[tuple], int]:
     return cols, off
 
 
-def parse_message(buf: bytes) -> dict:
+#: message kinds that carry a leading int32 xid inside a protocol-v2
+#: streamed-transaction segment (between Stream Start and Stream Stop)
+_V2_XID_PREFIXED = {
+    "relation", "insert", "update", "delete", "truncate", "type", "message",
+}
+
+
+def parse_message(buf: bytes, in_stream: bool = False) -> dict:
     """Parse ONE binary replication message into a plain dict (the
     per-message half of PgOutputMessageDecoder.processNotEmptyMessage).
     Unknown message codes return ``{"kind": "skip"}`` — the reference
-    ignores unhandled types rather than failing the stream."""
+    ignores unhandled types rather than failing the stream.
+
+    ``in_stream=True`` parses the protocol-v2 in-segment form: data-class
+    messages carry an int32 xid right after the code byte. Segment
+    membership is FRAMING state — the WAL reader sees messages in order
+    and stamps it when it stamps the LSN (Stream Start opens, Stream
+    Stop closes), so the distributed decode stays stateless per message."""
     code = chr(buf[0])
     kind = MESSAGE_CODES.get(code, "skip")
+    if kind == "stream_start":
+        (xid,) = struct.unpack_from(">i", buf, 1)
+        return {
+            "kind": "stream_start",
+            "xid": xid & 0xFFFFFFFF,
+            "first_segment": buf[5] == 1,
+        }
+    if kind == "stream_stop":
+        return {"kind": "stream_stop"}
+    if kind == "stream_commit":
+        (xid,) = struct.unpack_from(">i", buf, 1)
+        flags = buf[5]
+        commit_lsn, end_lsn, ts_us = struct.unpack_from(">qqq", buf, 6)
+        return {
+            "kind": "stream_commit",
+            "xid": xid & 0xFFFFFFFF,
+            "flags": flags,
+            "commit_lsn": commit_lsn,
+            "end_lsn": end_lsn,
+            "commit_ts_us": ts_us,
+        }
+    if kind == "stream_abort":
+        xid, subxid = struct.unpack_from(">ii", buf, 1)
+        return {
+            "kind": "stream_abort",
+            "xid": xid & 0xFFFFFFFF,
+            "subtransaction_xid": subxid & 0xFFFFFFFF,
+        }
+    if in_stream and kind in _V2_XID_PREFIXED:
+        (stream_xid,) = struct.unpack_from(">i", buf, 1)
+        out = parse_message(buf[:1] + buf[5:])
+        out["stream_xid"] = stream_xid & 0xFFFFFFFF
+        return out
     if kind == "begin":
         final_lsn, ts_us, xid = struct.unpack_from(">qqi", buf, 1)
         return {
@@ -318,6 +377,44 @@ def encode_delete(
     )
 
 
+def _i32(x: int) -> int:
+    """uint32 value → the signed int32 with the same wire bytes."""
+    return x if x < 2**31 else x - 2**32
+
+
+def encode_stream_start(xid: int, first_segment: bool = True) -> bytes:
+    return b"S" + struct.pack(">i", _i32(xid)) + (
+        b"\x01" if first_segment else b"\x00"
+    )
+
+
+def encode_stream_stop() -> bytes:
+    return b"E"
+
+
+def encode_stream_commit(
+    xid: int, commit_lsn: int, end_lsn: int, commit_ts_us: int,
+    flags: int = 0,
+) -> bytes:
+    return (
+        b"c"
+        + struct.pack(">i", _i32(xid))
+        + bytes([flags])
+        + struct.pack(">qqq", commit_lsn, end_lsn, commit_ts_us)
+    )
+
+
+def encode_stream_abort(xid: int, subtransaction_xid: int) -> bytes:
+    return b"A" + struct.pack(">ii", _i32(xid), _i32(subtransaction_xid))
+
+
+def with_stream_xid(msg: bytes, xid: int) -> bytes:
+    """Wrap a v1 data-class message into its v2 in-segment form (int32
+    xid spliced after the code byte) — the fixture generator's half of
+    streamed-transaction framing."""
+    return msg[:1] + struct.pack(">i", _i32(xid)) + msg[1:]
+
+
 def encode_logical_message(
     prefix: str, content: bytes, *, transactional: bool = True, lsn: int = 0
 ) -> bytes:
@@ -348,29 +445,44 @@ _FRAME_SCHEMA = (
     " commit_ts_us long, before_kind string,"
     " before array<struct<k:string, v:string>>,"
     " after array<struct<k:string, v:string>>,"
-    " truncate_relids array<int>, truncate_flags int"
+    " truncate_relids array<int>, truncate_flags int, stream_xid long"
 )
 
 
 def decode_frames(
-    df: DataFrame, msg_col: str = "msg", lsn_col: str = "lsn"
+    df: DataFrame,
+    msg_col: str = "msg",
+    lsn_col: str = "lsn",
+    in_stream_col: str | None = None,
 ) -> DataFrame:
     """Arrow-batched decode of every message into a positional frame
     (column names attach later from the relation registry). One Python
-    pass per Arrow batch; the parse is pure byte slicing."""
+    pass per Arrow batch; the parse is pure byte slicing.
+
+    ``in_stream_col`` names a boolean column stamped by the WAL reader's
+    framing (true between Stream Start and Stream Stop): those messages
+    parse in protocol-v2 in-segment form and surface their ``stream_xid``
+    — with it, tx attach is a plain equi-join instead of the v1
+    BEGIN-interval join."""
     import pandas as pd
 
     out_cols = [
         "lsn", "kind", "relation_id", "xid", "final_lsn", "commit_ts_us",
         "before_kind", "before", "after", "truncate_relids",
-        "truncate_flags",
+        "truncate_flags", "stream_xid",
     ]
+    sel = [lsn_col, msg_col] + ([in_stream_col] if in_stream_col else [])
 
     def run(batches):
         for pdf in batches:
             rows = []
-            for lsn, raw in zip(pdf[lsn_col], pdf[msg_col]):
-                m = parse_message(bytes(raw))
+            flags = (
+                pdf[in_stream_col]
+                if in_stream_col is not None
+                else [False] * len(pdf)
+            )
+            for lsn, raw, in_stream in zip(pdf[lsn_col], pdf[msg_col], flags):
+                m = parse_message(bytes(raw), in_stream=bool(in_stream))
 
                 def cells(cols):
                     if cols is None:
@@ -390,11 +502,12 @@ def decode_frames(
                         cells(m.get("after")),
                         m.get("relation_ids"),
                         m.get("flags") if m["kind"] == "truncate" else None,
+                        m.get("stream_xid"),
                     )
                 )
             yield pd.DataFrame(rows, columns=out_cols)
 
-    return df.select(lsn_col, msg_col).mapInPandas(run, _FRAME_SCHEMA)
+    return df.select(*sel).mapInPandas(run, _FRAME_SCHEMA)
 
 
 def collect_relations(

@@ -310,3 +310,92 @@ def test_stream_decoder_carries_relations_across_batches(spark):
     ])).collect()}
     assert out2b[11]["after"] == {"id": "4"}
     assert sorted(out2b[11]["after_nulls"]) == ["v", "w"]
+
+
+def test_protocol_v2_stream_messages():
+    """Protocol v2 (PG14) streamed-transaction framing: Stream Start /
+    Stop / Commit / Abort, and the int32-xid prefix data messages carry
+    inside a segment. The reference pins proto_version 1, so this is the
+    engine's scale extension — with per-message xids the tx attach
+    becomes a plain equi-join."""
+    from debezium_spark.sources.pgoutput import (
+        encode_stream_abort,
+        encode_stream_commit,
+        encode_stream_start,
+        encode_stream_stop,
+        with_stream_xid,
+    )
+
+    s = encode_stream_start(0xFFFF_FFF0, first_segment=True)
+    assert s == b"S" + (0xFFFF_FFF0).to_bytes(4, "big") + b"\x01"
+    m = parse_message(s)
+    assert m == {
+        "kind": "stream_start", "xid": 0xFFFF_FFF0, "first_segment": True,
+    }
+    assert parse_message(encode_stream_stop()) == {"kind": "stream_stop"}
+
+    c = encode_stream_commit(7, 100, 110, 9_000_000)
+    assert c == (
+        b"c" + (7).to_bytes(4, "big") + b"\x00"
+        + (100).to_bytes(8, "big") + (110).to_bytes(8, "big")
+        + (9_000_000).to_bytes(8, "big")
+    )
+    m = parse_message(c)
+    assert (m["kind"], m["xid"], m["commit_lsn"], m["end_lsn"]) == (
+        "stream_commit", 7, 100, 110,
+    )
+    a = parse_message(encode_stream_abort(7, 9))
+    assert a == {
+        "kind": "stream_abort", "xid": 7, "subtransaction_xid": 9,
+    }
+
+    # in-segment data message: xid spliced after the code byte
+    ins = with_stream_xid(encode_insert(5, [("t", "1")]), 7)
+    assert ins[:5] == b"I" + (7).to_bytes(4, "big")
+    m = parse_message(ins, in_stream=True)
+    assert (m["kind"], m["stream_xid"], m["after"]) == (
+        "insert", 7, [("t", "1")],
+    )
+    # the same bytes parsed OUTSIDE a segment would misread — framing is
+    # the reader's job, exactly like stamping the LSN
+    rel = with_stream_xid(
+        encode_relation(5, "public", "t", [(1, "id", 20, -1)]), 7
+    )
+    m = parse_message(rel, in_stream=True)
+    assert (m["kind"], m["stream_xid"], m["table"]) == ("relation", 7, "t")
+
+
+def test_distributed_v2_decode_equi_join_tx(spark):
+    """Frames decoded with an in_stream column surface stream_xid, so tx
+    metadata attaches by equi-join against the stream-commit frames."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import (
+        decode_frames,
+        encode_stream_commit,
+        encode_stream_start,
+        encode_stream_stop,
+        with_stream_xid,
+    )
+
+    msgs = [
+        (1, encode_stream_start(42), False),
+        (2, with_stream_xid(encode_insert(5, [("t", "1")]), 42), True),
+        (3, with_stream_xid(encode_insert(5, [("t", "2")]), 42), True),
+        (4, encode_stream_stop(), False),
+        (5, encode_stream_commit(42, 5, 5, 7_000_000), False),
+    ]
+    df = spark.createDataFrame(
+        [(lsn, bytearray(m), st) for lsn, m, st in msgs],
+        "lsn long, msg binary, in_stream boolean",
+    )
+    frames = decode_frames(df, in_stream_col="in_stream")
+    data = frames.filter(F.col("kind") == "insert")
+    commits = frames.filter(F.col("kind") == "stream_commit").select(
+        F.col("xid").alias("stream_xid"),
+        F.col("commit_ts_us").alias("tx_ts_us"),
+    )
+    out = data.join(F.broadcast(commits), "stream_xid").collect()
+    assert len(out) == 2
+    assert all(r["tx_ts_us"] == 7_000_000 for r in out)
+    assert sorted(r["lsn"] for r in out) == [2, 3]
