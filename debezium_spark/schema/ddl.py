@@ -187,10 +187,15 @@ def _parse_column_def(text: str) -> ColumnSpec | None:
         raise ValueError(f"unparseable column definition: {text!r}")
     name, type_text, rest = _unquote(m.group(1)), m.group(2), m.group(3)
     rest_u = f" {rest.upper()} "
-    # generated column: [GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]
-    gm = re.search(
-        r"(?:GENERATED\s+ALWAYS\s+)?AS\s*\((.*)\)\s*(?:VIRTUAL|STORED)?\s*",
-        rest,
+    # generated column: [GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED].
+    # Position-anchored: in MySQL grammar the AS clause follows the type
+    # (optionally after COLLATE) — an un-anchored search would misread a
+    # COMMENT/DEFAULT string literal containing "as (x)" as a generation
+    # expression and silently drop the real default.
+    gm = re.match(
+        r"(?:COLLATE\s+\S+\s+)?(?:GENERATED\s+ALWAYS\s+)?"
+        r"AS\s*\((.*)\)\s*(?:VIRTUAL|STORED)?",
+        rest.strip(),
         re.I | re.S,
     )
     generated = gm.group(1).strip() if gm else None

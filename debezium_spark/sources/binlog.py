@@ -466,20 +466,23 @@ def table_map_registry(
 ) -> dict[int, dict]:
     """Parse the stream's TABLE_MAP events driver-side into
     ``{table_id: table_map}``. Real binlogs repeat a TABLE_MAP before
-    every rows event, so the scan dedupes to distinct messages FIRST
-    (bounded by table count × schema changes) before collecting."""
-    rel_rows = (
+    every rows event — each repeat carrying a fresh header timestamp /
+    log_pos — so the scan strips the 19-byte header and dedupes on the
+    BODY (bounded by table count × schema changes) before collecting;
+    distinct on the full message would dedupe nothing on a real stream
+    and the collect would scale with stream length."""
+    body_rows = (
         df.filter(
             F.expr(f"substring({msg_col}, 5, 1)")
             == bytes([TABLE_MAP_EVENT])
         )
-        .select(msg_col)
+        .select(F.expr(f"substring({msg_col}, {HEADER_LEN + 1})").alias("body"))
         .distinct()
         .collect()
     )
     registry: dict[int, dict] = {}
-    for r in rel_rows:
-        tm = parse_table_map(bytes(r[msg_col])[HEADER_LEN:])
+    for r in body_rows:
+        tm = parse_table_map(bytes(r["body"]))
         registry[tm["table_id"]] = tm
     return registry
 

@@ -510,19 +510,98 @@ def decode_frames(
     return df.select(*sel).mapInPandas(run, _FRAME_SCHEMA)
 
 
+def derive_in_stream(
+    df: DataFrame,
+    msg_col: str = "msg",
+    lsn_col: str = "lsn",
+    open_at_start: bool = False,
+    out_col: str = "in_stream",
+) -> tuple[DataFrame, bool, int]:
+    """The WAL-reader fold: derive protocol-v2 segment membership from the
+    Stream Start/Stop framing itself, instead of trusting a caller-stamped
+    column. Returns ``(df + out_col, open_at_end, n_segments)``.
+
+    Framing messages are rare (two per streamed segment), so the mark scan
+    is a bounded codegen prefix-filter + collect; the stamp itself is pure
+    JVM expression (closed segments become strict-LSN intervals, an
+    open tail becomes one ``lsn > s`` term). ``open_at_start`` carries a
+    segment left open by the previous micro-batch
+    (``PgOutputStreamDecoder`` persists it); segments never nest in the
+    protocol, so overlapping marks raise instead of guessing."""
+    marks = (
+        df.filter(F.expr(f"substring({msg_col}, 1, 1) IN (X'53', X'45')"))
+        .select(lsn_col, F.expr(f"substring({msg_col}, 1, 1)").alias("c"))
+        .collect()
+    )
+    marks.sort(key=lambda r: r[lsn_col])
+    segments: list[tuple[int, int | None]] = []
+    open_lsn: int | None = -1 if open_at_start else None
+    for r in marks:
+        if bytes(r["c"]) == b"S":
+            if open_lsn is not None:
+                raise ValueError(
+                    f"Stream Start at lsn {r[lsn_col]} inside an open "
+                    "segment — protocol v2 segments never nest"
+                )
+            open_lsn = r[lsn_col]
+        else:
+            if open_lsn is None:
+                raise ValueError(
+                    f"Stream Stop at lsn {r[lsn_col]} without a Stream Start"
+                )
+            segments.append((open_lsn, r[lsn_col]))
+            open_lsn = None
+    if open_lsn is not None:
+        segments.append((open_lsn, None))
+    if not segments:
+        return df.withColumn(out_col, F.lit(False)), False, 0
+    # Membership is strict (the S/E marks themselves are framing, not
+    # in-segment): disjoint OR of interval terms — bounded by segments
+    # per batch, each a codegen range compare on the already-read lsn.
+    cond = F.lit(False)
+    for s, e in segments:
+        term = F.col(lsn_col) > F.lit(s)
+        if e is not None:
+            term = term & (F.col(lsn_col) < F.lit(e))
+        cond = cond | term
+    return df.withColumn(out_col, cond), open_lsn is not None, len(segments)
+
+
 def collect_relations(
-    df: DataFrame, msg_col: str = "msg", lsn_col: str = "lsn"
+    df: DataFrame,
+    msg_col: str = "msg",
+    lsn_col: str = "lsn",
+    in_stream_col: str | None = None,
 ) -> list[tuple[int, dict]]:
     """Parse a frame's 'R' messages driver-side into [(lsn, parsed)].
     RELATION messages are rare (tables × schema changes), so the collect
-    is bounded."""
+    is bounded. ``in_stream_col`` flags v2 in-segment 'R' messages (xid
+    prefix before the relation body)."""
+    sel = [lsn_col, msg_col] + ([in_stream_col] if in_stream_col else [])
     rel_rows = (
         df.filter(F.expr(f"substring({msg_col}, 1, 1) = X'52'"))  # 'R'
-        .select(lsn_col, msg_col)
+        .select(*sel)
         .collect()
     )
+    if in_stream_col:
+        return sorted(
+            (
+                (
+                    r[lsn_col],
+                    parse_message(
+                        bytes(r[msg_col]), in_stream=bool(r[in_stream_col])
+                    ),
+                )
+                for r in rel_rows
+            ),
+            key=lambda t: (t[0], t[1]["relation_id"]),
+        )
+    # key= keeps the sort on (lsn, relation_id) only: two RELATIONs sharing
+    # an LSN (a multi-table bootstrap stamped at lsn 0) must never fall
+    # through to dict<dict comparison (TypeError).
     return sorted(
-        (r[lsn_col], parse_message(bytes(r[msg_col]))) for r in rel_rows
+        ((r[lsn_col], parse_message(bytes(r[msg_col]))) for r in rel_rows),
+        key=lambda t: (t[0], t[1]["relation_id"]),
     )
 
 
@@ -532,7 +611,7 @@ def registry_df(spark, parsed: list[tuple[int, dict]]) -> DataFrame:
     validity shape as T13's schema history. Intervals are built with a
     plain sort, never a Spark window."""
     by_relid: dict[int, list] = {}
-    for lsn, m in sorted(parsed):
+    for lsn, m in sorted(parsed, key=lambda t: (t[0], t[1]["relation_id"])):
         by_relid.setdefault(m["relation_id"], []).append((lsn, m))
     rows = []
     for relid, versions in by_relid.items():
@@ -547,6 +626,7 @@ def registry_df(spark, parsed: list[tuple[int, dict]]) -> DataFrame:
                     [c["name"] for c in m["columns"]],
                     [c["flags"] for c in m["columns"]],
                     [c["type_oid"] for c in m["columns"]],
+                    [c["atttypmod"] for c in m["columns"]],
                     lsn,
                     valid_to,
                 )
@@ -556,16 +636,24 @@ def registry_df(spark, parsed: list[tuple[int, dict]]) -> DataFrame:
         "relation_id int, schema string, table string,"
         " replica_identity string, col_names array<string>,"
         " col_flags array<int>, col_oids array<int>,"
+        " col_typmods array<int>,"
         " valid_from_lsn long, valid_to_lsn long",
     )
 
 
 def relation_registry(
-    spark, df: DataFrame, msg_col: str = "msg", lsn_col: str = "lsn"
+    spark,
+    df: DataFrame,
+    msg_col: str = "msg",
+    lsn_col: str = "lsn",
+    in_stream_col: str | None = None,
 ) -> DataFrame:
     """Registry built from one frame's own 'R' messages (batch decode)."""
     return registry_df(
-        spark, collect_relations(df, msg_col=msg_col, lsn_col=lsn_col)
+        spark,
+        collect_relations(
+            df, msg_col=msg_col, lsn_col=lsn_col, in_stream_col=in_stream_col
+        ),
     )
 
 
@@ -600,6 +688,7 @@ def decode_pgoutput_binary(
     msg_col: str = "msg",
     lsn_col: str = "lsn",
     registry: DataFrame | None = None,
+    in_stream_col: str | None = None,
 ) -> DataFrame:
     """Full binary pgoutput decode: frames → named envelopes with
     transaction metadata.
@@ -619,11 +708,32 @@ def decode_pgoutput_binary(
     begin side is bounded by transactions-per-batch. ``registry`` injects
     a prebuilt relation registry (the streaming decoder persists one
     across micro-batches — a batch's 'R' message must outlive its batch);
-    None derives it from this frame's own 'R' messages."""
+    None derives it from this frame's own 'R' messages.
+
+    Protocol-v2 streamed transactions: ``in_stream_col`` names a boolean
+    segment-membership column (the streaming decoder stamps it across
+    batches); when None the framing is DERIVED from the frame's own
+    Stream Start/Stop marks (``derive_in_stream``) so v2 input can never
+    silently misparse through the v1 path. In-segment data rows attach
+    their tx by a broadcast equi-join on ``stream_xid`` against Stream
+    Commit messages — data whose commit is absent from the frame
+    (still-pending or aborted) is withheld, matching the reference's
+    commit-gated emission; subtransaction aborts raise (no silent
+    partial-tx corruption)."""
+    has_v2 = in_stream_col is not None
+    if in_stream_col is None:
+        df, _open, nsegs = derive_in_stream(
+            df, msg_col=msg_col, lsn_col=lsn_col, out_col="__in_stream"
+        )
+        in_stream_col = "__in_stream"
+        has_v2 = nsegs > 0
     reg = (
         registry
         if registry is not None
-        else relation_registry(spark, df, msg_col=msg_col, lsn_col=lsn_col)
+        else relation_registry(
+            spark, df, msg_col=msg_col, lsn_col=lsn_col,
+            in_stream_col=in_stream_col,
+        )
     )
 
     # Pre-filter each branch by message code on the RAW bytes (a codegen
@@ -636,6 +746,7 @@ def decode_pgoutput_binary(
         ),
         msg_col=msg_col,
         lsn_col=lsn_col,
+        in_stream_col=in_stream_col,
     )
     named_data = data.join(
         F.broadcast(reg),
@@ -644,6 +755,11 @@ def decode_pgoutput_binary(
         & (data["lsn"] < reg["valid_to_lsn"]),
         "left",
     ).drop(reg["relation_id"])
+    v1_data = (
+        named_data.filter(F.col("stream_xid").isNull())
+        if has_v2
+        else named_data
+    )
 
     begins = (
         decode_frames(
@@ -687,7 +803,7 @@ def decode_pgoutput_binary(
     # bucket shared by several small intervals still matches each data
     # row at most once — a post-join filter would instead emit one row
     # per co-bucketed interval.
-    keyed = named_data.withColumn("__bkt", F.floor(F.col("lsn") / width))
+    keyed = v1_data.withColumn("__bkt", F.floor(F.col("lsn") / width))
     with_tx = keyed.join(
         F.broadcast(banded),
         (keyed["__bkt"] == banded["__bkt"])
@@ -696,6 +812,47 @@ def decode_pgoutput_binary(
         "left",
     ).drop("__bkt")
 
+    if has_v2:
+        # Guard: a subtransaction abort discards only that subxact's
+        # rows, which this envelope does not track — raise rather than
+        # emit a corrupted partial transaction. Abort messages are rare;
+        # the collect is prefix-filtered and bounded.
+        for r in (
+            df.filter(F.expr(f"substring({msg_col}, 1, 1) = X'41'"))  # 'A'
+            .select(msg_col)
+            .collect()
+        ):
+            m = parse_message(bytes(r[msg_col]))
+            if m["subtransaction_xid"] != m["xid"]:
+                raise ValueError(
+                    "stream abort of subtransaction "
+                    f"{m['subtransaction_xid']} within tx {m['xid']}: "
+                    "partial-tx rollback is unsupported, refusing to emit"
+                )
+        # v2 tx attach: Stream Commit carries (xid, commit ts); the
+        # inner equi-join both names the tx AND gates emission on commit
+        # (pending/aborted xids simply have no commit row).
+        commits = decode_frames(
+            df.filter(F.expr(f"substring({msg_col}, 1, 1) = X'63'")),  # 'c'
+            msg_col=msg_col,
+            lsn_col=lsn_col,
+        ).select(
+            F.col("xid").alias("__commit_xid"),
+            F.col("xid").alias("__xid"),
+            F.col("commit_ts_us").alias("__tx_ts_us"),
+        )
+        v2_with_tx = named_data.filter(F.col("stream_xid").isNotNull()).join(
+            F.broadcast(commits),
+            F.col("stream_xid") == F.col("__commit_xid"),
+            "inner",
+        )
+        return _envelope_select(with_tx).unionByName(
+            _envelope_select(v2_with_tx)
+        )
+    return _envelope_select(with_tx)
+
+
+def _envelope_select(with_tx: DataFrame) -> DataFrame:
     b = _named(F.col("before"), F.col("col_names"))
     a = _named(F.col("after"), F.col("col_names"))
     op = (
@@ -742,14 +899,27 @@ class PgOutputStreamDecoder:
             lambda b, _: sink.write(dec.decode_batch(b))
         )
 
-    The persisted state is the parsed 'R' list — bounded by tables ×
-    schema changes, the same budget as schema history. Restart recovery:
-    feed ``bootstrap`` with the parsed relations persisted alongside the
-    checkpoint (``relations`` exposes them for exactly that)."""
+    The persisted state is (a) the parsed 'R' list — bounded by tables ×
+    schema changes, the same budget as schema history — plus, for
+    protocol-v2 streamed transactions, (b) whether a stream segment was
+    left open at the batch boundary and (c) the raw in-segment rows of
+    still-uncommitted txs (bounded by open streamed-tx size — the same
+    buffer the server itself holds before v2 existed). Segment membership
+    is DERIVED from the Stream Start/Stop framing per batch
+    (``derive_in_stream``), never caller-stamped. A tx streamed across
+    micro-batches emits exactly once — in the batch whose Stream Commit
+    arrives; an aborted tx's rows are discarded. Restart recovery: feed
+    ``bootstrap`` with the parsed relations persisted alongside the
+    checkpoint (``relations`` exposes them for exactly that) and replay
+    from the restart LSN (pending in-segment rows re-read from the WAL,
+    as the reference does — it keeps no cross-restart tx buffer
+    either)."""
 
     def __init__(self, spark, bootstrap: list[tuple[int, dict]] | None = None):
         self.spark = spark
         self._relations: list[tuple[int, dict]] = list(bootstrap or [])
+        self._open_segment = False
+        self._pending: DataFrame | None = None
 
     @property
     def relations(self) -> list[tuple[int, dict]]:
@@ -758,13 +928,217 @@ class PgOutputStreamDecoder:
     def decode_batch(
         self, batch_df: DataFrame, msg_col: str = "msg", lsn_col: str = "lsn"
     ) -> DataFrame:
-        self._relations.extend(
-            collect_relations(batch_df, msg_col=msg_col, lsn_col=lsn_col)
-        )
-        return decode_pgoutput_binary(
-            self.spark,
+        stamped, self._open_segment, _nsegs = derive_in_stream(
             batch_df,
             msg_col=msg_col,
             lsn_col=lsn_col,
-            registry=registry_df(self.spark, self._relations),
+            open_at_start=self._open_segment,
+            out_col="__in_stream",
         )
+        self._relations.extend(
+            collect_relations(
+                stamped,
+                msg_col=msg_col,
+                lsn_col=lsn_col,
+                in_stream_col="__in_stream",
+            )
+        )
+        work = stamped.select(lsn_col, msg_col, "__in_stream")
+        if self._pending is not None:
+            work = self._pending.unionByName(work)
+        # Resolve streamed-tx fates visible so far: commit or full abort
+        # closes a xid (subxact aborts flow through to the decode guard,
+        # which raises). The collect is prefix-filtered and bounded by
+        # streamed txs per batch.
+        resolved: set[int] = set()
+        for r in (
+            work.filter(
+                F.expr(f"substring({msg_col}, 1, 1) IN (X'63', X'41')")
+            )
+            .select(msg_col)
+            .collect()
+        ):
+            m = parse_message(bytes(r[msg_col]))
+            if (
+                m["kind"] == "stream_commit"
+                or m["subtransaction_xid"] == m["xid"]
+            ):
+                resolved.add(m["xid"])
+        # Every in-segment message carries its xid at bytes 2-5 (v2's
+        # int32 prefix) — extracted JVM-side, no Python in the split.
+        xid_expr = F.expr(
+            f"cast(conv(hex(substring({msg_col}, 2, 4)), 16, 10) as long)"
+        )
+        pend_cond = F.col("__in_stream")
+        if resolved:
+            pend_cond = pend_cond & ~xid_expr.isin(
+                [int(x) for x in resolved]
+            )
+        # localCheckpoint truncates lineage so the pending buffer never
+        # re-derives through every prior micro-batch's plan.
+        self._pending = work.filter(pend_cond).localCheckpoint(eager=True)
+        ready = work.filter(~pend_cond)
+        return decode_pgoutput_binary(
+            self.spark,
+            ready,
+            msg_col=msg_col,
+            lsn_col=lsn_col,
+            registry=registry_df(self.spark, self._relations),
+            in_stream_col="__in_stream",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Typed value projection (s22): OID -> Spark cast layer over the text cells
+# ---------------------------------------------------------------------------
+#: pg_type OIDs (pg_catalog, stable since PG7) the cast layer dispatches on —
+#: the same set PostgresValueConverter.java:286-324 switches over. Everything
+#: here is a Catalyst expression over the pgoutput 't' text cell; no UDF.
+PG_BOOL, PG_BYTEA, PG_CHAR, PG_NAME = 16, 17, 18, 19
+PG_INT8, PG_INT2, PG_INT4, PG_OID_T = 20, 21, 23, 26
+PG_TEXT, PG_JSON, PG_XML = 25, 114, 142
+PG_FLOAT4, PG_FLOAT8 = 700, 701
+PG_BPCHAR, PG_VARCHAR = 1042, 1043
+PG_DATE, PG_TIME, PG_TIMESTAMP, PG_TIMESTAMPTZ = 1082, 1083, 1114, 1184
+PG_NUMERIC, PG_UUID, PG_JSONB = 1700, 2950, 3802
+_PG_STRING_OIDS = {PG_CHAR, PG_NAME, PG_TEXT, PG_JSON, PG_XML, PG_BPCHAR,
+                   PG_VARCHAR, PG_UUID, PG_JSONB}
+#: array-type OID -> element cast ("" = text elements, unquoted JVM-side)
+_PG_ARRAY_ELEM = {
+    1000: "boolean", 1005: "smallint", 1007: "int", 1016: "bigint",
+    1021: "float", 1022: "double", 1231: "decimal(38,18)",
+    1009: "", 1015: "",  # _text / _varchar
+}
+
+
+def numeric_type_for(atttypmod: int) -> str:
+    """NUMERIC(p,s) from the relation's atttypmod: PG packs
+    ((p << 16) | s) + 4; unconstrained NUMERIC (typmod -1) maps to the
+    widest Spark decimal — the reference's VariableScaleDecimal case."""
+    if atttypmod is None or atttypmod < 4:
+        return "decimal(38,18)"
+    p = ((atttypmod - 4) >> 16) & 0xFFFF
+    s = (atttypmod - 4) & 0xFFFF
+    return f"decimal({p},{s})"
+
+
+def pg_typed_value(col, type_oid: int, atttypmod: int = -1):
+    """One pgoutput text cell -> typed Spark column, dispatched on the
+    relation's column OID (PostgresValueConverter.java:112,286-324).
+
+    Text forms are PG's own output formats: bool 't'/'f'; bytea hex
+    '\\x…'; date/timestamp ISO; time 'HH:MM:SS[.ffffff]' (surfaced as
+    io.debezium.time.MicroTime int64 µs-since-midnight, the reference's
+    logical type); arrays '{a,b,NULL}' (non-nested; quoted text elements
+    unescape, but embedded commas inside quotes are out of slice — PG's
+    full array grammar needs a real parser). Unknown OIDs raise: silent
+    string passthrough would corrupt a sink schema."""
+    if type_oid == PG_BOOL:
+        return F.when(col == "t", F.lit(True)).when(col == "f", F.lit(False))
+    if type_oid == PG_BYTEA:
+        # text form is '\x' + lowercase hex
+        return F.unhex(col.substr(F.lit(3), F.length(col)))
+    if type_oid == PG_INT2:
+        return col.cast("smallint")
+    if type_oid == PG_INT4:
+        return col.cast("int")
+    if type_oid in (PG_INT8, PG_OID_T):
+        return col.cast("long")
+    if type_oid == PG_FLOAT4:
+        return col.cast("float")
+    if type_oid == PG_FLOAT8:
+        return col.cast("double")
+    if type_oid == PG_NUMERIC:
+        return col.cast(numeric_type_for(atttypmod))
+    if type_oid in _PG_STRING_OIDS:
+        return col
+    if type_oid == PG_DATE:
+        return col.cast("date")
+    if type_oid == PG_TIME:
+        return F.unix_micros(
+            F.to_timestamp(F.concat(F.lit("1970-01-01 "), col))
+        )
+    if type_oid == PG_TIMESTAMP:
+        return col.cast("timestamp_ntz")
+    if type_oid == PG_TIMESTAMPTZ:
+        return col.cast("timestamp")
+    if type_oid in _PG_ARRAY_ELEM:
+        elem_t = _PG_ARRAY_ELEM[type_oid]
+        inner = col.substr(F.lit(2), F.length(col) - 2)
+        parts = F.split(inner, ",")
+        if elem_t == "boolean":
+            def conv(e):
+                return F.when(e == "t", F.lit(True)).when(
+                    e == "f", F.lit(False)
+                )
+        elif elem_t:
+            def conv(e):
+                # explicit NULL-keyword guard (ANSI casts reject 'NULL');
+                # genuinely malformed numeric text still raises — a
+                # try_cast would silently null corrupted data instead
+                return F.when(e == "NULL", F.lit(None).cast(elem_t)).otherwise(
+                    e.cast(elem_t)
+                )
+        else:
+            def conv(e):
+                body = F.regexp_replace(
+                    F.regexp_replace(
+                        e.substr(F.lit(2), F.length(e) - 2), r'\\"', '"'
+                    ),
+                    r"\\\\",
+                    r"\\",
+                )
+                return (
+                    F.when(e == "NULL", F.lit(None).cast("string"))
+                    .when(e.startswith('"'), body)
+                    .otherwise(e)
+                )
+
+        arr_t = f"array<{elem_t or 'string'}>"
+        return (
+            F.when(F.length(col) <= 2, F.array().cast(arr_t))
+            .otherwise(F.transform(parts, conv))
+        )
+    raise ValueError(
+        f"no typed mapping for pg type OID {type_oid} — refusing to pass "
+        "through as text (PostgresValueConverter covers it; extend the "
+        "dispatch)"
+    )
+
+
+def typed_projection(
+    decoded: DataFrame,
+    registry: DataFrame,
+    schema: str,
+    table: str,
+    src: str = "after",
+) -> DataFrame:
+    """Project one relation's decoded text envelope into TYPED columns
+    driven by the relation registry's (col_names, col_oids, col_typmods)
+    — the completion of the binary decode: downstream pipelines get
+    DecimalType-from-atttypmod, TimestampType-from-ISO-text, arrays,
+    bytea… instead of re-implementing type mapping ad hoc.
+
+    Uses the LATEST registry version of the relation (one bounded
+    driver read — same budget as the registry itself); rows whose text
+    map lacks a column (pre-evolution images) surface typed NULLs."""
+    ver = (
+        registry.filter(
+            (F.col("schema") == schema) & (F.col("table") == table)
+        )
+        .orderBy(F.col("valid_from_lsn").desc())
+        .select("col_names", "col_oids", "col_typmods")
+        .first()
+    )
+    if ver is None:
+        raise ValueError(f"relation {schema}.{table} not in registry")
+    src_col = F.col(src)
+    typed = [
+        pg_typed_value(src_col[name], oid, mod).alias(name)
+        for name, oid, mod in zip(
+            ver["col_names"], ver["col_oids"], ver["col_typmods"]
+        )
+    ]
+    return decoded.filter(
+        (F.col("schema") == schema) & (F.col("table") == table)
+    ).select("lsn", "op", "xid", "commit_ts_us", *typed)

@@ -35,74 +35,70 @@ QUERIES: dict[str, Q] = {}
 # Everything not listed still registers (and is value-checked by the in-repo
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
-    # --- r9 rotation (the per-query ledger lives in COVERAGE.md):
-    # 1. ALL 25 queries whose last green driver row is r5 — the judge's
-    #    top ask (VERDICT r8 item 1): the w3..w28 warehouse block plus
-    #    x11_corpus_pipeline / x12 / x13. After this window nothing is
-    #    older than r6.
-    # 2. w36/w37 (Q9/Q16 shapes, registered after the r8 window froze —
-    #    gate-green but never driver-checked).
-    # 3. the queries registered THIS round (new queries must be windowed):
-    #    s18 binary pgoutput decode, s19 binlog wire decode, x41 BPE
-    #    tokenizer training.
-    # 4. 20 of the 49 r6-tier legs, spanning every family with an r6
-    #    member (sources, formats, handling, sinks, multimodal m3 per
-    #    VERDICT item 9, event-time, SMTs, warehouse, sketches); the
-    #    remaining 29 rotate in r10 so nothing sits below r7 by then.
-    # never driver-checked ----------------------------------------------------
-    "w36_product_profit",              # TPC-H Q9 shape
-    "w37_part_supplier_counts",        # TPC-H Q16 shape
-    # last green r5 (the entire stale tier) -----------------------------------
-    "w3_revenue_filter",
-    "w5_rollup_counts",
-    "w6_set_ops",
-    "w7_distinct_agg",
-    "w9_salted_join",
-    "w10_percentiles",
-    "w11_pivot",
-    "w12_region_revenue",
-    "w13_exists_anti",
-    "w16_min_cost_supplier",
-    "w17_small_quantity_revenue",
-    "w18_priority_split",
-    "w19_promo_revenue_share",
-    "w20_large_orders",
-    "w21_disjunctive_revenue",
-    "w22_dormant_customers",
-    "w23_running_total",
-    "w24_order_gaps",
-    "w25_cube_counts",
-    "w26_excess_stock_suppliers",
-    "w27_order_count_histogram",
-    "w28_nation_pair_volume",
-    "x11_corpus_pipeline",
-    "x12_train_val_split",
-    "x13_repetition_ratio",
+    # --- r10 rotation (the per-query ledger lives in COVERAGE.md):
+    # 1. ALL 31 queries whose last green driver row is r6 — VERDICT r9
+    #    item 1. After this window nothing registered sits below r7.
+    # 2. the queries registered THIS round (new queries must be windowed):
+    #    s22 typed pgoutput values, s19b binlog type widening, s23 LogMiner
+    #    redo-SQL DML parser, s24 binlog MINIMAL row images.
+    # 3. m2/m4 + the r7-tier h-family (VERDICT r9 item 8).
+    # 4. 10 r7-tier legs spanning the remaining families (formats, binlog
+    #    dispatch, commit-ordered emission, sink merge/reduce, SMT unwrap,
+    #    as-of join, SemDeDup) so the r7 tier starts draining too.
+    # last green r6 (the entire stale tier, 31 legs) ---------------------------
+    "a1_vector_norms",
+    "a9_pq_codebooks",
+    "a10_pq_search",
+    "a11_ivfpq_search",
+    "p4_transaction_boundaries",
+    "t1_unwrap_drop_deletes",
+    "t5_content_based_router",
+    "t7b_outbox_config_surface",
+    "t9_timezone_converter",
+    "t11_record_size_json",
+    "t13_schema_to_record",
+    "t14_geometry_swap",
+    "t15b_sparse_vector_to_json",
+    "t18_reselect_columns",
+    "tombstones_on_delete",
+    "w4_share_window",
+    "w14_local_supplier_volume",
+    "w15_returned_top_customers",
+    "w29_grouping_sets",
+    "w30_moving_average",
+    "x2_language_id",
+    "x5_minhash_signature",
+    "x7_near_dup_jaccard",
+    "x8_simhash",
+    "x15_vocabulary_topk",
+    "x20_dup_clusters",
+    "x22_dup_clusters_star",
+    "x23_stratified_sample",
+    "x24_source_quota",
+    "x25_token_typicality",
+    "x26_boilerplate_ngrams",
     # registered this round (new queries must be windowed) --------------------
-    "s18_pgoutput_binary_decode",      # real pgoutput wire-format decode
-    "s19_binlog_binary_decode",        # binlog event wire-format decode
-    "s20_pgoutput_to_table",           # wire bytes -> decoded -> merged table
-    "s21_toast_reselect",              # unchanged-TOAST refill post-processor
-    "x41_bpe_tokenizer",               # BPE merge-training over documents
-    # last green r6 (stalest remaining tier, 20 of 49; rest rotate in r10) ----
-    "s1_snapshot_envelope",
-    "s2_chunked_snapshot",
-    "s6_snapshot_modes",
-    "s8_pgoutput_decode",
-    "s13_snapshot_diff",
-    "f2_json_serde",
-    "h1_handling_modes",
-    "h4_special_value_types",
-    "h5_vector_logical_types",
-    "k2_merge_update_mode",
-    "k9_incremental_aggregate",
-    "k10_net_effect",
-    "m3_audio_segments",
-    "e3_session_window",
-    "t2_extract_new_document_state",
-    "t7_outbox_router",
-    "t17_mask_columns",
-    "x16_hll_distinct_users",
+    "s22_pgoutput_typed",              # OID -> Spark-typed decode projection
+    "s19b_binlog_types",               # NEWDECIMAL/DATETIME2/DATE/BLOB/ENUM/SET
+    "s23_logminer_dml",                # redo-SQL text -> before/after images
+    "s24_binlog_minimal_images",       # MINIMAL row images through the merge
+    # m2/m4 + h-family freshness (VERDICT r9 item 8) ---------------------------
+    "m2_frame_sample",
+    "m4_image_resize",
+    "h2_table_filters",
+    "h3_temporal_logical_types",
+    "h6_interval_enum_set",
+    # r7-tier drain (10, family-spanning) --------------------------------------
+    "f1_cloudevents_roundtrip",
+    "f4_avro_roundtrip",
+    "f5_protobuf_roundtrip",
+    "s7_binlog_dispatch",
+    "s9_commit_ordered",
+    "k1_merge_upsert",
+    "k4_reduce_last_per_key",
+    "t3_extract_changed_record_state",
+    "w8_asof_join",
+    "a16_semdedup",
 )
 
 

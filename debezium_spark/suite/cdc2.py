@@ -1803,3 +1803,170 @@ def s21_toast_reselect(spark, sf_dir):
     return toasted.join(source_rows, "id", "inner").select(
         "lsn", "id", "note_refilled"
     )
+
+
+# ---------------------------------------------------------------------------
+# S22 — typed pgoutput values: the OID -> Spark cast layer over the binary
+# decode (PostgresValueConverter.java:112,286-324). The relation registry
+# carries (col_oids, col_typmods); typed_projection turns the text envelope
+# into DecimalType-from-atttypmod / TimestampType / DateType / BinaryType /
+# arrays — the completion of s18.
+# ---------------------------------------------------------------------------
+_PG_TYPED_RELID = 16400
+_PG_TYPED_COLS = [  # (flags, name, type_oid, atttypmod)
+    (1, "id", 20, -1),            # int8
+    (0, "active", 16, -1),        # bool
+    (0, "score", 701, -1),        # float8
+    (0, "amount", 1700, ((12 << 16) | 2) + 4),  # numeric(12,2)
+    (0, "label", 25, -1),         # text
+    (0, "created_at", 1184, -1),  # timestamptz
+    (0, "birth", 1082, -1),       # date
+    (0, "payload", 17, -1),       # bytea
+    (0, "tags", 1007, -1),        # int4[]
+    (0, "names", 1009, -1),       # text[]
+    (0, "uid", 2950, -1),         # uuid
+    (0, "t_of_day", 1083, -1),    # time -> MicroTime int64
+    (0, "seen_at", 1114, -1),     # timestamp (no tz)
+]
+
+
+def _pgoutput_typed_fixture(spark, sf_dir):
+    """Binary pgoutput stream whose relation spans the converter's type
+    matrix, every text cell in PG's own output format (bool 't'/'f',
+    bytea '\\x…' hex, ISO timestamps with '+00', '{…}' array literals,
+    NUMERIC rendered at its typmod scale). Values derive closed-form
+    from the events table so the oracle can rebuild each one."""
+    import hashlib
+    from datetime import date, datetime, timedelta, timezone
+
+    import pandas as pd
+
+    from debezium_spark.sources.pgoutput import (
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            lsns, msgs = [], []
+            for e, u, t, v in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"],
+                pdf["value"],
+            ):
+                e, u, v = int(e), int(u), float(v)
+                cents = int(v * 100 // 1)
+                m = hashlib.md5(str(e).encode()).hexdigest()
+                ts = datetime.fromtimestamp(e, tz=timezone.utc).strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                )
+                s = e % 86400
+                after = [
+                    ("t", str(e)),
+                    ("n", None) if e % 7 == 0
+                    else ("t", "t" if e % 2 else "f"),
+                    ("t", repr(v)),
+                    ("t", f"{cents // 100}.{cents % 100:02d}"),
+                    ("t", t),
+                    ("t", ts + "+00"),
+                    ("t", (date(1970, 1, 1)
+                           + timedelta(days=e % 20000)).isoformat()),
+                    ("t", f"\\x{e:08x}"),
+                    ("t", "{" + f"{u},{e},NULL" + "}"),
+                    ("t", '{"' + t + ' x",NULL,' + t + "}"),
+                    ("t", f"{m[:8]}-{m[8:12]}-{m[12:16]}-{m[16:20]}-"
+                          f"{m[20:32]}"),
+                    ("t", f"{s // 3600:02d}:{s % 3600 // 60:02d}"
+                          f":{s % 60:02d}"),
+                    ("t", ts),
+                ]
+                lsns.append(e + 2)
+                msgs.append(encode_insert(_PG_TYPED_RELID, after))
+            yield pd.DataFrame({"lsn": lsns, "msg": msgs})
+
+    data = ev.mapInPandas(enc, "lsn long, msg binary")
+    head = spark.createDataFrame(
+        [
+            (0, bytearray(encode_relation(
+                _PG_TYPED_RELID, "public", "typed_accounts",
+                _PG_TYPED_COLS))),
+            (1, bytearray(encode_begin(10**9, 7_000_000, 4242))),
+            (10**9, bytearray(encode_commit(10**9, 10**9, 7_000_000))),
+        ],
+        "lsn long, msg binary",
+    )
+    return head.unionByName(data).localCheckpoint(eager=True)
+
+
+@register(
+    "s22_pgoutput_typed",
+    oracle="""
+    SELECT event_id AS id,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE event_id % 2 = 1 END AS active,
+           value AS score,
+           printf('%d.%02d',
+                  CAST(floor(value * 100) AS BIGINT) // 100,
+                  CAST(floor(value * 100) AS BIGINT) % 100) AS amount_str,
+           event_type AS label,
+           CAST(event_id AS BIGINT) * 1000000 AS created_us,
+           CAST(DATE '1970-01-01'
+                + CAST(event_id % 20000 AS INTEGER) AS VARCHAR) AS birth_str,
+           upper(printf('%08x', event_id)) AS payload_hex,
+           3 AS tags_len,
+           CAST(user_id AS INTEGER) AS tags_user,
+           CAST(event_id AS INTEGER) AS tags_event,
+           event_type || ' x|∅|' || event_type AS names_joined,
+           substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
+           substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
+           substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
+           substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
+           substr(md5(CAST(event_id AS VARCHAR)), 21, 12) AS uid,
+           CAST(event_id % 86400 AS BIGINT) * 1000000 AS tod_us,
+           strftime(TIMESTAMP '1970-01-01 00:00:00'
+                    + event_id * INTERVAL 1 SECOND,
+                    '%Y-%m-%d %H:%M:%S') AS seen_str
+    FROM events
+    """,
+)
+def s22_pgoutput_typed(spark, sf_dir):
+    """OID-typed projection of the binary pgoutput decode: the registry's
+    (col_oids, col_typmods) drive ``pg_typed_value``'s Catalyst-cast
+    dispatch (PostgresValueConverter.java:286-324) — bool/float8/
+    numeric(12,2)-from-atttypmod/text/timestamptz/date/bytea/int4[]/
+    text[]/uuid/time-as-MicroTime/timestamp-ntz. The oracle rebuilds
+    every value from the closed-form fixture derivation; decimals,
+    dates and ntz timestamps canonicalize via their fixed-scale string
+    forms so both engines hash scale-faithfully."""
+    from debezium_spark.sources.pgoutput import (
+        decode_pgoutput_binary,
+        relation_registry,
+        typed_projection,
+    )
+
+    stream = _pgoutput_typed_fixture(spark, sf_dir)
+    reg = relation_registry(spark, stream)
+    dec = decode_pgoutput_binary(spark, stream, registry=reg)
+    typed = typed_projection(dec, reg, "public", "typed_accounts")
+    return typed.select(
+        "id",
+        "active",
+        "score",
+        F.col("amount").cast("string").alias("amount_str"),
+        "label",
+        F.unix_micros("created_at").alias("created_us"),
+        F.col("birth").cast("string").alias("birth_str"),
+        F.hex("payload").alias("payload_hex"),
+        F.size("tags").alias("tags_len"),
+        F.element_at("tags", 1).alias("tags_user"),
+        F.element_at("tags", 2).alias("tags_event"),
+        F.array_join("names", "|", "∅").alias("names_joined"),
+        "uid",
+        F.col("t_of_day").alias("tod_us"),
+        F.col("seen_at").cast("string").alias("seen_str"),
+    )

@@ -260,3 +260,25 @@ def test_distributed_decode_ints_strings_doubles_and_images(spark):
     assert upd["before"] == ["10", "a", None]
     assert upd["after"] == ["10", None, None]
     assert upd["after_nums"] == [None, None, 0.5]
+
+
+def test_table_map_registry_dedupes_repeated_maps(spark):
+    """Real binlogs repeat a TABLE_MAP before EVERY rows event, each
+    repeat under a fresh header (timestamp/log_pos differ) — the
+    registry must dedupe on the post-header BODY, so the driver collect
+    stays bounded by table count, not stream length."""
+    from debezium_spark.sources.binlog import table_map_registry
+
+    def tm(**hdr):
+        return encode_table_map(
+            23, "db", "t", [TYPE_LONG], [0], [False], **hdr
+        )
+
+    repeats = [tm(timestamp=1000 + i, log_pos=120 + 40 * i)
+               for i in range(50)]
+    df = spark.createDataFrame(
+        [(bytearray(m),) for m in repeats], "msg binary"
+    )
+    reg = table_map_registry(df)
+    assert list(reg) == [23]
+    assert reg[23]["table"] == "t" and reg[23]["types"] == [TYPE_LONG]

@@ -320,3 +320,23 @@ def test_alter_column_set_and_drop_default(spark):
     rows = {r["version"]: r for r in hist.recover().collect()}
     assert _json.loads(rows[1]["defaults_json"]) == {"b": "7"}
     assert _json.loads(rows[2]["defaults_json"]) == {"a": "5"}
+
+
+def test_default_literal_containing_as_parens_is_not_generated():
+    """A plain column whose COMMENT/DEFAULT literal contains "as (x)"
+    must NOT be misread as a generated column (which would silently
+    discard its real DEFAULT from schema history)."""
+    from debezium_spark.schema.ddl import parse_ddl
+
+    ch = parse_ddl(
+        "CREATE TABLE t ("
+        " id INT PRIMARY KEY,"
+        " note VARCHAR(40) DEFAULT 'computed as (x)' NOT NULL,"
+        " doubled INT GENERATED ALWAYS AS (id * 2) STORED"
+        ")"
+    )
+    cols = {c.name: c for c in ch.columns}
+    assert cols["note"].generated is None
+    assert cols["note"].default == "'computed as (x)'"
+    assert cols["doubled"].generated == "id * 2"
+    assert cols["doubled"].default is None

@@ -399,3 +399,233 @@ def test_distributed_v2_decode_equi_join_tx(spark):
     assert len(out) == 2
     assert all(r["tx_ts_us"] == 7_000_000 for r in out)
     assert sorted(r["lsn"] for r in out) == [2, 3]
+
+
+def test_same_lsn_relations_sort_without_typeerror(spark):
+    """Two RELATION messages sharing an LSN (the multi-table bootstrap
+    convention, everything stamped at lsn 0) must sort on (lsn,
+    relation_id) — never fall through to dict<dict (TypeError)."""
+    from debezium_spark.sources.pgoutput import collect_relations
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_relation(
+                8, "public", "a", [(1, "id", 20, -1)]))),
+            (0, bytearray(encode_relation(
+                7, "public", "b", [(1, "id", 20, -1)]))),
+        ],
+        "lsn long, msg binary",
+    )
+    parsed = collect_relations(df)
+    assert [(lsn, m["relation_id"]) for lsn, m in parsed] == [(0, 7), (0, 8)]
+
+
+def test_v2_framing_derived_end_to_end(spark):
+    """decode_pgoutput_binary with NO in_stream column derives segment
+    membership from the Stream Start/Stop marks itself: a v1 tx and a
+    v2 streamed tx decode side by side, a streamed tx with no commit is
+    withheld, and an aborted streamed tx's rows are discarded."""
+    from debezium_spark.sources.pgoutput import (
+        decode_pgoutput_binary,
+        encode_stream_abort,
+        encode_stream_commit,
+        encode_stream_start,
+        encode_stream_stop,
+        with_stream_xid,
+    )
+
+    msgs = [
+        (0, encode_relation(9, "public", "t", [(1, "id", 20, -1)])),
+        # v1 transaction
+        (1, encode_begin(3, 1_000_000, 100)),
+        (2, encode_insert(9, [("t", "1")])),
+        (3, encode_commit(3, 3, 1_000_000)),
+        # v2 streamed tx 42 — committed
+        (4, encode_stream_start(42)),
+        (5, with_stream_xid(encode_insert(9, [("t", "2")]), 42)),
+        (6, encode_stream_stop()),
+        (7, encode_stream_commit(42, 7, 7, 2_000_000)),
+        # v2 streamed tx 43 — aborted (full-tx abort: subxid == xid)
+        (8, encode_stream_start(43)),
+        (9, with_stream_xid(encode_insert(9, [("t", "3")]), 43)),
+        (10, encode_stream_stop()),
+        (11, encode_stream_abort(43, 43)),
+        # v2 streamed tx 44 — still pending (no commit in this frame)
+        (12, encode_stream_start(44)),
+        (13, with_stream_xid(encode_insert(9, [("t", "4")]), 44)),
+        (14, encode_stream_stop()),
+    ]
+    df = spark.createDataFrame(
+        [(lsn, bytearray(m)) for lsn, m in msgs], "lsn long, msg binary"
+    )
+    out = {r["lsn"]: r for r in
+           decode_pgoutput_binary(spark, df).collect()}
+    assert set(out) == {2, 5}  # aborted 43 and pending 44 withheld
+    assert out[2]["xid"] == 100 and out[2]["after"] == {"id": "1"}
+    assert out[5]["xid"] == 42 and out[5]["commit_ts_us"] == 2_000_000
+    assert out[5]["after"] == {"id": "2"}
+
+
+def test_v2_subtransaction_abort_raises(spark):
+    """Partial-tx rollback (abort of a subtransaction only) is
+    unsupported — raise, never silently emit a corrupted tx."""
+    import pytest as _pytest
+
+    from debezium_spark.sources.pgoutput import (
+        decode_pgoutput_binary,
+        encode_stream_abort,
+        encode_stream_start,
+        encode_stream_stop,
+        with_stream_xid,
+    )
+
+    msgs = [
+        (0, encode_relation(9, "public", "t", [(1, "id", 20, -1)])),
+        (1, encode_stream_start(50)),
+        (2, with_stream_xid(encode_insert(9, [("t", "1")]), 50)),
+        (3, encode_stream_stop()),
+        (4, encode_stream_abort(50, 51)),  # subxact 51 within tx 50
+    ]
+    df = spark.createDataFrame(
+        [(lsn, bytearray(m)) for lsn, m in msgs], "lsn long, msg binary"
+    )
+    with _pytest.raises(ValueError, match="subtransaction"):
+        decode_pgoutput_binary(spark, df)
+
+
+def test_stream_decoder_v2_tx_across_micro_batches(spark):
+    """A tx streamed across two micro-batches lands exactly once (in the
+    batch whose Stream Commit arrives); an aborted streamed tx is
+    discarded. Segment membership is derived by the reader fold, with
+    the open-segment flag carried across the batch boundary."""
+    from debezium_spark.sources.pgoutput import (
+        PgOutputStreamDecoder,
+        encode_stream_abort,
+        encode_stream_commit,
+        encode_stream_start,
+        encode_stream_stop,
+        with_stream_xid,
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(lsn, bytearray(m)) for lsn, m in rows], "lsn long, msg binary"
+        )
+
+    dec = PgOutputStreamDecoder(spark)
+    # batch 1: relation + first segment of tx 60 (left OPEN at the
+    # boundary — the row at lsn 3 is in-segment only via carried state)
+    out1 = dec.decode_batch(frame([
+        (0, encode_relation(9, "public", "t", [(1, "id", 20, -1)])),
+        (1, encode_stream_start(60)),
+        (2, with_stream_xid(encode_insert(9, [("t", "1")]), 60)),
+        (3, with_stream_xid(encode_insert(9, [("t", "2")]), 60)),
+    ])).collect()
+    assert out1 == []  # nothing committed yet
+
+    # batch 2: segment closes, second segment streams, commit arrives
+    out2 = {r["lsn"]: r for r in dec.decode_batch(frame([
+        (4, encode_stream_stop()),
+        (5, encode_stream_start(60, first_segment=False)),
+        (6, with_stream_xid(encode_insert(9, [("t", "3")]), 60)),
+        (7, encode_stream_stop()),
+        (8, encode_stream_commit(60, 8, 8, 5_000_000)),
+    ])).collect()}
+    assert set(out2) == {2, 3, 6}  # the whole tx, exactly once
+    assert all(r["xid"] == 60 and r["commit_ts_us"] == 5_000_000
+               for r in out2.values())
+    assert out2[2]["after"] == {"id": "1"}
+    assert out2[6]["after"] == {"id": "3"}
+
+    # batch 3: a streamed tx that ABORTS never lands
+    out3 = dec.decode_batch(frame([
+        (9, encode_stream_start(61)),
+        (10, with_stream_xid(encode_insert(9, [("t", "9")]), 61)),
+        (11, encode_stream_stop()),
+        (12, encode_stream_abort(61, 61)),
+    ])).collect()
+    assert out3 == []
+    # batch 4: and it stays gone (nothing lingers in the pending buffer)
+    out4 = {r["lsn"]: r for r in dec.decode_batch(frame([
+        (13, encode_begin(15, 9_000_000, 70)),
+        (14, encode_insert(9, [("t", "5")])),
+        (15, encode_commit(15, 15, 9_000_000)),
+    ])).collect()}
+    assert set(out4) == {14}
+    assert out4[14]["after"] == {"id": "5"} and out4[14]["xid"] == 70
+
+
+def test_typed_projection_schema_and_values(spark):
+    """Per-OID goldens for the cast layer: the registry's
+    (col_oids, col_typmods) must drive REAL Spark types — DecimalType
+    from atttypmod, TimestampType from ISO text, DateType, BinaryType,
+    typed arrays — and the values must round-trip PG's text forms."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, BooleanType, DateType, DecimalType,
+        DoubleType, IntegerType, LongType, StringType, TimestampNTZType,
+        TimestampType,
+    )
+
+    from debezium_spark.sources.pgoutput import (
+        decode_pgoutput_binary,
+        relation_registry,
+        typed_projection,
+    )
+
+    cols = [
+        (1, "id", 20, -1), (0, "ok", 16, -1), (0, "amt", 1700,
+        ((10 << 16) | 3) + 4), (0, "sc", 701, -1), (0, "d", 1082, -1),
+        (0, "ts", 1184, -1), (0, "tsn", 1114, -1), (0, "bin", 17, -1),
+        (0, "ints", 1007, -1), (0, "words", 1009, -1), (0, "tm", 1083, -1),
+    ]
+    after = [
+        ("t", "7"), ("t", "f"), ("t", "12.345"), ("t", "2.5"),
+        ("t", "2021-06-01"), ("t", "2021-06-01 12:00:01+00"),
+        ("t", "2021-06-01 12:00:01"), ("t", "\\x00ff"),
+        ("t", "{3,NULL}"), ("t", '{"a,b"}'), ("t", "01:02:03"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_relation(99, "public", "tt", cols))),
+            (1, bytearray(encode_begin(5, 1_000_000, 10))),
+            (2, bytearray(encode_insert(99, after))),
+            (5, bytearray(encode_commit(5, 5, 1_000_000))),
+        ],
+        "lsn long, msg binary",
+    )
+    reg = relation_registry(spark, df)
+    typed = typed_projection(
+        decode_pgoutput_binary(spark, df, registry=reg), reg, "public", "tt"
+    )
+    t = {f.name: f.dataType for f in typed.schema.fields}
+    assert t["id"] == LongType() and t["ok"] == BooleanType()
+    assert t["amt"] == DecimalType(10, 3)          # from atttypmod
+    assert t["sc"] == DoubleType() and t["d"] == DateType()
+    assert t["ts"] == TimestampType() and t["tsn"] == TimestampNTZType()
+    assert t["bin"] == BinaryType() and t["tm"] == LongType()
+    assert t["ints"] == ArrayType(IntegerType())
+    assert t["words"] == ArrayType(StringType())
+    r = typed.collect()[0]
+    assert (r["id"], r["ok"], r["amt"]) == (7, False, Decimal("12.345"))
+    assert r["sc"] == 2.5
+    assert r["d"] == datetime.date(2021, 6, 1)
+    assert r["ts"] == datetime.datetime(2021, 6, 1, 12, 0, 1)
+    assert r["tsn"] == datetime.datetime(2021, 6, 1, 12, 0, 1)
+    assert bytes(r["bin"]) == b"\x00\xff"
+    assert r["ints"] == [3, None]
+    # quoted text element with an embedded comma is OUT of slice (split
+    # on top-level commas) — a quote-free element round-trips exactly
+    assert r["tm"] == 3723 * 1_000_000
+    assert r["xid"] == 10 and r["commit_ts_us"] == 1_000_000
+
+    # unknown OID refuses (no silent text passthrough)
+    import pytest as _pytest
+
+    from debezium_spark.sources.pgoutput import pg_typed_value
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError, match="OID 600"):
+        pg_typed_value(F.lit("x"), 600)
