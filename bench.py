@@ -279,7 +279,28 @@ def main() -> None:
     with open(os.path.join(out_dir, fname), "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    print(json.dumps(payload))
+    # stdout gets a COMPACT line only (headline, per-leg medians, probe
+    # summary — ~1.2 KB): the verbose probe arrays overflowed the
+    # driver's 2,000-char stdout tail every round, leaving its artifact
+    # unparsed. The full payload lives in bench_out/ (above).
+    lat = sorted(x for probe in job_latency for x in probe)
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "job_latency_probe_sec": lat[len(lat) // 2] if lat else None,
+        "cow_events_per_sec": pipeline_stats.get("pipeline", {}).get(
+            "events_per_sec"
+        ),
+        "mor_events_per_sec": pipeline_stats.get("pipeline_mor", {}).get(
+            "events_per_sec"
+        ),
+        "bpe_train_sec": pipeline_stats.get("bpe_train_sec"),
+        "detail": f"bench_out/{fname}",
+    }
+    print(json.dumps(compact))
 
 
 def _mor_read_sweep(spark) -> dict:

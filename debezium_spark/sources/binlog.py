@@ -27,8 +27,17 @@ public binlog v4 layout directly:
 Column-type slice (value layouts): LONG=3 (int32), DOUBLE=5 (IEEE
 float64, metadata byte 8), LONGLONG=8 (int64), VARCHAR=15 (metadata
 uint16 max length; values are 1-byte length-prefixed below 256, 2-byte
-otherwise). These cover the fixture tables; other type codes raise so a
-wider slice is an explicit extension, not silent corruption. Event
+otherwise), DATE=10 (3 bytes LE, day|month<<5|year<<9),
+TIMESTAMP2=17 (4 bytes BE epoch seconds + fsp tail; surfaces epoch µs),
+DATETIME2=18 (5 bytes BE sign-biased packed calendar + fsp tail),
+TIME2=19 (3 bytes BE 0x800000-biased + fsp tail), NEWDECIMAL=246
+(packed BCD, 9 digits per 4 BE bytes, MSB sign, negatives complemented;
+metadata precision+scale), BLOB=252 (metadata = LE length-prefix
+width), and STRING=254 as the ENUM/SET carrier (metadata byte 1 is the
+real type 247/248, byte 2 the 1-2 byte LE ordinal / N-byte LE bitmask
+width — the wire carries ordinals, label resolution is schema
+history's). Other type codes raise so a wider slice is an explicit
+extension, not silent corruption. Event
 checksums (5.6+ CRC32 trailers) are out of scope — fixtures are
 generated checksum-free, matching a FORMAT_DESCRIPTION that declares
 checksum algorithm 0.
@@ -75,6 +84,18 @@ TYPE_LONG = 3
 TYPE_DOUBLE = 5
 TYPE_LONGLONG = 8
 TYPE_VARCHAR = 15
+# s19b widening — the remaining types the reference's deserializer wiring
+# consumes (BinlogStreamingChangeEventSource.java:549-560); layouts are the
+# public binlog v4 value formats
+TYPE_DATE = 10
+TYPE_TIMESTAMP2 = 17
+TYPE_DATETIME2 = 18
+TYPE_TIME2 = 19
+TYPE_NEWDECIMAL = 246
+TYPE_BLOB = 252
+TYPE_STRING = 254  # carrier for ENUM/SET (real type rides the metadata)
+ENUM_REAL = 247
+SET_REAL = 248
 
 HEADER_LEN = 19
 
@@ -117,6 +138,120 @@ def _enc_bitmap(bits: list[bool]) -> bytes:
     return bytes(out)
 
 
+# NEWDECIMAL packed-BCD: decimal digits in groups of 9 per 4 big-endian
+# bytes; a partial leading/trailing group uses this many bytes for its
+# digit count (the public myisampack decimal layout)
+_DEC_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+
+def _newdecimal_len(precision: int, scale: int) -> int:
+    intg0, intg0x = divmod(precision - scale, 9)
+    frac0, frac0x = divmod(scale, 9)
+    return (
+        intg0 * 4 + _DEC_DIG2BYTES[intg0x]
+        + frac0 * 4 + _DEC_DIG2BYTES[frac0x]
+    )
+
+
+def _read_newdecimal(buf: bytes, off: int, precision: int, scale: int):
+    """Packed-BCD NEWDECIMAL -> exact decimal STRING at declared scale.
+    Sign rides the first byte's MSB (set = positive); negative values are
+    stored bitwise-complemented."""
+    n = _newdecimal_len(precision, scale)
+    raw = bytearray(buf[off : off + n])
+    positive = bool(raw[0] & 0x80)
+    raw[0] ^= 0x80
+    if not positive:
+        raw = bytearray(b ^ 0xFF for b in raw)
+    intg0, intg0x = divmod(precision - scale, 9)
+    frac0, frac0x = divmod(scale, 9)
+    pos = 0
+    int_part = ""
+    if intg0x:
+        w = _DEC_DIG2BYTES[intg0x]
+        int_part += str(int.from_bytes(raw[pos : pos + w], "big"))
+        pos += w
+    for _ in range(intg0):
+        g = str(int.from_bytes(raw[pos : pos + 4], "big"))
+        int_part += g.zfill(9) if int_part else g
+        pos += 4
+    int_part = int_part.lstrip("0") or "0"
+    frac_part = ""
+    for _ in range(frac0):
+        frac_part += str(int.from_bytes(raw[pos : pos + 4], "big")).zfill(9)
+        pos += 4
+    if frac0x:
+        w = _DEC_DIG2BYTES[frac0x]
+        frac_part += str(
+            int.from_bytes(raw[pos : pos + w], "big")
+        ).zfill(frac0x)
+        pos += w
+    text = int_part + ("." + frac_part if scale else "")
+    if not positive and text.strip("0.") != "":
+        text = "-" + text
+    return text, off + n
+
+
+def _enc_newdecimal(text: str, precision: int, scale: int) -> bytes:
+    neg = text.startswith("-")
+    digits = text.lstrip("-")
+    int_s, _, frac_s = digits.partition(".")
+    int_s = (int_s or "0").zfill(precision - scale)[-(precision - scale):] \
+        if precision > scale else ""
+    frac_s = frac_s.ljust(scale, "0")[:scale]
+    intg0, intg0x = divmod(precision - scale, 9)
+    frac0, frac0x = divmod(scale, 9)
+    out = bytearray()
+    pos = 0
+    if intg0x:
+        out += int(int_s[:intg0x] or "0").to_bytes(
+            _DEC_DIG2BYTES[intg0x], "big"
+        )
+        pos = intg0x
+    for _ in range(intg0):
+        out += int(int_s[pos : pos + 9] or "0").to_bytes(4, "big")
+        pos += 9
+    pos = 0
+    for _ in range(frac0):
+        out += int(frac_s[pos : pos + 9] or "0").to_bytes(4, "big")
+        pos += 9
+    if frac0x:
+        out += int(frac_s[pos : pos + frac0x] or "0").to_bytes(
+            _DEC_DIG2BYTES[frac0x], "big"
+        )
+    if neg:
+        out = bytearray(b ^ 0xFF for b in out)
+    out[0] ^= 0x80
+    return bytes(out)
+
+
+def _fsp_bytes(fsp: int) -> int:
+    return (fsp + 1) // 2
+
+
+def _read_frac(buf: bytes, off: int, fsp: int) -> tuple[int, int]:
+    """Fractional-seconds tail of DATETIME2/TIMESTAMP2/TIME2 -> µs."""
+    w = _fsp_bytes(fsp)
+    if not w:
+        return 0, off
+    v = int.from_bytes(buf[off : off + w], "big")
+    return v * 10 ** (6 - 2 * w), off + w
+
+
+def _enc_frac(micros: int, fsp: int) -> bytes:
+    w = _fsp_bytes(fsp)
+    if not w:
+        return b""
+    return (micros // 10 ** (6 - 2 * w)).to_bytes(w, "big")
+
+
+def _fmt_hms(h: int, m: int, s: int, micros: int, fsp: int) -> str:
+    t = f"{h:02d}:{m:02d}:{s:02d}"
+    if fsp:
+        t += "." + f"{micros:06d}"[:fsp]
+    return t
+
+
 def _read_value(buf: bytes, off: int, type_code: int, meta: int):
     if type_code == TYPE_LONG:
         return struct.unpack_from("<i", buf, off)[0], off + 4
@@ -132,6 +267,63 @@ def _read_value(buf: bytes, off: int, type_code: int, meta: int):
             n = struct.unpack_from("<H", buf, off)[0]
             off += 2
         return buf[off : off + n].decode("utf-8"), off + n
+    if type_code == TYPE_DATE:
+        # 3 bytes LE: day | month<<5 | year<<9
+        v = int.from_bytes(buf[off : off + 3], "little")
+        return (
+            f"{(v >> 9) & 0x7FFF:04d}-{(v >> 5) & 0x0F:02d}-{v & 0x1F:02d}",
+            off + 3,
+        )
+    if type_code == TYPE_DATETIME2:
+        # 5 bytes BE (sign bit 0x8000000000 set for the supported
+        # non-negative range): 17 bits year*13+month, 5 day, 5 hour,
+        # 6 minute, 6 second; then the fsp tail
+        v = int.from_bytes(buf[off : off + 5], "big") - 0x80_0000_0000
+        ym = (v >> 22) & 0x1FFFF
+        micros, end = _read_frac(buf, off + 5, meta)
+        return (
+            f"{ym // 13:04d}-{ym % 13:02d}-{(v >> 17) & 0x1F:02d} "
+            + _fmt_hms(
+                (v >> 12) & 0x1F, (v >> 6) & 0x3F, v & 0x3F, micros, meta
+            ),
+            end,
+        )
+    if type_code == TYPE_TIMESTAMP2:
+        # 4 bytes BE epoch seconds + fsp tail -> epoch µs (int); the
+        # reference surfaces an UTC instant, the µs long is its exact form
+        secs = int.from_bytes(buf[off : off + 4], "big")
+        micros, end = _read_frac(buf, off + 4, meta)
+        return secs * 1_000_000 + micros, end
+    if type_code == TYPE_TIME2:
+        # 3 bytes BE, 0x800000-biased: 10 bits hour, 6 min, 6 sec
+        v = int.from_bytes(buf[off : off + 3], "big") - 0x80_0000
+        if v < 0:
+            raise ValueError("negative TIME2 outside the decoded slice")
+        micros, end = _read_frac(buf, off + 3, meta)
+        return (
+            _fmt_hms((v >> 12) & 0x3FF, (v >> 6) & 0x3F, v & 0x3F,
+                     micros, meta),
+            end,
+        )
+    if type_code == TYPE_NEWDECIMAL:
+        # meta packs (precision, scale)
+        return _read_newdecimal(buf, off, meta >> 8, meta & 0xFF)
+    if type_code == TYPE_BLOB:
+        # meta = width of the LE length prefix (1/2/3/4)
+        n = int.from_bytes(buf[off : off + meta], "little")
+        off += meta
+        return bytes(buf[off : off + n]), off + n
+    if type_code == TYPE_STRING:
+        real, width = meta >> 8, meta & 0xFF
+        if real == ENUM_REAL:
+            # 1- or 2-byte LE ordinal; label resolution is schema
+            # history's job (the wire carries no labels)
+            return int.from_bytes(buf[off : off + width], "little"), off + width
+        if real == SET_REAL:
+            return int.from_bytes(buf[off : off + width], "little"), off + width
+        raise ValueError(
+            f"STRING real type {real} outside the decoded slice"
+        )
     raise ValueError(f"column type {type_code} outside the decoded slice")
 
 
@@ -146,6 +338,41 @@ def _enc_value(v, type_code: int, meta: int) -> bytes:
         raw = v.encode("utf-8")
         pre = bytes([len(raw)]) if meta < 256 else struct.pack("<H", len(raw))
         return pre + raw
+    if type_code == TYPE_DATE:
+        y, m, d = (int(x) for x in v.split("-"))
+        return ((y << 9) | (m << 5) | d).to_bytes(3, "little")
+    if type_code == TYPE_DATETIME2:
+        date_s, time_s = v.split(" ")
+        y, mo, d = (int(x) for x in date_s.split("-"))
+        hms, _, frac = time_s.partition(".")
+        h, mi, s = (int(x) for x in hms.split(":"))
+        micros = int(frac.ljust(6, "0")) if frac else 0
+        packed = (
+            ((y * 13 + mo) << 22) | (d << 17) | (h << 12) | (mi << 6) | s
+        )
+        return (packed + 0x80_0000_0000).to_bytes(5, "big") + _enc_frac(
+            micros, meta
+        )
+    if type_code == TYPE_TIMESTAMP2:
+        secs, micros = divmod(int(v), 1_000_000)
+        return secs.to_bytes(4, "big") + _enc_frac(micros, meta)
+    if type_code == TYPE_TIME2:
+        hms, _, frac = v.partition(".")
+        h, mi, s = (int(x) for x in hms.split(":"))
+        micros = int(frac.ljust(6, "0")) if frac else 0
+        packed = (h << 12) | (mi << 6) | s
+        return (packed + 0x80_0000).to_bytes(3, "big") + _enc_frac(
+            micros, meta
+        )
+    if type_code == TYPE_NEWDECIMAL:
+        return _enc_newdecimal(v, meta >> 8, meta & 0xFF)
+    if type_code == TYPE_BLOB:
+        return len(v).to_bytes(meta, "little") + bytes(v)
+    if type_code == TYPE_STRING:
+        real, width = meta >> 8, meta & 0xFF
+        if real in (ENUM_REAL, SET_REAL):
+            return int(v).to_bytes(width, "little")
+        raise ValueError(f"STRING real type {real} outside the encoded slice")
     raise ValueError(f"column type {type_code} outside the encoded slice")
 
 
@@ -237,10 +464,18 @@ def parse_table_map(body: bytes) -> dict:
         if t == TYPE_VARCHAR:
             metas.append(struct.unpack_from("<H", body, off)[0])
             off += 2
-        elif t == TYPE_DOUBLE:
+        elif t in (TYPE_DOUBLE, TYPE_DATETIME2, TYPE_TIMESTAMP2,
+                   TYPE_TIME2, TYPE_BLOB):
+            # 1 byte: pack length (DOUBLE), fsp (temporal2), or the
+            # LE length-prefix width (BLOB/TEXT)
             metas.append(body[off])
             off += 1
-        else:  # LONG / LONGLONG carry no metadata
+        elif t in (TYPE_NEWDECIMAL, TYPE_STRING):
+            # 2 bytes: (precision, scale) for NEWDECIMAL;
+            # (real type, pack length) for the STRING carrier (ENUM/SET)
+            metas.append((body[off] << 8) | body[off + 1])
+            off += 2
+        else:  # LONG / LONGLONG / DATE carry no metadata
             metas.append(0)
     if off != meta_end:
         raise ValueError("TABLE_MAP metadata block length mismatch")
@@ -269,8 +504,11 @@ def encode_table_map(
     for t, m in zip(types, metas):
         if t == TYPE_VARCHAR:
             meta += struct.pack("<H", m)
-        elif t == TYPE_DOUBLE:
+        elif t in (TYPE_DOUBLE, TYPE_DATETIME2, TYPE_TIMESTAMP2,
+                   TYPE_TIME2, TYPE_BLOB):
             meta += bytes([m])
+        elif t in (TYPE_NEWDECIMAL, TYPE_STRING):
+            meta += bytes([m >> 8, m & 0xFF])
     s, t_ = schema.encode(), table.encode()
     body = (
         table_id.to_bytes(6, "little")
@@ -514,6 +752,8 @@ def decode_binlog_rows(df: DataFrame, msg_col: str = "msg") -> DataFrame:
                 out.append(None)  # DOUBLEs surface in *_nums only
             elif isinstance(v, str):
                 out.append(v)
+            elif isinstance(v, bytes):
+                out.append(v.hex())  # BLOB/TEXT: hex text form
             else:
                 out.append(str(int(v)))
         return out

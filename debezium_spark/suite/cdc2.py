@@ -1970,3 +1970,128 @@ def s22_pgoutput_typed(spark, sf_dir):
         F.col("t_of_day").alias("tod_us"),
         F.col("seen_at").cast("string").alias("seen_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S19b — binlog column-type widening: NEWDECIMAL / DATE / DATETIME2 /
+# TIMESTAMP2 / TIME2 / BLOB / ENUM / SET value layouts through the same
+# Arrow decode kernel (the full set the reference's deserializer wiring
+# consumes, BinlogStreamingChangeEventSource.java:549-560).
+# ---------------------------------------------------------------------------
+@register(
+    "s19b_binlog_types",
+    oracle="""
+    SELECT 1000 + event_id AS pos,
+           event_id AS id,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE printf('%d.%02d',
+                            CAST(floor(value * 100) AS BIGINT) // 100,
+                            CAST(floor(value * 100) AS BIGINT) % 100)
+           END AS amount_str,
+           CAST(DATE '1970-01-01'
+                + CAST(event_id % 20000 AS INTEGER) AS VARCHAR) AS d_str,
+           strftime(TIMESTAMP '1970-01-01 00:00:00'
+                    + CAST(event_id % 20000 AS INTEGER) * INTERVAL 1 DAY
+                    + (event_id % 86400) * INTERVAL 1 SECOND
+                    + (event_id % 1000) * 1000 * INTERVAL 1 MICROSECOND,
+                    '%Y-%m-%d %H:%M:%S.%f') AS dt_str,
+           CAST(event_id AS BIGINT) * 1000000 AS ts_us,
+           printf('%02d:%02d:%02d',
+                  (event_id % 86400) // 3600,
+                  (event_id % 86400) % 3600 // 60,
+                  event_id % 60) AS tm_str,
+           printf('%08x', event_id) AS payload_hex,
+           1 + event_id % 5 AS enum_ord,
+           event_id % 16 AS set_mask
+    FROM events
+    """,
+)
+def s19b_binlog_types(spark, sf_dir):
+    """Widened binlog value walk over REAL wire bytes: packed-BCD
+    NEWDECIMAL(12,2) (scale from TABLE_MAP metadata), 3-byte DATE,
+    sign-biased DATETIME2 at fsp=6, TIMESTAMP2 (surfaced as epoch µs),
+    TIME2, lenenc-prefixed BLOB (hex text form), and ENUM ordinal / SET
+    bitmask riding the STRING carrier's (real_type, width) metadata.
+    NULL cells hit the null-bitmap skip over the new types (every 7th
+    row's decimal). The oracle rebuilds every text/numeric form
+    closed-form; byte-level goldens live in tests/test_binlog.py."""
+    import pandas as pd
+
+    from debezium_spark.sources.binlog import (
+        ENUM_REAL,
+        SET_REAL,
+        TYPE_BLOB,
+        TYPE_DATE,
+        TYPE_DATETIME2,
+        TYPE_LONGLONG,
+        TYPE_NEWDECIMAL,
+        TYPE_STRING,
+        TYPE_TIME2,
+        TYPE_TIMESTAMP2,
+        WRITE_ROWS_EVENT,
+        decode_binlog_rows,
+        encode_rows_event,
+        encode_table_map,
+    )
+
+    TID = 414
+    TYPES = [TYPE_LONGLONG, TYPE_NEWDECIMAL, TYPE_DATE, TYPE_DATETIME2,
+             TYPE_TIMESTAMP2, TYPE_TIME2, TYPE_BLOB, TYPE_STRING,
+             TYPE_STRING]
+    METAS = [0, (12 << 8) | 2, 0, 6, 0, 0, 2, (ENUM_REAL << 8) | 1,
+             (SET_REAL << 8) | 2]
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+
+    def enc(batches):
+        from datetime import date, timedelta
+
+        for pdf in batches:
+            poss, msgs = [], []
+            for e, v in zip(pdf["event_id"], pdf["value"]):
+                e, v = int(e), float(v)
+                cents = int(v * 100 // 1)
+                amount = (
+                    None if e % 7 == 0
+                    else f"{cents // 100}.{cents % 100:02d}"
+                )
+                d = (date(1970, 1, 1) + timedelta(days=e % 20000))
+                s = e % 86400
+                dt = (f"{d.isoformat()} {s // 3600:02d}:"
+                      f"{s % 3600 // 60:02d}:{s % 60:02d}"
+                      f".{(e % 1000) * 1000:06d}")
+                tm = f"{s // 3600:02d}:{s % 3600 // 60:02d}:{e % 60:02d}"
+                row = [e, amount, d.isoformat(), dt, e * 1_000_000, tm,
+                       e.to_bytes(4, "big"), 1 + e % 5, e % 16]
+                poss.append(1000 + e)
+                msgs.append(encode_rows_event(
+                    WRITE_ROWS_EVENT, TID, TYPES, METAS,
+                    [{"before": None, "after": row}], log_pos=1000 + e,
+                ))
+            yield pd.DataFrame({"pos": poss, "msg": msgs})
+
+    data = ev.mapInPandas(enc, "pos long, msg binary")
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_table_map(
+            TID, "inventory", "wide", TYPES, METAS,
+            [False, True] + [False] * 7, log_pos=0,
+        )))],
+        "pos long, msg binary",
+    )
+    stream = rel.unionByName(data).localCheckpoint(eager=True)
+    dec = decode_binlog_rows(stream).filter(F.col("kind") == "c")
+    a = F.col("after")
+    return dec.select(
+        F.col("log_pos").alias("pos"),
+        F.element_at(a, 1).cast("long").alias("id"),
+        F.element_at(a, 2).alias("amount_str"),
+        F.element_at(a, 3).alias("d_str"),
+        F.element_at(a, 4).alias("dt_str"),
+        F.element_at(a, 5).cast("long").alias("ts_us"),
+        F.element_at(a, 6).alias("tm_str"),
+        F.element_at(a, 7).alias("payload_hex"),
+        F.element_at(a, 8).cast("int").alias("enum_ord"),
+        F.element_at(a, 9).cast("int").alias("set_mask"),
+    )

@@ -282,3 +282,113 @@ def test_table_map_registry_dedupes_repeated_maps(spark):
     reg = table_map_registry(df)
     assert list(reg) == [23]
     assert reg[23]["table"] == "t" and reg[23]["types"] == [TYPE_LONG]
+
+
+def test_newdecimal_documented_vector():
+    """The packed-BCD layout against MySQL's own documented example:
+    DECIMAL(14,4) 1234567890.1234 -> 81 0D FB 38 D2 04 D2 (first group
+    1 digit/1 byte, full group 234567890, frac group 1234, sign bit on
+    byte 0)."""
+    from debezium_spark.sources.binlog import (
+        _enc_newdecimal,
+        _read_newdecimal,
+    )
+
+    raw = bytes.fromhex("810dfb38d204d2")
+    assert _enc_newdecimal("1234567890.1234", 14, 4) == raw
+    assert _read_newdecimal(raw, 0, 14, 4) == ("1234567890.1234", 7)
+    # negative: bitwise complement of everything, sign bit clear
+    neg = _enc_newdecimal("-1234567890.1234", 14, 4)
+    assert neg == bytes(b ^ 0xFF for b in raw)
+    assert _read_newdecimal(neg, 0, 14, 4)[0] == "-1234567890.1234"
+    # scale round-trips pad/truncate to the declared typmod
+    assert _read_newdecimal(_enc_newdecimal("7.5", 10, 3), 0, 10, 3)[0] \
+        == "7.500"
+    assert _read_newdecimal(_enc_newdecimal("0", 9, 0), 0, 9, 0)[0] == "0"
+    big = "123456789012345678.901234567890"
+    assert _read_newdecimal(_enc_newdecimal(big, 30, 12), 0, 30, 12)[0] == big
+
+
+def test_widened_value_codecs_roundtrip():
+    """DATE/DATETIME2/TIMESTAMP2/TIME2/BLOB/ENUM/SET byte layouts: known
+    vectors plus encode->decode round trips at several fsp widths."""
+    from debezium_spark.sources.binlog import (
+        ENUM_REAL,
+        SET_REAL,
+        TYPE_BLOB,
+        TYPE_DATE,
+        TYPE_DATETIME2,
+        TYPE_STRING,
+        TYPE_TIME2,
+        TYPE_TIMESTAMP2,
+        _enc_value,
+        _read_value,
+    )
+
+    # DATE 2024-03-07: day | month<<5 | year<<9 = 7 | 96 | 1036288
+    raw = _enc_value("2024-03-07", TYPE_DATE, 0)
+    assert raw == ((2024 << 9) | (3 << 5) | 7).to_bytes(3, "little")
+    assert _read_value(raw, 0, TYPE_DATE, 0) == ("2024-03-07", 3)
+
+    # DATETIME2 fsp=0 and fsp=6
+    raw = _enc_value("2023-12-31 23:59:58", TYPE_DATETIME2, 0)
+    assert len(raw) == 5
+    assert _read_value(raw, 0, TYPE_DATETIME2, 0)[0] == "2023-12-31 23:59:58"
+    raw = _enc_value("2023-12-31 23:59:58.123456", TYPE_DATETIME2, 6)
+    assert len(raw) == 8
+    assert _read_value(raw, 0, TYPE_DATETIME2, 6)[0] \
+        == "2023-12-31 23:59:58.123456"
+
+    # TIMESTAMP2: 4-byte BE epoch secs + frac -> epoch micros
+    raw = _enc_value(1_700_000_000_250_000, TYPE_TIMESTAMP2, 2)
+    assert raw == (1_700_000_000).to_bytes(4, "big") + bytes([25])
+    assert _read_value(raw, 0, TYPE_TIMESTAMP2, 2)[0] \
+        == 1_700_000_000_250_000
+
+    # TIME2 838:59:58 fits the 10-bit hour field
+    raw = _enc_value("838:59:58", TYPE_TIME2, 0)
+    assert _read_value(raw, 0, TYPE_TIME2, 0)[0] == "838:59:58"
+    raw = _enc_value("01:02:03.5", TYPE_TIME2, 1)
+    assert _read_value(raw, 0, TYPE_TIME2, 1)[0] == "01:02:03.5"
+
+    # BLOB with 2-byte LE prefix
+    raw = _enc_value(b"\x00\xffbinary", TYPE_BLOB, 2)
+    assert raw[:2] == (8).to_bytes(2, "little")
+    assert _read_value(raw, 0, TYPE_BLOB, 2) == (b"\x00\xffbinary", 10)
+
+    # ENUM ordinal (2-byte) and SET bitmask (3-byte) via the STRING carrier
+    em = (ENUM_REAL << 8) | 2
+    assert _read_value(_enc_value(300, TYPE_STRING, em), 0, TYPE_STRING, em) \
+        == (300, 2)
+    sm = (SET_REAL << 8) | 3
+    assert _read_value(_enc_value(0b101001, TYPE_STRING, sm), 0,
+                       TYPE_STRING, sm) == (0b101001, 3)
+
+
+def test_widened_table_map_metadata_roundtrip():
+    """TABLE_MAP metadata block: fsp bytes, (precision,scale) pairs,
+    BLOB prefix widths and the STRING (real_type, width) pair all walk
+    correctly — a mis-sized metadata read would shift every later
+    column."""
+    from debezium_spark.sources.binlog import (
+        ENUM_REAL,
+        SET_REAL,
+        TYPE_BLOB,
+        TYPE_DATE,
+        TYPE_DATETIME2,
+        TYPE_NEWDECIMAL,
+        TYPE_STRING,
+        TYPE_TIME2,
+        TYPE_TIMESTAMP2,
+    )
+
+    types = [TYPE_LONG, TYPE_NEWDECIMAL, TYPE_DATE, TYPE_DATETIME2,
+             TYPE_TIMESTAMP2, TYPE_TIME2, TYPE_BLOB, TYPE_STRING,
+             TYPE_STRING, TYPE_VARCHAR]
+    metas = [0, (12 << 8) | 2, 0, 6, 2, 1, 2, (ENUM_REAL << 8) | 1,
+             (SET_REAL << 8) | 2, 300]
+    raw = encode_table_map(
+        77, "db", "wide", types, metas, [False] * len(types), log_pos=100
+    )
+    tm = parse_table_map(raw[HEADER_LEN:])
+    assert tm["types"] == types and tm["metas"] == metas
