@@ -285,3 +285,53 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to_pos").isNull())
         .drop("op")
     )
+
+
+def fold_partial_images(
+    decoded: DataFrame,
+    n_cols: int,
+    key_idx: int = 0,
+    order_col: str = "log_pos",
+) -> DataFrame:
+    """Materialize a table from PARTIAL row images
+    (binlog-row-image=MINIMAL): the before image carries only the PK and
+    the after image only the CHANGED columns, so per key each column
+    independently takes its latest PRESENT value and an absent column
+    (present bit clear) keeps prior state — absent is NOT null (a NULLed
+    column arrives present with its null bit set). Deletes drop the row.
+
+    The reference reconstructs the same semantics from
+    ``mysql.binlog-row-image`` partial events (the included-columns
+    bitmaps its binlog client exposes per rows event). Input is
+    ``decode_binlog_rows`` output (before/after + *_present arrays).
+
+    Spark shape: one groupBy on the key — per column a
+    ``max_by(value, pos) FILTER (WHERE present)`` aggregate, all
+    map-side combinable; NULL values survive the fold behind a sentinel
+    (max_by skips null-valued rows, which would turn an explicit NULL
+    update into "keep old value"). Same single shuffle the MERGE join
+    needs."""
+    SENT = "\x00\x00absent"
+    kp = key_idx + 1  # element_at is 1-based
+    key = F.coalesce(
+        F.element_at("before", kp), F.element_at("after", kp)
+    ).alias("__key")
+    cols = [
+        F.expr(
+            f"nullif(max_by(coalesce(element_at(after, {i + 1}), '{SENT}'),"
+            f" {order_col})"
+            f" FILTER (WHERE element_at(after_present, {i + 1})),"
+            f" '{SENT}') AS c{i}"
+        )
+        for i in range(n_cols)
+    ]
+    folded = (
+        decoded.filter(F.col("kind").isin("c", "u", "d"))
+        .select("*", key)
+        .groupBy("__key")
+        .agg(
+            F.expr(f"max_by(kind, {order_col}) AS __last_op"),
+            *cols,
+        )
+    )
+    return folded.filter(F.col("__last_op") != "d").drop("__last_op")

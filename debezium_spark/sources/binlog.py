@@ -558,12 +558,22 @@ def parse_rows_event(body: bytes, type_code: int, registry: dict) -> dict:
             rows.append({"before": img, "after": None})
         else:
             rows.append({"before": None, "after": img})
+    # present bitmaps surface alongside the values: binlog-row-image=
+    # MINIMAL sends PK-only before images and changed-column-only after
+    # images, and ABSENT (bit clear) is not NULL (bit set, null bitmap) —
+    # the merge layer must keep existing values for absent columns
     return {
         "kind": EVENT_NAMES[type_code],
         "table_id": table_id,
         "schema": tm["schema"],
         "table": tm["table"],
         "rows": rows,
+        "before_present": (
+            present if type_code != WRITE_ROWS_EVENT else None
+        ),
+        "after_present": (
+            present_after if type_code != DELETE_ROWS_EVENT else None
+        ),
     }
 
 
@@ -573,10 +583,17 @@ def encode_rows_event(
     types: list[int],
     metas: list[int],
     rows: list[dict],
+    present: list[bool] | None = None,
+    present_after: list[bool] | None = None,
     **hdr,
 ) -> bytes:
+    """``present``/``present_after`` default to all-columns (FULL row
+    images); pass partial bitmaps to fixture binlog-row-image=MINIMAL
+    streams (PK-only before, changed-only after). Row value lists still
+    span ALL columns — absent columns' entries are ignored."""
     ncols = len(types)
-    present = [True] * ncols
+    present = [True] * ncols if present is None else present
+    present_after = present if present_after is None else present_after
     body = (
         table_id.to_bytes(6, "little")
         + struct.pack("<H", 1)
@@ -585,7 +602,7 @@ def encode_rows_event(
         + _enc_bitmap(present)
     )
     if type_code == UPDATE_ROWS_EVENT:
-        body += _enc_bitmap(present)
+        body += _enc_bitmap(present_after)
     for row in rows:
         if type_code == WRITE_ROWS_EVENT:
             body += _enc_row_image(row["after"], types, metas, present)
@@ -593,7 +610,9 @@ def encode_rows_event(
             body += _enc_row_image(row["before"], types, metas, present)
         else:
             body += _enc_row_image(row["before"], types, metas, present)
-            body += _enc_row_image(row["after"], types, metas, present)
+            body += _enc_row_image(
+                row["after"], types, metas, present_after
+            )
     return encode_header(type_code, len(body), **hdr) + body
 
 
@@ -728,7 +747,8 @@ def table_map_registry(
 _ROW_SCHEMA = (
     "log_pos long, kind string, schema string, table string,"
     " before array<string>, after array<string>,"
-    " before_nums array<double>, after_nums array<double>"
+    " before_nums array<double>, after_nums array<double>,"
+    " before_present array<boolean>, after_present array<boolean>"
 )
 
 
@@ -785,6 +805,8 @@ def decode_binlog_rows(df: DataFrame, msg_col: str = "msg") -> DataFrame:
                                 to_text(row["after"]),
                                 to_num(row["before"]),
                                 to_num(row["after"]),
+                                ev["before_present"],
+                                ev["after_present"],
                             )
                         )
                 elif ev["kind"] in ("query", "xid"):
@@ -799,6 +821,8 @@ def decode_binlog_rows(df: DataFrame, msg_col: str = "msg") -> DataFrame:
                             else [str(ev["xid"])],
                             None,
                             None,
+                            None,
+                            None,
                         )
                     )
             yield pd.DataFrame(
@@ -806,6 +830,7 @@ def decode_binlog_rows(df: DataFrame, msg_col: str = "msg") -> DataFrame:
                 columns=[
                     "log_pos", "kind", "schema", "table", "before",
                     "after", "before_nums", "after_nums",
+                    "before_present", "after_present",
                 ],
             )
 

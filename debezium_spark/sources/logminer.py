@@ -1,0 +1,287 @@
+"""S23 — Oracle LogMiner redo-SQL DML parsing (the value-extraction half
+of S9's commit-ordered emission).
+
+Reference: ``debezium-connector-oracle/.../logminer/parser/
+LogMinerDmlParser.java`` — statement dispatch on the first char (:80-88),
+quoted table names (:220-238), INSERT column-list + values clauses
+(:248-385), UPDATE set-clause with the explicit-NULL sentinel and the
+unset-column copy-from-before reconciliation (:160-180, :391-585), WHERE
+equality/IS NULL pairs (:593-741), the ``Unsupported Type`` marker and the
+``ORA_ARCHIVE_STATE`` skip.
+
+LogMiner's reconstructed SQL is machine-generated and regular: identifiers
+are always double-quoted, strings single-quoted with ``''`` escapes,
+function values (``TO_TIMESTAMP('…','…')``, ``HEXTORAW('…')``,
+``EMPTY_BLOB()``) appear as unquoted call text whose parens/quotes must be
+skipped, and clauses use exactly ``" set "``/``" where "``/``" values "``
+with ``' = '`` and ``, `` separators. This module parses that grammar
+strictly (the reference's relaxed-quote heuristics guard a LogMiner
+misconfiguration we do not fixture); anything outside it raises
+ValueError so bad redo quarantines instead of corrupting row images —
+``or`` disjunctions in WHERE included (the reference only ever emits
+``and``-joined PK/row predicates).
+
+Row-image semantics (LogMinerDmlEntryImpl.for*):
+
+* INSERT → after = VALUES list mapped by the column-list, before = null.
+* UPDATE → before = WHERE pairs; after = SET pairs, where an explicit
+  ``NULL`` clears the column and every column NOT in SET copies its
+  before value (the reference's sentinel reconciliation).
+* DELETE → before = WHERE pairs, after = null.
+* ``NULL`` / ``Unsupported Type`` values and ``IS NULL`` predicates →
+  null cells; non-string values (numbers, function calls) surface as
+  their SQL text — downstream converters own typing, exactly like the
+  reference hands Objects to its value converters.
+
+Spark shape: one Arrow-batched ``mapInPandas`` kernel over the redo rows
+(never a per-row UDF); the table's column order is a kernel closure (the
+same bounded budget as the binlog TABLE_MAP registry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_UNSUPPORTED_TYPE = "Unsupported Type"
+_ORA_ARCHIVE_STATE = "ORA_ARCHIVE_STATE"
+
+
+def _parse_table_name(sql: str, i: int) -> tuple[str, str, int]:
+    """``"SCHEMA"."TABLE"`` (quotes mandatory in LogMiner output)."""
+    start = i
+    in_quote = False
+    while i < len(sql):
+        c = sql[i]
+        if c == '"':
+            in_quote = not in_quote
+        elif c in (" ", "(") and not in_quote:
+            break
+        i += 1
+    ident = sql[start:i]
+    parts = [p.strip('"') for p in ident.split(".")]
+    if len(parts) != 2 or not all(parts):
+        raise ValueError(f"unparseable table identifier {ident!r}")
+    return parts[0], parts[1], i
+
+
+def _scan_quoted(sql: str, i: int) -> tuple[str, int]:
+    """Single-quoted string starting at sql[i] == "'"; ``''`` unescapes."""
+    out = []
+    i += 1
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            if i + 1 < len(sql) and sql[i + 1] == "'":
+                out.append("'")
+                i += 2
+                continue
+            return "".join(out), i + 1
+        out.append(c)
+        i += 1
+    raise ValueError("unterminated string literal in redo SQL")
+
+
+def _scan_bare(sql: str, i: int, stops: str) -> tuple[str, int]:
+    """Unquoted value (number, NULL, function call): read to a top-level
+    stop char, skipping nested parens and any quoted text inside them."""
+    start = i
+    nested = 0
+    in_quote = False
+    while i < len(sql):
+        c = sql[i]
+        if in_quote:
+            if c == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    i += 2
+                    continue
+                in_quote = False
+        elif c == "'":
+            in_quote = True
+        elif c == "(":
+            nested += 1
+        elif c == ")":
+            if nested == 0:
+                break
+            nested -= 1
+        elif c in stops and nested == 0:
+            break
+        i += 1
+    return sql[start:i], i
+
+
+def _parse_insert(sql: str, columns: list[str]) -> dict:
+    i = len("insert into ")
+    schema, table, i = _parse_table_name(sql, i)
+    # column list: ("C1","C2",...)
+    if sql[i] != "(":
+        raise ValueError("INSERT without a column-list clause")
+    names: list[str] = []
+    i += 1
+    while sql[i] != ")":
+        if sql[i] == '"':
+            end = sql.index('"', i + 1)
+            names.append(sql[i + 1 : end])
+            i = end + 1
+        else:
+            i += 1
+    i += 1
+    if not sql.startswith(" values ", i):
+        raise ValueError("INSERT without a values clause")
+    i += len(" values ")
+    if sql[i] != "(":
+        raise ValueError("INSERT values clause must be parenthesized")
+    i += 1
+    after: dict[str, str | None] = {}
+    for name in names:
+        while i < len(sql) and sql[i] == " ":
+            i += 1
+        if sql[i] == "'":
+            v, i = _scan_quoted(sql, i)
+        else:
+            v, i = _scan_bare(sql, i, ",")
+            v = None if v in ("NULL", _UNSUPPORTED_TYPE) else v
+        if name != _ORA_ARCHIVE_STATE:
+            after[name] = v
+        while i < len(sql) and sql[i] in ", ":
+            i += 1
+    row = [after.get(c) for c in columns]
+    return {"op": "c", "schema": schema, "table": table,
+            "before": None, "after": row}
+
+
+def _parse_pairs(sql: str, i: int, *, set_clause: bool) -> tuple[dict, int]:
+    """``"C" = value`` pairs: ``, ``-joined (SET) or ``and ``-joined
+    (WHERE, which also allows ``"C" IS NULL``). Returns {name: value}
+    with the explicit-NULL sentinel preserved as None-with-presence."""
+    pairs: dict[str, str | None] = {}
+    n = len(sql)
+    while i < n:
+        while i < n and sql[i] == " ":
+            i += 1
+        if i >= n or sql[i] == ";":
+            break
+        if not set_clause and sql.startswith("or ", i):
+            raise ValueError(
+                "OR disjunction in redo WHERE clause is unsupported"
+            )
+        if not set_clause and sql.startswith("and ", i):
+            i += 4
+            continue
+        if set_clause and sql[i] == ",":
+            i += 1
+            continue
+        if set_clause and sql.startswith("where ", i):
+            break
+        if sql[i] != '"':
+            raise ValueError(
+                f"expected a quoted column name at …{sql[i:i + 25]!r}"
+            )
+        end = sql.index('"', i + 1)
+        name = sql[i + 1 : end]
+        i = end + 1
+        while i < n and sql[i] == " ":
+            i += 1
+        if not set_clause and sql.startswith("IS NULL", i):
+            pairs[name] = None
+            i += len("IS NULL")
+            continue
+        if sql[i] != "=":
+            raise ValueError(f"expected '=' after column {name!r}")
+        i += 1
+        while i < n and sql[i] == " ":
+            i += 1
+        if sql[i] == "'":
+            v, i = _scan_quoted(sql, i)
+        else:
+            v, i = _scan_bare(sql, i, ", ;")
+            v = None if v in ("NULL", _UNSUPPORTED_TYPE) else v
+        if name != _ORA_ARCHIVE_STATE:
+            pairs[name] = v
+    return pairs, i
+
+
+def _parse_update(sql: str, columns: list[str]) -> dict:
+    i = len("update ")
+    schema, table, i = _parse_table_name(sql, i)
+    if not sql.startswith(" set ", i):
+        raise ValueError("UPDATE without a set clause")
+    set_pairs, i = _parse_pairs(sql, i + len(" set "), set_clause=True)
+    if not sql.startswith("where ", i):
+        raise ValueError("UPDATE without a where clause")
+    where_pairs, _ = _parse_pairs(sql, i + len("where "), set_clause=False)
+    before = [where_pairs.get(c) for c in columns]
+    # the reference's sentinel reconciliation: explicit NULL in SET clears
+    # the column; a column absent from SET copies its before value
+    after = [
+        set_pairs.get(c) if c in set_pairs else b
+        for c, b in zip(columns, before)
+    ]
+    return {"op": "u", "schema": schema, "table": table,
+            "before": before, "after": after}
+
+
+def _parse_delete(sql: str, columns: list[str]) -> dict:
+    i = len("delete from ")
+    schema, table, i = _parse_table_name(sql, i)
+    while i < len(sql) and sql[i] == " ":
+        i += 1
+    if i >= len(sql) or sql[i] == ";":
+        # LogMiner can emit DELETE without WHERE (DBZ-3235 in the
+        # reference): all-null before image
+        return {"op": "d", "schema": schema, "table": table,
+                "before": [None] * len(columns), "after": None}
+    if not sql.startswith("where ", i):
+        raise ValueError("DELETE without a where clause")
+    where_pairs, _ = _parse_pairs(sql, i + len("where "), set_clause=False)
+    return {"op": "d", "schema": schema, "table": table,
+            "before": [where_pairs.get(c) for c in columns], "after": None}
+
+
+def parse_redo_sql(sql: str, columns: list[str]) -> dict:
+    """One reconstructed redo statement → row-image dict
+    ``{op, schema, table, before, after}`` with before/after as
+    column-ordered text lists (None cells for NULL / Unsupported Type /
+    absent). Statements outside insert/update/delete raise."""
+    if sql.startswith("insert into "):
+        return _parse_insert(sql, columns)
+    if sql.startswith("update "):
+        return _parse_update(sql, columns)
+    if sql.startswith("delete from "):
+        return _parse_delete(sql, columns)
+    raise ValueError(f"unsupported redo operation: {sql[:40]!r}")
+
+
+_OUT_SCHEMA = (
+    "scn long, op string, schema string, table string,"
+    " before array<string>, after array<string>"
+)
+
+
+def decode_logminer_dml(
+    df: DataFrame,
+    columns: list[str],
+    sql_col: str = "sql_redo",
+    scn_col: str = "scn",
+) -> DataFrame:
+    """Arrow-batched redo-SQL decode: one output row per DML statement
+    with column-ordered before/after text images, ready for S9's
+    commit-ordered assembly (scn is the emission key). ``columns`` is
+    the table's column order — schema-history's job, a kernel closure
+    here exactly like the binlog TABLE_MAP registry."""
+    import pandas as pd
+
+    cols = list(columns)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for scn, sql in zip(pdf[scn_col], pdf[sql_col]):
+                m = parse_redo_sql(str(sql), cols)
+                rows.append((int(scn), m["op"], m["schema"], m["table"],
+                             m["before"], m["after"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["scn", "op", "schema", "table", "before", "after"],
+            )
+
+    return df.select(scn_col, sql_col).mapInPandas(run, _OUT_SCHEMA)

@@ -2095,3 +2095,277 @@ def s19b_binlog_types(spark, sf_dir):
         F.element_at(a, 8).cast("int").alias("enum_ord"),
         F.element_at(a, 9).cast("int").alias("set_mask"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S23 — LogMiner redo-SQL DML parsing (LogMinerDmlParser.java): the
+# value-extraction half of S9. Reconstructed INSERT/UPDATE/DELETE text ->
+# column-ordered before/after images through one Arrow kernel.
+# ---------------------------------------------------------------------------
+@register(
+    "s23_logminer_dml",
+    oracle="""
+    SELECT event_id AS scn,
+           CASE WHEN event_id % 4 = 1 THEN 'u'
+                WHEN event_id % 4 = 2 THEN 'd' ELSE 'c' END AS op,
+           event_id AS id,
+           CASE WHEN event_id % 4 = 1 THEN event_type || '_u'
+                WHEN event_id % 4 = 2 THEN NULL
+                ELSE event_type END AS status_after,
+           CASE WHEN event_id % 4 IN (1, 2) THEN event_type END
+               AS status_before,
+           printf('%d.%02d',
+                  CAST(floor(value * 100) AS BIGINT) // 100,
+                  CAST(floor(value * 100) AS BIGINT) % 100) AS amount_str,
+           CASE WHEN event_id % 4 IN (1, 2) OR event_id % 5 = 0 THEN NULL
+                ELSE 'n_' || CAST(user_id AS VARCHAR) END AS note_after,
+           strftime(TIMESTAMP '1970-01-01 00:00:00'
+                    + event_id * INTERVAL 1 SECOND,
+                    '%Y-%m-%d %H:%M:%S') AS created_ts
+    FROM events WHERE event_id % 4 <> 2 OR event_id % 5 <> 0
+    """,
+)
+def s23_logminer_dml(spark, sf_dir):
+    """LogMiner redo-SQL value extraction over generated redo text
+    (LogMinerDmlParser.java's grammar: double-quoted identifiers,
+    ''-escaped strings, unquoted numbers, TO_TIMESTAMP(...) function
+    values skipped structurally, explicit-NULL SET sentinel with
+    copy-from-before reconciliation, IS NULL predicates). Ops cycle by
+    event_id % 4: insert / update (SET changes STATUS and NULLs NOTE;
+    WHERE carries the full before image) / delete (WHERE only) — every
+    5th delete is WHERE-less (DBZ-3235) and surfaces an all-null before
+    image, which the oracle excludes by the same closed form. The
+    'u'-op NOTE starts NULL every 5th insert, exercising IS NULL."""
+    import pandas as pd
+
+    from debezium_spark.sources.logminer import decode_logminer_dml
+
+    COLS = ["ID", "STATUS", "AMOUNT", "NOTE", "CREATED"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def enc(batches):
+        from datetime import datetime, timezone
+
+        for pdf in batches:
+            scns, sqls = [], []
+            for e, u, t, v in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"],
+                pdf["value"],
+            ):
+                e, u, v = int(e), int(u), float(v)
+                cents = int(v * 100 // 1)
+                amount = f"{cents // 100}.{cents % 100:02d}"
+                ts = datetime.fromtimestamp(e, tz=timezone.utc).strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                )
+                created = f"TO_TIMESTAMP('{ts}', 'YYYY-MM-DD HH24:MI:SS')"
+                note = "NULL" if e % 5 == 0 else f"'n_{u}'"
+                note_pred = (
+                    '"NOTE" IS NULL' if e % 5 == 0 else f"\"NOTE\" = 'n_{u}'"
+                )
+                if e % 4 == 1:
+                    sql = (
+                        f'update "ORA"."ORDERS" set "STATUS" = \'{t}_u\', '
+                        f'"NOTE" = NULL where "ID" = {e} and '
+                        f"\"STATUS\" = '{t}' and \"AMOUNT\" = {amount} and "
+                        f'{note_pred} and "CREATED" = {created};'
+                    )
+                elif e % 4 == 2:
+                    if e % 5 == 0:
+                        sql = 'delete from "ORA"."ORDERS";'  # DBZ-3235
+                    else:
+                        sql = (
+                            f'delete from "ORA"."ORDERS" where "ID" = {e} '
+                            f"and \"STATUS\" = '{t}' and "
+                            f'"AMOUNT" = {amount} and {note_pred} and '
+                            f'"CREATED" = {created};'
+                        )
+                else:
+                    sql = (
+                        'insert into "ORA"."ORDERS"'
+                        '("ID","STATUS","AMOUNT","NOTE","CREATED") values '
+                        f"({e},'{t}',{amount},{note},{created});"
+                    )
+                scns.append(e)
+                sqls.append(sql)
+            yield pd.DataFrame({"scn": scns, "sql_redo": sqls})
+
+    redo = ev.mapInPandas(enc, "scn long, sql_redo string")
+    dec = decode_logminer_dml(redo, COLS)
+    a, b = F.col("after"), F.col("before")
+    img = F.coalesce(a, b)  # delete has only a before image
+    return dec.filter(
+        # WHERE-less deletes carry no key — quarantined from the compare
+        # (their all-null image is pinned by tests/test_logminer.py)
+        F.element_at(img, 1).isNotNull()
+    ).select(
+        "scn",
+        "op",
+        F.element_at(img, 1).cast("long").alias("id"),
+        F.element_at(a, 2).alias("status_after"),
+        F.when(F.col("op") != "c", F.element_at(b, 2)).alias(
+            "status_before"
+        ),
+        F.element_at(img, 3).alias("amount_str"),
+        F.element_at(a, 4).alias("note_after"),
+        F.regexp_extract(F.element_at(img, 5), "'([^']+)'", 1).alias(
+            "created_ts"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S24 — binlog-row-image=MINIMAL: partial row images (PK-only before,
+# changed-column-only after) through decode + merge; absent != NULL.
+# ---------------------------------------------------------------------------
+@register(
+    "s24_binlog_minimal_images",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY event_id
+               ) AS r,
+               count(*) OVER (PARTITION BY user_id) AS cnt
+        FROM events
+    ),
+    typed AS (
+        SELECT *,
+               (r > 1 AND r = cnt AND user_id % 13 = 0) AS is_del,
+               (r > 1 AND NOT (r = cnt AND user_id % 13 = 0)) AS is_upd
+        FROM ranked
+    ),
+    vals AS (
+        SELECT user_id, event_id, is_del,
+               CASE WHEN r = 1 THEN event_type
+                    WHEN is_upd AND event_id % 3 = 0
+                    THEN event_type || '_u' || CAST(event_id AS VARCHAR)
+               END AS status_val,
+               (r = 1 OR (is_upd AND event_id % 3 = 0)) AS status_p,
+               CASE WHEN r = 1 OR (is_upd AND event_id % 3 = 1)
+                    THEN cents END AS bal_val,
+               (r = 1 OR (is_upd AND event_id % 3 = 1)) AS bal_p,
+               CASE WHEN r = 1 THEN 'n_' || CAST(user_id AS VARCHAR)
+                    WHEN is_upd AND event_id % 3 = 2 AND event_id % 7 <> 0
+                    THEN 'n_' || CAST(event_id AS VARCHAR)
+               END AS note_val,
+               (r = 1 OR (is_upd AND event_id % 3 = 2)) AS note_p
+        FROM typed
+    )
+    SELECT user_id AS id,
+           arg_max(status_val, event_id) FILTER (WHERE status_p) AS status,
+           arg_max(bal_val, event_id) FILTER (WHERE bal_p) AS balance,
+           nullif(arg_max(coalesce(note_val, '~~absent~~'), event_id)
+                      FILTER (WHERE note_p),
+                  '~~absent~~') AS note
+    FROM vals
+    GROUP BY user_id
+    HAVING NOT bool_or(is_del)
+    """,
+)
+def s24_binlog_minimal_images(spark, sf_dir):
+    """binlog-row-image=MINIMAL end-to-end: per user the first event
+    INSERTs the full row, later events are MINIMAL updates whose before
+    image carries ONLY the PK and whose after image carries ONLY the one
+    changed column (status / balance / note cycling by event_id % 3;
+    every 7th note update sets an EXPLICIT NULL — present with the null
+    bit, distinct from absent), and every 13th user's last event is a
+    PK-only DELETE. ``fold_partial_images`` merges: each column takes
+    its latest PRESENT value, absent keeps prior state, explicit NULL
+    nulls, delete drops the row. A naive absent==NULL merge fails the
+    hash immediately (most rows would null two of three columns)."""
+    import pandas as pd
+
+    from debezium_spark.operators.reduce import fold_partial_images
+    from debezium_spark.sources.binlog import (
+        DELETE_ROWS_EVENT,
+        TYPE_LONGLONG,
+        TYPE_VARCHAR,
+        UPDATE_ROWS_EVENT,
+        WRITE_ROWS_EVENT,
+        decode_binlog_rows,
+        encode_rows_event,
+        encode_table_map,
+    )
+    from pyspark.sql import Window
+
+    TID = 515
+    TYPES = [TYPE_LONGLONG, TYPE_VARCHAR, TYPE_LONGLONG, TYPE_VARCHAR]
+    METAS = [0, 64, 0, 64]
+    PK_ONLY = [True, False, False, False]
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "event_type", "value")
+        .withColumn("r", F.row_number().over(w))
+        .withColumn(
+            "cnt", F.count("*").over(Window.partitionBy("user_id"))
+        )
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            poss, msgs = [], []
+            for e, u, t, v, r, cnt in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"],
+                pdf["value"], pdf["r"], pdf["cnt"],
+            ):
+                e, u, r, cnt = int(e), int(u), int(r), int(cnt)
+                cents = int(float(v) * 100 // 1)
+                pos = 1000 + e
+                if r == 1:
+                    msg = encode_rows_event(
+                        WRITE_ROWS_EVENT, TID, TYPES, METAS,
+                        [{"before": None,
+                          "after": [u, t, cents, f"n_{u}"]}],
+                        log_pos=pos,
+                    )
+                elif r == cnt and u % 13 == 0:
+                    msg = encode_rows_event(
+                        DELETE_ROWS_EVENT, TID, TYPES, METAS,
+                        [{"before": [u, None, None, None],
+                          "after": None}],
+                        present=PK_ONLY, log_pos=pos,
+                    )
+                else:
+                    ch = e % 3 + 1  # changed column: status/balance/note
+                    vals = {
+                        1: f"{t}_u{e}",
+                        2: cents,
+                        3: None if e % 7 == 0 else f"n_{e}",
+                    }
+                    after = [None] * 4
+                    after[ch] = vals[ch]
+                    pres_after = [False] * 4
+                    pres_after[ch] = True
+                    msg = encode_rows_event(
+                        UPDATE_ROWS_EVENT, TID, TYPES, METAS,
+                        [{"before": [u, None, None, None],
+                          "after": after}],
+                        present=PK_ONLY, present_after=pres_after,
+                        log_pos=pos,
+                    )
+                poss.append(pos)
+                msgs.append(msg)
+            yield pd.DataFrame({"pos": poss, "msg": msgs})
+
+    data = ev.mapInPandas(enc, "pos long, msg binary")
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_table_map(
+            TID, "inventory", "accounts", TYPES, METAS,
+            [False, False, False, True], log_pos=0,
+        )))],
+        "pos long, msg binary",
+    )
+    stream = rel.unionByName(data).localCheckpoint(eager=True)
+    folded = fold_partial_images(decode_binlog_rows(stream), n_cols=4)
+    return folded.select(
+        F.col("__key").cast("long").alias("id"),
+        F.col("c1").alias("status"),
+        F.col("c2").cast("long").alias("balance"),
+        F.col("c3").alias("note"),
+    )

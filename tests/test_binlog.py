@@ -392,3 +392,72 @@ def test_widened_table_map_metadata_roundtrip():
     )
     tm = parse_table_map(raw[HEADER_LEN:])
     assert tm["types"] == types and tm["metas"] == metas
+
+
+def test_minimal_row_images_absent_vs_null(spark):
+    """binlog-row-image=MINIMAL golden: an absent column (present bit
+    clear) survives an update INTACT, while an explicitly NULLed column
+    (present bit set, null bit set) clears — and a PK-only delete drops
+    the row."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.operators.reduce import fold_partial_images
+    from debezium_spark.sources.binlog import (
+        TYPE_LONGLONG,
+        decode_binlog_rows,
+        encode_rows_event,
+    )
+
+    TYPES = [TYPE_LONGLONG, TYPE_VARCHAR, TYPE_VARCHAR]
+    METAS = [0, 64, 64]
+    TID = 88
+    msgs = [
+        encode_table_map(TID, "db", "t", TYPES, METAS,
+                         [False, True, True], log_pos=0),
+        # full insert: (1, 'a', 'keepme') and (2, 'x', 'y')
+        encode_rows_event(WRITE_ROWS_EVENT, TID, TYPES, METAS,
+                          [{"before": None, "after": [1, "a", "keepme"]},
+                           {"before": None, "after": [2, "x", "y"]}],
+                          log_pos=10),
+        # MINIMAL update on key 1: ONLY column 1 changes; column 2 absent
+        encode_rows_event(UPDATE_ROWS_EVENT, TID, TYPES, METAS,
+                          [{"before": [1, None, None],
+                            "after": [None, "b", None]}],
+                          present=[True, False, False],
+                          present_after=[False, True, False], log_pos=20),
+        # MINIMAL update on key 1: column 2 explicitly NULLed (present)
+        encode_rows_event(UPDATE_ROWS_EVENT, TID, TYPES, METAS,
+                          [{"before": [1, None, None],
+                            "after": [None, None, None]}],
+                          present=[True, False, False],
+                          present_after=[False, False, True], log_pos=30),
+        # PK-only delete of key 2
+        encode_rows_event(DELETE_ROWS_EVENT, TID, TYPES, METAS,
+                          [{"before": [2, None, None], "after": None}],
+                          present=[True, False, False], log_pos=40),
+    ]
+    df = spark.createDataFrame(
+        [(bytearray(m),) for m in msgs], "msg binary"
+    )
+    dec = decode_binlog_rows(df)
+    # decode surfaces absent-vs-null distinctly: the present arrays
+    upd = dec.filter(F.col("log_pos") == 20).collect()[0]
+    assert upd["before_present"] == [True, False, False]
+    assert upd["after_present"] == [False, True, False]
+    assert upd["after"] == [None, "b", None]  # absent cells are None +
+    # present=False; the NULLed cell at pos 30 is None + present=True
+    nulled = dec.filter(F.col("log_pos") == 30).collect()[0]
+    assert nulled["after_present"] == [False, False, True]
+    assert nulled["after"] == [None, None, None]
+
+    out = {r["__key"]: r for r in
+           fold_partial_images(dec, n_cols=3).collect()}
+    assert list(out) == ["1"]          # key 2 deleted
+    assert out["1"]["c1"] == "b"       # changed by the MINIMAL update
+    assert out["1"]["c2"] is None      # explicitly NULLed (present)
+    # ... and before the NULLing update it must have been kept intact:
+    partial = fold_partial_images(
+        dec.filter(F.col("log_pos") <= 20), n_cols=3
+    ).collect()
+    keep = {r["__key"]: r for r in partial}
+    assert keep["1"]["c2"] == "keepme"  # absent != NULL
