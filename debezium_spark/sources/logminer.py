@@ -262,26 +262,37 @@ def decode_logminer_dml(
     columns: list[str],
     sql_col: str = "sql_redo",
     scn_col: str = "scn",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Arrow-batched redo-SQL decode: one output row per DML statement
     with column-ordered before/after text images, ready for S9's
     commit-ordered assembly (scn is the emission key). ``columns`` is
     the table's column order — schema-history's job, a kernel closure
-    here exactly like the binlog TABLE_MAP registry."""
+    here exactly like the binlog TABLE_MAP registry. ``passthrough``
+    carries extra input columns (XID, thread#) through the kernel
+    unchanged — V$LOGMNR_CONTENTS rows arrive with their tx identity
+    beside the redo text, no join needed."""
     import pandas as pd
 
     cols = list(columns)
+    extra = [c for c in passthrough]
+    schema = _OUT_SCHEMA + "".join(
+        f", {c} {dict(df.dtypes)[c]}" for c in extra
+    )
 
     def run(batches):
         for pdf in batches:
             rows = []
-            for scn, sql in zip(pdf[scn_col], pdf[sql_col]):
+            for tup in zip(pdf[scn_col], pdf[sql_col],
+                           *[pdf[c] for c in extra]):
+                scn, sql = tup[0], tup[1]
                 m = parse_redo_sql(str(sql), cols)
                 rows.append((int(scn), m["op"], m["schema"], m["table"],
-                             m["before"], m["after"]))
+                             m["before"], m["after"], *tup[2:]))
             yield pd.DataFrame(
                 rows,
-                columns=["scn", "op", "schema", "table", "before", "after"],
+                columns=["scn", "op", "schema", "table", "before",
+                         "after", *extra],
             )
 
-    return df.select(scn_col, sql_col).mapInPandas(run, _OUT_SCHEMA)
+    return df.select(scn_col, sql_col, *extra).mapInPandas(run, schema)

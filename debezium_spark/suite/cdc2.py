@@ -2369,3 +2369,108 @@ def s24_binlog_minimal_images(spark, sf_dir):
         F.col("c2").cast("long").alias("balance"),
         F.col("c3").alias("note"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S25 — LogMiner end-to-end: redo text -> DML parse -> commit-gated,
+# commit-ORDERED emission -> LWW-merged table (s20's shape for Oracle).
+# ---------------------------------------------------------------------------
+@register(
+    "s25_logminer_to_table",
+    oracle="""
+    WITH evs AS (
+        SELECT user_id,
+               event_type AS status,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               (event_id // 100) * 1000
+                   + CASE WHEN event_id % 2 = 0 THEN 999 ELSE 998 END
+                   AS commit_scn,
+               (event_id // 100) * 1000 + 100 + event_id % 100 AS scn
+        FROM events
+        WHERE NOT (event_id % 2 = 1 AND (event_id // 100) % 17 = 0)
+    )
+    SELECT user_id AS id,
+           arg_max(status, commit_scn * 10000000 + scn) AS status,
+           arg_max(cents, commit_scn * 10000000 + scn) AS balance
+    FROM evs GROUP BY user_id
+    """,
+)
+def s25_logminer_to_table(spark, sf_dir):
+    """The full Oracle CDC slice over redo TEXT: V$LOGMNR_CONTENTS-shaped
+    rows (scn, xid, redo SQL; commit markers as OPERATION_CODE 7 rows) →
+    DML parse → commit gate (a tx with no COMMIT row never emits —
+    every 17th group's odd-xid tx stays open) → commit-ORDERED last-write
+    -wins (order is (commit_scn, scn), NOT data-row scn: within each
+    group the odd tx's rows interleave the even tx's but the even tx
+    commits LAST and must win every contested key) → merged table.
+    Buffered-commit emission per BufferedLogMinerStreamingChangeEventSource;
+    the tx attach is a hash join on xid (tx count scales with the log —
+    never a broadcast assumption), the fold is k4's keyed reduction."""
+    import pandas as pd
+
+    from debezium_spark.operators.reduce import reduce_last_per_key
+    from debezium_spark.sources.logminer import decode_logminer_dml
+
+    COLS = ["ID", "STATUS", "AMOUNT"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            scns, xids, sqls = [], [], []
+            for e, u, t, v in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"],
+                pdf["value"],
+            ):
+                e, u = int(e), int(u)
+                cents = int(float(v) * 100 // 1)
+                g = e // 100
+                scns.append(g * 1000 + 100 + e % 100)
+                xids.append(f"{g}.{e % 2}")
+                sqls.append(
+                    'insert into "ORA"."ACCOUNTS"("ID","STATUS","AMOUNT") '
+                    f"values ({u},'{t}',{cents // 100}.{cents % 100:02d});"
+                )
+            yield pd.DataFrame(
+                {"scn": scns, "xid": xids, "sql_redo": sqls}
+            )
+
+    redo = ev.mapInPandas(enc, "scn long, xid string, sql_redo string")
+
+    def enc_commits(batches):
+        for pdf in batches:
+            scns, xids = [], []
+            for g in pdf["g"]:
+                g = int(g)
+                # even-xid tx commits LAST (wins LWW); the odd-xid tx of
+                # every 17th group never commits (stays buffered)
+                scns.append(g * 1000 + 999)
+                xids.append(f"{g}.0")
+                if g % 17 != 0:
+                    scns.append(g * 1000 + 998)
+                    xids.append(f"{g}.1")
+            yield pd.DataFrame({"commit_scn": scns, "xid": xids})
+
+    commits = (
+        ev.select(F.expr("event_id DIV 100").alias("g"))
+        .distinct()
+        .mapInPandas(enc_commits, "commit_scn long, xid string")
+    )
+
+    dec = decode_logminer_dml(redo, COLS, passthrough=("xid",))
+    # commit gate + commit position in one hash join on the tx id
+    emitted = dec.join(commits, "xid", "inner").withColumn(
+        "__ord", F.col("commit_scn") * F.lit(10_000_000) + F.col("scn")
+    )
+    rows = emitted.select(
+        F.element_at("after", 1).cast("long").alias("id"),
+        F.element_at("after", 2).alias("status"),
+        (F.element_at("after", 3).cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("balance"),
+        "__ord",
+    )
+    return reduce_last_per_key(
+        rows, key_cols=("id",), order_col="__ord"
+    ).drop("__ord")
