@@ -2415,3 +2415,102 @@ def charlm_quality(
             ).alias("bits_per_char"),
         )
     )
+
+
+def dsir_topk(
+    docs: DataFrame,
+    target,
+    k: int = 200,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how target-like its hashed bag-of-words is, then draw a without-
+    replacement sample via the Gumbel top-k trick.
+
+    ``target`` is a boolean Column marking the seed/target subset. Both
+    bag models are add-one-smoothed over ``n_buckets`` hashed unigram
+    buckets; a document's log importance weight is
+    ``sum_b cnt_b * (log p_target(b) - log p_raw(b))``. Every log2 term
+    is fixed-point quantized (floor(log2 · 1e9) as int64, the x38
+    pattern) so the per-doc sum is order-independent and engine-exact,
+    and each factor quantizes SEPARATELY (no int64 product overflow at
+    any corpus size). Sampling priority adds a deterministic per-doc
+    Gumbel draw derived from the doc-id hash — u = (h % 1e6 + 0.5)/1e6,
+    g = -log2(-log2(u)) — so the "randomness" is reproducible and
+    oracle-checkable; swap the seed for fresh draws.
+
+    100 TB shape: one token explode + hash agg (map-side combinable);
+    the model is ≤ n_buckets rows and BROADCASTS by construction; the
+    final top-k is a distributed TakeOrdered (per-partition heads, never
+    a global window)."""
+    Q = 1_000_000_000
+
+    def q(x):
+        return F.floor(F.log2(x) * Q).cast("long")
+
+    base = docs.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    tok = base.select(
+        F.col(id_col),
+        target.alias("__is_t"),
+        F.explode(tokenize(F.col(text_col))).alias("__token"),
+    )
+    dc = (
+        tok.select(
+            id_col,
+            "__is_t",
+            (portable_hash64(F.col("__token")) % n_buckets).alias("__b"),
+        )
+        .groupBy(id_col, "__is_t", "__b")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    raw = dc.groupBy("__b").agg(F.sum("__cnt").alias("__cr"))
+    tgt = (
+        dc.filter(F.col("__is_t"))
+        .groupBy("__b")
+        .agg(F.sum("__cnt").alias("__ct"))
+    )
+    totals = dc.agg(
+        F.sum("__cnt").alias("__nr"),
+        F.coalesce(
+            F.sum(F.when(F.col("__is_t"), F.col("__cnt"))), F.lit(0)
+        ).alias("__nt"),
+    )
+    model = (
+        raw.join(tgt, "__b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            (
+                q(F.coalesce(F.col("__ct"), F.lit(0)) + 1)
+                - q(F.col("__cr") + 1)
+                + q(F.col("__nr") + n_buckets)
+                - q(F.col("__nt") + n_buckets)
+            ).alias("__tq"),
+        )
+    )
+    wt = (
+        dc.join(F.broadcast(model), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("__cnt") * F.col("__tq")).alias("weight_q"),
+            F.sum("__cnt").alias("n_tokens"),
+        )
+    )
+    u = (
+        portable_hash64(F.col(id_col).cast("string"), seed="dsir")
+        % 1_000_000
+        + 0.5
+    ) / 1_000_000.0
+    pri = wt.withColumn(
+        "priority_q",
+        F.col("weight_q")
+        + F.floor(-F.log2(-F.log2(u)) * Q).cast("long"),
+    )
+    return pri.orderBy(
+        F.col("priority_q").desc(), F.col(id_col)
+    ).limit(k)

@@ -41,11 +41,12 @@ PRIORITY: tuple[str, ...] = (
     # 2. the queries registered THIS round (new queries must be windowed):
     #    s22 typed pgoutput values, s19b binlog type widening, s23 LogMiner
     #    redo-SQL DML parser, s24 binlog MINIMAL row images, s25 LogMiner
-    #    end-to-end (redo text -> commit-ordered LWW table).
+    #    end-to-end (redo text -> commit-ordered LWW table), x42 DSIR
+    #    importance resampling.
     # 3. m2/m4 + the r7-tier h-family (VERDICT r9 item 8).
-    # 4. 9 r7-tier legs spanning the remaining families (formats, binlog
-    #    dispatch, commit-ordered emission, sink merge/reduce, SMT unwrap,
-    #    as-of join) so the r7 tier starts draining too.
+    # 4. 8 r7-tier legs spanning the remaining families (formats, binlog
+    #    dispatch, commit-ordered emission, sink merge/reduce, as-of
+    #    join) so the r7 tier starts draining too.
     # last green r6 (the entire stale tier, 31 legs) ---------------------------
     "a1_vector_norms",
     "a9_pq_codebooks",
@@ -84,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "s23_logminer_dml",                # redo-SQL text -> before/after images
     "s24_binlog_minimal_images",       # MINIMAL row images through the merge
     "s25_logminer_to_table",           # redo text -> commit-ordered merge
+    "x42_dsir_resample",               # DSIR importance resampling
     # m2/m4 + h-family freshness (VERDICT r9 item 8) ---------------------------
     "m2_frame_sample",
     "m4_image_resize",
@@ -98,7 +100,6 @@ PRIORITY: tuple[str, ...] = (
     "s9_commit_ordered",
     "k1_merge_upsert",
     "k4_reduce_last_per_key",
-    "t3_extract_changed_record_state",
     "w8_asof_join",
 )
 

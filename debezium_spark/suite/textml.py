@@ -1998,3 +1998,88 @@ def x41_bpe_tokenizer(spark, sf_dir):
         "step int, left_sym string, right_sym string, merged string,"
         " cnt bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# X42 — DSIR importance resampling (hashed n-gram log-ratio weights +
+# deterministic Gumbel top-k)
+# ---------------------------------------------------------------------------
+_X42_B = 4096
+_X42_Q = 1_000_000_000
+_X42_K = 200
+
+
+@register(
+    "x42_dsir_resample",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS token
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    bk AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+                   % {_X42_B} AS b
+        FROM tok
+    ),
+    dc AS (SELECT doc_id, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
+    raw AS (SELECT b, sum(cnt) AS cr FROM dc GROUP BY 1),
+    tgt AS (
+        SELECT b, sum(cnt) AS ct FROM dc WHERE doc_id % 19 = 0 GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(cnt) AS nr,
+               coalesce(sum(cnt) FILTER (WHERE doc_id % 19 = 0), 0) AS nt
+        FROM dc
+    ),
+    model AS (
+        SELECT raw.b,
+               CAST(floor(log2(CAST(coalesce(ct, 0) + 1 AS DOUBLE))
+                          * {_X42_Q}) AS BIGINT)
+             - CAST(floor(log2(CAST(cr + 1 AS DOUBLE))
+                          * {_X42_Q}) AS BIGINT)
+             + (SELECT CAST(floor(log2(CAST(nr + {_X42_B} AS DOUBLE))
+                                  * {_X42_Q}) AS BIGINT)
+                     - CAST(floor(log2(CAST(nt + {_X42_B} AS DOUBLE))
+                                  * {_X42_Q}) AS BIGINT) FROM tot) AS tq
+        FROM raw LEFT JOIN tgt USING (b)
+    ),
+    wt AS (
+        SELECT dc.doc_id, sum(dc.cnt * m.tq) AS weight_q,
+               CAST(sum(dc.cnt) AS BIGINT) AS n_tokens
+        FROM dc JOIN model m USING (b) GROUP BY 1
+    ),
+    pri AS (
+        SELECT doc_id, weight_q, n_tokens,
+               weight_q + CAST(floor(-log2(-log2(
+                   (CAST(('0x' || substr(md5('dsir' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 1000000 + 0.5) / 1000000.0)) * {_X42_Q}) AS BIGINT)
+                   AS priority_q
+        FROM wt
+    )
+    SELECT doc_id,
+           CAST(weight_q AS BIGINT) AS weight_q,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(priority_q AS BIGINT) AS priority_q
+    FROM pri ORDER BY priority_q DESC, doc_id LIMIT {_X42_K}
+    """,
+)
+def x42_dsir_resample(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): hashed-unigram bag models
+    for a target subset (here the doc_id%19 seed sample standing in for
+    "quality domain docs") vs the raw corpus; per-doc importance weight
+    = sum of count-weighted smoothed log-probability ratios; selection
+    by Gumbel top-k with hash-derived deterministic draws. All log2
+    terms fixed-point quantized (the x38 pattern) so both engines agree
+    bit-for-bit; the model broadcasts (<= 4096 rows) and the top-k is a
+    TakeOrdered — scan-shaped at any corpus size."""
+    from debezium_spark.analytics.text import dsir_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_topk(
+        docs,
+        target=F.col("doc_id") % 19 == 0,
+        k=_X42_K,
+        n_buckets=_X42_B,
+    )
