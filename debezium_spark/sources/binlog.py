@@ -835,3 +835,43 @@ def decode_binlog_rows(df: DataFrame, msg_col: str = "msg") -> DataFrame:
             )
 
     return df.select(msg_col).mapInPandas(run, _ROW_SCHEMA)
+
+
+def named_typed_rows(
+    decoded: DataFrame,
+    versions: list[tuple[int, list[tuple[str, str]]]],
+    pos_col: str = "log_pos",
+) -> DataFrame:
+    """Name and TYPE the positional row images via schema history — the
+    binlog carries no column names or SQL types (TABLE_MAP has only
+    wire-type codes), so the reference resolves both from the DDL it
+    tracked (MySqlDatabaseSchema / TableSchemaBuilder); this is that
+    resolution as a plan: ``versions`` is the DDL tracker's
+    [(valid_from_pos, [(col_name, spark_type), …])] fold, each version
+    window projects its own element_at+cast list, and the union aligns
+    by NAME with evolution-missing columns null (a v1 row has no value
+    for a column ADDed in v2).
+
+    Versions are bounded by schema changes, so the per-version plan
+    branches stay tiny; each branch is a codegen filter+project over the
+    same scan — no shuffle, no Python. DOUBLE columns ride the *_nums
+    array: the text form is None by design, so a double column's cast
+    here would null it — project those from ``after_nums`` upstream."""
+    frames = []
+    for i, (frm, cols) in enumerate(versions):
+        cond = F.col(pos_col) >= F.lit(frm)
+        if i + 1 < len(versions):
+            cond = cond & (F.col(pos_col) < F.lit(versions[i + 1][0]))
+        sel = [F.col(pos_col), F.col("kind").alias("op")] + [
+            F.element_at(F.col("after"), j + 1).cast(t).alias(n)
+            for j, (n, t) in enumerate(cols)
+        ]
+        frames.append(
+            decoded.filter(
+                F.col("kind").isin("c", "u", "d") & cond
+            ).select(*sel)
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out

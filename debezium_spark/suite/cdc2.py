@@ -2474,3 +2474,149 @@ def s25_logminer_to_table(spark, sf_dir):
     return reduce_last_per_key(
         rows, key_cols=("id",), order_col="__ord"
     ).drop("__ord")
+
+
+# ---------------------------------------------------------------------------
+# S26 — schema-history column naming/typing for binlog rows: DDL QUERY
+# events fold through the tracker; positional images become NAMED, TYPED
+# columns per schema version (MySqlDatabaseSchema/TableSchemaBuilder).
+# ---------------------------------------------------------------------------
+@register(
+    "s26_binlog_schema_naming",
+    oracle="""
+    WITH mid AS (SELECT (max(event_id) + 1) // 2 AS m FROM events)
+    SELECT 1000 + event_id AS pos,
+           event_id AS id,
+           event_type AS status,
+           printf('%d.%02d',
+                  CAST(floor(value * 100) AS BIGINT) // 100,
+                  CAST(floor(value * 100) AS BIGINT) % 100) AS amount_str,
+           CASE WHEN event_id >= (SELECT m FROM mid)
+                THEN CAST(event_id % 100 AS INTEGER) END AS qty
+    FROM events
+    """,
+)
+def s26_binlog_schema_naming(spark, sf_dir):
+    """Binlog rows carry NO column names or SQL types — the reference
+    resolves both from tracked DDL (MySqlDatabaseSchema applies QUERY-
+    event DDL, TableSchemaBuilder names the positional images). Fixture:
+    CREATE TABLE, half the stream, ALTER TABLE ADD COLUMN qty (with the
+    new TABLE_MAP id the server would assign), the other half with
+    5-value rows. The DDL QUERY events fold driver-side through
+    DdlSchemaTracker (rare + strictly ordered, same budget as the
+    reference's single reader thread); ``named_typed_rows`` projects
+    each schema-version window with its own name/type list and unions by
+    NAME — pre-ALTER rows surface qty as a typed NULL. Decimal types
+    come from the DDL (DECIMAL(12,2) -> decimal(12,2)), surfaced via the
+    fixed-scale string form for the cross-engine hash."""
+    import pandas as pd
+
+    from debezium_spark.schema.ddl import DdlSchemaTracker
+    from debezium_spark.schema.history import MemorySchemaHistory
+    from debezium_spark.sources.binlog import (
+        TYPE_LONG,
+        TYPE_LONGLONG,
+        TYPE_NEWDECIMAL,
+        TYPE_VARCHAR,
+        WRITE_ROWS_EVENT,
+        decode_binlog_rows,
+        encode_query,
+        encode_rows_event,
+        encode_table_map,
+        named_typed_rows,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    mid = (ev.agg((F.max("event_id") + 1) / 2).first()[0]) or 0
+    mid = int(mid)
+
+    T1, T2 = 616, 617
+    TYPES1 = [TYPE_LONGLONG, TYPE_VARCHAR, TYPE_NEWDECIMAL]
+    METAS1 = [0, 64, (12 << 8) | 2]
+    TYPES2 = TYPES1 + [TYPE_LONG]
+    METAS2 = METAS1 + [0]
+
+    def enc(batches):
+        for pdf in batches:
+            poss, msgs = [], []
+            for e, t, v in zip(
+                pdf["event_id"], pdf["event_type"], pdf["value"]
+            ):
+                e = int(e)
+                cents = int(float(v) * 100 // 1)
+                amount = f"{cents // 100}.{cents % 100:02d}"
+                pos = 1000 + e
+                if e < mid:
+                    msg = encode_rows_event(
+                        WRITE_ROWS_EVENT, T1, TYPES1, METAS1,
+                        [{"before": None, "after": [e, t, amount]}],
+                        log_pos=pos,
+                    )
+                else:
+                    msg = encode_rows_event(
+                        WRITE_ROWS_EVENT, T2, TYPES2, METAS2,
+                        [{"before": None,
+                          "after": [e, t, amount, e % 100]}],
+                        log_pos=pos,
+                    )
+                poss.append(pos)
+                msgs.append(msg)
+            yield pd.DataFrame({"pos": poss, "msg": msgs})
+
+    data = ev.mapInPandas(enc, "pos long, msg binary")
+    head = spark.createDataFrame(
+        [
+            (0, bytearray(encode_query(
+                "inventory",
+                "CREATE TABLE products ("
+                " id BIGINT PRIMARY KEY,"
+                " status VARCHAR(64),"
+                " amount DECIMAL(12,2))",
+                log_pos=0,
+            ))),
+            (1, bytearray(encode_table_map(
+                T1, "inventory", "products", TYPES1, METAS1,
+                [False, True, True], log_pos=1,
+            ))),
+            (1000 + mid, bytearray(encode_query(
+                "inventory",
+                "ALTER TABLE products ADD COLUMN qty INT",
+                log_pos=1000 + mid,
+            ))),
+            (1000 + mid, bytearray(encode_table_map(
+                T2, "inventory", "products", TYPES2, METAS2,
+                [False, True, True, True], log_pos=1000 + mid,
+            ))),
+        ],
+        "pos long, msg binary",
+    )
+    stream = head.unionByName(data).localCheckpoint(eager=True)
+    dec = decode_binlog_rows(stream)
+
+    # fold the DDL through the tracker (rare, ordered — driver-side by
+    # design, the reference's single-reader-thread budget)
+    tracker = DdlSchemaTracker(MemorySchemaHistory(spark))
+    versions = []
+    for r in sorted(
+        dec.filter(
+            (F.col("kind") == "query")
+            & (F.element_at("after", 1) != "BEGIN")
+        ).select("log_pos", F.element_at("after", 1).alias("ddl")).collect(),
+        key=lambda r: r["log_pos"],
+    ):
+        tracker.apply(r["ddl"], r["log_pos"])
+        versions.append((
+            r["log_pos"],
+            [(c.name, c.spark_type)
+             for c in tracker.table_columns("products")],
+        ))
+    named = named_typed_rows(dec, versions)
+    return named.select(
+        "log_pos",
+        "id",
+        "status",
+        F.col("amount").cast("string").alias("amount_str"),
+        "qty",
+    ).withColumnRenamed("log_pos", "pos")
