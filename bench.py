@@ -28,6 +28,10 @@ HEADLINE = [
     "k4_reduce_last_per_key",
     "s3_incremental_snapshot_dedup",
     "s18_pgoutput_binary_decode",
+    "s22_pgoutput_typed",
+    "s19b_binlog_types",
+    "s25_logminer_to_table",
+    "x42_dsir_resample",
     "t1_extract_new_record_state",
     "p4_transaction_metadata",
     "x4_exact_dedup",
