@@ -510,6 +510,53 @@ def decode_frames(
     return df.select(*sel).mapInPandas(run, _FRAME_SCHEMA)
 
 
+def _segments_from_marks(
+    marks: list[tuple[int, bytes]], open_at_start: bool
+) -> tuple[list[tuple[int, int | None]], bool]:
+    """Fold sorted (lsn, b'S'/b'E') marks into disjoint segment
+    intervals; segments never nest in the protocol, so overlapping
+    marks raise instead of guessing."""
+    segments: list[tuple[int, int | None]] = []
+    open_lsn: int | None = -1 if open_at_start else None
+    for lsn, code in marks:
+        if code == b"S":
+            if open_lsn is not None:
+                raise ValueError(
+                    f"Stream Start at lsn {lsn} inside an open "
+                    "segment — protocol v2 segments never nest"
+                )
+            open_lsn = lsn
+        else:
+            if open_lsn is None:
+                raise ValueError(
+                    f"Stream Stop at lsn {lsn} without a Stream Start"
+                )
+            segments.append((open_lsn, lsn))
+            open_lsn = None
+    if open_lsn is not None:
+        segments.append((open_lsn, None))
+    return segments, open_lsn is not None
+
+
+def _in_segment(lsn: int, segments: list[tuple[int, int | None]]) -> bool:
+    return any(
+        lsn > s and (e is None or lsn < e) for s, e in segments
+    )
+
+
+def _stamp_expr(segments, lsn_col: str):
+    """Membership is strict (the S/E marks themselves are framing, not
+    in-segment): disjoint OR of interval terms — bounded by segments per
+    batch, each a codegen range compare on the already-read lsn."""
+    cond = F.lit(False)
+    for s, e in segments:
+        term = F.col(lsn_col) > F.lit(s)
+        if e is not None:
+            term = term & (F.col(lsn_col) < F.lit(e))
+        cond = cond | term
+    return cond
+
+
 def derive_in_stream(
     df: DataFrame,
     msg_col: str = "msg",
@@ -526,45 +573,23 @@ def derive_in_stream(
     JVM expression (closed segments become strict-LSN intervals, an
     open tail becomes one ``lsn > s`` term). ``open_at_start`` carries a
     segment left open by the previous micro-batch
-    (``PgOutputStreamDecoder`` persists it); segments never nest in the
-    protocol, so overlapping marks raise instead of guessing."""
-    marks = (
-        df.filter(F.expr(f"substring({msg_col}, 1, 1) IN (X'53', X'45')"))
+    (``PgOutputStreamDecoder`` persists it)."""
+    marks = sorted(
+        (r[lsn_col], bytes(r["c"]))
+        for r in df.filter(
+            F.expr(f"substring({msg_col}, 1, 1) IN (X'53', X'45')")
+        )
         .select(lsn_col, F.expr(f"substring({msg_col}, 1, 1)").alias("c"))
         .collect()
     )
-    marks.sort(key=lambda r: r[lsn_col])
-    segments: list[tuple[int, int | None]] = []
-    open_lsn: int | None = -1 if open_at_start else None
-    for r in marks:
-        if bytes(r["c"]) == b"S":
-            if open_lsn is not None:
-                raise ValueError(
-                    f"Stream Start at lsn {r[lsn_col]} inside an open "
-                    "segment — protocol v2 segments never nest"
-                )
-            open_lsn = r[lsn_col]
-        else:
-            if open_lsn is None:
-                raise ValueError(
-                    f"Stream Stop at lsn {r[lsn_col]} without a Stream Start"
-                )
-            segments.append((open_lsn, r[lsn_col]))
-            open_lsn = None
-    if open_lsn is not None:
-        segments.append((open_lsn, None))
+    segments, open_at_end = _segments_from_marks(marks, open_at_start)
     if not segments:
         return df.withColumn(out_col, F.lit(False)), False, 0
-    # Membership is strict (the S/E marks themselves are framing, not
-    # in-segment): disjoint OR of interval terms — bounded by segments
-    # per batch, each a codegen range compare on the already-read lsn.
-    cond = F.lit(False)
-    for s, e in segments:
-        term = F.col(lsn_col) > F.lit(s)
-        if e is not None:
-            term = term & (F.col(lsn_col) < F.lit(e))
-        cond = cond | term
-    return df.withColumn(out_col, cond), open_lsn is not None, len(segments)
+    return (
+        df.withColumn(out_col, _stamp_expr(segments, lsn_col)),
+        open_at_end,
+        len(segments),
+    )
 
 
 def collect_relations(
@@ -721,20 +746,61 @@ def decode_pgoutput_binary(
     commit-gated emission; subtransaction aborts raise (no silent
     partial-tx corruption)."""
     has_v2 = in_stream_col is not None
-    if in_stream_col is None:
-        df, _open, nsegs = derive_in_stream(
-            df, msg_col=msg_col, lsn_col=lsn_col, out_col="__in_stream"
+    if in_stream_col is None and registry is None:
+        # ONE bounded control-message collect bootstraps BOTH the framing
+        # fold and the relation registry — separate R and S/E scans would
+        # cost an extra driver job per batch for the same bytes.
+        ctl = (
+            df.filter(
+                F.expr(
+                    f"substring({msg_col}, 1, 1) IN (X'52', X'53', X'45')"
+                )
+            )
+            .select(lsn_col, msg_col)
+            .collect()
         )
+        marks = sorted(
+            (r[lsn_col], bytes(r[msg_col])[:1])
+            for r in ctl
+            if bytes(r[msg_col])[:1] in (b"S", b"E")
+        )
+        segments, _open = _segments_from_marks(marks, False)
+        has_v2 = bool(segments)
         in_stream_col = "__in_stream"
-        has_v2 = nsegs > 0
-    reg = (
-        registry
-        if registry is not None
-        else relation_registry(
-            spark, df, msg_col=msg_col, lsn_col=lsn_col,
-            in_stream_col=in_stream_col,
+        df = df.withColumn(
+            in_stream_col,
+            _stamp_expr(segments, lsn_col) if segments else F.lit(False),
         )
-    )
+        parsed = sorted(
+            (
+                (
+                    r[lsn_col],
+                    parse_message(
+                        bytes(r[msg_col]),
+                        in_stream=_in_segment(r[lsn_col], segments),
+                    ),
+                )
+                for r in ctl
+                if bytes(r[msg_col])[:1] == b"R"
+            ),
+            key=lambda t: (t[0], t[1]["relation_id"]),
+        )
+        reg = registry_df(spark, parsed)
+    else:
+        if in_stream_col is None:
+            df, _open, nsegs = derive_in_stream(
+                df, msg_col=msg_col, lsn_col=lsn_col, out_col="__in_stream"
+            )
+            in_stream_col = "__in_stream"
+            has_v2 = nsegs > 0
+        reg = (
+            registry
+            if registry is not None
+            else relation_registry(
+                spark, df, msg_col=msg_col, lsn_col=lsn_col,
+                in_stream_col=in_stream_col,
+            )
+        )
 
     # Pre-filter each branch by message code on the RAW bytes (a codegen
     # substring compare) so the Python parse kernel runs once per message
