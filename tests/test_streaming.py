@@ -317,3 +317,88 @@ def test_multi_table_pipeline_fans_out(spark, sf_dir, dirs, tmp_path):
 
     n_uncaptured = muxed.filter(F.col("source.table") == "uncaptured").count()
     assert dlq.read().count() == n_uncaptured
+
+
+def test_pgoutput_v2_stream_across_micro_batches(spark, dirs):
+    """Real readStream → foreachBatch(PgOutputStreamDecoder): a
+    protocol-v2 tx streamed across two log FILES (hence two micro-
+    batches under maxFilesPerTrigger=1) lands exactly once — in the
+    batch whose Stream Commit arrives — with framing derived by the
+    reader fold and the open segment carried across the batch boundary;
+    an aborted streamed tx never lands."""
+    import os
+    import shutil
+    import time
+
+    from debezium_spark.sources.pgoutput import (
+        PgOutputStreamDecoder,
+        encode_insert,
+        encode_relation,
+        encode_stream_abort,
+        encode_stream_commit,
+        encode_stream_start,
+        encode_stream_stop,
+        with_stream_xid,
+    )
+
+    feed = dirs["feed"]
+    os.makedirs(feed, exist_ok=True)
+
+    def seg(i, rows):
+        df = spark.createDataFrame(
+            [(lsn, bytearray(m)) for lsn, m in rows], "lsn long, msg binary"
+        )
+        tmp = os.path.join(feed, f"__tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        data = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        final = os.path.join(feed, f"seg_{i:05d}.parquet")
+        os.replace(os.path.join(tmp, data), final)
+        shutil.rmtree(tmp)
+        mt = time.time() + i * 0.01
+        os.utime(final, (mt, mt))
+
+    seg(1, [
+        (0, encode_relation(9, "public", "t", [(1, "id", 20, -1)])),
+        (1, encode_stream_start(60)),
+        (2, with_stream_xid(encode_insert(9, [("t", "1")]), 60)),
+        # segment left OPEN at the file boundary
+    ])
+    seg(2, [
+        (3, encode_stream_stop()),
+        (4, encode_stream_start(60, first_segment=False)),
+        (5, with_stream_xid(encode_insert(9, [("t", "2")]), 60)),
+        (6, encode_stream_stop()),
+        (7, encode_stream_commit(60, 7, 7, 5_000_000)),
+        (8, encode_stream_start(61)),
+        (9, with_stream_xid(encode_insert(9, [("t", "9")]), 61)),
+        (10, encode_stream_stop()),
+        (11, encode_stream_abort(61, 61)),
+    ])
+
+    dec = PgOutputStreamDecoder(spark)
+    got = {}
+
+    def handle(batch_df, batch_id):
+        got[int(batch_id)] = dec.decode_batch(batch_df).collect()
+
+    q = (
+        spark.readStream.schema("lsn long, msg binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert sorted(got) == [0, 1]
+    assert got[0] == []  # nothing committed in the first micro-batch
+    final = {r["lsn"]: r for r in got[1]}
+    assert set(final) == {2, 5}  # whole tx once; aborted tx 61 gone
+    assert all(
+        r["xid"] == 60 and r["commit_ts_us"] == 5_000_000
+        for r in final.values()
+    )
+    assert final[2]["after"] == {"id": "1"}
+    assert final[5]["after"] == {"id": "2"}
