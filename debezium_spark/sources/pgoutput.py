@@ -1185,26 +1185,45 @@ def typed_projection(
     DecimalType-from-atttypmod, TimestampType-from-ISO-text, arrays,
     bytea… instead of re-implementing type mapping ad hoc.
 
-    Uses the LATEST registry version of the relation (one bounded
-    driver read — same budget as the registry itself); rows whose text
-    map lacks a column (pre-evolution images) surface typed NULLs."""
-    ver = (
+    Version-aware: each registry version's [valid_from, valid_to) LSN
+    window projects with ITS OWN name/OID/typmod list (a column added or
+    retyped mid-stream converts correctly on both sides of the change),
+    and the windows union by NAME — pre-evolution rows surface later
+    columns as typed NULLs. The version read is one bounded driver
+    collect (same budget as the registry itself); each window is a
+    codegen filter+project branch over the same scan."""
+    vers = (
         registry.filter(
             (F.col("schema") == schema) & (F.col("table") == table)
         )
-        .orderBy(F.col("valid_from_lsn").desc())
-        .select("col_names", "col_oids", "col_typmods")
-        .first()
-    )
-    if ver is None:
-        raise ValueError(f"relation {schema}.{table} not in registry")
-    src_col = F.col(src)
-    typed = [
-        pg_typed_value(src_col[name], oid, mod).alias(name)
-        for name, oid, mod in zip(
-            ver["col_names"], ver["col_oids"], ver["col_typmods"]
+        .orderBy(F.col("valid_from_lsn"))
+        .select(
+            "col_names", "col_oids", "col_typmods",
+            "valid_from_lsn", "valid_to_lsn",
         )
-    ]
-    return decoded.filter(
+        .collect()
+    )
+    if not vers:
+        raise ValueError(f"relation {schema}.{table} not in registry")
+    scoped = decoded.filter(
         (F.col("schema") == schema) & (F.col("table") == table)
-    ).select("lsn", "op", "xid", "commit_ts_us", *typed)
+    )
+    src_col = F.col(src)
+    frames = []
+    for ver in vers:
+        typed = [
+            pg_typed_value(src_col[name], oid, mod).alias(name)
+            for name, oid, mod in zip(
+                ver["col_names"], ver["col_oids"], ver["col_typmods"]
+            )
+        ]
+        frames.append(
+            scoped.filter(
+                (F.col("lsn") >= ver["valid_from_lsn"])
+                & (F.col("lsn") < ver["valid_to_lsn"])
+            ).select("lsn", "op", "xid", "commit_ts_us", *typed)
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
