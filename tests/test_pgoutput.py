@@ -629,3 +629,47 @@ def test_typed_projection_schema_and_values(spark):
 
     with _pytest.raises(ValueError, match="OID 600"):
         pg_typed_value(F.lit("x"), 600)
+
+
+def test_typed_projection_is_version_aware(spark):
+    """A mid-stream RELATION change (new column, and a column RETYPED
+    int4 -> numeric) must project each side of the boundary under its
+    own OID/typmod list; pre-evolution rows surface the added column as
+    a typed NULL."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType
+
+    from debezium_spark.sources.pgoutput import (
+        decode_pgoutput_binary,
+        relation_registry,
+        typed_projection,
+    )
+
+    v1 = [(1, "id", 20, -1), (0, "x", 23, -1)]            # x: int4
+    v2 = [(1, "id", 20, -1), (0, "x", 1700, ((8 << 16) | 2) + 4),
+          (0, "y", 25, -1)]                                # x: numeric(8,2)
+    msgs = [
+        (0, encode_relation(9, "public", "t", v1)),
+        (1, encode_begin(3, 1_000_000, 1)),
+        (2, encode_insert(9, [("t", "7"), ("t", "41")])),
+        (3, encode_commit(3, 3, 1_000_000)),
+        (4, encode_relation(9, "public", "t", v2)),
+        (5, encode_begin(7, 2_000_000, 2)),
+        (6, encode_insert(9, [("t", "8"), ("t", "41.50"), ("t", "hi")])),
+        (7, encode_commit(7, 7, 2_000_000)),
+    ]
+    df = spark.createDataFrame(
+        [(lsn, bytearray(m)) for lsn, m in msgs], "lsn long, msg binary"
+    )
+    reg = relation_registry(spark, df)
+    typed = typed_projection(
+        decode_pgoutput_binary(spark, df, registry=reg), reg, "public", "t"
+    )
+    # unionByName resolves x to a common type; the v2 decimal governs
+    assert isinstance(
+        {f.name: f.dataType for f in typed.schema.fields}["x"], DecimalType
+    )
+    out = {r["lsn"]: r for r in typed.collect()}
+    assert out[2]["x"] == Decimal("41") and out[2]["y"] is None
+    assert out[6]["x"] == Decimal("41.50") and out[6]["y"] == "hi"
