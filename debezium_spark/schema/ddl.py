@@ -51,6 +51,11 @@ class ColumnSpec:
     #: (MySQL 5.7+; the reference's parser marks these so sinks skip them
     #: on write) — None for plain columns
     generated: str | None = None
+    #: ENUM/SET label list in declaration order (the reference stores
+    #: these as the column's enumValues in schema history — the binlog
+    #: wire carries only 1-based ordinals / bitmasks, so label resolution
+    #: is impossible without them) — None for non-enum columns
+    enum_values: list[str] | None = None
 
 
 @dataclass
@@ -164,10 +169,12 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
 
 
 _COL_DEF_RE = re.compile(
-    rf"^({_IDENT})\s+([A-Za-z]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
+    rf"^({_IDENT})\s+([A-Za-z]+(?:\s*\(\s*(?:\d+\s*(?:,\s*\d+\s*)?"
+    r"|'(?:[^']|'')*'(?:\s*,\s*'(?:[^']|'')*')*\s*)\))?"
     r"(?:\s+UNSIGNED)?)\s*(.*)$",
     re.I | re.S,
 )
+_ENUM_SET_RE = re.compile(r"(?:ENUM|SET)\s*\((.*)\)\s*$", re.I | re.S)
 _DEFAULT_RE = re.compile(
     r"\bDEFAULT\s+('(?:[^']|'')*'|[A-Za-z0-9_.+-]+(?:\(\))?)", re.I
 )
@@ -207,6 +214,16 @@ def _parse_column_def(text: str) -> ColumnSpec | None:
         default = None
     if generated is not None:
         default = None  # a generation expression is not a default
+    # ENUM/SET label lists: the wire carries ordinals/bitmasks only, so
+    # schema history must keep the declaration-order labels (the
+    # reference's enumValues) for the sink to resolve values.
+    em = _ENUM_SET_RE.match(type_text.strip())
+    enum_values = (
+        [v.strip()[1:-1].replace("''", "'")
+         for v in _split_top_level(em.group(1))]
+        if em
+        else None
+    )
     return ColumnSpec(
         name=name,
         type_text=type_text.strip(),
@@ -215,6 +232,7 @@ def _parse_column_def(text: str) -> ColumnSpec | None:
         primary_key="PRIMARY KEY" in re.sub(r"\s+", " ", rest_u),
         default=default,
         generated=generated,
+        enum_values=enum_values,
     )
 
 

@@ -875,3 +875,23 @@ def named_typed_rows(
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
     return out
+
+
+def resolve_enum_label(col, labels: list[str]):
+    """1-based ENUM ordinal -> its declaration-order label (schema
+    history's enumValues — the wire carries only the ordinal). Ordinal 0
+    is MySQL's invalid-value empty string; NULL stays NULL."""
+    arr = F.array(*[F.lit(x) for x in labels])
+    o = col.cast("int")
+    return F.when(o > 0, F.element_at(arr, o)).when(o == 0, F.lit(""))
+
+
+def resolve_set_labels(col, labels: list[str]):
+    """SET bitmask -> MySQL's text form: declaration-order labels of the
+    set bits, comma-joined (bit i = labels[i]); NULL stays NULL."""
+    mask = col.cast("long")
+    parts = [
+        F.when(mask.bitwiseAND(F.lit(1 << i)) != 0, F.lit(lab))
+        for i, lab in enumerate(labels)
+    ]
+    return F.when(mask.isNotNull(), F.concat_ws(",", *parts))

@@ -461,3 +461,48 @@ def test_minimal_row_images_absent_vs_null(spark):
     ).collect()
     keep = {r["__key"]: r for r in partial}
     assert keep["1"]["c2"] == "keepme"  # absent != NULL
+
+
+def test_enum_set_labels_resolve_from_ddl(spark):
+    """End-to-end label resolution: the DDL parser keeps ENUM/SET label
+    lists (the wire carries only ordinals/bitmasks), and the decode's
+    numeric values resolve through them — including MySQL's invalid-
+    ordinal-0 empty string and the multi-bit SET text form."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.schema.ddl import parse_ddl
+    from debezium_spark.sources.binlog import (
+        resolve_enum_label,
+        resolve_set_labels,
+    )
+
+    ch = parse_ddl(
+        "CREATE TABLE t (id INT PRIMARY KEY,"
+        " mood ENUM('happy','it''s fine','sad') NOT NULL,"
+        " tags SET('red','green','blue'))"
+    )
+    cols = {c.name: c for c in ch.columns}
+    assert cols["mood"].enum_values == ["happy", "it's fine", "sad"]
+    assert cols["tags"].enum_values == ["red", "green", "blue"]
+    assert cols["mood"].spark_type == "string"
+    assert cols["id"].enum_values is None
+
+    df = spark.createDataFrame(
+        [(1, 2, 0b101), (2, 0, 0), (3, None, None)],
+        "id int, mood_ord int, tag_mask int",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            resolve_enum_label(
+                F.col("mood_ord"), cols["mood"].enum_values
+            ).alias("mood"),
+            resolve_set_labels(
+                F.col("tag_mask"), cols["tags"].enum_values
+            ).alias("tags"),
+        ).collect()
+    }
+    assert out[1]["mood"] == "it's fine" and out[1]["tags"] == "red,blue"
+    assert out[2]["mood"] == "" and out[2]["tags"] == ""
+    assert out[3]["mood"] is None and out[3]["tags"] is None
