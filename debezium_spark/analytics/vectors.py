@@ -279,10 +279,17 @@ def _lloyd_update(member: DataFrame, vec_col: str) -> DataFrame:
         (F.sum("q").cast("double") / F.lit(1000000.0) / F.count("*")).alias("cmean"),
         F.count("*").alias("n_members"),
     )
+    # SQL-text lambda, not a Python F.transform lambda: PySpark's global
+    # lambda-variable name counter interacts with a Catalyst defect in
+    # InferFiltersFromGenerate when this agg sits above the posexplode in
+    # one tree — "key not found: <attr>" whenever ANOTHER higher-order-
+    # lambda query ran earlier in the session (observed a1 -> a9 on
+    # Spark 4.1; either alone is fine). The parser-side lambda resolves
+    # with its own fresh variables and sidesteps the collision.
     return per_dim.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cmean"))),
-            lambda s: s["cmean"],
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, cmean))),"
+            " s -> s.cmean)"
         ).alias("cvec"),
         F.first("n_members").alias("n_members"),
     )
@@ -464,9 +471,31 @@ def pq_train(
     out = books[0]
     for b in books[1:]:
         out = out.unionByName(b)
-    return out.select(
-        "m", F.col("cell").alias("code"), "cvec", "n_members"
-    )
+    # Materialize the codebook table (m*k rows — bounded by construction),
+    # sparing every consumer the 8-branch training subtree. The
+    # materialization runs with constraint propagation off: Catalyst's
+    # UnionBase.rewriteConstraints crashes with
+    # "java.util.NoSuchElementException: key not found: <subspace alias>"
+    # rewriting a constraint that embeds this tree's higher-order
+    # expressions (ZipWith/ArrayAggregate inside the min-L2 assignment)
+    # across the 8-branch union — and only when another higher-order-
+    # lambda query ran earlier in the same session (observed a1 -> a9 on
+    # Spark 4.1; either alone is fine — the failure tracks session
+    # expression-id numbering, i.e. an optimizer defect, not this plan).
+    # Constraint propagation only prunes redundant filters; this tiny
+    # tree has none to prune.
+    key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        return out.select(
+            "m", F.col("cell").alias("code"), "cvec", "n_members"
+        ).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def _codebook_literal(codebooks: DataFrame, mi: int) -> tuple:

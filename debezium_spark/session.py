@@ -41,6 +41,12 @@ def get_spark(
         # refuses to scan natively; read as long nanos and convert explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Python<->JVM local-exchange sockets (collect / createDataFrame)
+        # authenticate with a 15 s default timeout; a driver GC pause in a
+        # long session (observed: the 180-query gate's PQ leg, ~45 min in)
+        # overruns it and kills an otherwise-healthy query. These are
+        # LOCAL handshakes — a generous timeout costs nothing when healthy.
+        .config("spark.python.authenticate.socketTimeout", "120s")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Managed (bucketed) tables land in a scratch warehouse, not cwd.
