@@ -103,3 +103,75 @@ class PollingSource:
             raise ValueError("no delivered window to commit")
         self._write_offset(lsn)
         self._pending_high = None
+
+
+def assemble_change_table(
+    df: DataFrame,
+    value_cols: list[str],
+    lsn_col: str = "start_lsn",
+    seq_col: str = "seqval",
+    op_col: str = "operation",
+) -> DataFrame:
+    """Assemble SQL Server change-table rows into change events —
+    ``cdc.fn_cdc_get_all_changes_*`` emits __$operation 1=DELETE,
+    2=INSERT, 3=UPDATE-before, 4=UPDATE-after, with the update halves
+    adjacent under one (__$start_lsn, __$seqval)
+    (SqlServerChangeRecordEmitter.java:21-24; the streaming source pairs
+    op-3 with the NEXT row and throws if it is not the op-4 twin,
+    SqlServerStreamingChangeEventSource.java:338-345).
+
+    Spark shape: one hash aggregation on (start_lsn, seqval) — min_by/
+    max_by pick the before/after halves, all map-side combinable, the
+    same single shuffle at any log size. Malformed pairs (an op-3
+    without its op-4, duplicate halves) raise executor-side instead of
+    emitting a corrupted update."""
+    vals = F.struct(*[F.col(c) for c in value_cols])
+    g = df.groupBy(lsn_col, seq_col).agg(
+        F.min(op_col).alias("__lo_op"),
+        F.max(op_col).alias("__hi_op"),
+        F.count("*").alias("__n"),
+        F.expr(f"min_by(struct({', '.join(value_cols)}), {op_col})").alias(
+            "__lo"
+        ),
+        F.expr(f"max_by(struct({', '.join(value_cols)}), {op_col})").alias(
+            "__hi"
+        ),
+    )
+    valid_single = (F.col("__n") == 1) & F.col("__lo_op").isin(1, 2)
+    valid_pair = (
+        (F.col("__n") == 2)
+        & (F.col("__lo_op") == 3)
+        & (F.col("__hi_op") == 4)
+    )
+    op = (
+        F.when(valid_pair, F.lit("u"))
+        .when(valid_single & (F.col("__lo_op") == 2), F.lit("c"))
+        .when(valid_single & (F.col("__lo_op") == 1), F.lit("d"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("malformed change-table group at lsn="),
+                    F.col(lsn_col).cast("string"),
+                    F.lit(" seq="),
+                    F.col(seq_col).cast("string"),
+                    F.lit(": ops ["),
+                    F.col("__lo_op").cast("string"),
+                    F.lit(","),
+                    F.col("__hi_op").cast("string"),
+                    F.lit("] x"),
+                    F.col("__n").cast("string"),
+                )
+            )
+        )
+    )
+    return g.select(
+        F.col(lsn_col),
+        F.col(seq_col),
+        op.alias("op"),
+        F.when(F.col("__lo_op").isin(1, 3), F.col("__lo")).alias("before"),
+        F.when(
+            (F.col("__hi_op") == 4)
+            | (valid_single & (F.col("__lo_op") == 2)),
+            F.col("__hi"),
+        ).alias("after"),
+    )

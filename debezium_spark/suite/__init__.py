@@ -42,9 +42,9 @@ PRIORITY: tuple[str, ...] = (
     #    s22 typed pgoutput values, s19b binlog type widening, s23 LogMiner
     #    redo-SQL DML parser, s24 binlog MINIMAL row images, s25 LogMiner
     #    end-to-end (redo text -> commit-ordered LWW table), x42 DSIR
-    #    importance resampling, s26 DDL-tracked binlog column naming/typing.
+    #    importance resampling, s26 DDL-tracked binlog column naming/typing, s27 SQL Server change-table assembly.
     # 3. m2/m4 + the r7-tier h-family (VERDICT r9 item 8).
-    # 4. 7 r7-tier legs spanning the remaining families (formats, binlog
+    # 4. 6 r7-tier legs spanning the remaining families (formats, binlog
     #    dispatch, commit-ordered emission, sink merge/reduce, as-of
     #    join) so the r7 tier starts draining too.
     # last green r6 (the entire stale tier, 31 legs) ---------------------------
@@ -87,19 +87,19 @@ PRIORITY: tuple[str, ...] = (
     "s25_logminer_to_table",           # redo text -> commit-ordered merge
     "x42_dsir_resample",               # DSIR importance resampling
     "s26_binlog_schema_naming",        # DDL-tracked naming/typing of rows
+    "s27_sqlserver_changetable",       # __$operation row-pair assembly
     # m2/m4 + h-family freshness (VERDICT r9 item 8) ---------------------------
     "m2_frame_sample",
     "m4_image_resize",
     "h2_table_filters",
     "h3_temporal_logical_types",
     "h6_interval_enum_set",
-    # r7-tier drain (7, family-spanning) ---------------------------------------
+    # r7-tier drain (6, family-spanning) ---------------------------------------
     "f1_cloudevents_roundtrip",
     "f4_avro_roundtrip",
     "s7_binlog_dispatch",
     "s9_commit_ordered",
     "k1_merge_upsert",
-    "k4_reduce_last_per_key",
     "w8_asof_join",
 )
 

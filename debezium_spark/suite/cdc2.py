@@ -2620,3 +2620,90 @@ def s26_binlog_schema_naming(spark, sf_dir):
         F.col("amount").cast("string").alias("amount_str"),
         "qty",
     ).withColumnRenamed("log_pos", "pos")
+
+
+# ---------------------------------------------------------------------------
+# S27 — SQL Server change-table assembly: __$operation 1/2/3/4 rows ->
+# change events, update halves paired under (__$start_lsn, __$seqval)
+# (SqlServerChangeRecordEmitter.java:21-24).
+# ---------------------------------------------------------------------------
+@register(
+    "s27_sqlserver_changetable",
+    oracle="""
+    SELECT event_id AS start_lsn,
+           CASE WHEN event_id % 4 = 1 THEN 'u'
+                WHEN event_id % 4 = 2 THEN 'd' ELSE 'c' END AS op,
+           event_id AS id,
+           CASE WHEN event_id % 4 IN (1, 2) THEN event_type
+           END AS status_before,
+           CASE WHEN event_id % 4 = 1 THEN event_type || '_u'
+                WHEN event_id % 4 = 2 THEN NULL
+                ELSE event_type END AS status_after,
+           CASE WHEN event_id % 4 = 2 THEN NULL
+                ELSE CAST(floor(value * 100) AS BIGINT)
+           END AS balance_after
+    FROM events
+    """,
+)
+def s27_sqlserver_changetable(spark, sf_dir):
+    """SQL Server CDC's change-table row shape assembled into events:
+    inserts (op 2) and deletes (op 1) are single rows, updates arrive as
+    an op-3 before-half and op-4 after-half sharing one
+    (__$start_lsn, __$seqval) — paired here by one hash aggregation (the
+    reference pairs them by stream adjacency and throws on a missing
+    twin; the groupBy guard raises the same way). The oracle rebuilds
+    op, both images, and the pairing from the closed form."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    ins = ev.filter(F.col("event_id") % 4 % 3 == 0).select(
+        F.col("event_id").alias("start_lsn"),
+        F.lit(0).alias("seqval"),
+        F.lit(2).alias("operation"),
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("status"),
+        cents.alias("balance"),
+    )
+    dels = ev.filter(F.col("event_id") % 4 == 2).select(
+        F.col("event_id").alias("start_lsn"),
+        F.lit(0).alias("seqval"),
+        F.lit(1).alias("operation"),
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("status"),
+        cents.alias("balance"),
+    )
+    upd = ev.filter(F.col("event_id") % 4 == 1)
+    upd_before = upd.select(
+        F.col("event_id").alias("start_lsn"),
+        F.lit(0).alias("seqval"),
+        F.lit(3).alias("operation"),
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("status"),
+        cents.alias("balance"),
+    )
+    upd_after = upd.select(
+        F.col("event_id").alias("start_lsn"),
+        F.lit(0).alias("seqval"),
+        F.lit(4).alias("operation"),
+        F.col("event_id").alias("id"),
+        F.concat(F.col("event_type"), F.lit("_u")).alias("status"),
+        cents.alias("balance"),
+    )
+    change_table = (
+        ins.unionByName(dels).unionByName(upd_before).unionByName(upd_after)
+    )
+
+    from debezium_spark.sources.polling import assemble_change_table
+
+    out = assemble_change_table(
+        change_table, value_cols=["id", "status", "balance"]
+    )
+    return out.select(
+        "start_lsn",
+        "op",
+        F.coalesce(F.col("after")["id"], F.col("before")["id"]).alias("id"),
+        F.col("before")["status"].alias("status_before"),
+        F.col("after")["status"].alias("status_after"),
+        F.col("after")["balance"].alias("balance_after"),
+    )

@@ -784,3 +784,32 @@ def test_incremental_spans_vs_index(spark):
     assert out[100]["dup_chars"] > 100
     assert out[101]["dup_chars"] > 100 and out[102]["dup_chars"] > 100
     assert out[103]["dup_positions"] == 0 and out[103]["dup_chars"] == 0
+
+
+def test_change_table_assembly_guards_malformed_pairs(spark):
+    """SQL Server change-table assembly: an op-3 update-before without
+    its op-4 twin raises (the reference throws IllegalStateException on
+    a missing twin) instead of emitting a corrupted update."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.polling import assemble_change_table
+
+    ok = spark.createDataFrame(
+        [(1, 0, 2, 10, "a"), (2, 0, 3, 10, "a"), (2, 0, 4, 10, "b"),
+         (3, 0, 1, 10, "b")],
+        "start_lsn long, seqval int, operation int, id long, status string",
+    )
+    out = {(r["start_lsn"]): r for r in assemble_change_table(
+        ok, value_cols=["id", "status"]).collect()}
+    assert out[1]["op"] == "c" and out[1]["after"]["status"] == "a"
+    assert out[2]["op"] == "u" and out[2]["before"]["status"] == "a" \
+        and out[2]["after"]["status"] == "b"
+    assert out[3]["op"] == "d" and out[3]["after"] is None
+
+    orphan = spark.createDataFrame(
+        [(5, 0, 3, 10, "a")],
+        "start_lsn long, seqval int, operation int, id long, status string",
+    )
+    with _pytest.raises(Exception, match="malformed change-table group"):
+        assemble_change_table(orphan, value_cols=["id", "status"]).collect()
