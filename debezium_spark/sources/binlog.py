@@ -96,6 +96,15 @@ TYPE_BLOB = 252
 TYPE_STRING = 254  # carrier for ENUM/SET (real type rides the metadata)
 ENUM_REAL = 247
 SET_REAL = 248
+# s19c widening — the fixed-width integer family, FLOAT, YEAR, BIT and
+# binary JSON, completing the deserializer wiring's type switch
+TYPE_TINY = 1
+TYPE_SHORT = 2
+TYPE_FLOAT = 4
+TYPE_INT24 = 9
+TYPE_YEAR = 13
+TYPE_BIT = 16
+TYPE_JSON = 245
 
 HEADER_LEN = 19
 
@@ -259,6 +268,32 @@ def _read_value(buf: bytes, off: int, type_code: int, meta: int):
         return struct.unpack_from("<q", buf, off)[0], off + 8
     if type_code == TYPE_DOUBLE:
         return struct.unpack_from("<d", buf, off)[0], off + 8
+    if type_code == TYPE_TINY:
+        return int.from_bytes(buf[off : off + 1], "little", signed=True), \
+            off + 1
+    if type_code == TYPE_SHORT:
+        return struct.unpack_from("<h", buf, off)[0], off + 2
+    if type_code == TYPE_INT24:
+        return int.from_bytes(buf[off : off + 3], "little", signed=True), \
+            off + 3
+    if type_code == TYPE_FLOAT:
+        return struct.unpack_from("<f", buf, off)[0], off + 4
+    if type_code == TYPE_YEAR:
+        # 1 byte, years since 1900; 0 encodes the zero-year
+        b = buf[off]
+        return (1900 + b if b else 0), off + 1
+    if type_code == TYPE_BIT:
+        # big-endian unsigned over ceil(bits/8) bytes (meta = bit width)
+        n = (meta + 7) // 8
+        return int.from_bytes(buf[off : off + n], "big"), off + n
+    if type_code == TYPE_JSON:
+        # LE length prefix (width = meta), then a JSONB document —
+        # rendered to JSON text the way the reference's emitter does
+        from debezium_spark.sources.jsonb import jsonb_to_text
+
+        n = int.from_bytes(buf[off : off + meta], "little")
+        off += meta
+        return jsonb_to_text(buf[off : off + n]), off + n
     if type_code == TYPE_VARCHAR:
         if meta < 256:
             n = buf[off]
@@ -334,6 +369,23 @@ def _enc_value(v, type_code: int, meta: int) -> bytes:
         return struct.pack("<q", v)
     if type_code == TYPE_DOUBLE:
         return struct.pack("<d", v)
+    if type_code == TYPE_TINY:
+        return int(v).to_bytes(1, "little", signed=True)
+    if type_code == TYPE_SHORT:
+        return struct.pack("<h", v)
+    if type_code == TYPE_INT24:
+        return int(v).to_bytes(3, "little", signed=True)
+    if type_code == TYPE_FLOAT:
+        return struct.pack("<f", v)
+    if type_code == TYPE_YEAR:
+        return bytes([0 if v == 0 else int(v) - 1900])
+    if type_code == TYPE_BIT:
+        return int(v).to_bytes((meta + 7) // 8, "big")
+    if type_code == TYPE_JSON:
+        from debezium_spark.sources.jsonb import encode_jsonb
+
+        doc = v if isinstance(v, (bytes, bytearray)) else encode_jsonb(v)
+        return len(doc).to_bytes(meta, "little") + bytes(doc)
     if type_code == TYPE_VARCHAR:
         raw = v.encode("utf-8")
         pre = bytes([len(raw)]) if meta < 256 else struct.pack("<H", len(raw))
@@ -464,18 +516,23 @@ def parse_table_map(body: bytes) -> dict:
         if t == TYPE_VARCHAR:
             metas.append(struct.unpack_from("<H", body, off)[0])
             off += 2
-        elif t in (TYPE_DOUBLE, TYPE_DATETIME2, TYPE_TIMESTAMP2,
-                   TYPE_TIME2, TYPE_BLOB):
-            # 1 byte: pack length (DOUBLE), fsp (temporal2), or the
-            # LE length-prefix width (BLOB/TEXT)
+        elif t in (TYPE_DOUBLE, TYPE_FLOAT, TYPE_DATETIME2,
+                   TYPE_TIMESTAMP2, TYPE_TIME2, TYPE_BLOB, TYPE_JSON):
+            # 1 byte: pack length (DOUBLE/FLOAT), fsp (temporal2), or the
+            # LE length-prefix width (BLOB/TEXT/JSON)
             metas.append(body[off])
             off += 1
+        elif t == TYPE_BIT:
+            # 2 bytes on the wire: bits % 8, then whole bytes — folded
+            # here into the total bit width
+            metas.append(body[off + 1] * 8 + body[off])
+            off += 2
         elif t in (TYPE_NEWDECIMAL, TYPE_STRING):
             # 2 bytes: (precision, scale) for NEWDECIMAL;
             # (real type, pack length) for the STRING carrier (ENUM/SET)
             metas.append((body[off] << 8) | body[off + 1])
             off += 2
-        else:  # LONG / LONGLONG / DATE carry no metadata
+        else:  # fixed-width ints / YEAR / DATE carry no metadata
             metas.append(0)
     if off != meta_end:
         raise ValueError("TABLE_MAP metadata block length mismatch")
@@ -504,9 +561,11 @@ def encode_table_map(
     for t, m in zip(types, metas):
         if t == TYPE_VARCHAR:
             meta += struct.pack("<H", m)
-        elif t in (TYPE_DOUBLE, TYPE_DATETIME2, TYPE_TIMESTAMP2,
-                   TYPE_TIME2, TYPE_BLOB):
+        elif t in (TYPE_DOUBLE, TYPE_FLOAT, TYPE_DATETIME2,
+                   TYPE_TIMESTAMP2, TYPE_TIME2, TYPE_BLOB, TYPE_JSON):
             meta += bytes([m])
+        elif t == TYPE_BIT:
+            meta += bytes([m % 8, m // 8])
         elif t in (TYPE_NEWDECIMAL, TYPE_STRING):
             meta += bytes([m >> 8, m & 0xFF])
     s, t_ = schema.encode(), table.encode()

@@ -88,17 +88,18 @@ PRIORITY: tuple[str, ...] = (
     "x42_dsir_resample",               # DSIR importance resampling
     "s26_binlog_schema_naming",        # DDL-tracked naming/typing of rows
     "s27_sqlserver_changetable",       # __$operation row-pair assembly
+    "s19c_binlog_small_types",         # TINY/SHORT/INT24/FLOAT/YEAR/BIT
+    "s28_binlog_json",                 # binary JSON (JSONB) -> text
     # m2/m4 + h-family freshness (VERDICT r9 item 8) ---------------------------
     "m2_frame_sample",
     "m4_image_resize",
     "h2_table_filters",
     "h3_temporal_logical_types",
     "h6_interval_enum_set",
-    # r7-tier drain (6, family-spanning) ---------------------------------------
+    # r7-tier drain (family-spanning; binlog/logminer drains displaced by
+    # the s19c/s28 additions — those families are already dense above) ---------
     "f1_cloudevents_roundtrip",
     "f4_avro_roundtrip",
-    "s7_binlog_dispatch",
-    "s9_commit_ordered",
     "k1_merge_upsert",
     "w8_asof_join",
 )

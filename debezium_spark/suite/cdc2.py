@@ -2707,3 +2707,187 @@ def s27_sqlserver_changetable(spark, sf_dir):
         F.col("after")["status"].alias("status_after"),
         F.col("after")["balance"].alias("balance_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S19c — the rest of the binlog type switch: the fixed-width integer family
+# (TINY/SHORT/INT24), FLOAT, YEAR and BIT, over real wire bytes.
+# ---------------------------------------------------------------------------
+@register(
+    "s19c_binlog_small_types",
+    oracle="""
+    SELECT 3000 + event_id AS pos,
+           event_id AS id,
+           event_id % 256 - 128 AS tiny_v,
+           event_id % 65536 - 32768 AS short_v,
+           (event_id * 7919) % 16777216 - 8388608 AS int24_v,
+           (event_id % 4001 - 2000) / 4.0 AS float_v,
+           CASE WHEN event_id % 50 = 0 THEN 0
+                ELSE 1901 + event_id % 155 END AS year_v,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                ELSE event_id % 1024 END AS bit_mask
+    FROM events
+    """,
+)
+def s19c_binlog_small_types(spark, sf_dir):
+    """Fixed-width binlog value walk: TINY (1-byte signed), SHORT (2 LE),
+    INT24 (3-byte signed LE), FLOAT (IEEE single, surfaced through the
+    numeric array exactly like DOUBLE — quarters so the f32→f64 widening
+    is exact), YEAR (1 byte since 1900, 0 = zero-year), and BIT(10)
+    (big-endian over ceil(bits/8) bytes, width from the 2-byte TABLE_MAP
+    metadata; every 5th row NULL to walk the null bitmap). Completes the
+    deserializer type switch the reference wires up
+    (BinlogStreamingChangeEventSource.java:549-560). Byte goldens live in
+    tests/test_binlog.py."""
+    import pandas as pd
+
+    from debezium_spark.sources.binlog import (
+        TYPE_BIT,
+        TYPE_FLOAT,
+        TYPE_INT24,
+        TYPE_LONGLONG,
+        TYPE_SHORT,
+        TYPE_TINY,
+        TYPE_YEAR,
+        WRITE_ROWS_EVENT,
+        decode_binlog_rows,
+        encode_rows_event,
+        encode_table_map,
+    )
+
+    TID = 415
+    TYPES = [TYPE_LONGLONG, TYPE_TINY, TYPE_SHORT, TYPE_INT24,
+             TYPE_FLOAT, TYPE_YEAR, TYPE_BIT]
+    METAS = [0, 0, 0, 0, 4, 0, 10]
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+
+    def enc(batches):
+        for pdf in batches:
+            poss, msgs = [], []
+            for e in pdf["event_id"]:
+                e = int(e)
+                row = [
+                    e,
+                    e % 256 - 128,
+                    e % 65536 - 32768,
+                    (e * 7919) % (1 << 24) - (1 << 23),
+                    (e % 4001 - 2000) / 4.0,
+                    0 if e % 50 == 0 else 1901 + e % 155,
+                    None if e % 5 == 0 else e % 1024,
+                ]
+                poss.append(3000 + e)
+                msgs.append(encode_rows_event(
+                    WRITE_ROWS_EVENT, TID, TYPES, METAS,
+                    [{"before": None, "after": row}], log_pos=3000 + e,
+                ))
+            yield pd.DataFrame({"pos": poss, "msg": msgs})
+
+    data = ev.mapInPandas(enc, "pos long, msg binary")
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_table_map(
+            TID, "inventory", "narrow", TYPES, METAS,
+            [False] * 6 + [True], log_pos=0,
+        )))],
+        "pos long, msg binary",
+    )
+    stream = rel.unionByName(data).localCheckpoint(eager=True)
+    dec = decode_binlog_rows(stream).filter(F.col("kind") == "c")
+    a = F.col("after")
+    return dec.select(
+        F.col("log_pos").alias("pos"),
+        F.element_at(a, 1).cast("long").alias("id"),
+        F.element_at(a, 2).cast("int").alias("tiny_v"),
+        F.element_at(a, 3).cast("int").alias("short_v"),
+        F.element_at(a, 4).cast("int").alias("int24_v"),
+        F.element_at(F.col("after_nums"), 5).alias("float_v"),
+        F.element_at(a, 6).cast("int").alias("year_v"),
+        F.element_at(a, 7).cast("int").alias("bit_mask"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S28 — MySQL binary JSON: the binlog ships JSON columns as JSONB trees,
+# decoded here to the text the reference's JsonBinary rendering produces.
+# ---------------------------------------------------------------------------
+@register(
+    "s28_binlog_json",
+    oracle="""
+    SELECT 4000 + event_id AS pos,
+           event_id AS id,
+           CASE WHEN event_id % 11 = 0 THEN NULL ELSE
+             '{"m":{"a":' || event_id % 7 || '},"id":' || event_id
+             || ',"ok":' || CASE event_id % 3 WHEN 0 THEN 'true'
+                                 WHEN 1 THEN 'false' ELSE 'null' END
+             || ',"name":"ev-' || event_id
+             || '","tags":["t' || event_id % 10 || '","common"],"score":'
+             || event_id * 1000003 + 5000000000 || '}'
+           END AS doc
+    FROM events
+    """,
+)
+def s28_binlog_json(spark, sf_dir):
+    """Binary JSON through the binlog: each row carries a JSONB document
+    (nested object/array, literals true/false/null, int16/int32/int64
+    inlining and spill, varlen strings) built by the fixture encoder,
+    decoded back to text by the wire decoder's TYPE_JSON branch — the
+    reference's path through JsonBinary.parseAsString (the JSON branch of
+    BinlogStreamingChangeEventSource.java:549-560). Object keys render in
+    STORED order, i.e. the server's (length, bytes) key sort — the oracle
+    string is built in exactly that order. Every 11th document is NULL
+    (null-bitmap walk); 'score' rides int64, forcing the non-inlined
+    spill path."""
+    import pandas as pd
+
+    from debezium_spark.sources.binlog import (
+        TYPE_JSON,
+        TYPE_LONGLONG,
+        WRITE_ROWS_EVENT,
+        decode_binlog_rows,
+        encode_rows_event,
+        encode_table_map,
+    )
+
+    TID = 416
+    TYPES = [TYPE_LONGLONG, TYPE_JSON]
+    METAS = [0, 4]
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+
+    def enc(batches):
+        for pdf in batches:
+            poss, msgs = [], []
+            for e in pdf["event_id"]:
+                e = int(e)
+                doc = None if e % 11 == 0 else {
+                    "id": e,
+                    "ok": (True, False, None)[e % 3],
+                    "m": {"a": e % 7},
+                    "name": f"ev-{e}",
+                    "tags": [f"t{e % 10}", "common"],
+                    "score": e * 1000003 + 5_000_000_000,
+                }
+                poss.append(4000 + e)
+                msgs.append(encode_rows_event(
+                    WRITE_ROWS_EVENT, TID, TYPES, METAS,
+                    [{"before": None, "after": [e, doc]}],
+                    log_pos=4000 + e,
+                ))
+            yield pd.DataFrame({"pos": poss, "msg": msgs})
+
+    data = ev.mapInPandas(enc, "pos long, msg binary")
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_table_map(
+            TID, "inventory", "docs", TYPES, METAS,
+            [False, True], log_pos=0,
+        )))],
+        "pos long, msg binary",
+    )
+    stream = rel.unionByName(data).localCheckpoint(eager=True)
+    dec = decode_binlog_rows(stream).filter(F.col("kind") == "c")
+    a = F.col("after")
+    return dec.select(
+        F.col("log_pos").alias("pos"),
+        F.element_at(a, 1).cast("long").alias("id"),
+        F.element_at(a, 2).alias("doc"),
+    )

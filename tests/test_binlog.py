@@ -506,3 +506,140 @@ def test_enum_set_labels_resolve_from_ddl(spark):
     assert out[1]["mood"] == "it's fine" and out[1]["tags"] == "red,blue"
     assert out[2]["mood"] == "" and out[2]["tags"] == ""
     assert out[3]["mood"] is None and out[3]["tags"] is None
+
+
+def test_small_type_codecs_roundtrip_and_layout():
+    from debezium_spark.sources.binlog import (
+        TYPE_BIT,
+        TYPE_FLOAT,
+        TYPE_INT24,
+        TYPE_SHORT,
+        TYPE_TINY,
+        TYPE_YEAR,
+        _enc_value,
+        _read_value,
+    )
+
+    # byte-level layout goldens (not just round-trips)
+    assert _enc_value(-2, TYPE_TINY, 0) == b"\xfe"
+    assert _enc_value(-2, TYPE_SHORT, 0) == b"\xfe\xff"
+    assert _enc_value(-2, TYPE_INT24, 0) == b"\xfe\xff\xff"
+    assert _enc_value(2.25, TYPE_FLOAT, 4) == struct.pack("<f", 2.25)
+    assert _enc_value(1970, TYPE_YEAR, 0) == bytes([70])
+    assert _enc_value(0, TYPE_YEAR, 0) == b"\x00"
+    # BIT(10): two bytes big-endian, high bits left-padded
+    assert _enc_value(0b11_0000_0001, TYPE_BIT, 10) == b"\x03\x01"
+
+    for t, m, v in [
+        (TYPE_TINY, 0, 127), (TYPE_TINY, 0, -128),
+        (TYPE_SHORT, 0, -32768), (TYPE_INT24, 0, (1 << 23) - 1),
+        (TYPE_FLOAT, 4, -0.5), (TYPE_YEAR, 0, 2155),
+        (TYPE_BIT, 1, 1), (TYPE_BIT, 64, (1 << 64) - 1),
+    ]:
+        buf = _enc_value(v, t, m)
+        out, end = _read_value(buf, 0, t, m)
+        assert out == v and end == len(buf)
+
+
+def test_bit_table_map_metadata_wire_order():
+    # wire = (bits % 8, whole bytes); parse folds to the total bit width
+    from debezium_spark.sources.binlog import (
+        HEADER_LEN,
+        TYPE_BIT,
+        encode_table_map,
+        parse_table_map,
+    )
+
+    ev = encode_table_map(9, "d", "t", [TYPE_BIT], [13], [False], log_pos=4)
+    body = ev[HEADER_LEN:]
+    # metadata block: lenenc len 2, then bits%8=5, bytes=1
+    i = body.index(b"\x01t\x00") + 3 + 1 + 1  # table name, lenenc ncols, type
+    assert body[i : i + 3] == bytes([2, 5, 1])
+    assert parse_table_map(body)["metas"] == [13]
+
+
+def test_jsonb_scalar_and_inline_layouts():
+    from debezium_spark.sources.jsonb import (
+        T_INT16,
+        T_LITERAL,
+        T_SMALL_ARR,
+        decode_jsonb,
+        encode_jsonb,
+        jsonb_to_text,
+    )
+
+    # top-level scalar: type byte + payload
+    assert encode_jsonb(7) == bytes([T_INT16]) + struct.pack("<h", 7)
+    assert encode_jsonb(None) == bytes([T_LITERAL, 0x00])
+    assert encode_jsonb(True) == bytes([T_LITERAL, 0x01])
+
+    # small array [1, null]: both values inlined in 2-byte entry fields
+    enc = encode_jsonb([1, None])
+    assert enc[0] == T_SMALL_ARR
+    count = int.from_bytes(enc[1:3], "little")
+    size = int.from_bytes(enc[3:5], "little")
+    assert count == 2 and size == len(enc) - 1
+    assert enc[5] == T_INT16 and enc[6:8] == struct.pack("<h", 1)
+    assert enc[8] == T_LITERAL and enc[9] == 0x00
+    assert decode_jsonb(enc) == [1, None]
+    assert jsonb_to_text(enc) == "[1,null]"
+
+
+def test_jsonb_object_key_sort_and_spilled_values():
+    from debezium_spark.sources.jsonb import encode_jsonb, jsonb_to_text
+
+    # server key order: length then bytes — NOT insertion order
+    enc = encode_jsonb({"bb": 1, "a": 2, "ab": 3, "ccc": 2**40})
+    assert jsonb_to_text(enc) == '{"a":2,"ab":3,"bb":1,"ccc":1099511627776}'
+
+    # int32/int64/double/string spill past the entry table in small form
+    enc = encode_jsonb({"k": [2**20, 2**40, 0.5, "s"]})
+    assert jsonb_to_text(enc) == '{"k":[1048576,1099511627776,0.5,"s"]}'
+
+
+def test_jsonb_large_form_and_opaque_raise():
+    import pytest as _pytest
+
+    from debezium_spark.sources.jsonb import (
+        T_LARGE_ARR,
+        T_OPAQUE,
+        decode_jsonb,
+        encode_jsonb,
+    )
+
+    big = ["x" * 9000 for _ in range(9)]  # > 64 KiB payload
+    enc = encode_jsonb(big)
+    assert enc[0] == T_LARGE_ARR
+    assert decode_jsonb(enc) == big
+
+    with _pytest.raises(ValueError, match="OPAQUE"):
+        decode_jsonb(bytes([T_OPAQUE, 0x0A, 0x01, 0x00]))
+
+
+def test_json_column_through_rows_event(spark):
+    from debezium_spark.sources.binlog import (
+        TYPE_JSON,
+        TYPE_LONG,
+        WRITE_ROWS_EVENT,
+        decode_binlog_rows,
+        encode_rows_event,
+        encode_table_map,
+    )
+
+    types, metas = [TYPE_LONG, TYPE_JSON], [0, 4]
+    tm = encode_table_map(31, "db", "j", types, metas, [False, True],
+                          log_pos=0)
+    rows = [
+        {"before": None, "after": [1, {"a": [True, "x", 300]}]},
+        {"before": None, "after": [2, None]},
+    ]
+    ev = encode_rows_event(WRITE_ROWS_EVENT, 31, types, metas, rows,
+                           log_pos=8)
+    df = spark.createDataFrame(
+        [(bytearray(tm),), (bytearray(ev),)], "msg binary"
+    )
+    out = {
+        r["after"][0]: r["after"][1]
+        for r in decode_binlog_rows(df).filter("kind = 'c'").collect()
+    }
+    assert out == {"1": '{"a":[true,"x",300]}', "2": None}
