@@ -30,6 +30,8 @@ HEADLINE = [
     "s18_pgoutput_binary_decode",
     "s22_pgoutput_typed",
     "s19b_binlog_types",
+    "s19c_binlog_small_types",
+    "s28_binlog_json",
     "s25_logminer_to_table",
     "x42_dsir_resample",
     "t1_extract_new_record_state",
@@ -50,7 +52,9 @@ HEADLINE = [
     "x34_incremental_dedup",
     "x39_duplicated_spans_sampled",
     "x38_charlm_quality",
+    "x43_nb_quality",
     "a19_sq8_search",
+    "a20_binary_quant_search",
     "e5_funnel",
     "w32_waiting_suppliers",
     "w1_pricing_summary",

@@ -2514,3 +2514,105 @@ def dsir_topk(
     return pri.orderBy(
         F.col("priority_q").desc(), F.col(id_col)
     ).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: corpus-trained Naive Bayes over seed labels
+# ---------------------------------------------------------------------------
+def nb_quality(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet/fastText-style model-based quality filter in its
+    distributable form: bootstrap seed labels from a cheap integer-exact
+    heuristic (16 * stopword_count >= token_count — the "looks like
+    fluent English" side), train a multinomial Naive Bayes over the seed
+    split in ONE token-keyed aggregation, then score every document with
+    the learned log-likelihood ratio. Documents the heuristic mislabels
+    get corrected by the model's token evidence — the usual bootstrap
+    story: the classifier generalizes the seed rule.
+
+    Scale shape: training is explode -> (token) hash agg — map-side
+    combinable, model rows bounded by VOCABULARY, not corpus. Totals
+    ride a 1-row cross-joined aggregate (no driver collect). Scoring is
+    one posting-shaped join of per-doc token counts against the model.
+    Per-token log-probabilities are fixed-point quantized
+    (floor(log2 p * 1e9) as int64, the x38 pattern) so per-doc sums are
+    order-independent and engines agree bit-for-bit."""
+    Q = 1_000_000_000.0
+    en_stop = LANG_MARKERS[0][1]
+    norm = normalize_text(F.col(text_col))
+    toks = F.filter(F.split(F.coalesce(norm, F.lit("")), " "),
+                    lambda t: t != "")
+    n_stop = F.aggregate(
+        toks, F.lit(0),
+        lambda acc, t: acc + F.when(t.isin(*en_stop), 1).otherwise(0),
+    )
+    lab = df.select(
+        id_col,
+        toks.alias("__ts"),
+        F.when(
+            (F.size(toks) > 0) & (n_stop * 16 >= F.size(toks)), 1
+        ).otherwise(0).alias("seed_label"),
+    )
+    dbc = (
+        lab.select(id_col, "seed_label", F.explode("__ts").alias("tok"))
+        .groupBy(id_col, "seed_label", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    model = dbc.groupBy("tok").agg(
+        F.sum(F.when(F.col("seed_label") == 1, F.col("cnt"))
+              .otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("seed_label") == 0, F.col("cnt"))
+              .otherwise(0)).alias("c0"),
+    )
+    tot = model.agg(
+        F.sum("c1").alias("n1t"),
+        F.sum("c0").alias("n0t"),
+        F.count("*").alias("v"),
+    )
+    tq = model.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(F.log2((F.col("c1") + 1).cast("double")
+                       / (F.col("n1t") + F.col("v")).cast("double"))
+                * Q).cast("long").alias("tq1"),
+        F.floor(F.log2((F.col("c0") + 1).cast("double")
+                       / (F.col("n0t") + F.col("v")).cast("double"))
+                * Q).cast("long").alias("tq0"),
+    )
+    pd_ = (
+        dbc.join(tq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.col("tq1")).alias("s1"),
+            F.sum(F.col("cnt") * F.col("tq0")).alias("s0"),
+        )
+    )
+    pri = lab.agg(
+        F.sum(F.when(F.col("seed_label") == 1, 1).otherwise(0)).alias("nd1"),
+        F.sum(F.when(F.col("seed_label") == 0, 1).otherwise(0)).alias("nd0"),
+    )
+    scored = (
+        lab.select(id_col, "seed_label")
+        .join(pd_, id_col, "left")
+        .crossJoin(F.broadcast(pri))
+        .select(
+            id_col,
+            "seed_label",
+            (F.coalesce(F.col("s1"), F.lit(0))
+             + F.floor(F.log2(F.col("nd1").cast("double")
+                              / (F.col("nd1") + F.col("nd0"))
+                              .cast("double")) * Q).cast("long")).alias("q1"),
+            (F.coalesce(F.col("s0"), F.lit(0))
+             + F.floor(F.log2(F.col("nd0").cast("double")
+                              / (F.col("nd1") + F.col("nd0"))
+                              .cast("double")) * Q).cast("long")).alias("q0"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "seed_label",
+        F.when(F.col("q1") > F.col("q0"), 1).otherwise(0)
+        .alias("pred_label"),
+        F.round((F.col("q1") - F.col("q0")).cast("double") / Q, 6)
+        .alias("log_odds"),
+    )

@@ -1307,3 +1307,131 @@ def knn_sq8(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit) quantization — the far end of the compression curve
+# ---------------------------------------------------------------------------
+def binq_train(vectors: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension sign thresholds for 1-bit quantization: the midrange
+    ``(min + max) / 2``. Midrange over min/max (not the mean) keeps the
+    artifact engine-portable bit-for-bit — extrema are exact, a
+    distributed float mean is not associative. Same shape as sq8_train:
+    one posexplode, one dim-keyed agg, ``dim`` rows out regardless of
+    corpus size."""
+    return (
+        vectors.select(
+            F.posexplode(_dvec(F.col(vec_col))).alias("pos0", "v")
+        )
+        .groupBy((F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(((F.min("v") + F.max("v")) / F.lit(2.0)).alias("thr"))
+    )
+
+
+def _binq_threshold_sql(thresholds: DataFrame) -> str:
+    rows = sorted(thresholds.collect(), key=lambda r: r["pos"])
+    return "array(" + ", ".join(f"{float(r['thr'])!r}D" for r in rows) + ")"
+
+
+def binq_encode(
+    vectors: DataFrame,
+    thresholds: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pack each vector into ``ceil(dim/64)`` sign words: bit ``j`` of
+    word ``w`` is 1 iff ``v[64w+j] > thr[64w+j]``. A 64-dim float64
+    vector (512 B) becomes ONE long (8 B) — 64x; the whole expression is
+    nested higher-order aggregates over plan-literal thresholds, so
+    encoding is a map-side codegen pass with zero shuffle and zero
+    Python."""
+    dim = thresholds.count()
+    nwords = (dim + 63) // 64
+    tlit = _binq_threshold_sql(thresholds)
+    words = F.expr(
+        f"transform(sequence(0, {nwords - 1}), w -> "
+        f"  aggregate(sequence(0, 63), 0L, (acc, j) -> acc + "
+        f"    IF(w * 64 + j < {dim} AND "
+        f"       CAST(element_at({vec_col}, w * 64 + j + 1) AS DOUBLE)"
+        f"         > element_at({tlit}, w * 64 + j + 1), "
+        f"       shiftleft(1L, j), 0L)))"
+    )
+    return vectors.select(id_col, vec_col, words.alias("words"))
+
+
+def _hamming(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def knn_binary(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 30,
+    thresholds: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Hamming-space ANN over 1-bit codes: queries and corpus are both
+    sign-quantized (symmetric), candidates rank by
+    ``popcount(q XOR n)`` ascending, and the final top-k is an exact
+    cosine rerank of the top-``rerank`` — the same candidate/rerank
+    discipline as knn_pq/knn_sq8 at 1 bit per dimension.
+
+    Scale shape: the index is 8 bytes per vector per 64 dims — a billion
+    64-dim vectors fit in 8 GB, and the scoring loop is one XOR+popcount
+    per word, the cheapest candidate generator on the whole curve.
+    Thresholds ride the plan as ``dim`` literals (no join); the query
+    side broadcasts; the only corpus shuffles are the per-query top-R
+    window and the rerank join back to the float vectors. Recall floor
+    vs brute force locked in tests/test_ann_quality.py."""
+    t = (
+        thresholds
+        if thresholds is not None
+        else binq_train(vectors, vec_col=vec_col).localCheckpoint(eager=True)
+    )
+    enc = (
+        codes
+        if codes is not None
+        else binq_encode(vectors, t, id_col=id_col, vec_col=vec_col)
+    )
+    corpus = enc.select(F.col(id_col).alias("nid"), F.col("words"))
+    q = binq_encode(queries, t, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col("words").alias("qwords"),
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col("nid") != F.col("qid")
+    ).withColumn("ham", _hamming(F.col("qwords"), F.col("words")))
+    w = Window.partitionBy("qid").orderBy(F.col("ham").asc(), F.col("nid"))
+    cands = (
+        scored.withColumn("r1", F.row_number().over(w))
+        .filter(F.col("r1") <= rerank)
+        .select("qid", F.col("qvec"), "nid")
+    )
+    exact_side = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("evec")
+    ).withColumn("enorm", l2_norm(F.col("evec")))
+    reranked = (
+        cands.withColumn("qnorm", l2_norm(F.col("qvec")))
+        .join(exact_side, "nid")
+        .withColumn(
+            "sim",
+            dot_product(F.col("qvec"), F.col("evec"))
+            / (F.col("qnorm") * F.col("enorm")),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", F.round("sim", 6).alias("sim"))
+    )

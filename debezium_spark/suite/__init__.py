@@ -90,6 +90,8 @@ PRIORITY: tuple[str, ...] = (
     "s27_sqlserver_changetable",       # __$operation row-pair assembly
     "s19c_binlog_small_types",         # TINY/SHORT/INT24/FLOAT/YEAR/BIT
     "s28_binlog_json",                 # binary JSON (JSONB) -> text
+    "a20_binary_quant_search",         # 1-bit Hamming ANN + exact rerank
+    "x43_nb_quality",                  # Naive-Bayes quality bootstrap
     # m2/m4 + h-family freshness (VERDICT r9 item 8) ---------------------------
     "m2_frame_sample",
     "m4_image_resize",
@@ -100,8 +102,6 @@ PRIORITY: tuple[str, ...] = (
     # the s19c/s28 additions — those families are already dense above) ---------
     "f1_cloudevents_roundtrip",
     "f4_avro_roundtrip",
-    "k1_merge_upsert",
-    "w8_asof_join",
 )
 
 

@@ -1239,3 +1239,74 @@ def a19_sq8_search(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.expr(_QFILTER))
     return knn_sq8(emb, queries, k=5, rerank=_SQ8_RERANK)
+
+
+# ---------------------------------------------------------------------------
+# A20 — binary (1-bit) quantization ANN: Hamming candidates + exact rerank
+# ---------------------------------------------------------------------------
+_BINQ_RERANK = 30
+
+
+@register(
+    "a20_binary_quant_search",
+    oracle=f"""
+    WITH bdims0 AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v0
+        FROM embeddings
+    ),
+    bdims AS (SELECT vec_id, pos, CAST(v0 AS DOUBLE) AS v FROM bdims0),
+    bthr AS (
+        SELECT pos, (min(v) + max(v)) / 2.0 AS thr FROM bdims GROUP BY pos
+    ),
+    bsign AS (
+        SELECT d.vec_id, d.pos,
+               CASE WHEN d.v > t.thr THEN 1 ELSE 0 END AS s
+        FROM bdims d JOIN bthr t USING (pos)
+    ),
+    bham AS (
+        SELECT q.vec_id AS qid, n.vec_id AS nid,
+               SUM(CASE WHEN q.s <> n.s THEN 1 ELSE 0 END) AS ham
+        FROM bsign q
+        JOIN bsign n ON n.pos = q.pos AND n.vec_id <> q.vec_id
+        WHERE q.{_QFILTER}
+        GROUP BY 1, 2
+    ),
+    bcands AS (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS r1
+        FROM bham
+    ),
+    brer AS (
+        SELECT c.qid, c.nid,
+               {_cosine('qe.embedding', 'e.embedding')} AS sim
+        FROM bcands c
+        JOIN embeddings qe ON qe.vec_id = c.qid
+        JOIN embeddings e ON e.vec_id = c.nid
+        WHERE c.r1 <= {_BINQ_RERANK}
+    ),
+    branked AS (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+                   AS rank
+        FROM brer
+    )
+    SELECT qid, nid, CAST(rank AS INT) AS rank, round(sim, 6) AS sim
+    FROM branked WHERE rank <= 5
+    """,
+)
+def a20_binary_quant_search(spark, sf_dir):
+    """1-bit ANN — the far end of the compression curve: per-dim midrange
+    thresholds (midrange, not mean: extrema replay exactly in any
+    engine), sign bits packed 64-per-long (a 64-dim float64 vector
+    becomes ONE 8-byte word — 64x), symmetric Hamming scoring via
+    XOR+popcount, exact cosine rerank of the top-30. At a billion
+    vectors the index is 8 GB and candidate generation is one popcount
+    per comparison — this is the tier that makes exhaustive first-pass
+    scans affordable when even SQ8 codes don't fit memory. Recall floor
+    vs brute force locked in tests/test_ann_quality.py."""
+    from debezium_spark.analytics.vectors import knn_binary
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.expr(_QFILTER))
+    return knn_binary(emb, queries, k=5, rerank=_BINQ_RERANK)

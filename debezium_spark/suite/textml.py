@@ -2083,3 +2083,92 @@ def x42_dsir_resample(spark, sf_dir):
         k=_X42_K,
         n_buckets=_X42_B,
     )
+
+
+# ---------------------------------------------------------------------------
+# X43 — model-based quality filtering: Naive Bayes trained on seed labels
+# ---------------------------------------------------------------------------
+@register(
+    "x43_nb_quality",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS s FROM documents),
+    tk AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(coalesce(s, ''), ' '),
+                           t -> t <> '') AS ts
+        FROM d
+    ),
+    lab AS (
+        SELECT doc_id, ts,
+               CASE WHEN len(ts) > 0 AND 16 * len(list_filter(ts,
+                        t -> list_contains(
+                            ['the','a','and','of','to','is','in','that'],
+                            t))) >= len(ts)
+                    THEN 1 ELSE 0 END AS seed_label
+        FROM tk
+    ),
+    dbc AS (
+        SELECT doc_id, seed_label, unnest(ts) AS tok, 1 AS one
+        FROM lab
+    ),
+    dbg AS (
+        SELECT doc_id, seed_label, tok, count(*) AS cnt
+        FROM dbc GROUP BY 1, 2, 3
+    ),
+    model AS (
+        SELECT tok,
+               sum(CASE WHEN seed_label = 1 THEN cnt ELSE 0 END) AS c1,
+               sum(CASE WHEN seed_label = 0 THEN cnt ELSE 0 END) AS c0
+        FROM dbg GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(c1) AS n1t, sum(c0) AS n0t, count(*) AS v FROM model
+    ),
+    tq AS (
+        SELECT m.tok,
+               CAST(floor(log2(CAST(m.c1 + 1 AS DOUBLE)
+                               / CAST(t.n1t + t.v AS DOUBLE))
+                          * 1000000000.0) AS BIGINT) AS tq1,
+               CAST(floor(log2(CAST(m.c0 + 1 AS DOUBLE)
+                               / CAST(t.n0t + t.v AS DOUBLE))
+                          * 1000000000.0) AS BIGINT) AS tq0
+        FROM model m CROSS JOIN tot t
+    ),
+    pd AS (
+        SELECT g.doc_id, sum(g.cnt * q.tq1) AS s1, sum(g.cnt * q.tq0) AS s0
+        FROM dbg g JOIN tq q USING (tok) GROUP BY 1
+    ),
+    pri AS (
+        SELECT sum(CASE WHEN seed_label = 1 THEN 1 ELSE 0 END) AS nd1,
+               sum(CASE WHEN seed_label = 0 THEN 1 ELSE 0 END) AS nd0
+        FROM lab
+    ),
+    sc AS (
+        SELECT l.doc_id, l.seed_label,
+               coalesce(pd.s1, 0)
+                 + CAST(floor(log2(CAST(p.nd1 AS DOUBLE)
+                                   / CAST(p.nd1 + p.nd0 AS DOUBLE))
+                              * 1000000000.0) AS BIGINT) AS q1,
+               coalesce(pd.s0, 0)
+                 + CAST(floor(log2(CAST(p.nd0 AS DOUBLE)
+                                   / CAST(p.nd1 + p.nd0 AS DOUBLE))
+                              * 1000000000.0) AS BIGINT) AS q0
+        FROM lab l LEFT JOIN pd USING (doc_id) CROSS JOIN pri p
+    )
+    SELECT doc_id, seed_label,
+           CASE WHEN q1 > q0 THEN 1 ELSE 0 END AS pred_label,
+           round(CAST(q1 - q0 AS DOUBLE) / 1000000000.0, 6) AS log_odds
+    FROM sc
+    """,
+)
+def x43_nb_quality(spark, sf_dir):
+    """Model-based quality filtering, the CCNet/fastText bootstrap:
+    integer-exact stopword-ratio seed labels, multinomial Naive Bayes
+    trained in one token-keyed agg (model bounded by vocabulary, never
+    corpus), every document rescored by the learned log-likelihood
+    ratio. Per-token log-probs fixed-point quantized (x38's pattern) so
+    the per-doc sums replay bit-for-bit in the oracle."""
+    from debezium_spark.analytics.text import nb_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return nb_quality(docs)

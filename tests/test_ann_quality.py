@@ -335,3 +335,51 @@ def test_sq8_prebuilt_index_matches_in_call_training(spark, sf_dir):
         ).collect()
     )
     assert in_call == prebuilt
+
+
+def test_binary_quant_recall_and_word_packing(spark, sf_dir):
+    """1 bit/dim keeps enough cosine geometry that a rerank=30 pass lands
+    a solid fraction of the exact top-5 (observed ~0.8+ on the fixtures;
+    the floor guards the packer — a wrong bit order, threshold, or
+    popcount fold craters it). Also pins the physical claim: 64 dims
+    pack into exactly ONE sign word."""
+    from debezium_spark.analytics.vectors import (
+        binq_encode,
+        binq_train,
+        knn_binary,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(N_QUERIES)
+    exact = _topk_sets(knn_bruteforce(emb, queries, k=K))
+    approx = _topk_sets(knn_binary(emb, queries, k=K, rerank=30))
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"binary recall@{K} = {mean_recall:.2f}"
+
+    t = binq_train(emb).localCheckpoint(eager=True)
+    enc = binq_encode(emb, t)
+    assert enc.select(F.size("words")).distinct().collect()[0][0] == 1
+
+
+def test_binq_bit_order_golden(spark):
+    """Bit j of word w encodes dimension 64w + j (LSB-first within the
+    word) — the layout the Hamming XOR depends on."""
+    from debezium_spark.analytics.vectors import binq_encode, binq_train
+
+    # 66 dims forces a second word with only bits 0/1 meaningful
+    vec = [1.0 if i in (0, 3, 64, 65) else -1.0 for i in range(66)]
+    other = [-1.0] * 66
+    df = spark.createDataFrame(
+        [(1, vec), (2, other)], "vec_id long, embedding array<double>"
+    )
+    t = binq_train(df).localCheckpoint(eager=True)
+    words = {
+        r["vec_id"]: r["words"]
+        for r in binq_encode(df, t).collect()
+    }
+    # thresholds are midrange 0.0; vec exceeds it exactly at 0,3,64,65
+    assert words[1] == [(1 << 0) | (1 << 3), (1 << 0) | (1 << 1)]
+    assert words[2] == [0, 0]

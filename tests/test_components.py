@@ -813,3 +813,37 @@ def test_change_table_assembly_guards_malformed_pairs(spark):
     )
     with _pytest.raises(Exception, match="malformed change-table group"):
         assemble_change_table(orphan, value_cols=["id", "status"]).collect()
+
+
+def test_nb_quality_learns_past_the_seed_rule(spark):
+    """The classifier must GENERALIZE the stopword seed, not memorize it:
+    a stopword-free doc made of tokens that co-occur with the
+    high-quality class gets pulled to pred=1 even though its seed is 0,
+    and vice versa for a junk-token doc that squeaks past the seed
+    threshold."""
+    from debezium_spark.analytics.text import nb_quality
+
+    fluent = "the quick brown fox jumps over a lazy dog and runs to town"
+    junk = "zxq9 qq7 blorp wug zxq9 blorp wug qq7 zxq9 blorp"
+    rows = (
+        # seed-1 training mass: fluent English with stopwords
+        [(i, f"{fluent} {fluent}") for i in range(20)]
+        # seed-0 training mass: junk tokens, no stopwords
+        + [(100 + i, f"{junk} {junk}") for i in range(20)]
+        # probe A: fluent-class CONTENT words only (no stopwords ->
+        # seed 0), should be predicted 1
+        + [(500, "quick brown fox jumps lazy dog runs town " * 3)]
+        # probe B: junk content plus just enough stopwords to pass the
+        # 1/16 seed ratio -> seed 1, should be predicted 0
+        + [(501, junk + " the")]  # 11 tokens, 1 stopword: 16 >= 11
+    )
+    out = {
+        r["doc_id"]: r
+        for r in nb_quality(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[500]["seed_label"] == 0 and out[500]["pred_label"] == 1
+    assert out[501]["seed_label"] == 1 and out[501]["pred_label"] == 0
+    # training mass keeps its labels
+    assert out[0]["pred_label"] == 1 and out[100]["pred_label"] == 0
