@@ -33,6 +33,7 @@ HEADLINE = [
     "s19c_binlog_small_types",
     "s28_binlog_json",
     "s25_logminer_to_table",
+    "s29_logminer_lob",
     "x42_dsir_resample",
     "t1_extract_new_record_state",
     "p4_transaction_metadata",

@@ -92,6 +92,7 @@ PRIORITY: tuple[str, ...] = (
     "s28_binlog_json",                 # binary JSON (JSONB) -> text
     "a20_binary_quant_search",         # 1-bit Hamming ANN + exact rerank
     "x43_nb_quality",                  # Naive-Bayes quality bootstrap
+    "s29_logminer_lob",                # LOB_WRITE fragment merge pass
     # m2/m4 + h-family freshness (VERDICT r9 item 8) ---------------------------
     "m2_frame_sample",
     "m4_image_resize",
@@ -101,7 +102,6 @@ PRIORITY: tuple[str, ...] = (
     # r7-tier drain (family-spanning; binlog/logminer drains displaced by
     # the s19c/s28 additions — those families are already dense above) ---------
     "f1_cloudevents_roundtrip",
-    "f4_avro_roundtrip",
 )
 
 

@@ -2891,3 +2891,119 @@ def s28_binlog_json(spark, sf_dir):
         F.element_at(a, 1).cast("long").alias("id"),
         F.element_at(a, 2).alias("doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S29 — LogMiner LOB support: SEL_LOB_LOCATOR/LOB_WRITE fragment chains
+# merged into their owning DML (the reference's lob.enabled commit pass).
+# ---------------------------------------------------------------------------
+@register(
+    "s29_logminer_lob",
+    oracle="""
+    WITH base AS (
+        SELECT event_id AS e, event_type AS et,
+               'note-' || event_id || ':' || event_type AS note_full
+        FROM events
+    ),
+    creates AS (
+        SELECT e * 10 AS scn,
+               't' || (e // 100) AS tx,
+               'r' || e AS row_id,
+               'c' AS op,
+               e AS id,
+               et AS status,
+               CASE
+                 WHEN e % 4 = 2 THEN 'inline-' || e
+                 WHEN e % 4 = 3 THEN substr(note_full, 1, 5) || 'XX'
+                                     || substr(note_full, 8)
+                 ELSE note_full
+               END AS note
+        FROM base
+    ),
+    extra_updates AS (
+        SELECT e * 10 + 4 AS scn,
+               't' || (e // 100) AS tx,
+               'r' || e AS row_id,
+               'u' AS op,
+               e AS id,
+               et || '_u' AS status,
+               '__dbz_unavailable_value__' AS note
+        FROM base WHERE e % 4 = 1
+    )
+    SELECT * FROM creates UNION ALL SELECT * FROM extra_updates
+    """,
+)
+def s29_logminer_lob(spark, sf_dir):
+    """LOB-enabled LogMiner emission: every row's chain (INSERT with
+    EMPTY_CLOB(), SEL_LOB_LOCATOR, offset-ordered LOB_WRITE fragments,
+    then one of {nothing | plain UPDATE | LOB-setting UPDATE | an
+    overlapping mid-LOB write}) folds into the events the reference's
+    commit consumer emits: fragments concatenate into the locator's
+    column, a LOB-setting UPDATE merges and its concrete value replaces
+    the in-flight construction, a plain UPDATE is a SEPARATE logical
+    change that keeps the unavailable placeholder, and a mid-LOB write
+    overwrites its region (TransactionCommitConsumer.java:124-420,
+    LobUnderConstruction.doAdd). Per-(tx,row) applyInPandas fold — state
+    bounded by one row's LOB, never stream length."""
+    import pandas as pd
+
+    from debezium_spark.sources.logminer import UNAVAILABLE
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for e, et in zip(pdf["event_id"], pdf["event_type"]):
+                e, et = int(e), str(et)
+                tx, rid = f"t{e // 100}", f"r{e}"
+                full = f"note-{e}:{et}"
+                rows.append((e * 10, tx, rid, "insert", "S", "T",
+                             [str(e), et, "EMPTY_CLOB()"], None, None,
+                             None))
+                rows.append((e * 10 + 1, tx, rid, "sel_lob_locator",
+                             "S", "T", [str(e), et, UNAVAILABLE],
+                             "note", None, None))
+                rows.append((e * 10 + 2, tx, rid, "lob_write", "S", "T",
+                             None, None, 0, full[:7]))
+                rows.append((e * 10 + 3, tx, rid, "lob_write", "S", "T",
+                             None, None, 7, full[7:]))
+                m = e % 4
+                if m == 1:
+                    rows.append((e * 10 + 4, tx, rid, "update", "S", "T",
+                                 [str(e), f"{et}_u", UNAVAILABLE],
+                                 None, None, None))
+                elif m == 2:
+                    rows.append((e * 10 + 4, tx, rid, "update", "S", "T",
+                                 [str(e), et, f"inline-{e}"],
+                                 None, None, None))
+                elif m == 3:
+                    rows.append((e * 10 + 4, tx, rid, "lob_write", "S",
+                                 "T", None, None, 5, "XX"))
+            yield pd.DataFrame(
+                rows,
+                columns=["scn", "tx", "row_id", "kind", "schema",
+                         "table", "after", "lob_col", "lob_offset",
+                         "lob_data"],
+            )
+
+    feed = ev.mapInPandas(
+        gen,
+        "scn long, tx string, row_id string, kind string, schema string,"
+        " table string, after array<string>, lob_col string,"
+        " lob_offset int, lob_data string",
+    )
+
+    from debezium_spark.sources.logminer import assemble_lob_events
+
+    out = assemble_lob_events(
+        feed, ["id", "status", "note"], ["note"]
+    )
+    return out.select(
+        "scn", "tx", "row_id", "op",
+        F.element_at("after", 1).cast("long").alias("id"),
+        F.element_at("after", 2).alias("status"),
+        F.element_at("after", 3).alias("note"),
+    )

@@ -111,3 +111,144 @@ def test_distributed_decode(spark):
     assert out[11]["after"] == ["1", "b", "2.5", "n"]
     assert out[11]["before"] == ["1", "a", "2.5", "n"]
     assert out[12]["op"] == "d" and out[12]["after"] is None
+
+
+# ---------------------------------------------------------------------------
+# S29 — LOB fragment assembly (TransactionCommitConsumer semantics)
+# ---------------------------------------------------------------------------
+def _lob_row(scn, tx, rowid, kind, after=None, lob_col=None,
+             lob_offset=None, lob_data=None):
+    return (scn, tx, rowid, kind, "S", "T", after, lob_col, lob_offset,
+            lob_data)
+
+
+_LOB_SCHEMA = (
+    "scn long, tx string, row_id string, kind string, schema string,"
+    " table string, after array<string>, lob_col string,"
+    " lob_offset int, lob_data string"
+)
+
+
+def _assemble(spark, rows, columns=("id", "status", "note"),
+              lob_columns=("note",)):
+    from debezium_spark.sources.logminer import assemble_lob_events
+
+    df = spark.createDataFrame(rows, _LOB_SCHEMA)
+    return sorted(
+        tuple(r) for r in assemble_lob_events(
+            df, list(columns), list(lob_columns)
+        ).collect()
+    )
+
+
+def test_lob_insert_locator_writes_fold_into_one_create(spark):
+    from debezium_spark.sources.logminer import UNAVAILABLE
+
+    rows = [
+        _lob_row(1, "tx1", "r1", "insert", ["1", "ok", "EMPTY_CLOB()"]),
+        _lob_row(2, "tx1", "r1", "sel_lob_locator",
+                 ["1", "ok", UNAVAILABLE], lob_col="note"),
+        _lob_row(3, "tx1", "r1", "lob_write", lob_offset=0,
+                 lob_data="hello "),
+        _lob_row(4, "tx1", "r1", "lob_write", lob_offset=6,
+                 lob_data="world"),
+    ]
+    out = _assemble(spark, rows)
+    # ONE event, op from the chain's first event (the INSERT), scn 1
+    assert out == [(1, "tx1", "r1", "c", "S", "T",
+                    ["1", "ok", "hello world"])]
+
+
+def test_lob_overlapping_write_overwrites_region(spark):
+    from debezium_spark.sources.logminer import UNAVAILABLE
+
+    rows = [
+        _lob_row(1, "tx1", "r1", "insert", ["1", "ok", "EMPTY_CLOB()"]),
+        _lob_row(2, "tx1", "r1", "sel_lob_locator",
+                 ["1", "ok", UNAVAILABLE], lob_col="note"),
+        _lob_row(3, "tx1", "r1", "lob_write", lob_offset=0,
+                 lob_data="aaaaaa"),
+        # middle overwrite: truncates the head, drops the covered tail
+        _lob_row(4, "tx1", "r1", "lob_write", lob_offset=2,
+                 lob_data="BB"),
+    ]
+    out = _assemble(spark, rows)
+    assert out[0][6] == ["1", "ok", "aaBBaa"[:2] + "BB" + "aa"]
+    assert out[0][6][2] == "aaBBaa"
+
+
+def test_lob_update_without_lob_change_is_separate_event(spark):
+    from debezium_spark.sources.logminer import UNAVAILABLE
+
+    rows = [
+        _lob_row(1, "tx1", "r1", "insert", ["1", "ok", "EMPTY_CLOB()"]),
+        _lob_row(2, "tx1", "r1", "sel_lob_locator",
+                 ["1", "ok", UNAVAILABLE], lob_col="note"),
+        _lob_row(3, "tx1", "r1", "lob_write", lob_offset=0, lob_data="x"),
+        # plain UPDATE, LOB column UNAVAILABLE -> separate logical change
+        _lob_row(4, "tx1", "r1", "update", ["1", "bad", UNAVAILABLE]),
+    ]
+    out = _assemble(spark, rows)
+    assert len(out) == 2
+    assert out[0] == (1, "tx1", "r1", "c", "S", "T", ["1", "ok", "x"])
+    # the standalone update keeps the placeholder (NOT null)
+    assert out[1] == (4, "tx1", "r1", "u", "S", "T",
+                      ["1", "bad", UNAVAILABLE])
+
+
+def test_lob_update_setting_lob_merges_and_replaces_construction(spark):
+    from debezium_spark.sources.logminer import UNAVAILABLE
+
+    rows = [
+        _lob_row(1, "tx1", "r1", "insert", ["1", "ok", "EMPTY_CLOB()"]),
+        _lob_row(2, "tx1", "r1", "sel_lob_locator",
+                 ["1", "ok", UNAVAILABLE], lob_col="note"),
+        _lob_row(3, "tx1", "r1", "lob_write", lob_offset=0,
+                 lob_data="to-be-discarded"),
+        # UPDATE sets the LOB inline -> merges, concrete value wins over
+        # the in-flight fragments
+        _lob_row(4, "tx1", "r1", "update", ["1", "ok2", "inline"]),
+    ]
+    out = _assemble(spark, rows)
+    assert out == [(1, "tx1", "r1", "c", "S", "T", ["1", "ok2", "inline"])]
+
+
+def test_lob_locator_rooted_chain_emits_update(spark):
+    from debezium_spark.sources.logminer import UNAVAILABLE
+
+    rows = [
+        _lob_row(5, "tx2", "r9", "sel_lob_locator",
+                 ["9", "keep", UNAVAILABLE], lob_col="note"),
+        _lob_row(6, "tx2", "r9", "lob_write", lob_offset=0,
+                 lob_data="appended"),
+    ]
+    out = _assemble(spark, rows)
+    assert out == [(5, "tx2", "r9", "u", "S", "T",
+                    ["9", "keep", "appended"])]
+
+
+def test_lob_write_without_locator_raises(spark):
+    import pytest
+
+    rows = [
+        _lob_row(1, "tx1", "r1", "lob_write", lob_offset=0, lob_data="x"),
+    ]
+    with pytest.raises(Exception, match="SEL_LOB_LOCATOR"):
+        _assemble(spark, rows)
+
+
+def test_lob_rows_are_independent_across_rowids(spark):
+    from debezium_spark.sources.logminer import UNAVAILABLE
+
+    rows = [
+        _lob_row(1, "tx1", "r1", "insert", ["1", "a", "EMPTY_CLOB()"]),
+        _lob_row(2, "tx1", "r1", "sel_lob_locator",
+                 ["1", "a", UNAVAILABLE], lob_col="note"),
+        _lob_row(5, "tx1", "r2", "insert", ["2", "b", "EMPTY_CLOB()"]),
+        _lob_row(6, "tx1", "r2", "sel_lob_locator",
+                 ["2", "b", UNAVAILABLE], lob_col="note"),
+        _lob_row(3, "tx1", "r1", "lob_write", lob_offset=0, lob_data="A"),
+        _lob_row(7, "tx1", "r2", "lob_write", lob_offset=0, lob_data="B"),
+    ]
+    out = _assemble(spark, rows)
+    assert [o[6][2] for o in out] == ["A", "B"]
