@@ -101,3 +101,58 @@ def mongo_update_description(events: DataFrame) -> DataFrame:
             ).alias("doc")
         )
     )
+
+
+def mongo_truncated_arrays(events: DataFrame) -> DataFrame:
+    """S11b — change-stream ``updateDescription.truncatedArrays``: an
+    update that shrinks an array via $slice/$pop arrives as
+    ``{field, newSize}`` rather than a $set of the whole array, and the
+    consumer must apply it to its current state. The per-key fold is
+    exact without replaying event-by-event because truncation is
+    monotone: sequential truncations compose to the MINIMUM newSize, and
+    a later $set resets the state — so the final array is the last $set
+    value sliced to ``min(newSize)`` over the truncations that came
+    after it (reference: the Mongo connector's updateDescription
+    envelope carries truncatedArrays beside updatedFields/removedFields,
+    and ExtractNewDocumentState's array handling applies them).
+
+    Feed mapping (deterministic, oracle-reproducible): ``signup`` $sets
+    the ``tags`` array from the event id; ``error`` truncates it to
+    ``event_id % 3 + 1``.
+
+    Scale shape: one scan, one user-keyed agg for the last $set, one
+    (join + agg) for the post-set minimum truncation, one final
+    broadcast-or-hash join — no window over the full stream, no
+    per-event iteration."""
+    et = F.col("event_type")
+    e = F.col("event_id")
+
+    def tag(mod: int):
+        return F.concat(F.lit("t"), (e % mod).cast("string"))
+
+    sets = events.filter(et == "signup").select(
+        "user_id",
+        "event_id",
+        F.array(tag(7), tag(5), tag(3), tag(2)).alias("arr"),
+    )
+    last_set = sets.groupBy("user_id").agg(
+        F.max_by("arr", "event_id").alias("arr"),
+        F.max("event_id").alias("set_pos"),
+    )
+    truncs = events.filter(et == "error").select(
+        "user_id", "event_id", (e % 3 + 1).cast("int").alias("new_size")
+    )
+    post = (
+        truncs.join(last_set.select("user_id", "set_pos"), "user_id")
+        .filter(F.col("event_id") > F.col("set_pos"))
+        .groupBy("user_id")
+        .agg(F.min("new_size").alias("n"))
+    )
+    n_eff = F.least(
+        F.coalesce(F.col("n"), F.size("arr")), F.size("arr")
+    )
+    return last_set.join(post, "user_id", "left").select(
+        "user_id",
+        F.array_join(F.slice(F.col("arr"), 1, n_eff), ",").alias("tags"),
+        n_eff.cast("int").alias("n_tags"),
+    )

@@ -38,15 +38,13 @@ PRIORITY: tuple[str, ...] = (
     # --- r10 rotation (the per-query ledger lives in COVERAGE.md):
     # 1. ALL 31 queries whose last green driver row is r6 — VERDICT r9
     #    item 1. After this window nothing registered sits below r7.
-    # 2. the queries registered THIS round (new queries must be windowed):
-    #    s22 typed pgoutput values, s19b binlog type widening, s23 LogMiner
-    #    redo-SQL DML parser, s24 binlog MINIMAL row images, s25 LogMiner
-    #    end-to-end (redo text -> commit-ordered LWW table), x42 DSIR
-    #    importance resampling, s26 DDL-tracked binlog column naming/typing, s27 SQL Server change-table assembly.
+    # 2. the 14 queries registered THIS round (new queries must be
+    #    windowed): s22 typed pgoutput, s19b/s19c binlog type widening,
+    #    s23/s25 LogMiner DML parse + end-to-end, s24 MINIMAL images,
+    #    s26 DDL-tracked naming, s27 SQL Server change tables, s28
+    #    binary JSON, s29 LOB assembly, s11b truncated arrays, x42 DSIR,
+    #    x43 NB quality, a20 binary-quant ANN.
     # 3. m2/m4 + the r7-tier h-family (VERDICT r9 item 8).
-    # 4. 6 r7-tier legs spanning the remaining families (formats, binlog
-    #    dispatch, commit-ordered emission, sink merge/reduce, as-of
-    #    join) so the r7 tier starts draining too.
     # last green r6 (the entire stale tier, 31 legs) ---------------------------
     "a1_vector_norms",
     "a9_pq_codebooks",
@@ -93,15 +91,16 @@ PRIORITY: tuple[str, ...] = (
     "a20_binary_quant_search",         # 1-bit Hamming ANN + exact rerank
     "x43_nb_quality",                  # Naive-Bayes quality bootstrap
     "s29_logminer_lob",                # LOB_WRITE fragment merge pass
+    "s11b_truncated_arrays",           # change-stream array truncations
     # m2/m4 + h-family freshness (VERDICT r9 item 8) ---------------------------
     "m2_frame_sample",
     "m4_image_resize",
     "h2_table_filters",
     "h3_temporal_logical_types",
     "h6_interval_enum_set",
-    # r7-tier drain (family-spanning; binlog/logminer drains displaced by
-    # the s19c/s28 additions — those families are already dense above) ---------
-    "f1_cloudevents_roundtrip",
+    # (the r7-tier drain was fully displaced by this round's new queries —
+    # new registrations must be windowed; the r7 tier stays covered by the
+    # in-repo gate and rotates in r11)
 )
 
 

@@ -3007,3 +3007,46 @@ def s29_logminer_lob(spark, sf_dir):
         F.element_at("after", 2).alias("status"),
         F.element_at("after", 3).alias("note"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S11b — Mongo updateDescription.truncatedArrays fold
+# ---------------------------------------------------------------------------
+@register(
+    "s11b_truncated_arrays",
+    oracle="""
+    WITH last_set AS (
+        SELECT user_id, max(event_id) AS set_pos
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    arrs AS (
+        SELECT user_id, set_pos,
+               ['t' || set_pos % 7, 't' || set_pos % 5,
+                't' || set_pos % 3, 't' || set_pos % 2] AS arr
+        FROM last_set
+    ),
+    post AS (
+        SELECT e.user_id, min(e.event_id % 3 + 1) AS n
+        FROM events e JOIN last_set s USING (user_id)
+        WHERE e.event_type = 'error' AND e.event_id > s.set_pos
+        GROUP BY 1
+    )
+    SELECT a.user_id,
+           array_to_string(
+               list_slice(a.arr, 1, least(coalesce(p.n, 4), 4)), ','
+           ) AS tags,
+           CAST(least(coalesce(p.n, 4), 4) AS INT) AS n_tags
+    FROM arrs a LEFT JOIN post p USING (user_id)
+    """,
+)
+def s11b_truncated_arrays(spark, sf_dir):
+    """Change-stream array truncation patches folded without replay:
+    truncation is monotone, so post-$set truncations compose to their
+    minimum and the state is the last $set sliced once. See
+    operators/document.py:mongo_truncated_arrays."""
+    from debezium_spark.operators.document import mongo_truncated_arrays
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "event_type"
+    )
+    return mongo_truncated_arrays(ev)
