@@ -518,3 +518,30 @@ def test_pgoutput_tx_attach_is_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_binary_quant_broadcasts_queries_and_plans_literal_thresholds(
+    spark, qs
+):
+    plan = _plan(spark, qs, "a20_binary_quant_search")
+    # the query side broadcasts (intentional BNLJ, same as knn brute);
+    # the corpus side must NOT hit a CartesianProduct
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # thresholds are plan literals — no extra scan or join for the index
+    assert plan.count("Scan parquet") <= 3  # corpus + query + rerank side
+
+
+def test_nb_quality_has_no_data_cartesian(spark, qs):
+    plan = _plan(spark, qs, "x43_nb_quality")
+    # the only cross joins are the 1-row totals/priors broadcasts
+    assert "CartesianProduct" not in plan
+    # scoring is a tok-keyed join, never a nested loop over docs
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_lob_assembly_shuffles_on_tx_only(spark, qs):
+    plan = _plan(spark, qs, "s29_logminer_lob")
+    assert "CartesianProduct" not in plan
+    # exactly one exchange keyed on the transaction feeds the fold
+    assert plan.count("hashpartitioning(tx") == 1
