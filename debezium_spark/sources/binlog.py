@@ -66,6 +66,7 @@ WRITE_ROWS_EVENT = 30  # v2 ("EXT_WRITE_ROWS" in the reference's enum)
 UPDATE_ROWS_EVENT = 31
 DELETE_ROWS_EVENT = 32
 GTID_EVENT = 33
+MARIADB_GTID_EVENT = 0xA2  # MariaDB numbers its GTID events from 160
 
 EVENT_NAMES = {
     QUERY_EVENT: "query",
@@ -77,6 +78,7 @@ EVENT_NAMES = {
     UPDATE_ROWS_EVENT: "update_rows",
     DELETE_ROWS_EVENT: "delete_rows",
     GTID_EVENT: "gtid",
+    MARIADB_GTID_EVENT: "gtid",
 }
 
 # column type codes (the decoded slice)
@@ -739,6 +741,36 @@ def encode_gtid(source_id: str, gno: int, flags: int = 1, **hdr) -> bytes:
     return encode_header(GTID_EVENT, len(body), **hdr) + body
 
 
+def parse_mariadb_gtid(body: bytes, server_id: int) -> dict:
+    """MariaDB GTID (event 0xa2): uint64 sequence number, uint32 domain
+    id, uint8 flags2 — the gtid renders as domain-server-sequence (the
+    MariaDB adapter path in the reference's binlog family; server id
+    comes from the event header). FL_GROUP_COMMIT_ID (0x02) appends a
+    uint64 commit id."""
+    seq, domain = struct.unpack_from("<QI", body, 0)
+    flags2 = body[12]
+    out = {
+        "kind": "gtid",
+        "flags": flags2,
+        "domain_id": domain,
+        "gno": seq,
+        "gtid": f"{domain}-{server_id}-{seq}",
+    }
+    if flags2 & 0x02:
+        out["commit_id"] = struct.unpack_from("<Q", body, 13)[0]
+    return out
+
+
+def encode_mariadb_gtid(
+    domain: int, seq: int, flags2: int = 0, commit_id: int | None = None,
+    **hdr,
+) -> bytes:
+    body = struct.pack("<QI", seq, domain) + bytes([flags2])
+    if commit_id is not None:
+        body += struct.pack("<Q", commit_id)
+    return encode_header(MARIADB_GTID_EVENT, len(body), **hdr) + body
+
+
 def parse_xid(body: bytes) -> dict:
     return {"kind": "xid", "xid": struct.unpack_from("<Q", body, 0)[0]}
 
@@ -766,6 +798,8 @@ def parse_event(buf: bytes, registry: dict) -> dict:
         out = parse_rotate(body)
     elif code == GTID_EVENT:
         out = parse_gtid(body)
+    elif code == MARIADB_GTID_EVENT:
+        out = parse_mariadb_gtid(body, hdr["server_id"])
     else:
         out = {"kind": "skip"}
     out["log_pos"] = hdr["log_pos"]

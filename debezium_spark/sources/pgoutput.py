@@ -1088,7 +1088,8 @@ def numeric_type_for(atttypmod: int) -> str:
     return f"decimal({p},{s})"
 
 
-def pg_typed_value(col, type_oid: int, atttypmod: int = -1):
+def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
+                   include_unknown: bool = False):
     """One pgoutput text cell -> typed Spark column, dispatched on the
     relation's column OID (PostgresValueConverter.java:112,286-324).
 
@@ -1097,8 +1098,11 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1):
     io.debezium.time.MicroTime int64 µs-since-midnight, the reference's
     logical type); arrays '{a,b,NULL}' (non-nested; quoted text elements
     unescape, but embedded commas inside quotes are out of slice — PG's
-    full array grammar needs a real parser). Unknown OIDs raise: silent
-    string passthrough would corrupt a sink schema."""
+    full array grammar needs a real parser). Unknown OIDs raise by
+    default — silent string passthrough would corrupt a sink schema;
+    ``include_unknown=True`` opts into the reference's
+    include.unknown.datatypes behavior (custom types announced via 'Y'
+    messages surface as their text form)."""
     if type_oid == PG_BOOL:
         return F.when(col == "t", F.lit(True)).when(col == "f", F.lit(False))
     if type_oid == PG_BYTEA:
@@ -1165,10 +1169,12 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1):
             F.when(F.length(col) <= 2, F.array().cast(arr_t))
             .otherwise(F.transform(parts, conv))
         )
+    if include_unknown:
+        return col  # the text form, the reference's opt-in passthrough
     raise ValueError(
         f"no typed mapping for pg type OID {type_oid} — refusing to pass "
         "through as text (PostgresValueConverter covers it; extend the "
-        "dispatch)"
+        "dispatch, or opt in via include_unknown)"
     )
 
 
@@ -1178,6 +1184,7 @@ def typed_projection(
     schema: str,
     table: str,
     src: str = "after",
+    include_unknown: bool = False,
 ) -> DataFrame:
     """Project one relation's decoded text envelope into TYPED columns
     driven by the relation registry's (col_names, col_oids, col_typmods)
@@ -1212,7 +1219,8 @@ def typed_projection(
     frames = []
     for ver in vers:
         typed = [
-            pg_typed_value(src_col[name], oid, mod).alias(name)
+            pg_typed_value(src_col[name], oid, mod,
+                           include_unknown=include_unknown).alias(name)
             for name, oid, mod in zip(
                 ver["col_names"], ver["col_oids"], ver["col_typmods"]
             )

@@ -643,3 +643,22 @@ def test_json_column_through_rows_event(spark):
         for r in decode_binlog_rows(df).filter("kind = 'c'").collect()
     }
     assert out == {"1": '{"a":[true,"x",300]}', "2": None}
+
+
+def test_mariadb_gtid_event_roundtrip():
+    from debezium_spark.sources.binlog import (
+        encode_mariadb_gtid,
+        parse_event,
+    )
+
+    ev = encode_mariadb_gtid(3, 42, flags2=0, log_pos=77, server_id=9)
+    out = parse_event(ev, {})
+    assert out["kind"] == "gtid"
+    assert out["gtid"] == "3-9-42"  # domain-server-sequence
+    assert out["gno"] == 42 and out["domain_id"] == 3
+    assert "commit_id" not in out
+
+    ev2 = encode_mariadb_gtid(0, 7, flags2=0x02, commit_id=555,
+                              log_pos=78, server_id=1)
+    out2 = parse_event(ev2, {})
+    assert out2["gtid"] == "0-1-7" and out2["commit_id"] == 555

@@ -673,3 +673,21 @@ def test_typed_projection_is_version_aware(spark):
     out = {r["lsn"]: r for r in typed.collect()}
     assert out[2]["x"] == Decimal("41") and out[2]["y"] is None
     assert out[6]["x"] == Decimal("41.50") and out[6]["y"] == "hi"
+
+
+def test_unknown_oid_raises_unless_included(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_typed_value
+
+    with _pytest.raises(ValueError, match="no typed mapping"):
+        pg_typed_value(F.lit("anything"), 99999)
+
+    # include.unknown.datatypes path: text passthrough for custom types
+    df = spark.range(1).select(
+        pg_typed_value(F.lit("(1,2)"), 99999, include_unknown=True)
+        .alias("v")
+    )
+    assert df.collect()[0]["v"] == "(1,2)"
+    assert dict(df.dtypes)["v"] == "string"
