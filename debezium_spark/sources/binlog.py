@@ -845,16 +845,26 @@ _ROW_SCHEMA = (
 )
 
 
-def decode_binlog_rows(df: DataFrame, msg_col: str = "msg") -> DataFrame:
+def decode_binlog_rows(
+    df: DataFrame,
+    msg_col: str = "msg",
+    registry: dict[int, dict] | None = None,
+) -> DataFrame:
     """Arrow-batched decode of WRITE/UPDATE/DELETE_ROWS events into one
     output row per row-image pair. Values surface twice — text form
-    (ints/strings rendered exactly) and numeric form (for DOUBLE columns;
-    text would lose float bits) — the same dual the reference's value
-    converters expose. Non-rows events pass through kind-only so tx
-    markers (query BEGIN / xid) stay joinable downstream."""
+    (ints/strings rendered exactly) and numeric form (for DOUBLE/FLOAT
+    columns; text would lose float bits) — the same dual the reference's
+    value converters expose. Non-rows events pass through kind-only so
+    tx markers (query BEGIN / xid) stay joinable downstream.
+
+    ``registry`` (table_id → TABLE_MAP parse) defaults to the batch's
+    own TABLE_MAPs; a streaming caller passes the accumulated one (see
+    BinlogStreamDecoder) so rows events decode even when their TABLE_MAP
+    arrived in an earlier micro-batch."""
     import pandas as pd
 
-    registry = table_map_registry(df, msg_col=msg_col)
+    if registry is None:
+        registry = table_map_registry(df, msg_col=msg_col)
 
     def to_text(vals):
         if vals is None:
@@ -988,3 +998,24 @@ def resolve_set_labels(col, labels: list[str]):
         for i, lab in enumerate(labels)
     ]
     return F.when(mask.isNotNull(), F.concat_ws(",", *parts))
+
+
+class BinlogStreamDecoder:
+    """Cross-batch binlog decode state for foreachBatch: the TABLE_MAP
+    registry accumulates across micro-batches (real binlogs repeat the
+    map before every rows event, but a checkpoint restart or a
+    maxFilesPerTrigger split can land a rows event in a later batch
+    than its map — the reference's client caches TableMapEventData the
+    same way). The binlog only ever contains committed transactions, so
+    unlike PgOutputStreamDecoder there is no commit gating to carry —
+    only the schema registry. Latest map per table_id wins, matching
+    the server's id-reuse semantics."""
+
+    def __init__(self, spark=None):
+        self.registry: dict[int, dict] = {}
+
+    def decode_batch(self, df: DataFrame, msg_col: str = "msg") -> DataFrame:
+        self.registry.update(table_map_registry(df, msg_col=msg_col))
+        # snapshot: the kernel closure must not race later updates
+        return decode_binlog_rows(df, msg_col=msg_col,
+                                  registry=dict(self.registry))

@@ -402,3 +402,80 @@ def test_pgoutput_v2_stream_across_micro_batches(spark, dirs):
     )
     assert final[2]["after"] == {"id": "1"}
     assert final[5]["after"] == {"id": "2"}
+
+
+def test_binlog_stream_registry_survives_micro_batches(spark, dirs):
+    """Real readStream → foreachBatch(BinlogStreamDecoder): a TABLE_MAP
+    in the first log file must still decode rows events (including a
+    binary-JSON column) arriving in the SECOND file/micro-batch, and a
+    MariaDB GTID event passes through the dispatch untouched."""
+    import os
+    import shutil
+    import time
+
+    from debezium_spark.sources.binlog import (
+        TYPE_JSON,
+        TYPE_LONG,
+        WRITE_ROWS_EVENT,
+        BinlogStreamDecoder,
+        encode_mariadb_gtid,
+        encode_rows_event,
+        encode_table_map,
+    )
+
+    feed = dirs["feed"]
+    os.makedirs(feed, exist_ok=True)
+    types, metas = [TYPE_LONG, TYPE_JSON], [0, 4]
+
+    def seg(i, rows):
+        df = spark.createDataFrame(
+            [(pos, bytearray(m)) for pos, m in rows], "pos long, msg binary"
+        )
+        tmp = os.path.join(feed, f"__tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        data = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        final = os.path.join(feed, f"seg_{i:05d}.parquet")
+        os.replace(os.path.join(tmp, data), final)
+        shutil.rmtree(tmp)
+        mt = time.time() + i * 0.01
+        os.utime(final, (mt, mt))
+
+    seg(1, [
+        (0, encode_table_map(5, "db", "j", types, metas, [False, True],
+                             log_pos=0)),
+        (1, encode_rows_event(
+            WRITE_ROWS_EVENT, 5, types, metas,
+            [{"before": None, "after": [1, {"a": 1}]}], log_pos=1)),
+    ])
+    seg(2, [
+        # NO table map in this file — the decoder's registry carries it
+        (2, encode_mariadb_gtid(0, 5, log_pos=2, server_id=3)),
+        (3, encode_rows_event(
+            WRITE_ROWS_EVENT, 5, types, metas,
+            [{"before": None, "after": [2, {"b": [True, "x"]}]}],
+            log_pos=3)),
+    ])
+
+    dec = BinlogStreamDecoder(spark)
+    got = {}
+
+    def handle(batch_df, batch_id):
+        got[int(batch_id)] = dec.decode_batch(batch_df).collect()
+
+    q = (
+        spark.readStream.schema("pos long, msg binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert sorted(got) == [0, 1]
+    rows0 = [r for r in got[0] if r["kind"] == "c"]
+    rows1 = [r for r in got[1] if r["kind"] == "c"]
+    assert [r["after"] for r in rows0] == [["1", '{"a":1}']]
+    # the batch-2 rows event decodes via the carried registry
+    assert [r["after"] for r in rows1] == [["2", '{"b":[true,"x"]}']]
