@@ -347,6 +347,45 @@ def _nearest_cells(
     )
 
 
+def ivf_postings(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF posting-list artifact: every vector assigned to its
+    nearest cell, in the shape knn_ivf's candidate join consumes
+    (cell, nid, nvec, nnorm). Assignment is map-side against literal
+    centroids — build once, persist via save_vector_index, serve many."""
+    return _nearest_cells(vectors, centroids, id_col, vec_col,
+                          nprobe=1).select(
+        F.col("cell"),
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        l2_norm(F.col(vec_col)).alias("nnorm"),
+    )
+
+
+def ivf_add(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance: assign a NEW batch to the existing
+    centroids and return posting rows to append — no retraining, no
+    touch of the already-indexed corpus. This is the serving-side write
+    path at scale: the nightly/streaming ingest appends postings (an
+    idempotent MERGE on nid works fine) while centroids retrain on
+    whatever cadence drift demands. Assignment quality for the batch is
+    identical to a full rebuild by construction — cell membership is a
+    pure function of (vector, centroids)."""
+    return ivf_postings(new_vectors, centroids, id_col=id_col,
+                        vec_col=vec_col)
+
+
 def knn_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -357,6 +396,8 @@ def knn_ivf(
     n_cells: int = 8,
     nprobe: int = 2,
     iterations: int = 1,
+    centroids: DataFrame | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their nearest cell; each query probes
     its ``nprobe`` nearest cells and ranks exact cosine inside them.
@@ -366,16 +407,24 @@ def knn_ivf(
     ~|corpus|·nprobe/n_cells per query instead of |corpus|. Centroids are
     localCheckpointed (8 rows) so corpus- and query-assignment don't
     re-run the training subtree.
+
+    Train-once/search-many: pass prebuilt ``centroids`` (ivf_train's
+    shape) and optionally ``postings`` (ivf_postings' shape, e.g. the
+    persisted artifact plus ivf_add deltas) and nothing retrains or
+    re-assigns in-call.
     """
-    cents = ivf_train(
-        vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
-        iterations=iterations,
-    ).localCheckpoint(eager=True)
-    corpus = _nearest_cells(vectors, cents, id_col, vec_col, nprobe=1).select(
-        F.col("cell"),
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nvec"),
-        l2_norm(F.col(vec_col)).alias("nnorm"),
+    cents = (
+        centroids.localCheckpoint(eager=True)
+        if centroids is not None
+        else ivf_train(
+            vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+            iterations=iterations,
+        ).localCheckpoint(eager=True)
+    )
+    corpus = (
+        postings
+        if postings is not None
+        else ivf_postings(vectors, cents, id_col=id_col, vec_col=vec_col)
     )
     probes = _nearest_cells(queries, cents, id_col, vec_col, nprobe=nprobe).select(
         F.col("cell"),
@@ -794,7 +843,7 @@ def knn_ivfpq(
 # and codes scan columnar with the id column for the rerank join.
 # ---------------------------------------------------------------------------
 
-_INDEX_PARTS = ("centroids", "codebooks", "codes")
+_INDEX_PARTS = ("centroids", "codebooks", "codes", "postings")
 
 
 def save_vector_index(
@@ -803,6 +852,7 @@ def save_vector_index(
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
     codes: DataFrame | None = None,
+    postings: DataFrame | None = None,
 ) -> None:
     """Persist any subset of ANN index artifacts under ``path`` as parquet
     (one subdirectory per artifact). Overwrites prior artifacts of the
@@ -811,6 +861,7 @@ def save_vector_index(
         ("centroids", centroids),
         ("codebooks", codebooks),
         ("codes", codes),
+        ("postings", postings),
     ):
         if df is not None:
             df.write.mode("overwrite").parquet(f"{path}/{name}")

@@ -408,8 +408,8 @@ def assemble_lob_events(
         " op string, schema string, table string, after array<string>"
     )
 
-    def fold_chain(pdf: pd.DataFrame, out: list) -> None:
-        pdf = pdf.sort_values(scn_col)
+    def fold_chain(chain: list, out: list) -> None:
+        # ``chain`` is one row's events, already scn-sorted by the caller
         acc = None  # [scn, tx, rowid, op, schema, table, values]
         bufs: dict[int, _LobBuffer] = {}
         target: int | None = None
@@ -424,7 +424,7 @@ def assemble_lob_events(
             out.append(tuple(acc[:6]) + (vals,))
             acc, bufs, target = None, {}, None
 
-        for r in pdf.itertuples(index=False):
+        for r in chain:
             kind = r.kind
             if kind == "lob_write":
                 if acc is None or target is None:
@@ -506,8 +506,22 @@ def assemble_lob_events(
         finalize()
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ONE sort + ONE sequential pass with rowid-change detection: a
+        # pandas groupby here would pay per-group framing on ~|tx| tiny
+        # row-chains (measured 3x the actual fold work at sf0.1)
         out: list = []
-        for _, chain in pdf.groupby(rowid_col, sort=False):
+        pdf = pdf.sort_values([rowid_col, scn_col], kind="mergesort")
+        chain: list = []
+        cur = object()
+        for r in pdf.itertuples(index=False):
+            rid = getattr(r, rowid_col)
+            if rid != cur:
+                if chain:
+                    fold_chain(chain, out)
+                    chain = []
+                cur = rid
+            chain.append(r)
+        if chain:
             fold_chain(chain, out)
         return pd.DataFrame(
             out,

@@ -383,3 +383,54 @@ def test_binq_bit_order_golden(spark):
     # thresholds are midrange 0.0; vec exceeds it exactly at 0,3,64,65
     assert words[1] == [(1 << 0) | (1 << 3), (1 << 0) | (1 << 1)]
     assert words[2] == [0, 0]
+
+
+def test_ivf_prebuilt_postings_and_incremental_add(spark, sf_dir, tmp_path):
+    """Train-once/search-many for IVF: a search served from persisted
+    centroids+postings equals in-call training, and a NEW vector appended
+    via ivf_add (no retrain, no touch of the indexed corpus) is findable
+    by its exact twin query afterwards."""
+    from debezium_spark.analytics.vectors import (
+        ivf_add,
+        ivf_postings,
+        ivf_train,
+        knn_ivf,
+        load_vector_index,
+        save_vector_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(5)
+
+    cents = ivf_train(emb).localCheckpoint(eager=True)
+    save_vector_index(
+        str(tmp_path / "ivf"),
+        centroids=cents,
+        postings=ivf_postings(emb, cents),
+    )
+    idx = load_vector_index(spark, str(tmp_path / "ivf"))
+    assert set(idx) == {"centroids", "postings"}
+
+    in_call = sorted(
+        tuple(r) for r in knn_ivf(emb, queries, k=K, iterations=1).collect()
+    )
+    served = sorted(
+        tuple(r)
+        for r in knn_ivf(
+            emb, queries, k=K,
+            centroids=idx["centroids"], postings=idx["postings"],
+        ).collect()
+    )
+    assert in_call == served
+
+    # incremental add: a twin of query vec 0, far id, no retraining
+    probe = emb.orderBy("vec_id").limit(1)
+    newbie = probe.selectExpr("999999 AS vec_id", "embedding")
+    grown = idx["postings"].unionByName(
+        ivf_add(newbie, idx["centroids"])
+    )
+    hits = knn_ivf(
+        emb, probe, k=1, centroids=idx["centroids"], postings=grown
+    ).collect()
+    # the twin shares the cell and has cosine 1.0 -> it must be the top hit
+    assert hits[0]["nid"] == 999999 and hits[0]["sim"] == 1.0
