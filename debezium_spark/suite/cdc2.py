@@ -39,6 +39,21 @@ from debezium_spark.sources.changefeed import (
 from debezium_spark.sources.snapshot import should_snapshot
 from debezium_spark.suite import register
 
+
+def _events_feed(spark, sf_dir):
+    """The events scan that feeds every wire-fixture Arrow kernel,
+    SPREAD across the executor cores: the sf parquet is one small file
+    (a single input split), and without an explicit repartition the
+    Python protocol work downstream — encode + decode of hundreds of
+    thousands of wire messages — would run on ONE core. The ~2 MB
+    round-robin shuffle buys full-width parallelism; on a real cluster
+    the log arrives as many segments and this repartition is a no-op
+    by the time it matters."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # Stream position where "DDL" adds the `tier` column in the K6/T13 fixtures.
 DDL_POS = 5000
 
@@ -1428,7 +1443,7 @@ def _pgoutput_fixture_stream(spark, sf_dir, key_by_user: bool = False):
         encode_update,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events_feed(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
 
@@ -1586,7 +1601,7 @@ def _binlog_fixture_stream(spark, sf_dir):
     TYPES = [TYPE_LONGLONG, TYPE_VARCHAR, TYPE_DOUBLE, TYPE_VARCHAR]
     METAS = [0, 64, 8, 300]  # note VARCHAR(300): 2-byte length prefix path
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events_feed(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
 
@@ -1848,7 +1863,7 @@ def _pgoutput_typed_fixture(spark, sf_dir):
         encode_relation,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events_feed(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
 
@@ -2041,7 +2056,7 @@ def s19b_binlog_types(spark, sf_dir):
     METAS = [0, (12 << 8) | 2, 0, 6, 0, 0, 2, (ENUM_REAL << 8) | 1,
              (SET_REAL << 8) | 2]
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events_feed(spark, sf_dir).select(
         "event_id", "value"
     )
 
@@ -2141,7 +2156,7 @@ def s23_logminer_dml(spark, sf_dir):
     from debezium_spark.sources.logminer import decode_logminer_dml
 
     COLS = ["ID", "STATUS", "AMOUNT", "NOTE", "CREATED"]
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events_feed(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
 
@@ -2299,7 +2314,7 @@ def s24_binlog_minimal_images(spark, sf_dir):
 
     w = Window.partitionBy("user_id").orderBy("event_id")
     ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        _events_feed(spark, sf_dir)
         .select("event_id", "user_id", "event_type", "value")
         .withColumn("r", F.row_number().over(w))
         .withColumn(
@@ -2412,7 +2427,7 @@ def s25_logminer_to_table(spark, sf_dir):
     from debezium_spark.sources.logminer import decode_logminer_dml
 
     COLS = ["ID", "STATUS", "AMOUNT"]
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events_feed(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
 
@@ -2526,7 +2541,7 @@ def s26_binlog_schema_naming(spark, sf_dir):
         named_typed_rows,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events_feed(spark, sf_dir).select(
         "event_id", "event_type", "value"
     )
     mid = (ev.agg((F.max("event_id") + 1) / 2).first()[0]) or 0
@@ -2760,7 +2775,7 @@ def s19c_binlog_small_types(spark, sf_dir):
              TYPE_FLOAT, TYPE_YEAR, TYPE_BIT]
     METAS = [0, 0, 0, 0, 4, 0, 10]
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    ev = _events_feed(spark, sf_dir).select("event_id")
 
     def enc(batches):
         for pdf in batches:
@@ -2852,7 +2867,7 @@ def s28_binlog_json(spark, sf_dir):
     TYPES = [TYPE_LONGLONG, TYPE_JSON]
     METAS = [0, 4]
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    ev = _events_feed(spark, sf_dir).select("event_id")
 
     def enc(batches):
         for pdf in batches:
@@ -2949,7 +2964,7 @@ def s29_logminer_lob(spark, sf_dir):
 
     from debezium_spark.sources.logminer import UNAVAILABLE
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events_feed(spark, sf_dir).select(
         "event_id", "event_type"
     )
 
