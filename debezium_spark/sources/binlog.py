@@ -36,8 +36,12 @@ metadata precision+scale), BLOB=252 (metadata = LE length-prefix
 width), and STRING=254 as the ENUM/SET carrier (metadata byte 1 is the
 real type 247/248, byte 2 the 1-2 byte LE ordinal / N-byte LE bitmask
 width — the wire carries ordinals, label resolution is schema
-history's). Other type codes raise so a wider slice is an explicit
-extension, not silent corruption. Event
+history's). The s19c/s28 widening adds TINY=1, SHORT=2, INT24=9
+(signed LE), FLOAT=4 (IEEE single), YEAR=13 (byte since 1900),
+BIT=16 (big-endian over ceil(bits/8) bytes, width from 2-byte
+metadata), and JSON=245 (length-prefixed JSONB documents rendered to
+text by ``sources/jsonb.py``). Remaining type codes raise so a wider
+slice is an explicit extension, not silent corruption. Event
 checksums (5.6+ CRC32 trailers) are out of scope — fixtures are
 generated checksum-free, matching a FORMAT_DESCRIPTION that declares
 checksum algorithm 0.
