@@ -406,3 +406,44 @@ def test_scd2_partitions_pos_axis(spark, evs):
         else:
             assert len(currents) == 1
             assert currents[0]["valid_from_pos"] == evs_k[-1][0]
+
+
+# ---------------------------------------------------------------------------
+# JSONB codec: arbitrary documents round-trip byte-exactly (no Spark)
+# ---------------------------------------------------------------------------
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=40),
+)
+
+_json_docs = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=6),
+        st.dictionaries(st.text(max_size=12), children, max_size=6),
+    ),
+    max_leaves=25,
+)
+
+
+def _norm_doc(v):
+    if isinstance(v, dict):
+        return {k: _norm_doc(x) for k, x in sorted(v.items())}
+    if isinstance(v, list):
+        return [_norm_doc(x) for x in v]
+    return v
+
+
+@settings(max_examples=300, deadline=None)
+@given(_json_docs)
+def test_jsonb_roundtrip_property(doc):
+    """encode→decode is the identity on values for any document built
+    from the supported scalar set, across the small/large container
+    forms, inlined vs spilled scalars, and the server's key sort (order
+    normalized before compare — stored order is sorted, not insertion)."""
+    from debezium_spark.sources.jsonb import decode_jsonb, encode_jsonb
+
+    assert _norm_doc(decode_jsonb(encode_jsonb(doc))) == _norm_doc(doc)
