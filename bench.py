@@ -63,6 +63,7 @@ HEADLINE = [
     "w8_asof_join",
     "w31_range_join",
     "e4_hierarchical_rollup",
+    "e6_ts_pattern_search",
     "e1_tumbling_window",
     "e3_session_window",
 ]

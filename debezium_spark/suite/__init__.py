@@ -92,12 +92,12 @@ PRIORITY: tuple[str, ...] = (
     "x43_nb_quality",                  # Naive-Bayes quality bootstrap
     "s29_logminer_lob",                # LOB_WRITE fragment merge pass
     "s11b_truncated_arrays",           # change-stream array truncations
+    "e6_ts_pattern_search",            # z-normalized subsequence match
     # m2/m4 + h-family freshness (VERDICT r9 item 8) ---------------------------
     "m2_frame_sample",
     "m4_image_resize",
     "h2_table_filters",
     "h3_temporal_logical_types",
-    "h6_interval_enum_set",
     # (the r7-tier drain was fully displaced by this round's new queries —
     # new registrations must be windowed; the r7 tier stays covered by the
     # in-repo gate and rotates in r11)

@@ -238,3 +238,113 @@ def e5_funnel(spark, sf_dir):
 
     ev = events_with_ts(spark, sf_dir)
     return funnel_report(ev, ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------------
+# E6 — time-series pattern search: z-normalized correlation of each user's
+# value subsequences against a query pattern (the matrix-profile/UCR-style
+# subsequence similarity primitive, in its one-window distributed form).
+# ---------------------------------------------------------------------------
+_E6_Q = (3, 1, 4, 1)  # query pattern
+_E6_N = len(_E6_Q)
+_E6_QSUM = sum(_E6_Q)
+_E6_QSS = sum(q * q for q in _E6_Q)
+
+
+@register(
+    "e6_ts_pattern_search",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, event_id AS pos,
+               CAST(floor(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, pos, v,
+               lead(v, 1) OVER u AS v1,
+               lead(v, 2) OVER u AS v2,
+               lead(v, 3) OVER u AS v3
+        FROM s WINDOW u AS (PARTITION BY user_id ORDER BY pos)
+    ),
+    m AS (
+        SELECT user_id, pos,
+               v + v1 + v2 + v3 AS sv,
+               v*v + v1*v1 + v2*v2 + v3*v3 AS ssv,
+               v*{_E6_Q[0]} + v1*{_E6_Q[1]} + v2*{_E6_Q[2]}
+                 + v3*{_E6_Q[3]} AS dot
+        FROM w WHERE v3 IS NOT NULL
+    ),
+    c AS (
+        SELECT user_id, pos,
+               CAST({_E6_N} * dot - sv * {_E6_QSUM} AS DOUBLE)
+               / sqrt(CAST(({_E6_N} * ssv - sv * sv)
+                           * CAST({_E6_N} * {_E6_QSS}
+                                  - {_E6_QSUM} * {_E6_QSUM} AS BIGINT)
+                           AS DOUBLE)) AS corr
+        FROM m WHERE {_E6_N} * ssv - sv * sv > 0
+    ),
+    r AS (
+        SELECT user_id, pos, corr,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY corr DESC, pos) AS rk
+        FROM c
+    )
+    SELECT user_id, pos AS best_pos, round(corr, 6) AS corr_r
+    FROM r WHERE rk = 1
+    """,
+)
+def e6_ts_pattern_search(spark, sf_dir):
+    """Subsequence similarity search over event-value series: every
+    length-4 window of each user's sequence scores z-normalized
+    correlation against a fixed query pattern, and the best-matching
+    offset per user wins (ties to the earliest). This is the
+    matrix-profile/UCR primitive in its distributed one-pass form:
+    running sums via lead() inside the user partition — NO
+    per-subsequence explode (that would be an n-fold row blowup) — and
+    the correlation assembled from INTEGER sums (cents-quantized
+    values), so numerator/denominator are exact and the single
+    division + sqrt is bit-identical in any IEEE engine. Scale shape:
+    one shuffle on user_id shared by both windows; pattern constants
+    fold into codegen."""
+    u = Window.partitionBy("user_id").orderBy("pos")
+    s = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.col("event_id").alias("pos"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = s.select(
+        "user_id", "pos", "v",
+        F.lead("v", 1).over(u).alias("v1"),
+        F.lead("v", 2).over(u).alias("v2"),
+        F.lead("v", 3).over(u).alias("v3"),
+    ).filter(F.col("v3").isNotNull())
+    sv = F.col("v") + F.col("v1") + F.col("v2") + F.col("v3")
+    ssv = (F.col("v") * F.col("v") + F.col("v1") * F.col("v1")
+           + F.col("v2") * F.col("v2") + F.col("v3") * F.col("v3"))
+    dot = (F.col("v") * _E6_Q[0] + F.col("v1") * _E6_Q[1]
+           + F.col("v2") * _E6_Q[2] + F.col("v3") * _E6_Q[3])
+    m = w.select(
+        "user_id", "pos", sv.alias("sv"), ssv.alias("ssv"),
+        dot.alias("dot"),
+    )
+    qvar = _E6_N * _E6_QSS - _E6_QSUM * _E6_QSUM
+    den = (_E6_N * F.col("ssv") - F.col("sv") * F.col("sv")) * F.lit(qvar)
+    c = m.filter(
+        _E6_N * F.col("ssv") - F.col("sv") * F.col("sv") > 0
+    ).select(
+        "user_id", "pos",
+        ((_E6_N * F.col("dot") - F.col("sv") * _E6_QSUM).cast("double")
+         / F.sqrt(den.cast("double"))).alias("corr"),
+    )
+    rk = Window.partitionBy("user_id").orderBy(
+        F.col("corr").desc(), F.col("pos")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("pos").alias("best_pos"),
+            F.round("corr", 6).alias("corr_r"),
+        )
+    )
