@@ -411,8 +411,17 @@ def knn_ivf(
     Train-once/search-many: pass prebuilt ``centroids`` (ivf_train's
     shape) and optionally ``postings`` (ivf_postings' shape, e.g. the
     persisted artifact plus ivf_add deltas) and nothing retrains or
-    re-assigns in-call.
+    re-assigns in-call. Postings bake in the cell assignments of the
+    centroids that produced them, so passing postings WITHOUT those
+    centroids is an error — freshly trained centroids would probe
+    mismatched cells and silently return wrong neighbors.
     """
+    if postings is not None and centroids is None:
+        raise ValueError(
+            "postings were built against a specific centroid set; pass the "
+            "matching `centroids` with them (fresh training would mismatch "
+            "the cell ids baked into the postings)"
+        )
     cents = (
         centroids.localCheckpoint(eager=True)
         if centroids is not None

@@ -25,9 +25,16 @@ WL#8132 format notes):
 
 ``decode_jsonb`` -> Python object; ``jsonb_to_text`` -> canonical JSON
 text in STORED key order (what the reference emits); ``encode_jsonb``
-builds fixture documents. OPAQUE values (0x0f — decimals/dates packed
-inside JSON) raise: surfacing them as the wrong type would corrupt
-silently, and the fixture generator never writes them.
+builds fixture documents. OPAQUE values (0x0f) are decoded per the
+binlog client's JsonBinary opaque switch: a 1-byte MySQL column type +
+varlen length + payload, where NEWDECIMAL carries (precision, scale,
+packed-BCD) and DATE/TIME/DATETIME/TIMESTAMP carry the 8-byte packed
+temporal; every other column type renders as the client's
+``"base64:type<N>:<b64>"`` string. A ZERO-LENGTH document is what MySQL
+emits for a JSON column set to the SQL ``null`` literal — the reference
+delivers null for it (BinlogValueConverters.convertJson), so
+``jsonb_to_text`` returns None there while ``decode_jsonb`` (the
+parse layer, like JsonBinary.parse) still raises.
 """
 
 from __future__ import annotations
@@ -52,6 +59,178 @@ T_OPAQUE = 0x0F
 
 LIT_NULL, LIT_TRUE, LIT_FALSE = 0x00, 0x01, 0x02
 _LITS = {LIT_NULL: None, LIT_TRUE: True, LIT_FALSE: False}
+
+# MySQL column-type codes that appear INSIDE an OPAQUE value (the
+# JsonBinary opaque switch of the public binlog client: DATE/TIME/
+# DATETIME/TIMESTAMP parse the 8-byte packed temporal, NEWDECIMAL the
+# packed-BCD decimal, everything else renders base64)
+_OP_TIMESTAMP = 7
+_OP_DATE = 10
+_OP_TIME = 11
+_OP_DATETIME = 12
+_OP_NEWDECIMAL = 246
+
+
+class JsonDecimal:
+    """A DECIMAL packed inside a JSON document (CAST(x AS DECIMAL)).
+    Renders as a bare number at the stored scale, exactly like the
+    server's JSON output."""
+
+    __slots__ = ("text", "precision", "scale")
+
+    def __init__(self, text: str, precision: int | None = None,
+                 scale: int | None = None):
+        self.text = text
+        int_s, _, frac_s = text.lstrip("-").partition(".")
+        self.scale = len(frac_s) if scale is None else scale
+        self.precision = (
+            (len(int_s.lstrip("0")) or 1) + self.scale
+            if precision is None else precision
+        )
+
+    def __eq__(self, other):
+        return isinstance(other, JsonDecimal) and other.text == self.text
+
+    def __repr__(self):
+        return f"JsonDecimal({self.text!r})"
+
+
+class JsonDate:
+    """CAST(x AS DATE) inside JSON: renders as a quoted yyyy-mm-dd."""
+
+    __slots__ = ("y", "m", "d")
+
+    def __init__(self, y: int, m: int, d: int):
+        self.y, self.m, self.d = y, m, d
+
+    def render(self) -> str:
+        return f"{self.y:04d}-{self.m:02d}-{self.d:02d}"
+
+    def __eq__(self, other):
+        return isinstance(other, JsonDate) and (
+            (self.y, self.m, self.d) == (other.y, other.m, other.d)
+        )
+
+    def __repr__(self):
+        return f"JsonDate({self.render()})"
+
+
+class JsonTime:
+    """CAST(x AS TIME) inside JSON: quoted [-]hh:mm:ss.ffffff (the
+    server always prints the 6-digit fraction in JSON output)."""
+
+    __slots__ = ("neg", "h", "mi", "s", "us")
+
+    def __init__(self, h: int, mi: int, s: int, us: int = 0,
+                 neg: bool = False):
+        self.neg, self.h, self.mi, self.s, self.us = neg, h, mi, s, us
+
+    def render(self) -> str:
+        sign = "-" if self.neg else ""
+        return f"{sign}{self.h:02d}:{self.mi:02d}:{self.s:02d}.{self.us:06d}"
+
+    def __eq__(self, other):
+        return isinstance(other, JsonTime) and (
+            (self.neg, self.h, self.mi, self.s, self.us)
+            == (other.neg, other.h, other.mi, other.s, other.us)
+        )
+
+    def __repr__(self):
+        return f"JsonTime({self.render()})"
+
+
+class JsonDatetime:
+    """CAST(x AS DATETIME) / TIMESTAMP inside JSON: quoted
+    yyyy-mm-dd hh:mm:ss.ffffff."""
+
+    __slots__ = ("y", "m", "d", "h", "mi", "s", "us")
+
+    def __init__(self, y, m, d, h, mi, s, us=0):
+        self.y, self.m, self.d = y, m, d
+        self.h, self.mi, self.s, self.us = h, mi, s, us
+
+    def render(self) -> str:
+        return (
+            f"{self.y:04d}-{self.m:02d}-{self.d:02d} "
+            f"{self.h:02d}:{self.mi:02d}:{self.s:02d}.{self.us:06d}"
+        )
+
+    def __eq__(self, other):
+        return isinstance(other, JsonDatetime) and (
+            (self.y, self.m, self.d, self.h, self.mi, self.s, self.us)
+            == (other.y, other.m, other.d, other.h, other.mi, other.s,
+                other.us)
+        )
+
+    def __repr__(self):
+        return f"JsonDatetime({self.render()})"
+
+
+class JsonOpaque:
+    """An OPAQUE value of a column type the client has no typed
+    rendering for: kept as raw bytes, rendered ``base64:type<N>:<b64>``
+    exactly like JsonStringFormatter.valueOpaque."""
+
+    __slots__ = ("field_type", "data")
+
+    def __init__(self, field_type: int, data: bytes):
+        self.field_type, self.data = field_type, bytes(data)
+
+    def render(self) -> str:
+        import base64
+
+        return (
+            f"base64:type{self.field_type}:"
+            + base64.b64encode(self.data).decode("ascii")
+        )
+
+    def __eq__(self, other):
+        return isinstance(other, JsonOpaque) and (
+            (self.field_type, self.data) == (other.field_type, other.data)
+        )
+
+    def __repr__(self):
+        return f"JsonOpaque(type={self.field_type}, {self.data!r})"
+
+
+def _pack_temporal(y, m, d, h, mi, s, us, neg=False) -> int:
+    """The 8-byte packed temporal MySQL stores inside OPAQUE JSON values
+    (TIME_to_longlong_datetime_packed): value = date/time bitfields,
+    raw = value << 24 | microseconds."""
+    value = ((y * 13 + m) << 22) | (d << 17) | (h << 12) | (mi << 6) | s
+    raw = (value << 24) | us
+    return -raw if neg else raw
+
+
+def _decode_opaque(field_type: int, data: bytes):
+    if field_type == _OP_NEWDECIMAL:
+        from debezium_spark.sources.binlog import _read_newdecimal
+
+        precision, scale = data[0], data[1]
+        text, _ = _read_newdecimal(data, 2, precision, scale)
+        return JsonDecimal(text, precision, scale)
+    if field_type in (_OP_DATE, _OP_TIME, _OP_DATETIME, _OP_TIMESTAMP):
+        raw = int.from_bytes(data[:8], "little", signed=True)
+        neg = raw < 0
+        if neg:
+            raw = -raw
+        us = raw & 0xFFFFFF
+        value = raw >> 24
+        if field_type == _OP_TIME:
+            return JsonTime(
+                (value >> 12) & 0x3FF, (value >> 6) & 0x3F, value & 0x3F,
+                us, neg,
+            )
+        ym = (value >> 22) & 0x1FFFF
+        y, m = divmod(ym, 13)
+        d = (value >> 17) & 0x1F
+        if field_type == _OP_DATE:
+            return JsonDate(y, m, d)
+        return JsonDatetime(
+            y, m, d, (value >> 12) & 0x1F, (value >> 6) & 0x3F,
+            value & 0x3F, us,
+        )
+    return JsonOpaque(field_type, data)
 
 
 def _read_varlen(buf: bytes, off: int) -> tuple[int, int]:
@@ -112,10 +291,11 @@ def _parse_any(t: int, buf: bytes, off: int):
         n, p = _read_varlen(buf, off)
         return buf[p : p + n].decode("utf-8")
     if t == T_OPAQUE:
-        raise ValueError(
-            "jsonb OPAQUE value (packed decimal/temporal) outside the "
-            "decoded slice — refusing to guess a rendering"
-        )
+        # 1-byte MySQL column type + varlen data length + payload
+        # (json_binary's opaque layout; typed per the JsonBinary switch)
+        field_type = buf[off]
+        n, p = _read_varlen(buf, off + 1)
+        return _decode_opaque(field_type, buf[p : p + n])
     raise ValueError(f"unknown jsonb type byte 0x{t:02x}")
 
 
@@ -154,6 +334,10 @@ def decode_jsonb(buf: bytes):
 
 
 def _render(v) -> str:
+    if isinstance(v, JsonDecimal):
+        return v.text  # bare number, exactly the stored scale
+    if isinstance(v, (JsonDate, JsonTime, JsonDatetime, JsonOpaque)):
+        return json.dumps(v.render(), ensure_ascii=False)
     if v is None:
         return "null"
     if v is True:
@@ -180,9 +364,14 @@ def _render(v) -> str:
     raise ValueError(f"unrenderable jsonb value {v!r}")
 
 
-def jsonb_to_text(buf: bytes) -> str:
+def jsonb_to_text(buf: bytes) -> str | None:
     """Document bytes -> compact JSON text, keys in stored order — the
-    text form the reference's emitter hands to its JSON converters."""
+    text form the reference's emitter hands to its JSON converters.
+    A zero-length document (what the server writes for a JSON column
+    holding SQL NULL) maps to None, matching the reference's
+    BinlogValueConverters.convertJson null delivery."""
+    if not buf:
+        return None
     return _render(decode_jsonb(buf))
 
 
@@ -213,6 +402,32 @@ def _enc_scalar(v) -> tuple[int, bytes]:
     if isinstance(v, str):
         raw = v.encode("utf-8")
         return T_STRING, _enc_varlen(len(raw)) + raw
+    if isinstance(v, JsonDecimal):
+        from debezium_spark.sources.binlog import _enc_newdecimal
+
+        data = bytes([v.precision, v.scale]) + _enc_newdecimal(
+            v.text, v.precision, v.scale
+        )
+        return T_OPAQUE, (
+            bytes([_OP_NEWDECIMAL]) + _enc_varlen(len(data)) + data
+        )
+    if isinstance(v, (JsonDate, JsonTime, JsonDatetime)):
+        if isinstance(v, JsonDate):
+            ft, raw = _OP_DATE, _pack_temporal(v.y, v.m, v.d, 0, 0, 0, 0)
+        elif isinstance(v, JsonTime):
+            ft, raw = _OP_TIME, _pack_temporal(
+                0, 0, 0, v.h, v.mi, v.s, v.us, v.neg
+            )
+        else:
+            ft, raw = _OP_DATETIME, _pack_temporal(
+                v.y, v.m, v.d, v.h, v.mi, v.s, v.us
+            )
+        data = raw.to_bytes(8, "little", signed=True)
+        return T_OPAQUE, bytes([ft]) + _enc_varlen(len(data)) + data
+    if isinstance(v, JsonOpaque):
+        return T_OPAQUE, (
+            bytes([v.field_type]) + _enc_varlen(len(v.data)) + v.data
+        )
     raise ValueError(f"unencodable jsonb value {v!r}")
 
 

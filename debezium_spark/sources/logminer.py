@@ -312,48 +312,85 @@ _EMPTY_LOB_CALLS = ("EMPTY_CLOB()", "EMPTY_BLOB()")
 
 
 class _LobBuffer:
-    """The reference's LobUnderConstruction fragment list: appends at
-    offset >= end extend; a write landing inside existing data truncates
-    the overlapped head fragment and absorbs fully-covered ones — the
-    merged value is the fragments' data concatenated in list order
-    (holes do NOT zero-pad, matching the reference's merge())."""
+    """The reference's LobUnderConstruction fragment list
+    (TransactionCommitConsumer.java:726-868): fragments are kept sorted
+    by offset and may leave holes. A write at offset >= end appends (the
+    expected DBMS_LOB.WRITE pattern); a write landing inside existing
+    data truncates the overlapped head fragment, absorbs in place when
+    it falls fully inside one fragment, removes fully-covered following
+    fragments and front-truncates a partially-covered one
+    (doAdd, :734-803). A write past the current end leaves a HOLE;
+    fragments entirely after the written region are untouched. merge()
+    fills every hole with spaces — DBMS_LOB.WRITE semantics for CLOBs
+    (merge(), :833-869; the BLOB branch zero-fills, our fixtures are
+    text so only the CLOB branch is modeled)."""
 
     def __init__(self, initial: str = ""):
         self.frags: list[list] = (
             [[0, initial]] if initial else []
-        )  # [offset, data]
+        )  # [offset, data], sorted by offset
         self.end = len(initial)
 
     def add(self, offset: int, data: str) -> None:
+        new_end = offset + len(data)
         if not self.frags or offset >= self.end:
             self.frags.append([offset, data])
-            self.end = max(self.end, offset + len(data))
+            self.end = max(self.end, new_end)
             return
-        new_end = offset + len(data)
+        # the uncommon case: writing somewhere in the middle (:753-803)
         out: list[list] = []
-        inserted = False
-        for off, d in self.frags:
+        i, n = 0, len(self.frags)
+        absorbed = False
+        while i < n:
+            off, d = self.frags[i]
             fend = off + len(d)
-            if fend <= offset:
-                out.append([off, d])
-                continue
-            if off < offset:
-                # overlapped head: truncate, then insert the new fragment
-                out.append([off, d[: offset - off]])
-            if not inserted:
+            if off <= offset < fend:
+                if new_end >= fend:
+                    # partially overlaps: truncate frag, insert after
+                    out.append([off, d[: offset - off]])
+                    out.append([offset, data])
+                else:
+                    # fully inside frag: absorb in place (:769-771)
+                    out.append(
+                        [off, d[: offset - off] + data + d[new_end - off:]]
+                    )
+                    absorbed = True
+                i += 1
+                break
+            if off > offset:
+                # insert before; preceding fragments untouched (:774-779)
                 out.append([offset, data])
-                inserted = True
-            if fend > new_end:
-                # tail survives past the write
-                out.append([new_end, d[new_end - off:]])
-            # fragments fully inside [offset, new_end) are absorbed
-        if not inserted:
+                break
+            out.append([off, d])
+            i += 1
+        else:
             out.append([offset, data])
+        if not absorbed:
+            # swallow / front-truncate following overlapped frags (:782-794)
+            while i < n:
+                off, d = self.frags[i]
+                fend = off + len(d)
+                if off >= new_end:
+                    break
+                if fend <= new_end:
+                    i += 1  # removed entirely
+                    continue
+                keep = fend - new_end
+                out.append([fend - keep, d[len(d) - keep:]])
+                i += 1
+        out.extend(self.frags[i:])
         self.frags = out
         self.end = max(self.end, new_end)
 
     def merge(self) -> str:
-        return "".join(d for _, d in self.frags)
+        parts: list[str] = []
+        pos = 0
+        for off, d in self.frags:
+            if pos < off:  # fill the holes between fragments (:860-862)
+                parts.append(" " * (off - pos))
+            parts.append(d)
+            pos = off + len(d)
+        return "".join(parts)
 
 
 def assemble_lob_events(

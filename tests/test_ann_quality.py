@@ -434,3 +434,22 @@ def test_ivf_prebuilt_postings_and_incremental_add(spark, sf_dir, tmp_path):
     ).collect()
     # the twin shares the cell and has cosine 1.0 -> it must be the top hit
     assert hits[0]["nid"] == 999999 and hits[0]["sim"] == 1.0
+
+
+def test_ivf_postings_without_centroids_raise(spark, sf_dir):
+    """Postings bake in cell ids from the centroids that produced them;
+    accepting them with freshly trained centroids would probe mismatched
+    cells and silently return wrong neighbors."""
+    import pytest
+
+    from debezium_spark.analytics.vectors import (
+        ivf_postings,
+        ivf_train,
+        knn_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train(emb)
+    posts = ivf_postings(emb, cents)
+    with pytest.raises(ValueError, match="centroid"):
+        knn_ivf(emb, emb.limit(1), postings=posts)

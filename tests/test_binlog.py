@@ -597,12 +597,9 @@ def test_jsonb_object_key_sort_and_spilled_values():
     assert jsonb_to_text(enc) == '{"k":[1048576,1099511627776,0.5,"s"]}'
 
 
-def test_jsonb_large_form_and_opaque_raise():
-    import pytest as _pytest
-
+def test_jsonb_large_form():
     from debezium_spark.sources.jsonb import (
         T_LARGE_ARR,
-        T_OPAQUE,
         decode_jsonb,
         encode_jsonb,
     )
@@ -612,8 +609,57 @@ def test_jsonb_large_form_and_opaque_raise():
     assert enc[0] == T_LARGE_ARR
     assert decode_jsonb(enc) == big
 
-    with _pytest.raises(ValueError, match="OPAQUE"):
-        decode_jsonb(bytes([T_OPAQUE, 0x0A, 0x01, 0x00]))
+
+def test_jsonb_opaque_typed_values_round_trip():
+    """OPAQUE (0x0f) values — CAST decimals/dates/times/datetimes packed
+    inside a JSON document — decode per the binlog client's JsonBinary
+    opaque switch and render like the server's JSON output."""
+    from debezium_spark.sources.jsonb import (
+        JsonDate,
+        JsonDatetime,
+        JsonDecimal,
+        JsonOpaque,
+        JsonTime,
+        decode_jsonb,
+        encode_jsonb,
+        jsonb_to_text,
+    )
+
+    doc = {
+        "dec": JsonDecimal("1234.56", 10, 2),
+        "neg": JsonDecimal("-0.05", 5, 2),
+        "d": JsonDate(2015, 1, 15),
+        "t": JsonTime(23, 24, 25, 123456),
+        "dt": JsonDatetime(2015, 1, 15, 23, 24, 25),
+        "raw": JsonOpaque(15, b"hello"),
+    }
+    enc = encode_jsonb(doc)
+    assert decode_jsonb(enc) == {
+        k: doc[k] for k in sorted(doc, key=lambda k: (len(k), k))
+    }
+    assert jsonb_to_text(enc) == (
+        '{"d":"2015-01-15","t":"23:24:25.123456",'
+        '"dt":"2015-01-15 23:24:25.000000","dec":1234.56,'
+        '"neg":-0.05,"raw":"base64:type15:aGVsbG8="}'
+    )
+    # negative TIME carries the sign on the packed int64
+    assert jsonb_to_text(encode_jsonb([JsonTime(5, 0, 1, 0, neg=True)])) == (
+        '["-05:00:01.000000"]'
+    )
+
+
+def test_jsonb_zero_length_document_is_sql_null():
+    """MySQL writes a zero-length JSONB document for a JSON column set to
+    SQL NULL; the reference's BinlogValueConverters.convertJson delivers
+    null there, so the text layer maps it to None while the parse layer
+    (JsonBinary.parse-equivalent) still refuses."""
+    import pytest as _pytest
+
+    from debezium_spark.sources.jsonb import decode_jsonb, jsonb_to_text
+
+    assert jsonb_to_text(b"") is None
+    with _pytest.raises(ValueError, match="empty"):
+        decode_jsonb(b"")
 
 
 def test_json_column_through_rows_event(spark):

@@ -252,3 +252,59 @@ def test_lob_rows_are_independent_across_rowids(spark):
     ]
     out = _assemble(spark, rows)
     assert [o[6][2] for o in out] == ["A", "B"]
+
+
+# ---------------------------------------------------------------------------
+# _LobBuffer vs LobUnderConstruction (TransactionCommitConsumer.java:726-868)
+# ---------------------------------------------------------------------------
+def test_lob_buffer_fills_holes_with_spaces():
+    """DBMS_LOB.WRITE past the current end leaves a hole; merge() fills
+    it with spaces exactly like the reference's CLOB merge (:856-868)."""
+    from debezium_spark.sources.logminer import _LobBuffer
+
+    b = _LobBuffer()
+    b.add(0, "a")
+    b.add(10, "b")
+    assert b.merge() == "a" + " " * 9 + "b"
+
+    # a hole before the FIRST fragment is also space-filled
+    b2 = _LobBuffer()
+    b2.add(5, "x")
+    assert b2.merge() == "     x"
+
+
+def test_lob_buffer_fragments_after_write_region_untouched():
+    """A middle write must not re-offset fragments that lie entirely
+    after it (the reference inserts before them and breaks)."""
+    from debezium_spark.sources.logminer import _LobBuffer
+
+    b = _LobBuffer()
+    b.add(0, "aa")
+    b.add(10, "bb")
+    b.add(1, "x")     # overlaps [0,'aa'] tail only
+    assert b.frags == [[0, "a"], [1, "x"], [10, "bb"]]
+    b.add(11, "yy")   # truncates the tail of [10,'bb']
+    assert b.merge() == "ax" + " " * 8 + "byy"
+
+
+def test_lob_buffer_absorb_and_front_truncate():
+    from debezium_spark.sources.logminer import _LobBuffer
+
+    # write fully inside one fragment absorbs in place
+    b = _LobBuffer("abcdef")
+    b.add(2, "XY")
+    assert b.merge() == "abXYef"
+
+    # write spanning a gap front-truncates the following fragment
+    b2 = _LobBuffer()
+    b2.add(0, "aaaa")
+    b2.add(8, "bbbb")
+    b2.add(2, "ZZZZZZZZ")  # covers [2,10): eats 'aa' tail + 'bb' head
+    assert b2.merge() == "aaZZZZZZZZbb"
+
+    # write covering a whole following fragment removes it
+    b3 = _LobBuffer()
+    b3.add(0, "aa")
+    b3.add(4, "cc")
+    b3.add(1, "XXXXXXX")  # [1,8) swallows [4,'cc'] entirely
+    assert b3.merge() == "aXXXXXXX"
