@@ -1067,6 +1067,8 @@ PG_FLOAT4, PG_FLOAT8 = 700, 701
 PG_BPCHAR, PG_VARCHAR = 1042, 1043
 PG_DATE, PG_TIME, PG_TIMESTAMP, PG_TIMESTAMPTZ = 1082, 1083, 1114, 1184
 PG_NUMERIC, PG_UUID, PG_JSONB = 1700, 2950, 3802
+PG_POINT, PG_CIDR, PG_MONEY, PG_MACADDR, PG_INET = 600, 650, 790, 829, 869
+PG_INTERVAL = 1186
 _PG_STRING_OIDS = {PG_CHAR, PG_NAME, PG_TEXT, PG_JSON, PG_XML, PG_BPCHAR,
                    PG_VARCHAR, PG_UUID, PG_JSONB}
 #: array-type OID -> element cast ("" = text elements, unquoted JVM-side)
@@ -1075,6 +1077,129 @@ _PG_ARRAY_ELEM = {
     1021: "float", 1022: "double", 1231: "decimal(38,18)",
     1009: "", 1015: "",  # _text / _varchar
 }
+
+# PG array_out grammar (the full element forms, one nesting level): an
+# element is a quoted string ("…" with \" and \\ escapes — may contain
+# commas, braces, anything), a sub-array {…} (whose own quoted elements
+# may contain '}'), or a bare token (PG only leaves an element unquoted
+# when it has no special characters). Ordered alternation: the nested and
+# quoted forms win before the bare catch-all, so an embedded comma never
+# splits an element — the mis-parse PostgresValueConverter's real array
+# walk can't hit and the previous bare-comma split did.
+_PG_ARR_QUOTED = r'"(?:[^"\\]|\\.)*"'
+_PG_ARR_NESTED = r"\{(?:" + _PG_ARR_QUOTED + r"|[^}])*\}"
+_PG_ARR_TOKEN = f"({_PG_ARR_NESTED}|{_PG_ARR_QUOTED}|[^,]+)"
+_PG_ARR_TOKEN_FLAT = f"({_PG_ARR_QUOTED}|[^,]+)"
+
+
+def _pg_unquote(e):
+    """Strip the surrounding quotes and undo the \\" and \\\\ escapes in
+    ONE pass (a sequential \\"-then-\\\\ pair would corrupt '\\\\\"')."""
+    return F.regexp_replace(
+        e.substr(F.lit(2), F.length(e) - 2), r"\\(.)", r"$1"
+    )
+
+
+def _pg_elem_conv(elem_t: str):
+    """Element text -> typed value: unquoted NULL is SQL NULL, a quoted
+    element unescapes (and only then casts), anything else casts
+    directly. Malformed typed text still raises via ANSI cast — a
+    try_cast would silently null corrupted data."""
+    if elem_t == "boolean":
+        def conv(e):
+            return (
+                F.when(e == "NULL", F.lit(None).cast("boolean"))
+                .when(e == "t", F.lit(True))
+                .when(e == "f", F.lit(False))
+            )
+    elif elem_t:
+        def conv(e):
+            return (
+                F.when(e == "NULL", F.lit(None).cast(elem_t))
+                .when(e.startswith('"'), _pg_unquote(e).cast(elem_t))
+                .otherwise(e.cast(elem_t))
+            )
+    else:
+        def conv(e):
+            return (
+                F.when(e == "NULL", F.lit(None).cast("string"))
+                .when(e.startswith('"'), _pg_unquote(e))
+                .otherwise(e)
+            )
+    return conv
+
+
+def pg_array_value(col, elem_t: str, ndims: int = 1):
+    """PG array text -> array<T> (ndims=1) or array<array<T>> (ndims=2),
+    via the real array_out grammar: quoted elements with embedded
+    commas/braces/escaped quotes, unquoted NULL vs quoted "NULL", empty
+    arrays, one nesting level (PostgresValueConverter.java:286-324's
+    array path; pg_attribute.attndims picks the shape — PG array OIDs
+    don't encode dimensionality). A '{'-prefixed element inside a
+    declared-1-D column raises instead of mis-parsing."""
+    if ndims not in (1, 2):
+        raise ValueError(f"pg arrays supported to 2 dimensions, got {ndims}")
+    conv = _pg_elem_conv(elem_t)
+    scalar_t = elem_t or "string"
+    inner = col.substr(F.lit(2), F.length(col) - 2)
+    tokens = F.regexp_extract_all(inner, F.lit(_PG_ARR_TOKEN), 1)
+    if ndims == 1:
+        def guarded(e):
+            return F.when(
+                e.startswith("{"),
+                F.raise_error(F.concat(F.lit(
+                    "multi-dimensional pg array value in a column "
+                    "declared 1-D: "), e)).cast(scalar_t),
+            ).otherwise(conv(e))
+
+        return F.transform(tokens, guarded)
+
+    def sub(t):
+        s_tokens = F.regexp_extract_all(
+            t.substr(F.lit(2), F.length(t) - 2),
+            F.lit(_PG_ARR_TOKEN_FLAT), 1,
+        )
+        return F.when(
+            ~t.startswith("{"),
+            F.raise_error(F.concat(F.lit(
+                "scalar element in a column declared 2-D: "), t)
+            ).cast(f"array<{scalar_t}>"),
+        ).otherwise(F.transform(s_tokens, conv))
+
+    return F.transform(tokens, sub)
+
+
+def pg_interval_iso(col):
+    """PG interval text ('1 year 2 mons 3 days 04:05:06.789', pieces
+    optional, time sign distributing over h/m/s) -> the reference's
+    ISO-8601 duration string (interval.handling.mode=string,
+    Interval.toIsoString)."""
+    from debezium_spark.operators.handling import interval_iso
+
+    def part(pat):
+        # regexp_extract yields '' on no match; nullif before the ANSI cast
+        return F.coalesce(
+            F.nullif(F.regexp_extract(col, pat, 1), F.lit("")).cast("long"),
+            F.lit(0),
+        )
+
+    neg_time = F.regexp_extract(col, r"(-)\d+:\d{2}:\d{2}", 1) == "-"
+    sign = F.when(neg_time, F.lit(-1)).otherwise(F.lit(1))
+    secs = F.coalesce(
+        F.nullif(
+            F.regexp_extract(col, r"-?\d+:\d{2}:(\d{2}(?:\.\d+)?)", 1),
+            F.lit(""),
+        ).cast("decimal(18,6)"),
+        F.lit(0).cast("decimal(18,6)"),
+    )
+    return interval_iso(
+        part(r"(-?\d+) years?"),
+        part(r"(-?\d+) mons?"),
+        part(r"(-?\d+) days?"),
+        sign * part(r"-?(\d+):\d{2}:\d{2}"),
+        sign * part(r"-?\d+:(\d{2}):\d{2}"),
+        (sign.cast("decimal(18,6)") * secs),
+    )
 
 
 def numeric_type_for(atttypmod: int) -> str:
@@ -1089,20 +1214,25 @@ def numeric_type_for(atttypmod: int) -> str:
 
 
 def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
-                   include_unknown: bool = False):
+                   include_unknown: bool = False, ndims: int = 1):
     """One pgoutput text cell -> typed Spark column, dispatched on the
     relation's column OID (PostgresValueConverter.java:112,286-324).
 
     Text forms are PG's own output formats: bool 't'/'f'; bytea hex
     '\\x…'; date/timestamp ISO; time 'HH:MM:SS[.ffffff]' (surfaced as
     io.debezium.time.MicroTime int64 µs-since-midnight, the reference's
-    logical type); arrays '{a,b,NULL}' (non-nested; quoted text elements
-    unescape, but embedded commas inside quotes are out of slice — PG's
-    full array grammar needs a real parser). Unknown OIDs raise by
-    default — silent string passthrough would corrupt a sink schema;
-    ``include_unknown=True`` opts into the reference's
-    include.unknown.datatypes behavior (custom types announced via 'Y'
-    messages surface as their text form)."""
+    logical type); arrays via the real array_out grammar (quoted
+    elements with embedded commas/braces and escaped quotes, NULL vs
+    "NULL", one nesting level — ``ndims`` comes from
+    pg_attribute.attndims since array OIDs don't encode it); interval
+    as the ISO-8601 duration string (interval.handling.mode=string);
+    money as decimal(19,2) with the currency symbol and group commas
+    stripped; inet/cidr/macaddr as validated strings; point as a
+    struct<x:double,y:double> (the reference's geometry.Point x/y pair).
+    Unknown OIDs raise by default — silent string passthrough would
+    corrupt a sink schema; ``include_unknown=True`` opts into the
+    reference's include.unknown.datatypes behavior (custom types
+    announced via 'Y' messages surface as their text form)."""
     if type_oid == PG_BOOL:
         return F.when(col == "t", F.lit(True)).when(col == "f", F.lit(False))
     if type_oid == PG_BYTEA:
@@ -1133,41 +1263,34 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
     if type_oid == PG_TIMESTAMPTZ:
         return col.cast("timestamp")
     if type_oid in _PG_ARRAY_ELEM:
-        elem_t = _PG_ARRAY_ELEM[type_oid]
-        inner = col.substr(F.lit(2), F.length(col) - 2)
-        parts = F.split(inner, ",")
-        if elem_t == "boolean":
-            def conv(e):
-                return F.when(e == "t", F.lit(True)).when(
-                    e == "f", F.lit(False)
-                )
-        elif elem_t:
-            def conv(e):
-                # explicit NULL-keyword guard (ANSI casts reject 'NULL');
-                # genuinely malformed numeric text still raises — a
-                # try_cast would silently null corrupted data instead
-                return F.when(e == "NULL", F.lit(None).cast(elem_t)).otherwise(
-                    e.cast(elem_t)
-                )
-        else:
-            def conv(e):
-                body = F.regexp_replace(
-                    F.regexp_replace(
-                        e.substr(F.lit(2), F.length(e) - 2), r'\\"', '"'
-                    ),
-                    r"\\\\",
-                    r"\\",
-                )
-                return (
-                    F.when(e == "NULL", F.lit(None).cast("string"))
-                    .when(e.startswith('"'), body)
-                    .otherwise(e)
-                )
-
-        arr_t = f"array<{elem_t or 'string'}>"
-        return (
-            F.when(F.length(col) <= 2, F.array().cast(arr_t))
-            .otherwise(F.transform(parts, conv))
+        return pg_array_value(col, _PG_ARRAY_ELEM[type_oid], ndims)
+    if type_oid == PG_INTERVAL:
+        return pg_interval_iso(col)
+    if type_oid == PG_MONEY:
+        # money_out: optional '-', currency symbol, group separators
+        body = F.regexp_replace(col, r"[$,]", "")
+        return body.cast("decimal(19,2)")
+    if type_oid in (PG_INET, PG_CIDR, PG_MACADDR):
+        # the reference surfaces these as strings; validate the shape so
+        # a framing bug can't smuggle garbage into a string column
+        pat = (
+            r"^[0-9a-f]{2}(:[0-9a-f]{2}){5}$" if type_oid == PG_MACADDR
+            else r"^[0-9a-fA-F:.]+(/\d{1,3})?$"
+        )
+        return F.when(col.isNull(), F.lit(None).cast("string")).when(
+            col.rlike(pat), col
+        ).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"malformed text for pg type OID {type_oid}: "), col
+            )).cast("string")
+        )
+    if type_oid == PG_POINT:
+        # point_out '(x,y)' -> the reference's geometry.Point x/y pair
+        return F.struct(
+            F.regexp_extract(col, r"^\(([^,]+),", 1).cast("double")
+            .alias("x"),
+            F.regexp_extract(col, r",([^)]+)\)$", 1).cast("double")
+            .alias("y"),
         )
     if include_unknown:
         return col  # the text form, the reference's opt-in passthrough
@@ -1185,12 +1308,16 @@ def typed_projection(
     table: str,
     src: str = "after",
     include_unknown: bool = False,
+    array_dims: dict[str, int] | None = None,
 ) -> DataFrame:
     """Project one relation's decoded text envelope into TYPED columns
     driven by the relation registry's (col_names, col_oids, col_typmods)
     — the completion of the binary decode: downstream pipelines get
     DecimalType-from-atttypmod, TimestampType-from-ISO-text, arrays,
     bytea… instead of re-implementing type mapping ad hoc.
+    ``array_dims`` maps column name -> dimensionality for array columns
+    (PG's pg_attribute.attndims — the wire 'R' message doesn't carry it,
+    the reference reads it from JDBC metadata); unlisted arrays are 1-D.
 
     Version-aware: each registry version's [valid_from, valid_to) LSN
     window projects with ITS OWN name/OID/typmod list (a column added or
@@ -1220,7 +1347,9 @@ def typed_projection(
     for ver in vers:
         typed = [
             pg_typed_value(src_col[name], oid, mod,
-                           include_unknown=include_unknown).alias(name)
+                           include_unknown=include_unknown,
+                           ndims=(array_dims or {}).get(name, 1),
+                           ).alias(name)
             for name, oid, mod in zip(
                 ver["col_names"], ver["col_oids"], ver["col_typmods"]
             )

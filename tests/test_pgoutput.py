@@ -627,8 +627,9 @@ def test_typed_projection_schema_and_values(spark):
     from debezium_spark.sources.pgoutput import pg_typed_value
     from pyspark.sql import functions as F
 
-    with _pytest.raises(ValueError, match="OID 600"):
-        pg_typed_value(F.lit("x"), 600)
+    # tsvector (3614) stays genuinely exotic — point (600) is mapped now
+    with _pytest.raises(ValueError, match="OID 3614"):
+        pg_typed_value(F.lit("x"), 3614)
 
 
 def test_typed_projection_is_version_aware(spark):
@@ -691,3 +692,119 @@ def test_unknown_oid_raises_unless_included(spark):
     )
     assert df.collect()[0]["v"] == "(1,2)"
     assert dict(df.dtypes)["v"] == "string"
+
+
+# ---------------------------------------------------------------------------
+# s22b — the real array_out grammar + the OID tail
+# (PostgresValueConverter.java:286-324 and its array path)
+# ---------------------------------------------------------------------------
+def test_pg_array_quoted_elements_full_grammar(spark):
+    """Quoted elements with embedded commas/braces, escaped quotes and
+    backslashes, unquoted NULL vs quoted "NULL", empty arrays, empty
+    strings — the shapes the old bare-comma split silently corrupted."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_array_value
+
+    rows = [
+        ('{"a,b",NULL,"c\\"d"}', ["a,b", None, 'c"d']),
+        ('{plain,"NULL","x\\\\y"}', ["plain", "NULL", "x\\y"]),
+        ('{"{not,nested}",end}', ["{not,nested}", "end"]),
+        ('{""}', [""]),
+        ("{}", []),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string")
+    got = [
+        r["a"]
+        for r in df.select(
+            pg_array_value(F.col("s"), "").alias("a")
+        ).collect()
+    ]
+    assert got == [exp for _, exp in rows]
+
+
+def test_pg_array_two_dimensional_and_guards(spark):
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_array_value
+
+    df = spark.createDataFrame(
+        [('{{1,2},{3,4},{}}',)], "s string"
+    )
+    out = df.select(
+        pg_array_value(F.col("s"), "int", ndims=2).alias("a")
+    ).collect()[0]["a"]
+    assert out == [[1, 2], [3, 4], []]
+
+    # 2-D text with quoted elements containing '}' and ','
+    dft = spark.createDataFrame([('{{"a}b","c,d"},{NULL}}',)], "s string")
+    outt = dft.select(
+        pg_array_value(F.col("s"), "", ndims=2).alias("a")
+    ).collect()[0]["a"]
+    assert outt == [["a}b", "c,d"], [None]]
+
+    # declared-1D column receiving nested content must raise, not mis-parse
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="declared 1-D"):
+        df.select(
+            pg_array_value(F.col("s"), "int", ndims=1).alias("a")
+        ).collect()
+    # declared-2D column receiving scalars must raise too
+    one = spark.createDataFrame([("{1,2}",)], "s string")
+    with _pytest.raises(Exception, match="declared 2-D"):
+        one.select(
+            pg_array_value(F.col("s"), "int", ndims=2).alias("a")
+        ).collect()
+
+
+def test_pg_oid_tail_interval_money_net_point(spark):
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import (
+        PG_CIDR,
+        PG_INET,
+        PG_INTERVAL,
+        PG_MACADDR,
+        PG_MONEY,
+        PG_POINT,
+        pg_typed_value,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("1 year 2 mons 3 days 04:05:06.789", "$1,234.56",
+             "192.168.100.128/25", "08:00:2b:01:02:03", "(2.5,-3.75)"),
+            ("-1 days +02:03:04", "-$0.07", "::1",
+             "ff:ff:ff:ff:ff:ff", "(0,0)"),
+            ("00:00:02.5", "$0.00", "10.1.2.3", "aa:bb:cc:dd:ee:ff",
+             "(-1.5,2)"),
+        ],
+        "iv string, m string, net string, mac string, pt string",
+    )
+    out = df.select(
+        pg_typed_value(F.col("iv"), PG_INTERVAL).alias("iso"),
+        pg_typed_value(F.col("m"), PG_MONEY).alias("money"),
+        pg_typed_value(F.col("net"), PG_INET).alias("inet"),
+        pg_typed_value(F.col("mac"), PG_MACADDR).alias("mac"),
+        pg_typed_value(F.col("pt"), PG_POINT).alias("pt"),
+    ).collect()
+    assert [r["iso"] for r in out] == [
+        "P1Y2M3DT4H5M6.789S", "P0Y0M-1DT2H3M4S", "P0Y0M0DT0H0M2.5S",
+    ]
+    assert [str(r["money"]) for r in out] == ["1234.56", "-0.07", "0.00"]
+    assert [r["inet"] for r in out] == [
+        "192.168.100.128/25", "::1", "10.1.2.3",
+    ]
+    assert out[0]["pt"]["x"] == 2.5 and out[0]["pt"]["y"] == -3.75
+    assert out[2]["pt"]["x"] == -1.5 and out[2]["pt"]["y"] == 2.0
+
+    # malformed inet/macaddr raises rather than passing through
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([("not an addr",)], "net string")
+    with _pytest.raises(Exception, match="malformed"):
+        bad.select(
+            pg_typed_value(F.col("net"), PG_CIDR).alias("v")
+        ).collect()
