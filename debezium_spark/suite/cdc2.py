@@ -570,6 +570,106 @@ def s4_readonly_incremental(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S30 — read-only incremental snapshot with GTID-SET watermarks across a
+# server failover (GtidSet.java:15-61 algebra;
+# BinlogReadOnlyIncrementalSnapshotChangeEventSource.java:116-175;
+# MySqlReadOnlyIncrementalSnapshotContext.setHighWatermark subtract).
+# ---------------------------------------------------------------------------
+GTID_OPEN_POS = 3000     # @@gtid_executed read at chunk-window open
+GTID_SPLIT_POS = 5000    # the failover: server_uuid changes, txids restart
+GTID_CLOSE_POS = 7000    # @@gtid_executed read at chunk-window close
+_UUID_A = "aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa"
+_UUID_B = "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb"
+
+
+@register(
+    "s30_gtidset_readonly_snapshot",
+    oracle=f"""
+    WITH {CHANGES_CTE}, {SNAPSHOT_CTE},
+    w AS (SELECT * FROM changes
+          WHERE pos > {GTID_OPEN_POS} AND pos <= {GTID_CLOSE_POS}),
+    latest AS (
+        SELECT id,
+               CASE WHEN op = 'd' THEN NULL ELSE status END AS status,
+               CASE WHEN op = 'd' THEN NULL ELSE balance END AS balance,
+               op
+        FROM w
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY pos DESC) = 1
+    )
+    SELECT id, status, balance FROM snap ANTI JOIN latest USING (id)
+    UNION ALL
+    SELECT id, status, balance FROM latest WHERE op <> 'd'
+    """,
+)
+def s30_gtidset_readonly_snapshot(spark, sf_dir):
+    """S4's missing half: the chunk-dedup window is decided by GTID-SET
+    CONTAINMENT, not a scalar fence — and the fixture forces the case
+    scalars provably get wrong: a failover inside the window (server_uuid
+    A -> B at pos {GTID_SPLIT_POS}, transaction ids restarting at 1).
+
+    The Spark path derives everything through the real algebra: two
+    bounded reads of the simulated @@gtid_executed (per-uuid max txid —
+    2-row collects, the same budget the reference's offset context
+    holds), high = close.subtract(open) (setHighWatermark), failover
+    detected via has_server_identifier_changed (-> the reference
+    re-reads the chunk), and window membership rendered as a literal
+    interval predicate over (uuid, txid) — join-free, rides the scan.
+    The oracle states the window as the equivalent pos range, so any
+    off-by-one in the interval algebra breaks the hash."""
+    from debezium_spark.operators.incremental import incremental_snapshot
+    from debezium_spark.sources.gtid import (
+        GtidSet,
+        ReadOnlyWindow,
+        gtid_membership_predicate,
+    )
+    from debezium_spark.suite.cdc import _snapshot_flat
+
+    env = accounts_changefeed(spark, sf_dir)
+    flat = env.select(
+        F.col("key.id").alias("id"),
+        F.col("after.status").alias("status"),
+        F.col("after.balance").alias("balance"),
+        "op",
+        F.col("source.pos").alias("pos"),
+    ).withColumn(
+        "g_uuid",
+        F.when(F.col("pos") < GTID_SPLIT_POS, F.lit(_UUID_A))
+        .otherwise(F.lit(_UUID_B)),
+    ).withColumn(
+        "g_txid",
+        F.when(F.col("pos") < GTID_SPLIT_POS, F.col("pos"))
+        .otherwise(F.col("pos") - GTID_SPLIT_POS + 1),
+    )
+
+    def executed_at(fence_pos: int) -> GtidSet:
+        # the simulated `SHOW MASTER STATUS` read: per-uuid max txid,
+        # a <=2-row agg (gtid_executed is contiguous from 1 per server)
+        rows = (
+            flat.filter(F.col("pos") <= fence_pos)
+            .groupBy("g_uuid").agg(F.max("g_txid").alias("mx"))
+            .collect()
+        )
+        return GtidSet.of({r["g_uuid"]: [(1, int(r["mx"]))] for r in rows})
+
+    window = ReadOnlyWindow()
+    window.open(executed_at(GTID_OPEN_POS))
+    window.close(executed_at(GTID_CLOSE_POS))
+    if not window.has_server_identifier_changed():
+        raise ValueError(
+            "fixture must span the failover: the high watermark should "
+            "carry both server uuids"
+        )
+    in_window = flat.filter(
+        gtid_membership_predicate(
+            window.high, F.col("g_uuid"), F.col("g_txid")
+        )
+    ).drop("g_uuid", "g_txid")
+    return incremental_snapshot(
+        _snapshot_flat(spark, sf_dir), in_window, ["id"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # S9 — LogMiner-style commit-ordered emission
 # ---------------------------------------------------------------------------
 @register(
@@ -1984,6 +2084,146 @@ def s22_pgoutput_typed(spark, sf_dir):
         "uid",
         F.col("t_of_day").alias("tod_us"),
         F.col("seen_at").cast("string").alias("seen_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S22b — the FULL pg array grammar + the OID tail through the typed
+# projection: quoted elements with embedded commas/braces/escaped quotes,
+# NULL vs "NULL", a 2-D int4 array (attndims side-channel), interval ->
+# ISO-8601 string, money -> decimal(19,2), inet/macaddr validated strings,
+# point -> x/y struct (PostgresValueConverter.java:286-324 and its array
+# walk; Interval.toIsoString for the interval rendering).
+# ---------------------------------------------------------------------------
+_PG_ARR_RELID = 16401
+_PG_ARR_COLS = [  # (flags, name, type_oid, atttypmod)
+    (1, "id", 20, -1),       # int8
+    (0, "names", 1009, -1),  # text[]
+    (0, "grid", 1007, -1),   # int4[][] (dims via array_dims side-channel)
+    (0, "iv", 1186, -1),     # interval
+    (0, "price", 790, -1),   # money
+    (0, "addr", 869, -1),    # inet
+    (0, "mac", 829, -1),     # macaddr
+    (0, "loc", 600, -1),     # point
+]
+
+
+def _pg_array_grammar_fixture(spark, sf_dir):
+    """Binary pgoutput stream whose text cells exercise exactly the
+    shapes the old bare-comma array split corrupted: embedded commas and
+    braces inside quotes, escaped quotes, unquoted NULL elements, plus
+    the tail OIDs. Every value derives closed-form from the events table
+    so the oracle can rebuild it."""
+    import pandas as pd
+
+    from debezium_spark.sources.pgoutput import (
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+    )
+
+    ev = _events_feed(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            lsns, msgs = [], []
+            for e, u, t in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"]
+            ):
+                e, u = int(e), int(u)
+                after = [
+                    ("t", str(e)),
+                    ("t", '{"' + t + ',x",NULL,"say \\"hi\\"","{brace}"}'),
+                    ("t", "{{" + f"{u},{e}" + "},{" + f"{e},NULL" + "}}"),
+                    ("t", f"{e % 5} years {e % 12} mons {e % 28} days "
+                          f"{e % 24:02d}:{e % 60:02d}:{(e + 1) % 60:02d}"),
+                    ("t", f"${e % 10000:,}.{e % 100:02d}"),
+                    ("t", f"10.{u % 200}.{e % 250}.{e % 99}/{e % 33}"),
+                    ("t", f"{u % 256:02x}:{e % 256:02x}:"
+                          f"{(e // 256) % 256:02x}:"
+                          f"{(e // 65536) % 256:02x}:{e % 7:02x}:ff"),
+                    ("t", f"({u}.5,-{e % 100}.25)"),
+                ]
+                lsns.append(e + 2)
+                msgs.append(encode_insert(_PG_ARR_RELID, after))
+            yield pd.DataFrame({"lsn": lsns, "msg": msgs})
+
+    data = ev.mapInPandas(enc, "lsn long, msg binary")
+    head = spark.createDataFrame(
+        [
+            (0, bytearray(encode_relation(
+                _PG_ARR_RELID, "public", "arrayful", _PG_ARR_COLS))),
+            (1, bytearray(encode_begin(10**9, 7_000_000, 4243))),
+            (10**9, bytearray(encode_commit(10**9, 10**9, 7_000_000))),
+        ],
+        "lsn long, msg binary",
+    )
+    return head.unionByName(data).localCheckpoint(eager=True)
+
+
+@register(
+    "s22b_pg_array_grammar",
+    oracle="""
+    SELECT event_id AS id,
+           event_type || ',x|∅|say "hi"|{brace}' AS names_joined,
+           2 AS grid_rows,
+           CAST(user_id AS INTEGER) AS g11,
+           CAST(event_id AS INTEGER) AS g12,
+           CAST(event_id AS INTEGER) AS g21,
+           TRUE AS g22_null,
+           printf('P%dY%dM%dDT%dH%dM%dS',
+                  event_id % 5, event_id % 12, event_id % 28,
+                  event_id % 24, event_id % 60,
+                  (event_id + 1) % 60) AS iv_iso,
+           printf('%d.%02d', event_id % 10000, event_id % 100)
+               AS price_str,
+           printf('10.%d.%d.%d/%d', user_id % 200, event_id % 250,
+                  event_id % 99, event_id % 33) AS addr,
+           printf('%02x:%02x:%02x:%02x:%02x:ff',
+                  user_id % 256, event_id % 256,
+                  (event_id // 256) % 256,
+                  (event_id // 65536) % 256, event_id % 7) AS mac,
+           CAST(user_id AS DOUBLE) + 0.5 AS pt_x,
+           -(CAST(event_id % 100 AS DOUBLE) + 0.25) AS pt_y
+    FROM events
+    """,
+)
+def s22b_pg_array_grammar(spark, sf_dir):
+    """The completion of s22's array leg: the REAL array_out grammar —
+    a quoted first element carrying an embedded comma, an unquoted NULL,
+    an escaped quote, a brace-bearing quoted element — plus a 2-D int4
+    array driven by the attndims side-channel, and the interval/money/
+    inet/macaddr/point OID arms. Any mis-split (the old bare-comma
+    behavior) changes names_joined/g* and fails the hash."""
+    from debezium_spark.sources.pgoutput import (
+        decode_pgoutput_binary,
+        relation_registry,
+        typed_projection,
+    )
+
+    stream = _pg_array_grammar_fixture(spark, sf_dir)
+    reg = relation_registry(spark, stream)
+    dec = decode_pgoutput_binary(spark, stream, registry=reg)
+    typed = typed_projection(
+        dec, reg, "public", "arrayful", array_dims={"grid": 2}
+    )
+    return typed.select(
+        "id",
+        F.array_join("names", "|", "∅").alias("names_joined"),
+        F.size("grid").alias("grid_rows"),
+        F.element_at(F.element_at("grid", 1), 1).alias("g11"),
+        F.element_at(F.element_at("grid", 1), 2).alias("g12"),
+        F.element_at(F.element_at("grid", 2), 1).alias("g21"),
+        F.element_at(F.element_at("grid", 2), 2).isNull().alias("g22_null"),
+        F.col("iv").alias("iv_iso"),
+        F.col("price").cast("string").alias("price_str"),
+        "addr",
+        "mac",
+        F.col("loc")["x"].alias("pt_x"),
+        F.col("loc")["y"].alias("pt_y"),
     )
 
 
