@@ -418,7 +418,20 @@ def assemble_lob_events(
       UPDATE touching no LOB column is a separate logical change and
       emits on its own.
     * SEL_LOB_LOCATOR merges as a no-op carrier; a locator-rooted chain
-      (bare ``UPDATE t SET lob = …`` via locator) emits as 'u'.
+      (bare ``UPDATE t SET lob = …`` via locator) emits as 'u' — UNLESS
+      nothing changed after the locator, in which case the chain is a
+      NOOP and is not emitted (prepareAndDispatch's SELECT_LOB_LOCATOR
+      gate, TransactionCommitConsumer.java:319-334).
+    * LOB_ERASE (and any other non-WRITE LOB manipulation) DISCARDS the
+      row's in-flight merge state — the reference refuses to emit a
+      value it cannot reconstruct (:225-229, discardCurrentMergeState
+      :552-559); an erase with no construction in flight is ignored.
+    * EXTENDED_STRING_BEGIN/WRITE (32k extended strings): begin names
+      the column and starts a FRESH construction (prior value
+      discarded), writes concatenate in order — no offsets, no hole
+      filling (ExtendedStringFragment/UnderConstruction :944-973); a
+      begin with no writes leaves the column NULL (isNull never
+      cleared).
     * Emitted op/scn come from the chain's FIRST event (the reference
       emits the accumulator event).
 
@@ -449,17 +462,37 @@ def assemble_lob_events(
         # ``chain`` is one row's events, already scn-sorted by the caller
         acc = None  # [scn, tx, rowid, op, schema, table, values]
         bufs: dict[int, _LobBuffer] = {}
+        xs_bufs: dict[int, list | None] = {}  # 32k extended-string parts
         target: int | None = None
+        xs_target: int | None = None
+        origin: str | None = None   # 'dml' | 'locator' — the acc's root
+        mutated = False             # any write/merge since the root event
+
+        def reset_state():
+            nonlocal acc, bufs, xs_bufs, target, xs_target, origin, mutated
+            acc, bufs, xs_bufs = None, {}, {}
+            target, xs_target = None, None
+            origin, mutated = None, False
 
         def finalize():
-            nonlocal acc, bufs, target
+            nonlocal acc
             if acc is None:
                 return
             vals = acc[6]
             for ci, buf in bufs.items():
                 vals[ci] = buf.merge()
+            for ci, parts in xs_bufs.items():
+                # no 32K_WRITE arrived -> isNull stays set -> null column
+                # (AbstractUnderConstruction:585-598)
+                vals[ci] = "".join(parts) if parts is not None else None
+            if origin == "locator" and not mutated:
+                # the SEL_LOB_LOCATOR noop gate: a locator-rooted chain
+                # that changed nothing is NOT emitted
+                # (prepareAndDispatch, TransactionCommitConsumer.java:319-334)
+                reset_state()
+                return
             out.append(tuple(acc[:6]) + (vals,))
-            acc, bufs, target = None, {}, None
+            reset_state()
 
         for r in chain:
             kind = r.kind
@@ -470,6 +503,34 @@ def assemble_lob_events(
                         f"for row {getattr(r, rowid_col)!r}"
                     )
                 bufs[target].add(int(r.lob_offset), str(r.lob_data))
+                mutated = True
+                continue
+            if kind == "lob_erase":
+                # the reference does NOT apply erases: any non-LOB_WRITE
+                # manipulation DISCARDS the row's in-flight merge state so
+                # a wrong value is never emitted (acceptLobManipulationEvent
+                # :225-229 -> discardCurrentMergeState :552-559). Without a
+                # construction in flight it is ignored (mid-stream start,
+                # DBZ-4367).
+                if target is not None:
+                    reset_state()
+                continue
+            if kind == "xs_write":
+                # EXTENDED_STRING_WRITE (32k strings): fragments simply
+                # concatenate in arrival order — no offsets
+                # (ExtendedStringUnderConstruction.merge :959-973)
+                if acc is None or xs_target is None:
+                    raise ValueError(
+                        "32K_WRITE without a preceding "
+                        "EXTENDED_STRING_BEGIN for row "
+                        f"{getattr(r, rowid_col)!r}"
+                    )
+                parts = xs_bufs.get(xs_target)
+                xs_bufs[xs_target] = (
+                    [str(r.lob_data)] if parts is None
+                    else parts + [str(r.lob_data)]
+                )
+                mutated = True
                 continue
             vals = [None if v is None else str(v) for v in r.after]
             if len(vals) != len(cols):
@@ -485,6 +546,7 @@ def assemble_lob_events(
                     acc = [int(getattr(r, scn_col)),
                            getattr(r, tx_col), getattr(r, rowid_col),
                            "u", r.schema, r.table, vals]
+                    origin = "locator"
                 # locator merge is a no-op for values; it only selects
                 # the construction target
                 if ci not in bufs:
@@ -496,6 +558,25 @@ def assemble_lob_events(
                     bufs[ci] = _LobBuffer(init)
                 target = ci
                 continue
+            if kind == "xs_begin":
+                # EXTENDED_STRING_BEGIN: names the 32k column and starts
+                # a FRESH construction — the prior value is discarded
+                # (ExtendedStringUnderConstruction.fromInitialValue
+                # ignores it, :960-962); unlike the locator root, begin-
+                # rooted chains are not noop-gated (the gate tests only
+                # SELECT_LOB_LOCATOR, :321)
+                ci = idx.get(r.lob_col)
+                if ci is None:
+                    raise ValueError(f"extended-string begin names "
+                                     f"unknown column {r.lob_col!r}")
+                if acc is None:
+                    acc = [int(getattr(r, scn_col)),
+                           getattr(r, tx_col), getattr(r, rowid_col),
+                           "u", r.schema, r.table, vals]
+                    origin = "xs"
+                xs_bufs[ci] = None
+                xs_target = ci
+                continue
             if kind == "insert":
                 finalize()
                 for c in lob_set:
@@ -504,6 +585,7 @@ def assemble_lob_events(
                 acc = [int(getattr(r, scn_col)), getattr(r, tx_col),
                        getattr(r, rowid_col), "c", r.schema, r.table,
                        vals]
+                origin = "dml"
                 continue
             if kind == "update":
                 sets_lob = any(
@@ -518,13 +600,17 @@ def assemble_lob_events(
                         if v != UNAVAILABLE:
                             if cols[i] in lob_set:
                                 bufs.pop(i, None)
+                                xs_bufs.pop(i, None)
                                 if i == target:
                                     target = None
+                                if i == xs_target:
+                                    xs_target = None
                                 acc[6][i] = (
                                     "" if v in _EMPTY_LOB_CALLS else v
                                 )
                             else:
                                 acc[6][i] = v
+                    mutated = True
                     continue
                 finalize()
                 # untouched LOB columns keep the UNAVAILABLE placeholder
@@ -536,6 +622,7 @@ def assemble_lob_events(
                 acc = [int(getattr(r, scn_col)), getattr(r, tx_col),
                        getattr(r, rowid_col), "u", r.schema, r.table,
                        vals]
+                origin = "dml"
                 if not sets_lob:
                     finalize()
                 continue

@@ -3265,6 +3265,139 @@ def s29_logminer_lob(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S29b — the LOB event classes beyond LOB_WRITE: LOB_ERASE discard,
+# the SEL_LOB_LOCATOR noop gate, 32k extended-string begin/write chains,
+# and DBMS_LOB.WRITE hole filling (TransactionCommitConsumer.java:
+# 225-229,319-334,552-559,726-868,944-973).
+# ---------------------------------------------------------------------------
+@register(
+    "s29b_logminer_lob_edge",
+    oracle="""
+    WITH base AS (
+        SELECT event_id AS e, event_type AS et,
+               'note-' || event_id || ':' || event_type AS note_full
+        FROM events
+    ),
+    xs AS (  -- extended-string chains: fragments concatenate
+        SELECT e * 10 AS scn, 't' || (e // 100) AS tx, 'r' || e AS row_id,
+               'u' AS op, e AS id, et AS status, note_full AS note
+        FROM base WHERE e % 5 = 1
+    ),
+    erased AS (  -- erase discards the chain; the later update survives
+        SELECT e * 10 + 6, 't' || (e // 100), 'r' || e,
+               'u', e, et || '_u', '__dbz_unavailable_value__'
+        FROM base WHERE e % 5 = 2
+    ),
+    holey AS (  -- write past the end: hole space-fills (DBMS_LOB.WRITE)
+        SELECT e * 10, 't' || (e // 100), 'r' || e,
+               'c', e, et,
+               substr(note_full, 1, 4) || '   ' || substr(note_full, 8)
+        FROM base WHERE e % 5 = 3
+    ),
+    plain AS (
+        SELECT e * 10, 't' || (e // 100), 'r' || e,
+               'c', e, et, 'inline-' || e
+        FROM base WHERE e % 5 = 4
+    )
+    -- e % 5 = 0 rows are locator-rooted NOOP chains: never emitted
+    SELECT * FROM xs UNION ALL SELECT * FROM erased
+    UNION ALL SELECT * FROM holey UNION ALL SELECT * FROM plain
+    """,
+)
+def s29b_logminer_lob_edge(spark, sf_dir):
+    """The LOB pass's remaining event classes, one variant per residue:
+    0 — a bare SEL_LOB_LOCATOR chain (no writes) is a NOOP and is NOT
+    emitted; 1 — EXTENDED_STRING_BEGIN + three 32K_WRITE fragments
+    concatenate in order (prior value discarded); 2 — LOB_ERASE discards
+    the in-flight chain entirely (insert+locator+write all vanish), the
+    later plain UPDATE emits alone with the placeholder; 3 — a LOB_WRITE
+    past the construction's end leaves a hole that merge() fills with
+    spaces; 4 — control INSERT. The oracle enumerates exactly the
+    surviving events, so an erase that leaks, a noop that emits, or an
+    unfilled hole all break the row count or the hash."""
+    import pandas as pd
+
+    from debezium_spark.sources.logminer import UNAVAILABLE
+
+    ev = _events_feed(spark, sf_dir).select("event_id", "event_type")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for e, et in zip(pdf["event_id"], pdf["event_type"]):
+                e, et = int(e), str(et)
+                tx, rid = f"t{e // 100}", f"r{e}"
+                full = f"note-{e}:{et}"
+                m = e % 5
+                if m == 0:
+                    rows.append((e * 10, tx, rid, "sel_lob_locator",
+                                 "S", "T", [str(e), et, "keep"],
+                                 "note", None, None))
+                elif m == 1:
+                    rows.append((e * 10, tx, rid, "xs_begin", "S", "T",
+                                 [str(e), et, UNAVAILABLE], "note",
+                                 None, None))
+                    rows.append((e * 10 + 1, tx, rid, "xs_write", "S",
+                                 "T", None, None, None, full[:4]))
+                    rows.append((e * 10 + 2, tx, rid, "xs_write", "S",
+                                 "T", None, None, None, full[4:9]))
+                    rows.append((e * 10 + 3, tx, rid, "xs_write", "S",
+                                 "T", None, None, None, full[9:]))
+                elif m == 2:
+                    rows.append((e * 10, tx, rid, "insert", "S", "T",
+                                 [str(e), et, "EMPTY_CLOB()"], None,
+                                 None, None))
+                    rows.append((e * 10 + 1, tx, rid, "sel_lob_locator",
+                                 "S", "T", [str(e), et, UNAVAILABLE],
+                                 "note", None, None))
+                    rows.append((e * 10 + 2, tx, rid, "lob_write", "S",
+                                 "T", None, None, 0, "junk"))
+                    rows.append((e * 10 + 3, tx, rid, "lob_erase", "S",
+                                 "T", None, None, None, None))
+                    rows.append((e * 10 + 6, tx, rid, "update", "S", "T",
+                                 [str(e), f"{et}_u", UNAVAILABLE],
+                                 None, None, None))
+                elif m == 3:
+                    rows.append((e * 10, tx, rid, "insert", "S", "T",
+                                 [str(e), et, "EMPTY_CLOB()"], None,
+                                 None, None))
+                    rows.append((e * 10 + 1, tx, rid, "sel_lob_locator",
+                                 "S", "T", [str(e), et, UNAVAILABLE],
+                                 "note", None, None))
+                    rows.append((e * 10 + 2, tx, rid, "lob_write", "S",
+                                 "T", None, None, 0, full[:4]))
+                    rows.append((e * 10 + 3, tx, rid, "lob_write", "S",
+                                 "T", None, None, 7, full[7:]))
+                else:
+                    rows.append((e * 10, tx, rid, "insert", "S", "T",
+                                 [str(e), et, f"inline-{e}"], None,
+                                 None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["scn", "tx", "row_id", "kind", "schema",
+                         "table", "after", "lob_col", "lob_offset",
+                         "lob_data"],
+            )
+
+    feed = ev.mapInPandas(
+        gen,
+        "scn long, tx string, row_id string, kind string, schema string,"
+        " table string, after array<string>, lob_col string,"
+        " lob_offset int, lob_data string",
+    )
+
+    from debezium_spark.sources.logminer import assemble_lob_events
+
+    out = assemble_lob_events(feed, ["id", "status", "note"], ["note"])
+    return out.select(
+        "scn", "tx", "row_id", "op",
+        F.element_at("after", 1).cast("long").alias("id"),
+        F.element_at("after", 2).alias("status"),
+        F.element_at("after", 3).alias("note"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S11b — Mongo updateDescription.truncatedArrays fold
 # ---------------------------------------------------------------------------
 @register(

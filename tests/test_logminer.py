@@ -308,3 +308,102 @@ def test_lob_buffer_absorb_and_front_truncate():
     b3.add(4, "cc")
     b3.add(1, "XXXXXXX")  # [1,8) swallows [4,'cc'] entirely
     assert b3.merge() == "aXXXXXXX"
+
+
+# ---------------------------------------------------------------------------
+# s29b — LOB_ERASE / noop locator gate / 32k extended strings
+# (TransactionCommitConsumer.java:225-229,319-334,552-559,944-973)
+# ---------------------------------------------------------------------------
+def test_lob_erase_discards_in_flight_merge_state(spark):
+    """The reference does NOT apply erases: a LOB_ERASE discards the
+    row's accumulated event entirely (discardCurrentMergeState) so a
+    value it cannot reconstruct is never emitted; later events for the
+    row start a fresh logical change."""
+    from debezium_spark.sources.logminer import UNAVAILABLE
+
+    rows = [
+        _lob_row(1, "tx1", "r1", "insert", ["1", "ok", "EMPTY_CLOB()"]),
+        _lob_row(2, "tx1", "r1", "sel_lob_locator",
+                 ["1", "ok", UNAVAILABLE], lob_col="note"),
+        _lob_row(3, "tx1", "r1", "lob_write", lob_offset=0, lob_data="x"),
+        _lob_row(4, "tx1", "r1", "lob_erase"),
+        # after the discard, a new UPDATE is its own logical change
+        _lob_row(5, "tx1", "r1", "update", ["1", "later", UNAVAILABLE]),
+    ]
+    out = _assemble(spark, rows)
+    assert out == [(5, "tx1", "r1", "u", "S", "T",
+                    ["1", "later", UNAVAILABLE])]
+
+
+def test_lob_erase_without_construction_is_ignored(spark):
+    """Mid-stream start (DBZ-4367): an erase with no locator in flight
+    is ignored, the surrounding chain folds normally."""
+    from debezium_spark.sources.logminer import UNAVAILABLE
+
+    rows = [
+        _lob_row(1, "tx1", "r1", "lob_erase"),
+        _lob_row(2, "tx1", "r1", "insert", ["1", "ok", "inline"]),
+    ]
+    out = _assemble(spark, rows)
+    assert out == [(2, "tx1", "r1", "c", "S", "T", ["1", "ok", "inline"])]
+
+
+def test_noop_locator_chain_is_not_emitted(spark):
+    """A SEL_LOB_LOCATOR-rooted chain that changes nothing is a NOOP and
+    must not emit (prepareAndDispatch's SELECT_LOB_LOCATOR gate); the
+    same chain plus one write emits."""
+    from debezium_spark.sources.logminer import UNAVAILABLE
+
+    bare = [
+        _lob_row(1, "tx1", "r1", "sel_lob_locator",
+                 ["1", "ok", "existing"], lob_col="note"),
+    ]
+    assert _assemble(spark, bare) == []
+
+    with_write = bare + [
+        _lob_row(2, "tx1", "r1", "lob_write", lob_offset=8,
+                 lob_data=" more"),
+    ]
+    out = _assemble(spark, with_write)
+    assert out == [(1, "tx1", "r1", "u", "S", "T",
+                    ["1", "ok", "existing more"])]
+
+
+def test_extended_string_fragments_concatenate(spark):
+    """EXTENDED_STRING_BEGIN + three 32K_WRITE fragments fold into one
+    'u' whose column is the in-order concatenation (no offsets, no hole
+    fill); the prior value is discarded by the fresh construction."""
+    from debezium_spark.sources.logminer import UNAVAILABLE
+
+    rows = [
+        _lob_row(1, "tx1", "r1", "xs_begin",
+                 ["1", "ok", "old-value"], lob_col="note"),
+        _lob_row(2, "tx1", "r1", "xs_write", lob_data="part1|"),
+        _lob_row(3, "tx1", "r1", "xs_write", lob_data="part2|"),
+        _lob_row(4, "tx1", "r1", "xs_write", lob_data="part3"),
+    ]
+    out = _assemble(spark, rows)
+    assert out == [(1, "tx1", "r1", "u", "S", "T",
+                    ["1", "ok", "part1|part2|part3"])]
+
+
+def test_extended_string_begin_without_writes_is_null(spark):
+    """No 32K_WRITE arrives: the construction's isNull is never cleared,
+    so the column is NULL — and begin-rooted chains are NOT noop-gated
+    (the gate tests only SELECT_LOB_LOCATOR)."""
+    rows = [
+        _lob_row(1, "tx1", "r1", "xs_begin",
+                 ["1", "ok", "old-value"], lob_col="note"),
+    ]
+    out = _assemble(spark, rows)
+    assert out == [(1, "tx1", "r1", "u", "S", "T", ["1", "ok", None])]
+
+
+def test_extended_string_write_without_begin_raises(spark):
+    import pytest
+
+    rows = [
+        _lob_row(1, "tx1", "r1", "xs_write", lob_data="x"),
+    ]
+    with pytest.raises(Exception, match="EXTENDED_STRING_BEGIN"):
+        _assemble(spark, rows)
