@@ -3149,6 +3149,125 @@ def s28_binlog_json(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S28b — JSONB OPAQUE values: CAST decimals/dates/times/datetimes packed
+# inside JSON documents (the binlog client's JsonBinary opaque switch:
+# NEWDECIMAL packed-BCD, the 8-byte packed temporal, base64:typeN for the
+# rest) + the zero-length document -> SQL NULL rule
+# (BinlogValueConverters.convertJson).
+# ---------------------------------------------------------------------------
+@register(
+    "s28b_binlog_json_opaque",
+    oracle="""
+    SELECT 5000 + event_id AS pos,
+           event_id AS id,
+           CASE WHEN event_id % 11 = 0 THEN NULL ELSE
+             '{"id":' || event_id
+             || ',"ts":"' || printf('%04d-%02d-%02d %02d:%02d:%02d.%06d',
+                    2020, event_id % 12 + 1, event_id % 28 + 1,
+                    event_id % 24, event_id % 60, event_id % 60,
+                    (event_id % 1000) * 1000)
+             || '","bin":"base64:type15:'
+             || to_base64(encode(CAST(event_id AS VARCHAR)))
+             || '","day":"' || printf('%04d-%02d-%02d',
+                    1970 + event_id % 50, event_id % 12 + 1,
+                    event_id % 28 + 1)
+             || '","dec":' || printf('%d.%03d',
+                    event_id % 100000, event_id % 1000)
+             || ',"tod":"' || printf('%02d:%02d:%02d.%06d',
+                    event_id % 24, event_id % 60, event_id % 60,
+                    (event_id % 997) * 17 % 1000000)
+             || '"}'
+           END AS doc
+    FROM events
+    """,
+)
+def s28b_binlog_json_opaque(spark, sf_dir):
+    """OPAQUE values through the binlog JSON path: each document packs a
+    CAST decimal (packed-BCD at a fixed scale), a date, a time and a
+    datetime (8-byte packed temporals) plus a base64-rendered opaque of
+    an unmapped column type — decoded to exactly the text MySQL's JSON
+    output produces (bare number at the stored scale, quoted
+    'yyyy-mm-dd', 'hh:mm:ss.ffffff', 'base64:typeN:…'). Every 11th row
+    ships a ZERO-LENGTH document — what the server writes for a JSON
+    column holding SQL NULL — which must surface as NULL, not an error
+    (BinlogValueConverters.convertJson). Keys render in the server's
+    (length, bytes) stored order; the oracle builds the string in that
+    exact order."""
+    import base64 as _b64
+
+    import pandas as pd
+
+    from debezium_spark.sources.binlog import (
+        TYPE_JSON,
+        TYPE_LONGLONG,
+        WRITE_ROWS_EVENT,
+        decode_binlog_rows,
+        encode_rows_event,
+        encode_table_map,
+    )
+    from debezium_spark.sources.jsonb import (
+        JsonDate,
+        JsonDatetime,
+        JsonDecimal,
+        JsonOpaque,
+        JsonTime,
+    )
+
+    TID = 417
+    TYPES = [TYPE_LONGLONG, TYPE_JSON]
+    METAS = [0, 4]
+
+    ev = _events_feed(spark, sf_dir).select("event_id")
+
+    def enc(batches):
+        for pdf in batches:
+            poss, msgs = [], []
+            for e in pdf["event_id"]:
+                e = int(e)
+                doc = b"" if e % 11 == 0 else {
+                    "id": e,
+                    "dec": JsonDecimal(
+                        f"{e % 100000}.{e % 1000:03d}", 12, 3
+                    ),
+                    "day": JsonDate(1970 + e % 50, e % 12 + 1,
+                                    e % 28 + 1),
+                    "tod": JsonTime(e % 24, e % 60, e % 60,
+                                    (e % 997) * 17 % 1000000),
+                    "ts": JsonDatetime(2020, e % 12 + 1, e % 28 + 1,
+                                       e % 24, e % 60, e % 60,
+                                       (e % 1000) * 1000),
+                    "bin": JsonOpaque(15, str(e).encode()),
+                }
+                poss.append(5000 + e)
+                msgs.append(encode_rows_event(
+                    WRITE_ROWS_EVENT, TID, TYPES, METAS,
+                    [{"before": None, "after": [e, doc]}],
+                    log_pos=5000 + e,
+                ))
+            yield pd.DataFrame({"pos": poss, "msg": msgs})
+
+    # sanity-pin the base64 rendering the oracle reproduces
+    assert _b64.b64encode(b"7").decode() == "Nw=="
+
+    data = ev.mapInPandas(enc, "pos long, msg binary")
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_table_map(
+            TID, "inventory", "docs2", TYPES, METAS,
+            [False, True], log_pos=0,
+        )))],
+        "pos long, msg binary",
+    )
+    stream = rel.unionByName(data).localCheckpoint(eager=True)
+    dec = decode_binlog_rows(stream).filter(F.col("kind") == "c")
+    a = F.col("after")
+    return dec.select(
+        F.col("log_pos").alias("pos"),
+        F.element_at(a, 1).cast("long").alias("id"),
+        F.element_at(a, 2).alias("doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S29 — LogMiner LOB support: SEL_LOB_LOCATOR/LOB_WRITE fragment chains
 # merged into their owning DML (the reference's lob.enabled commit pass).
 # ---------------------------------------------------------------------------
