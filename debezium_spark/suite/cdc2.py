@@ -3517,6 +3517,99 @@ def s29b_logminer_lob_edge(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S31 — BSON-native typed conversion: change-stream documents arrive as
+# BSON bytes; the typed projection applies MongoDataConverter's type
+# table (MongoDataConverter.java:620-663,785-835) over a from-scratch
+# BSON codec (sources/bson.py, public bsonspec.org layout).
+# ---------------------------------------------------------------------------
+@register(
+    "s31_bson_typed",
+    oracle="""
+    SELECT event_id AS pos,
+           printf('%024x', event_id) AS oid,
+           'doc-' || event_id AS name,
+           printf('%d.%02d', (event_id * 7 + 1) // 100,
+                  (event_id * 7 + 1) % 100) AS price_str,
+           event_id * 1000 + 123 AS created_ms,
+           event_id * 1000 AS seen_ms,
+           event_id % 2 = 0 AS ok,
+           value AS score,
+           event_type || '|t' || event_id % 10 AS tags_joined,
+           event_id + 5000000000 AS big
+    FROM events
+    """,
+)
+def s31_bson_typed(spark, sf_dir):
+    """BSON documents through the typed projection: ObjectId -> 24-hex
+    string, Decimal128 (BID small form) -> its Java toString, DATE_TIME
+    -> epoch ms, BSON TIMESTAMP -> seconds*1000, booleans/doubles/
+    int32/int64 native, arrays as string arrays — exactly
+    MongoDataConverter's scalar table. The fixture encodes every
+    document with the from-scratch codec so the wire layout (not a
+    JSON-text stand-in) is what the kernel decodes."""
+    import pandas as pd
+
+    from debezium_spark.sources.bson import (
+        DateTime,
+        Decimal128,
+        ObjectId,
+        Timestamp,
+        bson_typed_table,
+        encode_bson,
+    )
+
+    ev = _events_feed(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            poss, msgs = [], []
+            for e, t, v in zip(
+                pdf["event_id"], pdf["event_type"], pdf["value"]
+            ):
+                e, t, v = int(e), str(t), float(v)
+                doc = {
+                    "_id": ObjectId(e.to_bytes(12, "big")),
+                    "name": f"doc-{e}",
+                    "price": Decimal128(False, str(e * 7 + 1), -2),
+                    "created": DateTime(e * 1000 + 123),
+                    "seen": Timestamp(e, 1),
+                    "ok": e % 2 == 0,
+                    "score": v,
+                    "tags": [t, f"t{e % 10}"],
+                    "big": e + 5_000_000_000,
+                }
+                poss.append(e)
+                msgs.append(encode_bson(doc))
+            yield pd.DataFrame({"pos": poss, "doc": msgs})
+
+    feed = ev.mapInPandas(enc, "pos long, doc binary")
+    typed = bson_typed_table(
+        feed,
+        [
+            ("_id", "objectid"), ("name", "string"),
+            ("price", "decimal128"), ("created", "datetime"),
+            ("seen", "timestamp"), ("ok", "boolean"),
+            ("score", "double"), ("tags", "array_string"),
+            ("big", "int64"),
+        ],
+    )
+    return typed.select(
+        "pos",
+        F.col("_id").alias("oid"),
+        "name",
+        F.col("price").alias("price_str"),
+        F.col("created").alias("created_ms"),
+        F.col("seen").alias("seen_ms"),
+        "ok",
+        "score",
+        F.array_join("tags", "|").alias("tags_joined"),
+        "big",
+    )
+
+
+# ---------------------------------------------------------------------------
 # S11b — Mongo updateDescription.truncatedArrays fold
 # ---------------------------------------------------------------------------
 @register(
