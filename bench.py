@@ -146,6 +146,48 @@ def _job_latency_probe(spark) -> list[float]:
     return runs
 
 
+def quarantine_noisy_legs(
+    timings: dict[str, float],
+    previous: dict[str, float],
+    evidence: set[str],
+    factor: float = 2.0,
+) -> tuple[float, float, list[str]]:
+    """Quarantine decision for noisy-accepted legs (VERDICT r10 Wrong #2):
+    a leg whose accepted median sits > ``factor`` x its previous committed
+    value AND that shows independent noise evidence this run (it was
+    requeued, or its probes/spread flagged it) is host noise, not a code
+    regression — exclude it from the headline and report BOTH totals. A
+    >2x move WITHOUT noise evidence stays in the headline: that is a real
+    regression and must hurt. Returns (kept_total, all_total,
+    quarantined_legs)."""
+    quarantined = sorted(
+        n for n, t in timings.items()
+        if n in evidence
+        and previous.get(n, 0) > 0
+        and t > factor * previous[n]
+    )
+    q = set(quarantined)
+    kept = round(sum(t for n, t in timings.items() if n not in q), 3)
+    return kept, round(sum(timings.values()), 3), quarantined
+
+
+def _previous_committed_timings(out_dir: str) -> dict[str, float]:
+    """Per-leg medians from the newest committed bench_out payload (the
+    round-over-round reference the quarantine rule compares against)."""
+    try:
+        files = sorted(
+            (os.path.join(out_dir, f) for f in os.listdir(out_dir)
+             if f.endswith(".json")),
+            key=os.path.getmtime,
+        )
+        if not files:
+            return {}
+        with open(files[-1]) as fh:
+            return dict(json.load(fh).get("queries") or {})
+    except Exception:
+        return {}
+
+
 def main() -> None:
     from debezium_spark.session import get_spark
     from debezium_spark.suite import load_all
@@ -259,10 +301,17 @@ def main() -> None:
         pipeline_stats["bpe_train_sec"] = round(statistics.median(trains), 3)
         pipeline_stats["bpe_train_runs"] = [round(t, 3) for t in trains]
 
-    total = round(sum(timings.values()), 3)
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_out")
+    evidence = set(requeues) | set(noisy_accepted) | set(spread_accepted)
+    total, total_all, quarantined = quarantine_noisy_legs(
+        timings, _previous_committed_timings(out_dir), evidence
+    )
     payload = {
         "metric": "headline_total",
         "value": total,
+        "headline_total_all": total_all,
+        "noisy_quarantined": quarantined,
         "unit": "sec",
         "queries": timings,
         "queries_first_run": first_runs,
@@ -281,8 +330,6 @@ def main() -> None:
     # the per-leg dict — persist the FULL payload in-repo so round-over-round
     # per-leg comparison never needs a bench re-run. BENCH_ROUND names the
     # file (bench_out/r{N}.json); unset, it goes to bench_out/last.json.
-    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_out")
     os.makedirs(out_dir, exist_ok=True)
     tag = os.environ.get("BENCH_ROUND")
     fname = f"r{tag}.json" if tag else "last.json"
@@ -297,6 +344,8 @@ def main() -> None:
     compact = {
         "metric": "headline_total",
         "value": total,
+        "headline_total_all": total_all,
+        "noisy_quarantined": quarantined,
         "unit": "sec",
         "queries": timings,
         "sf": sf,

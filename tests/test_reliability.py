@@ -176,3 +176,39 @@ def test_heartbeat_works_with_unwrap_transform_chain(spark, sf_dir, tmp_path):
     recs = hb.read()
     assert recs and recs[-1]["pos"] == env.agg(F.max("source.pos")).collect()[0][0]
     assert sink.rows > 0
+
+
+# ---------------------------------------------------------------------------
+# bench quarantine rule (VERDICT r10 Wrong #2): noisy-accepted legs whose
+# median jumped >2x their previous committed value drop out of the
+# headline; real regressions (no noise evidence) stay in and hurt.
+# ---------------------------------------------------------------------------
+def test_bench_quarantine_noisy_legs():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    timings = {
+        "w2": 1.24,   # >2x previous, WAS requeued -> quarantine
+        "x6": 1.50,   # >2x previous, NO noise evidence -> real regression
+        "a2": 0.60,   # noisy but within 2x -> keep
+        "new": 0.40,  # no previous committed value -> keep
+    }
+    previous = {"w2": 0.55, "x6": 0.70, "a2": 0.45}
+    evidence = {"w2", "a2"}
+
+    kept, total_all, quarantined = bench.quarantine_noisy_legs(
+        timings, previous, evidence
+    )
+    assert quarantined == ["w2"]
+    assert total_all == pytest.approx(3.74)
+    assert kept == pytest.approx(2.50)
+
+    # no previous payload at all: nothing quarantined, totals equal
+    k2, a2, q2 = bench.quarantine_noisy_legs(timings, {}, evidence)
+    assert q2 == [] and k2 == a2
