@@ -258,3 +258,122 @@ class ReadOnlyWindow:
             self.previous_low != self.low
             or self.previous_high != self.high
         )
+
+
+# ---------------------------------------------------------------------------
+# MariaDB flavor (the other GtidSetFactory implementation)
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class MariaGtid:
+    """One MariaDB GTID: domain-server-sequence (e.g. '0-27-42')."""
+
+    domain: int
+    server: int
+    sequence: int
+
+    @staticmethod
+    def parse(text: str) -> "MariaGtid":
+        d, s, q = text.strip().split("-")
+        return MariaGtid(int(d), int(s), int(q))
+
+    def __str__(self) -> str:
+        return f"{self.domain}-{self.server}-{self.sequence}"
+
+
+@dataclass(frozen=True)
+class MariaDbGtidSet:
+    """MariaDB GTID set: DISCRETE gtids grouped by (domain, server)
+    stream — not interval families like MySQL (MariaDbGtidSet.java:30-137,
+    MariaDbStreamSet :278-320). MariaDB tracks replication progress per
+    DOMAIN, so containment compares per domain id only (debezium#1672,
+    :70-80); subtract removes exact members per (domain, server) stream;
+    ``with`` replaces same-stream entries."""
+
+    streams: tuple[tuple[tuple[int, int], tuple[MariaGtid, ...]], ...]
+
+    @staticmethod
+    def parse(text: str | None) -> "MariaDbGtidSet":
+        if not text or not text.strip():
+            return MariaDbGtidSet(())
+        by_stream: dict[tuple[int, int], set[MariaGtid]] = {}
+        for part in text.replace("\n", "").split(","):
+            g = MariaGtid.parse(part)
+            by_stream.setdefault((g.domain, g.server), set()).add(g)
+        return MariaDbGtidSet.of(by_stream)
+
+    @staticmethod
+    def of(by_stream: dict) -> "MariaDbGtidSet":
+        return MariaDbGtidSet(tuple(
+            (sid, tuple(sorted(gs, key=lambda g: g.sequence)))
+            for sid, gs in sorted(by_stream.items())
+            if gs
+        ))
+
+    def _map(self) -> dict:
+        return dict(self.streams)
+
+    def is_empty(self) -> bool:
+        return not self.streams
+
+    def contains(self, gtid: str) -> bool:
+        g = MariaGtid.parse(gtid)
+        return g in self._map().get((g.domain, g.server), ())
+
+    def _for_domain(self) -> dict[int, set[MariaGtid]]:
+        by_dom: dict[int, set[MariaGtid]] = {}
+        for (d, _), gs in self.streams:
+            by_dom.setdefault(d, set()).update(gs)
+        return by_dom
+
+    def is_contained_within(self, other: "MariaDbGtidSet | None") -> bool:
+        """Per-DOMAIN containment: every stream's gtids all present in
+        the other's same-domain set, or all at-or-before it
+        (isContainedWith = containsAll || isAllBefore, :290-305)."""
+        if other is None:
+            return False
+        odoms = other._for_domain()
+        for (d, _), gs in self.streams:
+            ogs = odoms.get(d)
+            if ogs is None:
+                return False
+            if set(gs) <= ogs:
+                continue
+            if min(g.sequence for g in gs) > min(
+                g.sequence for g in ogs
+            ):
+                return False
+        return True
+
+    def subtract(self, other: "MariaDbGtidSet | None") -> "MariaDbGtidSet":
+        if other is None:
+            return self
+        omap = other._map()
+        out: dict = {}
+        for sid, gs in self.streams:
+            ogs = set(omap.get(sid, ()))
+            rem = {g for g in gs if g not in ogs}
+            if rem:
+                out[sid] = rem
+        return MariaDbGtidSet.of(out)
+
+    def with_(self, other: "MariaDbGtidSet | None") -> "MariaDbGtidSet":
+        if other is None or other.is_empty():
+            return self
+        merged = {sid: set(gs) for sid, gs in self.streams}
+        merged.update({sid: set(gs) for sid, gs in other.streams})
+        return MariaDbGtidSet.of(merged)
+
+    def retain_all(self, predicate) -> "MariaDbGtidSet":
+        """Keep streams whose 'domain-server' filter value the predicate
+        accepts (asSourceFilterValue, :231-233)."""
+        if predicate is None:
+            return self
+        return MariaDbGtidSet(tuple(
+            (sid, gs) for sid, gs in self.streams
+            if predicate(f"{sid[0]}-{sid[1]}")
+        ))
+
+    def __str__(self) -> str:
+        return ",".join(
+            str(g) for _, gs in self.streams for g in gs
+        )

@@ -138,3 +138,55 @@ def test_readonly_window_reached_high_watermark():
     assert w.reached_high_watermark(f"{A}:15")
     assert w.reached_high_watermark(f"{A}:16")
     assert w.reached_high_watermark(None)
+
+
+# ---------------------------------------------------------------------------
+# MariaDB flavor (MariaDbGtidSet.java:30-137, MariaDbStreamSet :278-320)
+# ---------------------------------------------------------------------------
+def test_mariadb_parse_contains_and_round_trip():
+    from debezium_spark.sources.gtid import MariaDbGtidSet
+
+    s = MariaDbGtidSet.parse("0-27-42,0-27-41,1-100-5")
+    assert str(s) == "0-27-41,0-27-42,1-100-5"
+    assert MariaDbGtidSet.parse(str(s)) == s
+    assert s.contains("0-27-41") and s.contains("1-100-5")
+    assert not s.contains("0-27-40") and not s.contains("2-1-1")
+    assert MariaDbGtidSet.parse(None).is_empty()
+
+
+def test_mariadb_containment_is_per_domain():
+    """MariaDB tracks progress per DOMAIN, not per (domain, server):
+    a gtid from server 27 is contained in a set whose domain-0 entry
+    came from server 28 (debezium#1672, MariaDbGtidSet.java:70-80)."""
+    from debezium_spark.sources.gtid import MariaDbGtidSet
+
+    s = MariaDbGtidSet.parse("0-27-42")
+    assert s.is_contained_within(MariaDbGtidSet.parse("0-28-43"))
+    # isAllBefore: contained when this stream's min seq <= other's min
+    assert MariaDbGtidSet.parse("0-27-10").is_contained_within(
+        MariaDbGtidSet.parse("0-28-11")
+    )
+    assert not MariaDbGtidSet.parse("0-27-12").is_contained_within(
+        MariaDbGtidSet.parse("0-28-11")
+    )
+    # unknown domain is never contained
+    assert not s.is_contained_within(MariaDbGtidSet.parse("5-1-99"))
+    assert not s.is_contained_within(None)
+
+
+def test_mariadb_subtract_and_with():
+    from debezium_spark.sources.gtid import MariaDbGtidSet
+
+    s = MariaDbGtidSet.parse("0-27-41,0-27-42,1-100-5")
+    d = s.subtract(MariaDbGtidSet.parse("0-27-41"))
+    assert str(d) == "0-27-42,1-100-5"
+    assert s.subtract(s).is_empty()
+    assert s.subtract(None) == s
+
+    # with() replaces same-(domain,server) streams, keeps the rest
+    w = s.with_(MariaDbGtidSet.parse("0-27-50"))
+    assert str(w) == "0-27-50,1-100-5"
+
+    # retainAll filters on the 'domain-server' source filter value
+    r = s.retain_all(lambda v: v == "1-100")
+    assert str(r) == "1-100-5"
