@@ -2616,3 +2616,114 @@ def nb_quality(
         F.round((F.col("q1") - F.col("q0")).cast("double") / Q, 6)
         .alias("log_odds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination screen — benchmark n-grams folded into a
+# fixed-size mergeable bitset, corpus screened with ZERO joins.
+# ---------------------------------------------------------------------------
+def bloom_ngram_build(
+    bench_df: DataFrame,
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    m_words: int = 64,
+    k: int = 2,
+) -> list[int]:
+    """Fold a benchmark set's distinct word n-grams into a Bloom filter:
+    ``m_words`` int64 words (``m_words * 64`` bits), ``k`` md5-derived
+    probes per gram (portable across engines). Returns the words as a
+    plain Python list — a BOUNDED artifact (m_words * 8 bytes regardless
+    of benchmark size, one driver collect of m_words rows), persistable
+    next to the ANN codebooks. Bits aggregate with bit_or, so shards of
+    the benchmark can build partial filters and merge by OR — the
+    property that makes this the 100 TB decontamination shape (Dolma-
+    style) where the exact-join variant (x21) must shuffle the corpus
+    against the benchmark n-gram table."""
+    bits = m_words * 63  # 63 usable bits/word: bit 63 would overflow a
+    # signed-int64 left shift on engines that check (DuckDB)
+    grams = bench_df.select(
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("g")
+    )
+    probes = None
+    for j in range(k):
+        p = grams.select(
+            (portable_hash64(F.col("g"), seed=f"bloom{j}:") % bits)
+            .alias("pos")
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    rows = (
+        probes.select(
+            (F.col("pos") / 63).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"), (F.col("pos") % 63).cast("int"),
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    words = [0] * m_words
+    for r in rows:
+        words[int(r["w"])] = int(r["bits"])
+    return words
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    bloom_words: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    k: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Screen every document's word n-grams against a prebuilt Bloom
+    filter: a gram 'hits' when ALL ``k`` probe bits are set (Bloom
+    semantics — false positives possible at the filter's fill rate,
+    false negatives never). Output: ``(id, n_grams, n_hits, hit_frac,
+    contaminated)``.
+
+    Scale shape: the filter rides the PLAN as a literal int64 array
+    (element_at + bitwise AND inside a transform over the scan's gram
+    array) — no join, no broadcast variable, no shuffle; every executor
+    screens its partitions independently at scan speed. The exact-match
+    follow-up (x21) runs only on the flagged slice."""
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    m_words = len(bloom_words)
+    bits = m_words * 63
+    lit_words = F.lit(bloom_words)
+
+    def hit(g):
+        conds = []
+        for j in range(k):
+            pos = portable_hash64(g, seed=f"bloom{j}:") % bits
+            word = F.element_at(
+                lit_words, (pos / 63).cast("int") + F.lit(1)
+            )
+            mask = F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"), (pos % 63).cast("int"),
+            )
+            conds.append(word.bitwiseAND(mask) != 0)
+        return _reduce(_and, conds)
+
+    grams = word_ngrams(F.col(text_col), n)
+    n_grams = F.size(grams)
+    n_hits = F.size(F.filter(grams, hit))
+    frac = F.round(
+        n_hits.cast("double") / n_grams.cast("double"), 6
+    )
+    return df.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        n_hits.alias("n_hits"),
+        frac.alias("hit_frac"),
+        (frac >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -2172,3 +2172,95 @@ def x43_nb_quality(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return nb_quality(docs)
+
+
+# ---------------------------------------------------------------------------
+# X44 — Bloom-filter decontamination screen (the mergeable-bitset shape of
+# x21: benchmark n-grams -> fixed 4 KiB filter, corpus screened join-free)
+# ---------------------------------------------------------------------------
+_WG3 = (
+    f"list_transform(generate_series(1, greatest(1, len({_TOKS}) - 2)),"
+    f" i -> array_to_string({_TOKS}[i : i + 2], ' '))"
+)
+_BLOOM_BITS = 64 * 63
+
+
+def _bloom_probe_sql(j: int) -> str:
+    return f"{_ohash('g', f'bloom{j}:')} % {_BLOOM_BITS}"
+
+
+@register(
+    "x44_bloom_decontaminate",
+    oracle=f"""
+    WITH bench AS (
+        SELECT text FROM documents WHERE doc_id % 97 = 0
+    ),
+    bg AS (
+        SELECT DISTINCT unnest(list_distinct({_WG3})) AS g FROM bench
+    ),
+    probes AS (
+        SELECT {_bloom_probe_sql(0)} AS pos FROM bg
+        UNION ALL
+        SELECT {_bloom_probe_sql(1)} FROM bg
+    ),
+    bloom AS (
+        SELECT pos // 63 AS w,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+        FROM probes GROUP BY 1
+    ),
+    cg AS (
+        SELECT doc_id, unnest({_WG3}) AS g
+        FROM documents WHERE doc_id % 97 <> 0
+    ),
+    cgp AS (
+        SELECT doc_id,
+               {_bloom_probe_sql(0)} AS p0,
+               {_bloom_probe_sql(1)} AS p1
+        FROM cg
+    ),
+    chk AS (
+        SELECT doc_id,
+               COALESCE(
+                   (b0.bits & (CAST(1 AS BIGINT)
+                               << CAST(p0 % 63 AS INT))) <> 0
+                   AND (b1.bits & (CAST(1 AS BIGINT)
+                                   << CAST(p1 % 63 AS INT))) <> 0,
+                   FALSE) AS hit
+        FROM cgp
+        LEFT JOIN bloom b0 ON b0.w = p0 // 63
+        LEFT JOIN bloom b1 ON b1.w = p1 // 63
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_grams,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS INT) AS n_hits,
+           round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hit_frac,
+           round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) >= 0.8 AS contaminated
+    FROM chk GROUP BY doc_id
+    """,
+)
+def x44_bloom_decontaminate(spark, sf_dir):
+    """Dolma-style Bloom decontamination: every 97th document plays the
+    benchmark set; its distinct word 3-grams fold into a 4 KiB filter
+    (64 int64 words, 2 md5 probes — mergeable by OR across benchmark
+    shards), and the rest of the corpus screens against the filter as a
+    PLAN-LITERAL array — element_at + bitwise AND inside the scan
+    projection, zero joins, zero shuffle. Where x21's exact join
+    shuffles corpus-vs-benchmark n-grams, this shape screens 100 TB at
+    scan speed and hands only the flagged slice to the exact pass.
+    Bloom false positives are deterministic (same hashes both engines),
+    so the oracle reproduces them bit-for-bit."""
+    from debezium_spark.analytics.text import (
+        bloom_decontaminate,
+        bloom_ngram_build,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bloom = bloom_ngram_build(
+        docs.filter(F.col("doc_id") % 97 == 0), n=3, m_words=64, k=2
+    )
+    return bloom_decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0), bloom, n=3, k=2,
+        threshold=0.8,
+    )

@@ -545,3 +545,23 @@ def test_lob_assembly_shuffles_on_tx_only(spark, qs):
     assert "CartesianProduct" not in plan
     # exactly one exchange keyed on the transaction feeds the fold
     assert plan.count("hashpartitioning(tx") == 1
+
+
+def test_bloom_screen_is_join_free(spark, qs):
+    """x44's corpus screen carries the Bloom filter as a PLAN LITERAL:
+    the screening select must contain no join and no exchange — it runs
+    at scan speed on every partition independently."""
+    from debezium_spark.analytics.text import (
+        bloom_decontaminate,
+        bloom_ngram_build,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bloom = bloom_ngram_build(docs.filter(F.col("doc_id") % 97 == 0))
+    screen = bloom_decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0), bloom
+    )
+    plan = screen._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
