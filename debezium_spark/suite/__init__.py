@@ -35,72 +35,69 @@ QUERIES: dict[str, Q] = {}
 # Everything not listed still registers (and is value-checked by the in-repo
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
-    # --- r10 rotation (the per-query ledger lives in COVERAGE.md):
-    # 1. ALL 31 queries whose last green driver row is r6 — VERDICT r9
-    #    item 1. After this window nothing registered sits below r7.
-    # 2. the 14 queries registered THIS round (new queries must be
-    #    windowed): s22 typed pgoutput, s19b/s19c binlog type widening,
-    #    s23/s25 LogMiner DML parse + end-to-end, s24 MINIMAL images,
-    #    s26 DDL-tracked naming, s27 SQL Server change tables, s28
-    #    binary JSON, s29 LOB assembly, s11b truncated arrays, x42 DSIR,
-    #    x43 NB quality, a20 binary-quant ANN.
-    # 3. m2/m4 + the r7-tier h-family (VERDICT r9 item 8).
-    # last green r6 (the entire stale tier, 31 legs) ---------------------------
-    "a1_vector_norms",
-    "a9_pq_codebooks",
-    "a10_pq_search",
-    "a11_ivfpq_search",
-    "p4_transaction_boundaries",
-    "t1_unwrap_drop_deletes",
-    "t5_content_based_router",
-    "t7b_outbox_config_surface",
-    "t9_timezone_converter",
-    "t11_record_size_json",
-    "t13_schema_to_record",
-    "t14_geometry_swap",
-    "t15b_sparse_vector_to_json",
-    "t18_reselect_columns",
-    "tombstones_on_delete",
-    "w4_share_window",
-    "w14_local_supplier_volume",
-    "w15_returned_top_customers",
-    "w29_grouping_sets",
-    "w30_moving_average",
-    "x2_language_id",
-    "x5_minhash_signature",
-    "x7_near_dup_jaccard",
-    "x8_simhash",
-    "x15_vocabulary_topk",
-    "x20_dup_clusters",
-    "x22_dup_clusters_star",
-    "x23_stratified_sample",
-    "x24_source_quota",
-    "x25_token_typicality",
-    "x26_boilerplate_ngrams",
-    # registered this round (new queries must be windowed) --------------------
-    "s22_pgoutput_typed",              # OID -> Spark-typed decode projection
-    "s19b_binlog_types",               # NEWDECIMAL/DATETIME2/DATE/BLOB/ENUM/SET
-    "s23_logminer_dml",                # redo-SQL text -> before/after images
-    "s24_binlog_minimal_images",       # MINIMAL row images through the merge
-    "s25_logminer_to_table",           # redo text -> commit-ordered merge
-    "x42_dsir_resample",               # DSIR importance resampling
-    "s26_binlog_schema_naming",        # DDL-tracked naming/typing of rows
-    "s27_sqlserver_changetable",       # __$operation row-pair assembly
-    "s19c_binlog_small_types",         # TINY/SHORT/INT24/FLOAT/YEAR/BIT
-    "s28_binlog_json",                 # binary JSON (JSONB) -> text
-    "a20_binary_quant_search",         # 1-bit Hamming ANN + exact rerank
-    "x43_nb_quality",                  # Naive-Bayes quality bootstrap
-    "s29_logminer_lob",                # LOB_WRITE fragment merge pass
-    "s11b_truncated_arrays",           # change-stream array truncations
-    "e6_ts_pattern_search",            # z-normalized subsequence match
-    # m2/m4 + h-family freshness (VERDICT r9 item 8) ---------------------------
-    "m2_frame_sample",
-    "m4_image_resize",
-    "h2_table_filters",
-    "h3_temporal_logical_types",
-    # (the r7-tier drain was fully displaced by this round's new queries —
-    # new registrations must be windowed; the r7 tier stays covered by the
-    # in-repo gate and rotates in r11)
+    # --- r11 rotation (the per-query ledger lives in COVERAGE.md):
+    # 1. the 6 queries registered THIS round (new queries must be
+    #    windowed): s22b full pg array grammar + OID tail, s30 GTID-set
+    #    read-only snapshot watermarks, s29b LOB erase/noop/32k chains,
+    #    s28b JSONB OPAQUE values, s31 BSON typed decode, x44 Bloom
+    #    decontamination.
+    # 2. the r7 tier (VERDICT r10 item 6): 44 of its 46 legs — after
+    #    this window nothing registered sits below r8 except
+    #    k1_merge_upsert (exercised EVERY round by the entry() smoke)
+    #    and t15_vector_to_json (sibling t15b re-proven r10); both stay
+    #    value-checked by the in-repo gate and rotate in r12.
+    # registered this round ----------------------------------------------------
+    "s22b_pg_array_grammar",           # quoted/escaped/2-D arrays + OID tail
+    "s30_gtidset_readonly_snapshot",   # GTID-set watermarks across failover
+    "s29b_logminer_lob_edge",          # LOB_ERASE/noop gate/32k strings
+    "s28b_binlog_json_opaque",         # packed decimal/temporal JSON values
+    "s31_bson_typed",                  # BSON wire -> MongoDataConverter types
+    "x44_bloom_decontaminate",         # mergeable-bitset contamination screen
+    # the r7 tier ---------------------------------------------------------------
+    "a12_sparse_cosine",
+    "a13_knn_sparse",
+    "a14_bm25_rank",
+    "a15_rrf_fusion",
+    "a16_semdedup",
+    "a3_knn_lsh",
+    "a6_cosine_near_dup",
+    "a8_ivf_search",
+    "e2_sliding_window",
+    "e4_hierarchical_rollup",
+    "f1_cloudevents_roundtrip",
+    "f4_avro_roundtrip",
+    "f5_protobuf_roundtrip",
+    "h6_interval_enum_set",
+    "k11_incremental_avg",
+    "k12_sink_fingerprint",
+    "k2_merge_insert_mode",
+    "k4_reduce_last_per_key",
+    "k6_schema_evolution",
+    "k7_naming_strategy",
+    "p9_dlq_quarantine",
+    "s10_lsn_window_poll",
+    "s11_mongo_update_description",
+    "s12_snapshot_override",
+    "s14_envelope_timestamps",
+    "s4_readonly_incremental",
+    "s7_binlog_dispatch",
+    "s9_commit_ordered",
+    "t10_partition_routing",
+    "t11_enforce_record_size",
+    "t12_schema_change_filter",
+    "t14b_geometry_circle_line",
+    "t19_custom_converters",
+    "t21_docling_markdown",
+    "t22_skipped_operations",
+    "t3_extract_changed_record_state",
+    "t4_filter_expression",
+    "t6_logical_table_router",
+    "t8_header_to_value",
+    "w2_top_revenue_orders",
+    "w31_range_join",
+    "w8_asof_join",
+    "x21_decontamination",
+    "x6_lsh_candidates",
 )
 
 
