@@ -462,16 +462,18 @@ def assemble_lob_events(
         # ``chain`` is one row's events, already scn-sorted by the caller
         acc = None  # [scn, tx, rowid, op, schema, table, values]
         bufs: dict[int, _LobBuffer] = {}
-        xs_bufs: dict[int, list | None] = {}  # 32k extended-string parts
+        xs_bufs: dict[int, list | None] = {}  # 32k/XML concat fragments
         target: int | None = None
         xs_target: int | None = None
+        xml_target: int | None = None
         origin: str | None = None   # 'dml' | 'locator' — the acc's root
         mutated = False             # any write/merge since the root event
 
         def reset_state():
-            nonlocal acc, bufs, xs_bufs, target, xs_target, origin, mutated
+            nonlocal acc, bufs, xs_bufs, target, xs_target, xml_target
+            nonlocal origin, mutated
             acc, bufs, xs_bufs = None, {}, {}
-            target, xs_target = None, None
+            target, xs_target, xml_target = None, None, None
             origin, mutated = None, False
 
         def finalize():
@@ -532,6 +534,26 @@ def assemble_lob_events(
                 )
                 mutated = True
                 continue
+            if kind == "xml_write":
+                # XML_WRITE: concat like 32K_WRITE, but a null payload is
+                # SKIPPED, not an error (acceptXmlManipulationEvent
+                # :283-286)
+                if acc is None or xml_target is None:
+                    raise ValueError(
+                        "XML_WRITE without a preceding XML_BEGIN for row "
+                        f"{getattr(r, rowid_col)!r}"
+                    )
+                if r.lob_data is not None:
+                    parts = xs_bufs.get(xml_target)
+                    xs_bufs[xml_target] = (
+                        [str(r.lob_data)] if parts is None
+                        else parts + [str(r.lob_data)]
+                    )
+                mutated = True
+                continue
+            if kind == "xml_end":
+                # silently ignored (:276-279)
+                continue
             vals = [None if v is None else str(v) for v in r.after]
             if len(vals) != len(cols):
                 raise ValueError(
@@ -577,6 +599,23 @@ def assemble_lob_events(
                 xs_bufs[ci] = None
                 xs_target = ci
                 continue
+            if kind == "xml_begin":
+                # XML_BEGIN: same shape as the extended-string begin —
+                # names the XML column, starts a FRESH construction
+                # (XmlUnderConstruction.fromInitialValue :926-930), no
+                # noop gate on begin-rooted chains
+                ci = idx.get(r.lob_col)
+                if ci is None:
+                    raise ValueError(f"XML begin names unknown column "
+                                     f"{r.lob_col!r}")
+                if acc is None:
+                    acc = [int(getattr(r, scn_col)),
+                           getattr(r, tx_col), getattr(r, rowid_col),
+                           "u", r.schema, r.table, vals]
+                    origin = "xml"
+                xs_bufs[ci] = None
+                xml_target = ci
+                continue
             if kind == "insert":
                 finalize()
                 for c in lob_set:
@@ -605,6 +644,8 @@ def assemble_lob_events(
                                     target = None
                                 if i == xs_target:
                                     xs_target = None
+                                if i == xml_target:
+                                    xml_target = None
                                 acc[6][i] = (
                                     "" if v in _EMPTY_LOB_CALLS else v
                                 )

@@ -407,3 +407,37 @@ def test_extended_string_write_without_begin_raises(spark):
     ]
     with pytest.raises(Exception, match="EXTENDED_STRING_BEGIN"):
         _assemble(spark, rows)
+
+
+def test_xml_begin_write_end_fold(spark):
+    """XML_BEGIN + XML_WRITE fragments concatenate like 32k strings
+    (XmlUnderConstruction :926-942); a NULL-payload write is skipped
+    (:283-286) and XML_END is silently ignored (:276-279)."""
+    rows = [
+        _lob_row(1, "tx1", "r1", "xml_begin",
+                 ["1", "ok", "old"], lob_col="note"),
+        _lob_row(2, "tx1", "r1", "xml_write", lob_data="<a>"),
+        _lob_row(3, "tx1", "r1", "xml_write", lob_data=None),
+        _lob_row(4, "tx1", "r1", "xml_write", lob_data="x</a>"),
+        _lob_row(5, "tx1", "r1", "xml_end"),
+    ]
+    out = _assemble(spark, rows)
+    assert out == [(1, "tx1", "r1", "u", "S", "T", ["1", "ok", "<a>x</a>"])]
+
+
+def test_xml_begin_without_writes_is_null_and_emits(spark):
+    rows = [
+        _lob_row(1, "tx1", "r1", "xml_begin",
+                 ["1", "ok", "old"], lob_col="note"),
+        _lob_row(2, "tx1", "r1", "xml_end"),
+    ]
+    out = _assemble(spark, rows)
+    assert out == [(1, "tx1", "r1", "u", "S", "T", ["1", "ok", None])]
+
+
+def test_xml_write_without_begin_raises(spark):
+    import pytest
+
+    rows = [_lob_row(1, "tx1", "r1", "xml_write", lob_data="<a/>")]
+    with pytest.raises(Exception, match="XML_BEGIN"):
+        _assemble(spark, rows)
