@@ -34,6 +34,12 @@ HEADLINE = [
     "s28_binlog_json",
     "s25_logminer_to_table",
     "s29_logminer_lob",
+    "s22b_pg_array_grammar",
+    "s28b_binlog_json_opaque",
+    "s29b_logminer_lob_edge",
+    "s30_gtidset_readonly_snapshot",
+    "s31_bson_typed",
+    "x44_bloom_decontaminate",
     "x42_dsir_resample",
     "t1_extract_new_record_state",
     "p4_transaction_metadata",
