@@ -2720,6 +2720,11 @@ def bloom_decontaminate(
     frac = F.round(
         n_hits.cast("double") / n_grams.cast("double"), 6
     )
+    # the per-gram md5 probes are CPU-heavy interpreted expressions: a
+    # single-split parquet input would run them on ONE core (measured
+    # 7.1 s -> sub-second at sf0.1); at real scale inputs arrive
+    # well-partitioned and this is a no-op
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col),
         n_grams.alias("n_grams"),

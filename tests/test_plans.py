@@ -563,5 +563,8 @@ def test_bloom_screen_is_join_free(spark, qs):
         docs.filter(F.col("doc_id") % 97 != 0), bloom
     )
     plan = screen._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    # the only exchange allowed is the small-input round-robin rebalance
+    # (ensure_parallelism; a no-op on well-partitioned inputs) — never a
+    # key shuffle, never a join
+    assert "hashpartitioning" not in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
