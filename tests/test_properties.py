@@ -447,3 +447,87 @@ def test_jsonb_roundtrip_property(doc):
     from debezium_spark.sources.jsonb import decode_jsonb, encode_jsonb
 
     assert _norm_doc(decode_jsonb(encode_jsonb(doc))) == _norm_doc(doc)
+
+
+# ---------------------------------------------------------------------------
+# _LobBuffer vs the flat DBMS_LOB.WRITE model (the r10-ADVICE bug class:
+# fragment re-offsetting and unfilled holes)
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.text("ab", min_size=1, max_size=6)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_lob_buffer_matches_flat_array_model(writes):
+    """Every interleaving of DBMS_LOB.WRITE calls must merge to exactly
+    what a flat char array with space-filled holes produces."""
+    from debezium_spark.sources.logminer import _LobBuffer
+
+    buf = _LobBuffer()
+    arr: list[str] = []
+    for off, data in writes:
+        buf.add(off, data)
+        if len(arr) < off:
+            arr.extend(" " * (off - len(arr)))
+        for i, ch in enumerate(data):
+            if off + i < len(arr):
+                arr[off + i] = ch
+            else:
+                arr.append(ch)
+    assert buf.merge() == "".join(arr)
+
+
+# ---------------------------------------------------------------------------
+# BSON codec round trip (the jsonb.py playbook applied to bson.py)
+# ---------------------------------------------------------------------------
+def _bson_scalars():
+    from debezium_spark.sources import bson as B
+
+    return st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(-(2**63), 2**63 - 1),
+        st.floats(allow_nan=False),
+        st.text(max_size=12).filter(lambda s: "\x00" not in s),
+        st.binary(max_size=8).map(lambda b: B.Binary(0, b)),
+        st.binary(min_size=12, max_size=12).map(B.ObjectId),
+        st.integers(-(2**63), 2**63 - 1).map(B.DateTime),
+        st.tuples(
+            st.integers(0, 2**32 - 1), st.integers(0, 2**32 - 1)
+        ).map(lambda t: B.Timestamp(*t)),
+        st.tuples(
+            st.booleans(),
+            st.integers(0, 10**34 - 1),
+            st.integers(-6176, 6111),
+        ).map(lambda t: B.Decimal128(t[0], str(t[1]), t[2])),
+    )
+
+
+@given(
+    st.dictionaries(
+        st.text(
+            st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1, max_size=8,
+        ).filter(lambda s: "\x00" not in s),
+        st.recursive(
+            _bson_scalars(),
+            lambda kids: st.one_of(
+                st.lists(kids, max_size=4),
+                st.dictionaries(
+                    st.text("abcdef", min_size=1, max_size=4), kids,
+                    max_size=4,
+                ),
+            ),
+            max_leaves=12,
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=250, deadline=None)
+def test_bson_codec_round_trips(doc):
+    from debezium_spark.sources.bson import decode_bson, encode_bson
+
+    assert decode_bson(encode_bson(doc)) == doc
