@@ -40,6 +40,7 @@ HEADLINE = [
     "s30_gtidset_readonly_snapshot",
     "s31_bson_typed",
     "x44_bloom_decontaminate",
+    "x45_bloom_then_exact",
     "x42_dsir_resample",
     "t1_extract_new_record_state",
     "p4_transaction_metadata",

@@ -36,16 +36,17 @@ QUERIES: dict[str, Q] = {}
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
     # --- r11 rotation (the per-query ledger lives in COVERAGE.md):
-    # 1. the 6 queries registered THIS round (new queries must be
+    # 1. the 7 queries registered THIS round (new queries must be
     #    windowed): s22b full pg array grammar + OID tail, s30 GTID-set
     #    read-only snapshot watermarks, s29b LOB erase/noop/32k chains,
     #    s28b JSONB OPAQUE values, s31 BSON typed decode, x44 Bloom
-    #    decontamination.
-    # 2. the r7 tier (VERDICT r10 item 6): 44 of its 46 legs — after
+    #    decontamination, x45 the bloom->exact funnel.
+    # 2. the r7 tier (VERDICT r10 item 6): 43 of its 46 legs — after
     #    this window nothing registered sits below r8 except
-    #    k1_merge_upsert (exercised EVERY round by the entry() smoke)
-    #    and t15_vector_to_json (sibling t15b re-proven r10); both stay
-    #    value-checked by the in-repo gate and rotate in r12.
+    #    k1_merge_upsert (exercised EVERY round by the entry() smoke),
+    #    t15_vector_to_json (sibling t15b re-proven r10) and
+    #    a6_cosine_near_dup (in the bench HEADLINE every round); all
+    #    three stay value-checked by the in-repo gate and rotate in r12.
     # registered this round ----------------------------------------------------
     "s22b_pg_array_grammar",           # quoted/escaped/2-D arrays + OID tail
     "s30_gtidset_readonly_snapshot",   # GTID-set watermarks across failover
@@ -53,6 +54,7 @@ PRIORITY: tuple[str, ...] = (
     "s28b_binlog_json_opaque",         # packed decimal/temporal JSON values
     "s31_bson_typed",                  # BSON wire -> MongoDataConverter types
     "x44_bloom_decontaminate",         # mergeable-bitset contamination screen
+    "x45_bloom_then_exact",            # Bloom screen -> exact verify funnel
     # the r7 tier ---------------------------------------------------------------
     "a12_sparse_cosine",
     "a13_knn_sparse",
@@ -60,7 +62,6 @@ PRIORITY: tuple[str, ...] = (
     "a15_rrf_fusion",
     "a16_semdedup",
     "a3_knn_lsh",
-    "a6_cosine_near_dup",
     "a8_ivf_search",
     "e2_sliding_window",
     "e4_hierarchical_rollup",

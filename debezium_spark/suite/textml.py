@@ -2264,3 +2264,51 @@ def x44_bloom_decontaminate(spark, sf_dir):
         docs.filter(F.col("doc_id") % 97 != 0), bloom, n=3, k=2,
         threshold=0.8,
     )
+
+
+# ---------------------------------------------------------------------------
+# X45 — the two-stage decontamination funnel: Bloom screen (x44's shape)
+# feeding the exact n-gram verify (x21's shape) on the FLAGGED slice only
+# ---------------------------------------------------------------------------
+@register(
+    "x45_bloom_then_exact",
+    # Bloom filters have NO false negatives, and the exact stage verifies
+    # every flagged doc — so the funnel's output is PROVABLY identical to
+    # x21's single-stage exact join. Same oracle, different (100 TB) plan.
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, unnest(list_distinct({_WG3})) AS g FROM documents
+    ),
+    b AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    t AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM t JOIN b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+)
+def x45_bloom_then_exact(spark, sf_dir):
+    """The production decontamination funnel: stage 1 screens the whole
+    corpus against the benchmark's 4 KiB Bloom filter (plan-literal,
+    join-free, scan speed); stage 2 runs the exact distinct-n-gram join
+    ONLY on documents the filter flagged. At 100 TB the exact join's
+    left side shrinks from the corpus to the flagged slice; false
+    positives are verified away, false negatives cannot exist, so the
+    result equals x21's single-stage answer bit-for-bit — which is
+    exactly what the shared oracle asserts."""
+    from debezium_spark.analytics.text import (
+        bloom_decontaminate,
+        bloom_ngram_build,
+        contamination_hits,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bloom = bloom_ngram_build(bench, n=3, m_words=64, k=2)
+    flagged_ids = (
+        bloom_decontaminate(corpus, bloom, n=3, k=2)
+        .filter(F.col("n_hits") > 0)
+        .select("doc_id")
+    )
+    flagged = corpus.join(flagged_ids, "doc_id", "left_semi")
+    return contamination_hits(flagged, bench)
