@@ -190,3 +190,28 @@ def test_mariadb_subtract_and_with():
     # retainAll filters on the 'domain-server' source filter value
     r = s.retain_all(lambda v: v == "1-100")
     assert str(r) == "1-100-5"
+
+
+def test_membership_predicate_matches_contains(spark):
+    """The distributed half (literal interval predicate) must agree with
+    the driver-side set's contains() on every (uuid, txid) pair —
+    including interval edges and unknown uuids."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.gtid import (
+        GtidSet,
+        gtid_membership_predicate,
+    )
+
+    s = GtidSet.parse(f"{A}:1-10:20-30:45,{B}:3-4")
+    rows = [(u, t) for u in (A, B, "cccccccc-0000-0000-0000-000000000000")
+            for t in range(0, 50)]
+    df = spark.createDataFrame(rows, "uuid string, txid long")
+    got = {
+        (r["uuid"], r["txid"])
+        for r in df.filter(
+            gtid_membership_predicate(s, F.col("uuid"), F.col("txid"))
+        ).collect()
+    }
+    expect = {(u, t) for u, t in rows if s.contains(f"{u}:{t}")}
+    assert got == expect and len(expect) > 0
