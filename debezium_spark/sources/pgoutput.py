@@ -1071,11 +1071,17 @@ PG_POINT, PG_CIDR, PG_MONEY, PG_MACADDR, PG_INET = 600, 650, 790, 829, 869
 PG_INTERVAL = 1186
 _PG_STRING_OIDS = {PG_CHAR, PG_NAME, PG_TEXT, PG_JSON, PG_XML, PG_BPCHAR,
                    PG_VARCHAR, PG_UUID, PG_JSONB}
-#: array-type OID -> element cast ("" = text elements, unquoted JVM-side)
+#: array-type OID -> element cast ("" = text elements, unquoted JVM-side).
+#: Temporal elements arrive QUOTED in array_out (they contain spaces) —
+#: the quote-aware tokenizer unescapes before the cast.
 _PG_ARRAY_ELEM = {
     1000: "boolean", 1005: "smallint", 1007: "int", 1016: "bigint",
     1021: "float", 1022: "double", 1231: "decimal(38,18)",
-    1009: "", 1015: "",  # _text / _varchar
+    1009: "", 1015: "",            # _text / _varchar
+    1014: "", 2951: "",            # _bpchar / _uuid (string forms)
+    1182: "date",
+    1115: "timestamp_ntz",         # _timestamp (no tz)
+    1185: "timestamp",             # _timestamptz
 }
 
 # PG array_out grammar (the full element forms, one nesting level): an

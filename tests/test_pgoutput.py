@@ -808,3 +808,35 @@ def test_pg_oid_tail_interval_money_net_point(spark):
         bad.select(
             pg_typed_value(F.col("net"), PG_CIDR).alias("v")
         ).collect()
+
+
+def test_pg_temporal_and_uuid_arrays(spark):
+    """date[]/timestamp[]/timestamptz[]/uuid[]/bpchar[] element casts;
+    timestamp elements arrive QUOTED in array_out (they contain spaces)
+    so the quote-aware tokenizer must unescape before the cast."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_typed_value
+
+    df = spark.createDataFrame(
+        [(
+            "{2021-01-15,NULL,1999-12-31}",
+            '{"2021-01-15 10:00:00","2021-01-15 11:30:00"}',
+            '{"2021-01-15 10:00:00+00",NULL}',
+            "{123e4567-e89b-12d3-a456-426614174000}",
+        )],
+        "d string, ts string, tz string, u string",
+    )
+    r = df.select(
+        pg_typed_value(F.col("d"), 1182).alias("d"),
+        pg_typed_value(F.col("ts"), 1115).alias("ts"),
+        pg_typed_value(F.col("tz"), 1185).alias("tz"),
+        pg_typed_value(F.col("u"), 2951).alias("u"),
+    ).collect()[0]
+    assert [str(x) for x in r["d"][::2]] == ["2021-01-15", "1999-12-31"]
+    assert r["d"][1] is None
+    assert [str(x) for x in r["ts"]] == [
+        "2021-01-15 10:00:00", "2021-01-15 11:30:00",
+    ]
+    assert r["tz"][1] is None and r["tz"][0] is not None
+    assert r["u"] == ["123e4567-e89b-12d3-a456-426614174000"]
