@@ -233,10 +233,25 @@ class IncrementalSnapshotter:
         chunk_size: int = 1024,
         notifications: NotificationLog | None = None,
         table: str | None = None,
+        gtid_uuid_expr: str | None = None,
+        gtid_txid_expr: str | None = None,
     ):
+        """``gtid_uuid_expr``/``gtid_txid_expr`` (SQL expressions over the
+        envelope batch, e.g. ``source.gtid_uuid``/``source.gtid_tx``) turn
+        on READ-ONLY mode: each chunk's dedup window is decided by GTID-SET
+        containment over the per-batch executed-set progression instead of
+        the accumulated touched-keys superset, and a batch whose window
+        spans more than one server uuid (a failover) defers the chunk for a
+        re-read — MySqlReadOnlyIncrementalSnapshotContext semantics over
+        `sources/gtid.py`."""
         self.spark = spark
         self.source_loader = source_loader
         self.wrap_chunk = wrap_chunk
+        self.gtid_uuid_expr = gtid_uuid_expr
+        self.gtid_txid_expr = gtid_txid_expr
+        self.readonly = gtid_uuid_expr is not None
+        if self.readonly and gtid_txid_expr is None:
+            raise ValueError("read-only mode needs gtid_txid_expr too")
         # Composite keys (order_line(order_id, line_no)) and non-numeric
         # keys (UUID/string) are first-class: pass a list and every chunk
         # bound becomes a lexicographic row-value predicate
@@ -267,7 +282,8 @@ class IncrementalSnapshotter:
         """``condition`` is the signal's ``additional-conditions`` filter
         (ExecuteSnapshot.java:37,53 / AbstractChunkQueryBuilder additional
         condition): a SQL predicate ANDed into every chunk SELECT."""
-        self._save(
+        p = self._progress()
+        p.update(
             {
                 "active": True,
                 "bound": None,
@@ -275,9 +291,14 @@ class IncrementalSnapshotter:
                 "condition": condition,
             }
         )
+        self._save(p)
 
     def stop(self) -> None:
-        self._save({"active": False, "bound": None})
+        # merge, don't overwrite: the executed GTID set is OFFSET state
+        # (the reference's offset context) and outlives any one snapshot
+        p = self._progress()
+        p.update({"active": False, "bound": None})
+        self._save(p)
 
     def blocking(self, pipeline, condition: str | None = None) -> None:
         """S5 blocking snapshot: one-shot full re-read through the sink —
@@ -312,11 +333,15 @@ class IncrementalSnapshotter:
             # window — a multiplexed feed also carries signal-table rows
             # (SourceSignalChannel) whose keys are a different type.
             scoped = scoped.filter(F.col("source.table") == self.table)
-        keys = (
-            scoped
-            .select(*[F.col(f"key.{c}").alias(c) for c in self.pk_cols])
-            .distinct()
-        )
+        cols = [F.col(f"key.{c}").alias(c) for c in self.pk_cols]
+        if self.readonly:
+            # read-only windows are decided by gtid membership, so every
+            # touched key carries the gtid it was touched UNDER
+            cols += [
+                F.expr(self.gtid_uuid_expr).alias("__g_uuid"),
+                F.expr(self.gtid_txid_expr).cast("long").alias("__g_txid"),
+            ]
+        keys = scoped.select(*cols).distinct()
         keys.write.mode("append").parquet(self._touched_dir)
 
     def _touched(self) -> DataFrame | None:
@@ -324,13 +349,63 @@ class IncrementalSnapshotter:
             return self.spark.read.parquet(self._touched_dir)
         return None
 
+    # -- read-only GTID window (S4) ----------------------------------------
+    def _advance_readonly_window(self, batch_df: DataFrame):
+        """One chunk window of the read-only algorithm: low watermark =
+        the executed set BEFORE this batch, high = the executed set after
+        it minus the low one (setHighWatermark). Returns the
+        ``ReadOnlyWindow`` — callers check ``has_server_identifier_changed``
+        (failover inside the window -> re-read the chunk, emitWindowClose
+        -> rereadChunk) and filter the dedup keys by ``window.high``
+        membership. Executed-set state persists in the progress file (the
+        reference's offset context), a few uuids x one interval."""
+        from debezium_spark.sources.gtid import GtidSet, ReadOnlyWindow
+
+        p = self._progress()
+        prev = GtidSet.parse(p.get("executed"))
+        rows = (
+            batch_df.filter(F.col("op").isNotNull())
+            .select(
+                F.expr(self.gtid_uuid_expr).alias("u"),
+                F.expr(self.gtid_txid_expr).cast("long").alias("t"),
+            )
+            .groupBy("u").agg(F.max("t").alias("mx"))
+            .collect()
+        )
+        cur = prev
+        for r in rows:
+            mx = int(r["mx"])
+            known = cur.max_transaction_id(r["u"]) or 0
+            if mx > known:
+                cur = cur.with_(GtidSet.of({r["u"]: [(1, mx)]}))
+        window = ReadOnlyWindow()
+        window.open(prev)
+        window.close(cur)
+        p["executed"] = str(cur)
+        self._save(p)
+        return window
+
     # -- one chunk per micro-batch ---------------------------------------
     def advance(self, pipeline, batch_df: DataFrame) -> None:
         """Record the batch's keys into the dedup window; if a snapshot is
         active, emit the next chunk's surviving rows through the sink."""
         self._record_touched(batch_df)
+        window = (
+            self._advance_readonly_window(batch_df) if self.readonly
+            else None
+        )
         p = self._progress()
         if not p["active"]:
+            return
+        if window is not None and window.has_server_identifier_changed():
+            # a failover happened inside this chunk's window: the chunk
+            # cannot be trusted against a split-brain write history — defer
+            # (re-read next batch), exactly rereadChunk
+            if self.notifications:
+                self.notifications.emit(
+                    "incremental_snapshot", "CHUNK_REREAD",
+                    reason="server identifier changed inside the window",
+                )
             return
 
         src = self.source_loader()
@@ -364,6 +439,21 @@ class IncrementalSnapshotter:
 
         touched = self._touched()
         survivors = chunk
+        if touched is not None and window is not None:
+            # read-only mode: ONLY keys touched inside THIS chunk's GTID
+            # window evict — keys from earlier windows are already
+            # reflected in the chunk rows the source read
+            # (updateWindowState semantics); membership is the literal
+            # interval predicate, join-free
+            from debezium_spark.sources.gtid import (
+                gtid_membership_predicate,
+            )
+
+            touched = touched.filter(
+                gtid_membership_predicate(
+                    window.high, F.col("__g_uuid"), F.col("__g_txid")
+                )
+            ).select(*self.pk_cols)
         if touched is not None:
             # No broadcast hint: the touched-keys side grows with stream
             # history; AQE picks broadcast while it's small and falls back

@@ -334,3 +334,84 @@ def test_kafka_signal_channel_contract(spark, tmp_path):
         "hello",
         "again",
     ]
+
+
+# ---------------------------------------------------------------------------
+# S4 read-only mode: GTID-set chunk windows + failover re-read
+# (BinlogReadOnlyIncrementalSnapshotChangeEventSource.java:116-175 over
+# sources/gtid.py — the streaming half of s30)
+# ---------------------------------------------------------------------------
+def test_readonly_gtid_windows_and_failover_reread(spark, tmp_path):
+    from types import SimpleNamespace
+
+    from debezium_spark.streaming.signals import IncrementalSnapshotter
+
+    UUID_A = "aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa"
+    UUID_B = "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb"
+
+    emitted: list = []
+
+    class CaptureSink:
+        def write_batch(self, df, epoch=None):
+            emitted.append(sorted(r["id"] for r in df.collect()))
+
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 9)], "id long, val string"
+    )
+    snap = IncrementalSnapshotter(
+        spark,
+        source_loader=lambda: src,
+        wrap_chunk=lambda df: df,
+        pk_col="id",
+        state_dir=str(tmp_path / "state"),
+        chunk_size=4,
+        gtid_uuid_expr="source.guuid",
+        gtid_txid_expr="source.gtx",
+    )
+    snap.begin(["t"])
+    pipe = SimpleNamespace(sink=CaptureSink())
+
+    def batch(rows):
+        # rows: (id, uuid, txid)
+        return spark.createDataFrame(
+            [
+                {
+                    "key": {"id": i},
+                    "op": "u",
+                    "source": {"guuid": u, "gtx": t},
+                }
+                for i, u, t in rows
+            ],
+            "key struct<id:long>, op string,"
+            " source struct<guuid:string, gtx:long>",
+        )
+
+    # batch 1: events under server A touch keys 2 and 3 — both are inside
+    # chunk 1's window, so the chunk (ids 1-4) emits without them
+    snap.advance(pipe, batch([(2, UUID_A, 101), (3, UUID_A, 102)]))
+    assert emitted == [[1, 4]]
+
+    # batch 2: FAILOVER inside the window (A and B both advance): the
+    # chunk must be deferred for a re-read, bound unchanged
+    snap.advance(pipe, batch([(5, UUID_A, 103), (6, UUID_B, 1)]))
+    assert emitted == [[1, 4]]  # nothing new emitted
+
+    # batch 3: stable again under B — the RE-READ chunk (ids 5-8) emits;
+    # only keys touched INSIDE this window (key 7 under B) evict; key 5,
+    # touched in the PREVIOUS window, is presumed already reflected in
+    # the re-read chunk (the live-table property the reference relies on)
+    snap.advance(pipe, batch([(7, UUID_B, 2)]))
+    assert emitted == [[1, 4], [5, 6, 8]]
+
+    # empty-feed poll: no events -> empty window -> no eviction; the
+    # snapshot completes (no rows past the bound)
+    empty = batch([]).limit(0)
+    snap.advance(pipe, empty)
+    assert not snap.active
+
+    # the executed set persisted through the walk (offset-context budget)
+    import json as _json
+
+    with open(str(tmp_path / "state" / "snapshot_progress.json")) as fh:
+        p = _json.load(fh)
+    assert UUID_A in p["executed"] and UUID_B in p["executed"]
