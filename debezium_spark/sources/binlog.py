@@ -112,6 +112,13 @@ TYPE_YEAR = 13
 TYPE_BIT = 16
 TYPE_JSON = 245
 
+#: the column types MySQL's SIGNEDNESS optional-metadata bitmap covers
+#: (is_numeric_type in the server's table-map metadata writer)
+_NUMERIC_TYPES = {
+    TYPE_TINY, TYPE_SHORT, TYPE_INT24, TYPE_LONG, TYPE_LONGLONG,
+    TYPE_FLOAT, TYPE_DOUBLE, TYPE_NEWDECIMAL,
+}
+
 HEADER_LEN = 19
 
 
@@ -267,21 +274,30 @@ def _fmt_hms(h: int, m: int, s: int, micros: int, fsp: int) -> str:
     return t
 
 
-def _read_value(buf: bytes, off: int, type_code: int, meta: int):
+def _read_value(buf: bytes, off: int, type_code: int, meta: int,
+                unsigned: bool = False):
+    # ``unsigned`` comes from the TABLE_MAP SIGNEDNESS optional metadata
+    # (MySQL 8 TLV type 1); without it every integer decodes signed, the
+    # pre-8.0 behavior the reference inherits from its binlog client
     if type_code == TYPE_LONG:
-        return struct.unpack_from("<i", buf, off)[0], off + 4
+        return struct.unpack_from("<I" if unsigned else "<i", buf, off)[0], \
+            off + 4
     if type_code == TYPE_LONGLONG:
-        return struct.unpack_from("<q", buf, off)[0], off + 8
+        return struct.unpack_from("<Q" if unsigned else "<q", buf, off)[0], \
+            off + 8
     if type_code == TYPE_DOUBLE:
         return struct.unpack_from("<d", buf, off)[0], off + 8
     if type_code == TYPE_TINY:
-        return int.from_bytes(buf[off : off + 1], "little", signed=True), \
-            off + 1
+        return int.from_bytes(
+            buf[off : off + 1], "little", signed=not unsigned
+        ), off + 1
     if type_code == TYPE_SHORT:
-        return struct.unpack_from("<h", buf, off)[0], off + 2
+        return struct.unpack_from("<H" if unsigned else "<h", buf, off)[0], \
+            off + 2
     if type_code == TYPE_INT24:
-        return int.from_bytes(buf[off : off + 3], "little", signed=True), \
-            off + 3
+        return int.from_bytes(
+            buf[off : off + 3], "little", signed=not unsigned
+        ), off + 3
     if type_code == TYPE_FLOAT:
         return struct.unpack_from("<f", buf, off)[0], off + 4
     if type_code == TYPE_YEAR:
@@ -368,19 +384,20 @@ def _read_value(buf: bytes, off: int, type_code: int, meta: int):
     raise ValueError(f"column type {type_code} outside the decoded slice")
 
 
-def _enc_value(v, type_code: int, meta: int) -> bytes:
+def _enc_value(v, type_code: int, meta: int,
+               unsigned: bool = False) -> bytes:
     if type_code == TYPE_LONG:
-        return struct.pack("<i", v)
+        return struct.pack("<I" if unsigned else "<i", v)
     if type_code == TYPE_LONGLONG:
-        return struct.pack("<q", v)
+        return struct.pack("<Q" if unsigned else "<q", v)
     if type_code == TYPE_DOUBLE:
         return struct.pack("<d", v)
     if type_code == TYPE_TINY:
-        return int(v).to_bytes(1, "little", signed=True)
+        return int(v).to_bytes(1, "little", signed=not unsigned)
     if type_code == TYPE_SHORT:
-        return struct.pack("<h", v)
+        return struct.pack("<H" if unsigned else "<h", v)
     if type_code == TYPE_INT24:
-        return int(v).to_bytes(3, "little", signed=True)
+        return int(v).to_bytes(3, "little", signed=not unsigned)
     if type_code == TYPE_FLOAT:
         return struct.pack("<f", v)
     if type_code == TYPE_YEAR:
@@ -434,7 +451,7 @@ def _enc_value(v, type_code: int, meta: int) -> bytes:
     raise ValueError(f"column type {type_code} outside the encoded slice")
 
 
-def _read_row_image(buf, off, types, metas, present):
+def _read_row_image(buf, off, types, metas, present, unsigned=None):
     """One row image: null bitmap over the PRESENT columns (LSB-first),
     then values for present-and-non-null columns in order. Returns a list
     over ALL columns (absent → None too; the fixture always sends all)."""
@@ -450,18 +467,24 @@ def _read_row_image(buf, off, types, metas, present):
         if _bitmap_get(null_bm, pi):
             values.append(None)
         else:
-            v, off = _read_value(buf, off, types[i], metas[i])
+            v, off = _read_value(
+                buf, off, types[i], metas[i],
+                unsigned=bool(unsigned[i]) if unsigned else False,
+            )
             values.append(v)
         pi += 1
     return values, off
 
 
-def _enc_row_image(values, types, metas, present) -> bytes:
+def _enc_row_image(values, types, metas, present, unsigned=None) -> bytes:
     nulls = [v is None for v, p in zip(values, present) if p]
     out = bytearray(_enc_bitmap(nulls))
-    for v, t, m, p in zip(values, types, metas, present):
+    for i, (v, t, m, p) in enumerate(zip(values, types, metas, present)):
         if p and v is not None:
-            out += _enc_value(v, t, m)
+            out += _enc_value(
+                v, t, m,
+                unsigned=bool(unsigned[i]) if unsigned else False,
+            )
     return bytes(out)
 
 
@@ -542,8 +565,10 @@ def parse_table_map(body: bytes) -> dict:
             metas.append(0)
     if off != meta_end:
         raise ValueError("TABLE_MAP metadata block length mismatch")
-    null_bm = body[off : off + (ncols + 7) // 8]
-    return {
+    nb_len = (ncols + 7) // 8
+    null_bm = body[off : off + nb_len]
+    off += nb_len
+    out = {
         "kind": "table_map",
         "table_id": table_id,
         "schema": schema,
@@ -552,6 +577,58 @@ def parse_table_map(body: bytes) -> dict:
         "metas": metas,
         "nullable": [_bitmap_get(null_bm, i) for i in range(ncols)],
     }
+    # MySQL 8 optional metadata TLVs (mysql's Optional_metadata_field_type;
+    # the reference consumes them through the binlog client's
+    # TableMapEventMetadata): type byte + lenenc length + payload.
+    numeric_idx = [i for i, t in enumerate(types) if t in _NUMERIC_TYPES]
+    enumset_idx = [
+        i for i, t, m in zip(range(ncols), types, metas)
+        if t == TYPE_STRING and (m >> 8) in (ENUM_REAL, SET_REAL)
+    ]
+    while off < len(body):
+        tlv_type = body[off]
+        tlv_len, off = _read_lenenc(body, off + 1)
+        payload = body[off : off + tlv_len]
+        off += tlv_len
+        if tlv_type == 1:  # SIGNEDNESS: MSB-first bitmap, NUMERIC cols only
+            unsigned = [False] * ncols
+            for pos, ci in enumerate(numeric_idx):
+                unsigned[ci] = bool(
+                    payload[pos // 8] & (0x80 >> (pos % 8))
+                )
+            out["unsigned"] = unsigned
+        elif tlv_type == 4:  # COLUMN_NAME: lenenc-prefixed, per column
+            p, names = 0, []
+            while p < len(payload):
+                n, p = _read_lenenc(payload, p)
+                names.append(payload[p : p + n].decode("utf-8"))
+                p += n
+            out["column_names"] = names
+        elif tlv_type in (5, 6):  # SET_STR_VALUE / ENUM_STR_VALUE
+            p, groups = 0, []
+            while p < len(payload):
+                cnt, p = _read_lenenc(payload, p)
+                vals = []
+                for _ in range(cnt):
+                    n, p = _read_lenenc(payload, p)
+                    vals.append(payload[p : p + n].decode("utf-8"))
+                    p += n
+                groups.append(vals)
+            key = "set_values" if tlv_type == 5 else "enum_values"
+            # positional: group k belongs to the k-th ENUM (resp. SET)
+            # column in column order
+            out[key] = groups
+        # other TLV types (charsets, pk hints, visibility) skip cleanly
+    out.setdefault("unsigned", [False] * ncols)
+    # positional label tables: group k of ENUM_STR_VALUE belongs to the
+    # k-th ENUM column in column order (same for SET_STR_VALUE)
+    if enumset_idx and "enum_values" in out:
+        ei = [i for i in enumset_idx if (metas[i] >> 8) == ENUM_REAL]
+        out["enum_labels_by_col"] = dict(zip(ei, out["enum_values"]))
+    if enumset_idx and "set_values" in out:
+        si = [i for i in enumset_idx if (metas[i] >> 8) == SET_REAL]
+        out["set_labels_by_col"] = dict(zip(si, out["set_values"]))
+    return out
 
 
 def encode_table_map(
@@ -561,6 +638,10 @@ def encode_table_map(
     types: list[int],
     metas: list[int],
     nullable: list[bool],
+    unsigned: list[bool] | None = None,
+    column_names: list[str] | None = None,
+    enum_values: list[list[str]] | None = None,
+    set_values: list[list[str]] | None = None,
     **hdr,
 ) -> bytes:
     meta = b""
@@ -585,6 +666,27 @@ def encode_table_map(
         + _enc_lenenc(len(meta)) + meta
         + _enc_bitmap(nullable)
     )
+    # MySQL 8 optional metadata TLVs (type byte + lenenc length + payload)
+    if unsigned is not None:
+        numeric = [u for u, t in zip(unsigned, types) if t in _NUMERIC_TYPES]
+        bm = bytearray((len(numeric) + 7) // 8)
+        for pos, u in enumerate(numeric):
+            if u:
+                bm[pos // 8] |= 0x80 >> (pos % 8)  # MSB-first
+        body += bytes([1]) + _enc_lenenc(len(bm)) + bytes(bm)
+    if column_names is not None:
+        payload = b"".join(
+            _enc_lenenc(len(n.encode())) + n.encode() for n in column_names
+        )
+        body += bytes([4]) + _enc_lenenc(len(payload)) + payload
+    for tlv_type, groups in ((5, set_values), (6, enum_values)):
+        if groups is not None:
+            payload = b""
+            for vals in groups:
+                payload += _enc_lenenc(len(vals))
+                for v in vals:
+                    payload += _enc_lenenc(len(v.encode())) + v.encode()
+            body += bytes([tlv_type]) + _enc_lenenc(len(payload)) + payload
     return encode_header(TABLE_MAP_EVENT, len(body), **hdr) + body
 
 
@@ -596,6 +698,7 @@ def parse_rows_event(body: bytes, type_code: int, registry: dict) -> dict:
     if tm is None:
         raise ValueError(f"rows event for unmapped table id {table_id}")
     types, metas = tm["types"], tm["metas"]
+    uns = tm.get("unsigned")
     off = 8  # table id + flags
     extra_len = struct.unpack_from("<H", body, off)[0]
     off += extra_len  # self-inclusive
@@ -613,10 +716,12 @@ def parse_rows_event(body: bytes, type_code: int, registry: dict) -> dict:
         off += bm_len
     rows = []
     while off < len(body):
-        img, off = _read_row_image(body, off, types, metas, present)
+        img, off = _read_row_image(
+            body, off, types, metas, present, unsigned=uns
+        )
         if type_code == UPDATE_ROWS_EVENT:
             after, off = _read_row_image(
-                body, off, types, metas, present_after
+                body, off, types, metas, present_after, unsigned=uns
             )
             rows.append({"before": img, "after": after})
         elif type_code == DELETE_ROWS_EVENT:
@@ -650,6 +755,7 @@ def encode_rows_event(
     rows: list[dict],
     present: list[bool] | None = None,
     present_after: list[bool] | None = None,
+    unsigned: list[bool] | None = None,
     **hdr,
 ) -> bytes:
     """``present``/``present_after`` default to all-columns (FULL row
@@ -670,13 +776,17 @@ def encode_rows_event(
         body += _enc_bitmap(present_after)
     for row in rows:
         if type_code == WRITE_ROWS_EVENT:
-            body += _enc_row_image(row["after"], types, metas, present)
+            body += _enc_row_image(row["after"], types, metas, present,
+                                   unsigned=unsigned)
         elif type_code == DELETE_ROWS_EVENT:
-            body += _enc_row_image(row["before"], types, metas, present)
+            body += _enc_row_image(row["before"], types, metas, present,
+                                   unsigned=unsigned)
         else:
-            body += _enc_row_image(row["before"], types, metas, present)
+            body += _enc_row_image(row["before"], types, metas, present,
+                                   unsigned=unsigned)
             body += _enc_row_image(
-                row["after"], types, metas, present_after
+                row["after"], types, metas, present_after,
+                unsigned=unsigned,
             )
     return encode_header(type_code, len(body), **hdr) + body
 
@@ -870,17 +980,41 @@ def decode_binlog_rows(
     if registry is None:
         registry = table_map_registry(df, msg_col=msg_col)
 
-    def to_text(vals):
+    def to_text(vals, enum_labels=None, set_labels=None):
         if vals is None:
             return None
         out = []
-        for v in vals:
+        for i, v in enumerate(vals):
             if v is None or isinstance(v, float):
                 out.append(None)  # DOUBLEs surface in *_nums only
             elif isinstance(v, str):
                 out.append(v)
             elif isinstance(v, bytes):
                 out.append(v.hex())  # BLOB/TEXT: hex text form
+            elif enum_labels and i in enum_labels:
+                # wire ordinal -> ENUM_STR_VALUE label (1-based; 0 is
+                # MySQL's invalid-value empty string)
+                labels = enum_labels[i]
+                v = int(v)
+                if not 0 <= v <= len(labels):
+                    raise ValueError(
+                        f"enum ordinal {v} outside the {len(labels)} "
+                        "wire-declared labels"
+                    )
+                out.append("" if v == 0 else labels[v - 1])
+            elif set_labels and i in set_labels:
+                # bitmask -> comma-joined SET_STR_VALUE labels (the
+                # reference's EnumSet text form)
+                labels = set_labels[i]
+                v = int(v)
+                if v >> len(labels):
+                    raise ValueError(
+                        f"set bitmask {v:#x} has bits past the "
+                        f"{len(labels)} wire-declared labels"
+                    )
+                out.append(",".join(
+                    lab for b, lab in enumerate(labels) if v >> b & 1
+                ))
             else:
                 out.append(str(int(v)))
         return out
@@ -901,6 +1035,9 @@ def decode_binlog_rows(
                         "update_rows": "u",
                         "delete_rows": "d",
                     }[ev["kind"]]
+                    tm = registry.get(ev["table_id"], {})
+                    el = tm.get("enum_labels_by_col")
+                    sl = tm.get("set_labels_by_col")
                     for row in ev["rows"]:
                         out.append(
                             (
@@ -908,8 +1045,8 @@ def decode_binlog_rows(
                                 op,
                                 ev["schema"],
                                 ev["table"],
-                                to_text(row["before"]),
-                                to_text(row["after"]),
+                                to_text(row["before"], el, sl),
+                                to_text(row["after"], el, sl),
                                 to_num(row["before"]),
                                 to_num(row["after"]),
                                 ev["before_present"],

@@ -36,17 +36,20 @@ QUERIES: dict[str, Q] = {}
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
     # --- r11 rotation (the per-query ledger lives in COVERAGE.md):
-    # 1. the 7 queries registered THIS round (new queries must be
+    # 1. the 8 queries registered THIS round (new queries must be
     #    windowed): s22b full pg array grammar + OID tail, s30 GTID-set
     #    read-only snapshot watermarks, s29b LOB erase/noop/32k chains,
     #    s28b JSONB OPAQUE values, s31 BSON typed decode, x44 Bloom
-    #    decontamination, x45 the bloom->exact funnel.
+    #    decontamination, x45 the bloom->exact funnel, s19d TABLE_MAP
+    #    optional metadata (unsigned + wire labels).
     # 2. the r7 tier (VERDICT r10 item 6): 43 of its 46 legs — after
     #    this window nothing registered sits below r8 except
     #    k1_merge_upsert (exercised EVERY round by the entry() smoke),
-    #    t15_vector_to_json (sibling t15b re-proven r10) and
-    #    a6_cosine_near_dup (in the bench HEADLINE every round); all
-    #    three stay value-checked by the in-repo gate and rotate in r12.
+    #    t15_vector_to_json (sibling t15b re-proven r10),
+    #    a6_cosine_near_dup (in the bench HEADLINE every round) and
+    #    f4_avro_roundtrip (spec-example byte goldens in
+    #    tests/test_avro.py); all four stay value-checked by the in-repo
+    #    gate and rotate in r12.
     # registered this round ----------------------------------------------------
     "s22b_pg_array_grammar",           # quoted/escaped/2-D arrays + OID tail
     "s30_gtidset_readonly_snapshot",   # GTID-set watermarks across failover
@@ -55,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "s31_bson_typed",                  # BSON wire -> MongoDataConverter types
     "x44_bloom_decontaminate",         # mergeable-bitset contamination screen
     "x45_bloom_then_exact",            # Bloom screen -> exact verify funnel
+    "s19d_binlog_unsigned_labels",     # SIGNEDNESS + wire ENUM/SET labels
     # the r7 tier ---------------------------------------------------------------
     "a12_sparse_cosine",
     "a13_knn_sparse",
@@ -66,7 +70,6 @@ PRIORITY: tuple[str, ...] = (
     "e2_sliding_window",
     "e4_hierarchical_rollup",
     "f1_cloudevents_roundtrip",
-    "f4_avro_roundtrip",
     "f5_protobuf_roundtrip",
     "h6_interval_enum_set",
     "k11_incremental_avg",

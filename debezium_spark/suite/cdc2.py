@@ -3062,6 +3062,115 @@ def s19c_binlog_small_types(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S19d — TABLE_MAP optional metadata (MySQL 8 TLVs): SIGNEDNESS-driven
+# unsigned integer decode + ENUM/SET labels resolved from the WIRE
+# (ENUM_STR_VALUE/SET_STR_VALUE) instead of tracked DDL — the metadata the
+# reference consumes through its binlog client's TableMapEventMetadata.
+# ---------------------------------------------------------------------------
+@register(
+    "s19d_binlog_unsigned_labels",
+    oracle="""
+    SELECT 6000 + event_id AS pos,
+           event_id AS id,
+           200 + event_id % 56 AS u8,
+           40000 + event_id % 25000 AS u16,
+           8400000 + event_id % 8000000 AS u24,
+           3000000000 + event_id AS u32,
+           5000000000000000000 + event_id AS u64,
+           CASE event_id % 4 WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver'
+                WHEN 2 THEN 'gold' ELSE 'platinum' END AS tier,
+           CASE event_id % 4 WHEN 0 THEN ''
+                WHEN 1 THEN 'read'
+                WHEN 2 THEN 'write'
+                ELSE 'read,write' END AS perms
+    FROM events
+    """,
+)
+def s19d_binlog_unsigned_labels(spark, sf_dir):
+    """MySQL-8 TABLE_MAP optional metadata through the decode kernel:
+    the SIGNEDNESS bitmap makes TINY/SHORT/INT24/LONG/LONGLONG decode
+    unsigned — every fixture value sits ABOVE its signed type's max, so
+    a signed decode would go negative and break the hash — and ENUM/SET
+    ordinals resolve against the wire-declared label tables
+    (1-based ordinals, 0 = MySQL's invalid-value empty string; SET
+    bitmasks join labels with commas). No DDL tracking involved."""
+    import pandas as pd
+
+    from debezium_spark.sources.binlog import (
+        TYPE_INT24,
+        TYPE_LONG,
+        TYPE_LONGLONG,
+        TYPE_SHORT,
+        TYPE_STRING,
+        TYPE_TINY,
+        WRITE_ROWS_EVENT,
+        decode_binlog_rows,
+        encode_rows_event,
+        encode_table_map,
+    )
+
+    TID = 418
+    TYPES = [TYPE_LONGLONG, TYPE_TINY, TYPE_SHORT, TYPE_INT24,
+             TYPE_LONG, TYPE_LONGLONG, TYPE_STRING, TYPE_STRING]
+    METAS = [0, 0, 0, 0, 0, 0, (247 << 8) | 1, (248 << 8) | 1]
+    UNSIGNED = [False, True, True, True, True, True, False, False]
+
+    ev = _events_feed(spark, sf_dir).select("event_id")
+
+    def enc(batches):
+        for pdf in batches:
+            poss, msgs = [], []
+            for e in pdf["event_id"]:
+                e = int(e)
+                after = [
+                    e,
+                    200 + e % 56,                      # > int8 max
+                    40000 + e % 25000,                 # > int16 max
+                    8_400_000 + e % 8_000_000,         # > int24 max
+                    3_000_000_000 + e,                 # > int32 max
+                    5_000_000_000_000_000_000 + e,
+                    e % 4 + 1,                         # enum ordinal
+                    (0, 1, 2, 3)[e % 4],               # set bitmask
+                ]
+                poss.append(6000 + e)
+                msgs.append(encode_rows_event(
+                    WRITE_ROWS_EVENT, TID, TYPES, METAS,
+                    [{"before": None, "after": after}],
+                    unsigned=UNSIGNED, log_pos=6000 + e,
+                ))
+            yield pd.DataFrame({"pos": poss, "msg": msgs})
+
+    data = ev.mapInPandas(enc, "pos long, msg binary")
+    rel = spark.createDataFrame(
+        [(0, bytearray(encode_table_map(
+            TID, "inventory", "unsigned_t", TYPES, METAS,
+            [False] * 8,
+            unsigned=UNSIGNED,
+            column_names=["id", "u8", "u16", "u24", "u32", "u64",
+                          "tier", "perms"],
+            enum_values=[["bronze", "silver", "gold", "platinum"]],
+            set_values=[["read", "write"]],
+            log_pos=0,
+        )))],
+        "pos long, msg binary",
+    )
+    stream = rel.unionByName(data).localCheckpoint(eager=True)
+    dec = decode_binlog_rows(stream).filter(F.col("kind") == "c")
+    a = F.col("after")
+    return dec.select(
+        F.col("log_pos").alias("pos"),
+        F.element_at(a, 1).cast("long").alias("id"),
+        F.element_at(a, 2).cast("int").alias("u8"),
+        F.element_at(a, 3).cast("int").alias("u16"),
+        F.element_at(a, 4).cast("int").alias("u24"),
+        F.element_at(a, 5).cast("long").alias("u32"),
+        F.element_at(a, 6).cast("long").alias("u64"),
+        F.element_at(a, 7).alias("tier"),
+        F.element_at(a, 8).alias("perms"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S28 — MySQL binary JSON: the binlog ships JSON columns as JSONB trees,
 # decoded here to the text the reference's JsonBinary rendering produces.
 # ---------------------------------------------------------------------------

@@ -708,3 +708,92 @@ def test_mariadb_gtid_event_roundtrip():
                               log_pos=78, server_id=1)
     out2 = parse_event(ev2, {})
     assert out2["gtid"] == "0-1-7" and out2["commit_id"] == 555
+
+
+# ---------------------------------------------------------------------------
+# s19d — TABLE_MAP optional metadata TLVs (MySQL 8: SIGNEDNESS,
+# COLUMN_NAME, ENUM/SET_STR_VALUE; consumed by the reference through its
+# binlog client's TableMapEventMetadata)
+# ---------------------------------------------------------------------------
+def test_table_map_optional_metadata_tlvs():
+    from debezium_spark.sources.binlog import (
+        HEADER_LEN,
+        TYPE_LONG,
+        TYPE_STRING,
+        TYPE_TINY,
+        encode_table_map,
+        parse_table_map,
+    )
+
+    types = [TYPE_LONG, TYPE_TINY, TYPE_STRING, TYPE_STRING]
+    metas = [0, 0, (247 << 8) | 1, (248 << 8) | 1]
+    ev = encode_table_map(
+        7, "d", "t", types, metas, [False] * 4,
+        unsigned=[True, False, False, False],
+        column_names=["a", "b", "c", "d"],
+        enum_values=[["x", "y"]],
+        set_values=[["r", "w"]],
+        log_pos=4,
+    )
+    body = ev[HEADER_LEN:]
+    m = parse_table_map(body)
+    # SIGNEDNESS covers NUMERIC columns only, MSB-first: numeric cols are
+    # (a, b); a unsigned -> first payload byte 0b10000000
+    i = body.index(bytes([1, 1]))  # TLV type 1, lenenc len 1
+    assert body[i + 2] == 0x80
+    assert m["unsigned"] == [True, False, False, False]
+    assert m["column_names"] == ["a", "b", "c", "d"]
+    assert m["enum_labels_by_col"] == {2: ["x", "y"]}
+    assert m["set_labels_by_col"] == {3: ["r", "w"]}
+    # a TABLE_MAP without TLVs defaults to all-signed, no labels
+    plain = parse_table_map(
+        encode_table_map(7, "d", "t", types, metas, [False] * 4)[HEADER_LEN:]
+    )
+    assert plain["unsigned"] == [False] * 4
+    assert "enum_labels_by_col" not in plain
+
+
+def test_unsigned_decode_and_wire_labels(spark):
+    """Values above each signed max decode correctly under SIGNEDNESS;
+    enum ordinal 0 is MySQL's invalid-value empty string; out-of-range
+    ordinals/bitmasks raise instead of mis-labeling."""
+    from debezium_spark.sources.binlog import (
+        TYPE_STRING,
+        TYPE_TINY,
+        WRITE_ROWS_EVENT,
+        decode_binlog_rows,
+        encode_rows_event,
+        encode_table_map,
+    )
+
+    types = [TYPE_TINY, TYPE_STRING, TYPE_STRING]
+    metas = [0, (247 << 8) | 1, (248 << 8) | 1]
+    uns = [True, False, False]
+
+    def stream(rows):
+        rel = (0, bytearray(encode_table_map(
+            9, "d", "t", types, metas, [False] * 3, unsigned=uns,
+            enum_values=[["lo", "hi"]], set_values=[["r", "w"]],
+            log_pos=0)))
+        msgs = [rel] + [
+            (i + 1, bytearray(encode_rows_event(
+                WRITE_ROWS_EVENT, 9, types, metas,
+                [{"before": None, "after": list(r)}],
+                unsigned=uns, log_pos=i + 1)))
+            for i, r in enumerate(rows)
+        ]
+        return spark.createDataFrame(msgs, "pos long, msg binary")
+
+    out = decode_binlog_rows(stream([(255, 2, 3), (130, 0, 0)])).filter(
+        "kind = 'c'").orderBy("log_pos").collect()
+    assert out[0]["after"] == ["255", "hi", "r,w"]
+    assert out[1]["after"] == ["130", "", ""]   # ordinal 0 -> ''
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="enum ordinal"):
+        decode_binlog_rows(stream([(1, 3, 0)])).filter(
+            "kind = 'c'").collect()
+    with _pytest.raises(Exception, match="set bitmask"):
+        decode_binlog_rows(stream([(1, 1, 4)])).filter(
+            "kind = 'c'").collect()
