@@ -31,6 +31,7 @@ HEADLINE = [
     "s22_pgoutput_typed",
     "s19b_binlog_types",
     "s19c_binlog_small_types",
+    "s19d_binlog_unsigned_labels",
     "s28_binlog_json",
     "s25_logminer_to_table",
     "s29_logminer_lob",
