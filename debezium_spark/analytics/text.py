@@ -645,8 +645,11 @@ def contamination_hits(
         )
 
     bench_grams = grams(benchmark).select("g").distinct()
+    # the corpus-side gram explode is CPU-heavy per row: rebalance a
+    # single-split input so it doesn't serialize on one core (no-op on
+    # well-partitioned inputs)
     return (
-        grams(corpus)
+        grams(ensure_parallelism(corpus))
         .join(bench_grams, "g", "left_semi")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))

@@ -2309,6 +2309,10 @@ def x45_bloom_then_exact(spark, sf_dir):
         bloom_decontaminate(corpus, bloom, n=3, k=2)
         .filter(F.col("n_hits") > 0)
         .select("doc_id")
+        # materialize the screen ONCE: the id list is bounded by the doc
+        # count and feeds a broadcast semi-join; without this the whole
+        # md5-probe subtree re-evaluates inside the exact stage's plan
+        .localCheckpoint(eager=True)
     )
-    flagged = corpus.join(flagged_ids, "doc_id", "left_semi")
+    flagged = corpus.join(F.broadcast(flagged_ids), "doc_id", "left_semi")
     return contamination_hits(flagged, bench)
