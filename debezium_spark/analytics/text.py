@@ -2735,3 +2735,28 @@ def bloom_decontaminate(
         frac.alias("hit_frac"),
         (frac >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def save_bloom(path: str, words: list[int], *, n: int, k: int) -> None:
+    """Persist a Bloom filter artifact (the decontamination screen's
+    train-once/screen-many half): the words plus the (n, k) parameters a
+    reader MUST reuse — probing with different hashes or gram width
+    silently returns garbage, so load re-binds them together."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "bloom.json"), "w") as fh:
+        _json.dump({"n": n, "k": k, "words": words}, fh)
+
+
+def load_bloom(path: str) -> tuple[list[int], int, int]:
+    """Returns (words, n, k) — pass all three to
+    :func:`bloom_decontaminate` (mismatched parameters would probe the
+    wrong bits)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "bloom.json")) as fh:
+        d = _json.load(fh)
+    return list(d["words"]), int(d["n"]), int(d["k"])

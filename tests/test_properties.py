@@ -531,3 +531,33 @@ def test_bson_codec_round_trips(doc):
     from debezium_spark.sources.bson import decode_bson, encode_bson
 
     assert decode_bson(encode_bson(doc)) == doc
+
+
+def test_bloom_artifact_round_trip(spark, tmp_path):
+    """The persisted Bloom filter screens identically to the in-session
+    one (train-once/screen-many, like the ANN index artifacts)."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.analytics.text import (
+        bloom_decontaminate,
+        bloom_ngram_build,
+        load_bloom,
+        save_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    words = bloom_ngram_build(bench, n=3, m_words=16, k=2)
+    save_bloom(str(tmp_path / "bloom"), words, n=3, k=2)
+    w2, n, k = load_bloom(str(tmp_path / "bloom"))
+    assert (w2, n, k) == (words, 3, 2)
+    a = sorted(
+        tuple(r) for r in bloom_decontaminate(corpus, words, n=3, k=2)
+        .collect()
+    )
+    b = sorted(
+        tuple(r) for r in bloom_decontaminate(corpus, w2, n=n, k=k)
+        .collect()
+    )
+    assert a == b and len(a) > 0
