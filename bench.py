@@ -160,13 +160,15 @@ def quarantine_noisy_legs(
     evidence: set[str],
     factor: float = 2.0,
 ) -> tuple[float, float, list[str]]:
-    """Quarantine decision for noisy-accepted legs (VERDICT r10 Wrong #2):
-    a leg whose accepted median sits > ``factor`` x its previous committed
-    value AND that shows independent noise evidence this run (it was
-    requeued, or its probes/spread flagged it) is host noise, not a code
-    regression — exclude it from the headline and report BOTH totals. A
-    >2x move WITHOUT noise evidence stays in the headline: that is a real
-    regression and must hurt. Returns (kept_total, all_total,
+    """Quarantine decision for noisy-accepted legs (VERDICT r10 Wrong #2,
+    tightened per r11 ADVICE): a leg whose accepted median sits >
+    ``factor`` x its previous committed value AND whose timing block the
+    HOST PROBES flagged noisy (``evidence`` = probe-flagged legs only —
+    run spread or a requeue alone does not qualify, because a genuine
+    regression that adds a shuffle also shows spread) is host noise, not
+    a code regression — exclude it from the headline and report BOTH
+    totals. A >2x move without probe evidence stays in the headline: that
+    is a real regression and must hurt. Returns (kept_total, all_total,
     quarantined_legs)."""
     quarantined = sorted(
         n for n, t in timings.items()
@@ -236,6 +238,12 @@ def main() -> None:
     requeues: dict[str, int] = {}
     noisy_accepted: list[str] = []
     spread_accepted: list[str] = []
+    # Legs whose HOST PROBES read noisy on any attempt — the only
+    # quarantine-qualifying evidence. Spread or a requeue alone is not:
+    # a genuine regression that adds a shuffle often shows run-to-run
+    # spread, and quarantining it would hide the regression from the
+    # headline (r11 ADVICE).
+    probe_flagged: set = set()
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -265,6 +273,7 @@ def main() -> None:
         # calm-window spreads are ~6%. Such a block re-runs like a
         # probe-noisy one, and if it never settles it's recorded in
         # spread_accepted so the delta reader knows not to trust it.
+        probe_noisy_any_attempt = False
         for attempt in range(MAX_SEGMENT_RETRIES + 1):
             pre = _noise_probe()
             runs = []
@@ -273,6 +282,8 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
             post = _noise_probe()
+            if _is_noisy(pre) or _is_noisy(post):
+                probe_noisy_any_attempt = True
             wide = max(runs) / max(min(runs), 1e-9) > SPREAD_FACTOR
             if not (_is_noisy(pre) or _is_noisy(post) or wide):
                 break
@@ -280,6 +291,8 @@ def main() -> None:
             requeues[name] = attempt
         if _is_noisy(pre) or _is_noisy(post):
             noisy_accepted.append(name)
+        if probe_noisy_any_attempt:
+            probe_flagged.add(name)
         if wide:
             spread_accepted.append(name)
         noise.append(post)
@@ -311,9 +324,8 @@ def main() -> None:
 
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_out")
-    evidence = set(requeues) | set(noisy_accepted) | set(spread_accepted)
     total, total_all, quarantined = quarantine_noisy_legs(
-        timings, _previous_committed_timings(out_dir), evidence
+        timings, _previous_committed_timings(out_dir), probe_flagged
     )
     payload = {
         "metric": "headline_total",
@@ -331,6 +343,7 @@ def main() -> None:
         "noise_requeues": requeues,
         "noisy_accepted": noisy_accepted,
         "spread_accepted": spread_accepted,
+        "probe_flagged": sorted(probe_flagged),
         "sf": sf,
         **pipeline_stats,
     }

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -2737,26 +2737,27 @@ def bloom_decontaminate(
     )
 
 
-def save_bloom(path: str, words: list[int], *, n: int, k: int) -> None:
+def save_bloom(
+    spark: SparkSession, path: str, words: list[int], *, n: int, k: int
+) -> None:
     """Persist a Bloom filter artifact (the decontamination screen's
     train-once/screen-many half): the words plus the (n, k) parameters a
     reader MUST reuse — probing with different hashes or gram width
-    silently returns garbage, so load re-binds them together."""
-    import json as _json
-    import os as _os
+    silently returns garbage, so load re-binds them together.
 
-    _os.makedirs(path, exist_ok=True)
-    with open(_os.path.join(path, "bloom.json"), "w") as fh:
-        _json.dump({"n": n, "k": k, "words": words}, fh)
+    Written as a 1-row parquet through Spark's Hadoop FS layer — like
+    ``save_vector_index`` — so the artifact lands on s3a://, abfs:// or
+    hdfs:// paths exactly like local disk (a driver-local ``open()``
+    would strand it on one machine)."""
+    spark.createDataFrame(
+        [([int(w) for w in words], int(n), int(k))],
+        "words array<long>, n int, k int",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
-def load_bloom(path: str) -> tuple[list[int], int, int]:
+def load_bloom(spark: SparkSession, path: str) -> tuple[list[int], int, int]:
     """Returns (words, n, k) — pass all three to
     :func:`bloom_decontaminate` (mismatched parameters would probe the
     wrong bits)."""
-    import json as _json
-    import os as _os
-
-    with open(_os.path.join(path, "bloom.json")) as fh:
-        d = _json.load(fh)
-    return list(d["words"]), int(d["n"]), int(d["k"])
+    row = spark.read.parquet(path).collect()[0]
+    return list(row["words"]), int(row["n"]), int(row["k"])

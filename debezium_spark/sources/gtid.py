@@ -81,9 +81,16 @@ class GtidSet:
 
     @staticmethod
     def of(by_uuid: dict[str, list[tuple[int, int]]]) -> "GtidSet":
+        # Normalize server uuids to lowercase HERE, not just in parse():
+        # MySQL renders @@gtid_executed lowercase but clients may report
+        # uppercase hex, and every lookup (contains/max_transaction_id)
+        # lowercases — an uppercase key would silently never be found.
+        norm: dict[str, list[tuple[int, int]]] = {}
+        for u, ivs in by_uuid.items():
+            norm.setdefault(u.lower(), []).extend(ivs)
         return GtidSet(tuple(
             (u, tuple(_merge(ivs)))
-            for u, ivs in sorted(by_uuid.items())
+            for u, ivs in sorted(norm.items())
             if ivs
         ))
 
@@ -184,11 +191,17 @@ def gtid_membership_predicate(
     driver-side watermark set, rendered as a literal interval OR —
     Catalyst-only, broadcast-free, join-free. A gtid_executed set is a
     few dozen literals at worst; the predicate rides the scan."""
+    # The set normalizes server uuids to lowercase at parse time
+    # (GtidSet.parse / of); compare case-insensitively so a stream whose
+    # uuid column carries uppercase hex still matches the watermark window
+    # (otherwise touched keys would never evict and the snapshot could emit
+    # stale chunk rows over newer streamed values).
+    uuid_lc = F.lower(uuid_col)
     pred = F.lit(False)
     for uuid, ivs in gtid_set.uuids:
         for s, e in ivs:
             pred = pred | (
-                (uuid_col == uuid) & txid_col.between(s, e)
+                (uuid_lc == uuid) & txid_col.between(s, e)
             )
     return pred
 
@@ -345,13 +358,27 @@ class MariaDbGtidSet:
         return True
 
     def subtract(self, other: "MariaDbGtidSet | None") -> "MariaDbGtidSet":
+        """Mirror MariaDbGtidSet.java:111-124: a stream whose gtids are
+        contained-with the other's SAME stream — containsAll OR isAllBefore
+        (min sequence <= the other's min, :290-305) — is dropped whole
+        before the exact per-member subtract, so an all-before stream that
+        still holds gtids the other lacks does not survive partially."""
         if other is None:
             return self
         omap = other._map()
         out: dict = {}
         for sid, gs in self.streams:
-            ogs = set(omap.get(sid, ()))
-            rem = {g for g in gs if g not in ogs}
+            ogs = omap.get(sid)
+            if ogs is not None:
+                oset = set(ogs)
+                if set(gs) <= oset or (
+                    min(g.sequence for g in gs)
+                    <= min(g.sequence for g in ogs)
+                ):
+                    continue
+            else:
+                oset = set()
+            rem = {g for g in gs if g not in oset}
             if rem:
                 out[sid] = rem
         return MariaDbGtidSet.of(out)

@@ -1160,6 +1160,18 @@ def pg_array_value(col, elem_t: str, ndims: int = 1):
 
         return F.transform(tokens, guarded)
 
+    def sub_elem(e):
+        # Same dimension-mismatch contract as the 1-D path: an element of
+        # the INNER array that itself starts with '{' means the value is
+        # 3-D (or deeper) inside a declared-2-D column — raise instead of
+        # silently splitting sub-arrays on commas.
+        return F.when(
+            e.startswith("{"),
+            F.raise_error(F.concat(F.lit(
+                "multi-dimensional pg array value in a column "
+                "declared 2-D: "), e)).cast(scalar_t),
+        ).otherwise(conv(e))
+
     def sub(t):
         s_tokens = F.regexp_extract_all(
             t.substr(F.lit(2), F.length(t) - 2),
@@ -1170,7 +1182,7 @@ def pg_array_value(col, elem_t: str, ndims: int = 1):
             F.raise_error(F.concat(F.lit(
                 "scalar element in a column declared 2-D: "), t)
             ).cast(f"array<{scalar_t}>"),
-        ).otherwise(F.transform(s_tokens, conv))
+        ).otherwise(F.transform(s_tokens, sub_elem))
 
     return F.transform(tokens, sub)
 

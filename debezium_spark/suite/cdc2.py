@@ -54,8 +54,27 @@ def _events_feed(spark, sf_dir):
     )
 
 
-# Stream position where "DDL" adds the `tier` column in the K6/T13 fixtures.
-DDL_POS = 5000
+# Stream-position fences for the K6/T13/S4/S30 fixtures are SCALE-RELATIVE:
+# absolute constants broke at sf0.001 (max pos 999 never reached a 5000
+# fence — the s30 failover never happened and the s4/k6 windows degraded to
+# empty). Every fence derives from max(pos) of the feed, so the fixtures
+# exercise the same geometry at every scale factor. The oracle computes the
+# identical value inline (a scalar subquery over `events`); the Spark side
+# pays one bounded 1-row agg per fence.
+DDL_POS_SQL = "(SELECT max(event_id) // 2 FROM events)"
+WATERMARK_POS_SQL = DDL_POS_SQL
+GTID_OPEN_POS_SQL = "(SELECT (max(event_id) * 3) // 10 FROM events)"
+GTID_CLOSE_POS_SQL = "(SELECT (max(event_id) * 7) // 10 FROM events)"
+
+
+def _max_pos(spark, sf_dir) -> int:
+    """max(event_id) of the feed — the one bounded agg the scale-relative
+    fences cost (mirrors the offset reads the reference's contexts hold)."""
+    from debezium_spark.sources.changefeed import _events
+
+    return int(
+        _events(spark, sf_dir).agg(F.max("event_id")).collect()[0][0]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -170,8 +189,8 @@ def t12_schema_change_filter(spark, sf_dir):
     "t13_schema_to_record",
     oracle=f"""
     SELECT event_id AS pos,
-           CASE WHEN event_id >= {DDL_POS} THEN 2 ELSE 1 END AS __schema_version,
-           CASE WHEN event_id >= {DDL_POS}
+           CASE WHEN event_id >= {DDL_POS_SQL} THEN 2 ELSE 1 END AS __schema_version,
+           CASE WHEN event_id >= {DDL_POS_SQL}
                 THEN '["id", "status", "balance", "tier"]'
                 ELSE '["id", "status", "balance"]' END AS __schema_columns
     FROM events
@@ -182,10 +201,11 @@ def t13_schema_to_record(spark, sf_dir):
     (ExtractSchemaToNewRecord.java:53): version = the registry interval
     covering the event's position; broadcast range join, no stream shuffle."""
     env = accounts_changefeed(spark, sf_dir)
+    ddl_pos = _max_pos(spark, sf_dir) // 2
     registry = spark.createDataFrame(
         [
             ("accounts", 1, '["id", "status", "balance"]', 0),
-            ("accounts", 2, '["id", "status", "balance", "tier"]', DDL_POS),
+            ("accounts", 2, '["id", "status", "balance", "tier"]', ddl_pos),
         ],
         "table string, version int, columns_json string, valid_from_pos long",
     )
@@ -435,7 +455,7 @@ def s12_snapshot_override(spark, sf_dir):
         SELECT id,
                CASE WHEN op = 'd' THEN NULL ELSE status END AS status,
                CASE WHEN op = 'd' THEN NULL ELSE balance END AS balance,
-               CASE WHEN op = 'd' OR pos < {DDL_POS} THEN NULL
+               CASE WHEN op = 'd' OR pos < {DDL_POS_SQL} THEN NULL
                     ELSE upper(substr(status, 1, 1)) END AS tier,
                pos, op
         FROM changes
@@ -453,6 +473,7 @@ def k6_schema_evolution(spark, sf_dir):
     new `tier` field; the sink adds the column as nullable and earlier rows
     (and the snapshot) read NULL."""
     env = accounts_changefeed(spark, sf_dir)
+    ddl_pos = _max_pos(spark, sf_dir) // 2
     evolved = env.withColumn(
         "after",
         F.when(
@@ -460,7 +481,7 @@ def k6_schema_evolution(spark, sf_dir):
             F.col("after").withField(
                 "tier",
                 F.when(
-                    F.col("source.pos") >= DDL_POS,
+                    F.col("source.pos") >= ddl_pos,
                     F.upper(F.substring(F.col("after.status"), 1, 1)),
                 ),
             ),
@@ -528,14 +549,11 @@ def f1_cloudevents_roundtrip(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # S4 — read-only incremental snapshot (watermark = observed position fence)
 # ---------------------------------------------------------------------------
-WATERMARK_POS = 5000
-
-
 @register(
     "s4_readonly_incremental",
     oracle=f"""
     WITH {CHANGES_CTE}, {SNAPSHOT_CTE},
-    w AS (SELECT * FROM changes WHERE pos <= {WATERMARK_POS}),
+    w AS (SELECT * FROM changes WHERE pos <= {WATERMARK_POS_SQL}),
     latest AS (
         SELECT id,
                CASE WHEN op = 'd' THEN NULL ELSE status END AS status,
@@ -557,7 +575,8 @@ def s4_readonly_incremental(spark, sf_dir):
     from debezium_spark.operators.incremental import incremental_snapshot
 
     env = accounts_changefeed(spark, sf_dir)
-    flat = env.filter(F.col("source.pos") <= WATERMARK_POS).select(
+    watermark_pos = _max_pos(spark, sf_dir) // 2
+    flat = env.filter(F.col("source.pos") <= watermark_pos).select(
         F.col("key.id").alias("id"),
         F.col("after.status").alias("status"),
         F.col("after.balance").alias("balance"),
@@ -575,9 +594,9 @@ def s4_readonly_incremental(spark, sf_dir):
 # BinlogReadOnlyIncrementalSnapshotChangeEventSource.java:116-175;
 # MySqlReadOnlyIncrementalSnapshotContext.setHighWatermark subtract).
 # ---------------------------------------------------------------------------
-GTID_OPEN_POS = 3000     # @@gtid_executed read at chunk-window open
-GTID_SPLIT_POS = 5000    # the failover: server_uuid changes, txids restart
-GTID_CLOSE_POS = 7000    # @@gtid_executed read at chunk-window close
+# Fences at 0.3 / 0.5 / 0.7 of max(pos): the @@gtid_executed reads at
+# chunk-window open/close, with the failover (server_uuid change, txids
+# restarting at 1) strictly inside the window at EVERY scale factor.
 _UUID_A = "aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa"
 _UUID_B = "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb"
 
@@ -587,7 +606,7 @@ _UUID_B = "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb"
     oracle=f"""
     WITH {CHANGES_CTE}, {SNAPSHOT_CTE},
     w AS (SELECT * FROM changes
-          WHERE pos > {GTID_OPEN_POS} AND pos <= {GTID_CLOSE_POS}),
+          WHERE pos > {GTID_OPEN_POS_SQL} AND pos <= {GTID_CLOSE_POS_SQL}),
     latest AS (
         SELECT id,
                CASE WHEN op = 'd' THEN NULL ELSE status END AS status,
@@ -605,7 +624,7 @@ def s30_gtidset_readonly_snapshot(spark, sf_dir):
     """S4's missing half: the chunk-dedup window is decided by GTID-SET
     CONTAINMENT, not a scalar fence — and the fixture forces the case
     scalars provably get wrong: a failover inside the window (server_uuid
-    A -> B at pos {GTID_SPLIT_POS}, transaction ids restarting at 1).
+    A -> B at half of max(pos), transaction ids restarting at 1).
 
     The Spark path derives everything through the real algebra: two
     bounded reads of the simulated @@gtid_executed (per-uuid max txid —
@@ -625,6 +644,10 @@ def s30_gtidset_readonly_snapshot(spark, sf_dir):
     from debezium_spark.suite.cdc import _snapshot_flat
 
     env = accounts_changefeed(spark, sf_dir)
+    mx = _max_pos(spark, sf_dir)
+    gtid_open_pos = (mx * 3) // 10
+    gtid_split_pos = mx // 2
+    gtid_close_pos = (mx * 7) // 10
     flat = env.select(
         F.col("key.id").alias("id"),
         F.col("after.status").alias("status"),
@@ -633,12 +656,12 @@ def s30_gtidset_readonly_snapshot(spark, sf_dir):
         F.col("source.pos").alias("pos"),
     ).withColumn(
         "g_uuid",
-        F.when(F.col("pos") < GTID_SPLIT_POS, F.lit(_UUID_A))
+        F.when(F.col("pos") < gtid_split_pos, F.lit(_UUID_A))
         .otherwise(F.lit(_UUID_B)),
     ).withColumn(
         "g_txid",
-        F.when(F.col("pos") < GTID_SPLIT_POS, F.col("pos"))
-        .otherwise(F.col("pos") - GTID_SPLIT_POS + 1),
+        F.when(F.col("pos") < gtid_split_pos, F.col("pos"))
+        .otherwise(F.col("pos") - gtid_split_pos + 1),
     )
 
     def executed_at(fence_pos: int) -> GtidSet:
@@ -652,8 +675,8 @@ def s30_gtidset_readonly_snapshot(spark, sf_dir):
         return GtidSet.of({r["g_uuid"]: [(1, int(r["mx"]))] for r in rows})
 
     window = ReadOnlyWindow()
-    window.open(executed_at(GTID_OPEN_POS))
-    window.close(executed_at(GTID_CLOSE_POS))
+    window.open(executed_at(gtid_open_pos))
+    window.close(executed_at(gtid_close_pos))
     if not window.has_server_identifier_changed():
         raise ValueError(
             "fixture must span the failover: the high watermark should "

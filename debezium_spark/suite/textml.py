@@ -2309,10 +2309,13 @@ def x45_bloom_then_exact(spark, sf_dir):
         bloom_decontaminate(corpus, bloom, n=3, k=2)
         .filter(F.col("n_hits") > 0)
         .select("doc_id")
-        # materialize the screen ONCE: the id list is bounded by the doc
-        # count and feeds a broadcast semi-join; without this the whole
-        # md5-probe subtree re-evaluates inside the exact stage's plan
+        # materialize the screen ONCE: without this the whole md5-probe
+        # subtree re-evaluates inside the exact stage's plan
         .localCheckpoint(eager=True)
     )
-    flagged = corpus.join(F.broadcast(flagged_ids), "doc_id", "left_semi")
+    # No broadcast hint: the flagged set is data-dependent and unbounded
+    # (heavy contamination at 100 TB = tens of millions of ids, where a
+    # forced broadcast OOMs). AQE broadcasts when the runtime size fits
+    # and degrades to a shuffled semi-join when it doesn't.
+    flagged = corpus.join(flagged_ids, "doc_id", "left_semi")
     return contamination_hits(flagged, bench)

@@ -178,8 +178,11 @@ def test_mariadb_subtract_and_with():
     from debezium_spark.sources.gtid import MariaDbGtidSet
 
     s = MariaDbGtidSet.parse("0-27-41,0-27-42,1-100-5")
+    # MariaDbGtidSet.java:119: stream 0-27 is contained-with the other's
+    # (min 41 <= other's min 41 -> isAllBefore), so it drops WHOLE — not a
+    # per-member subtract leaving 0-27-42.
     d = s.subtract(MariaDbGtidSet.parse("0-27-41"))
-    assert str(d) == "0-27-42,1-100-5"
+    assert str(d) == "1-100-5"
     assert s.subtract(s).is_empty()
     assert s.subtract(None) == s
 
@@ -215,3 +218,51 @@ def test_membership_predicate_matches_contains(spark):
     }
     expect = {(u, t) for u, t in rows if s.contains(f"{u}:{t}")}
     assert got == expect and len(expect) > 0
+
+
+def test_mariadb_subtract_drops_contained_streams_whole():
+    """MariaDbGtidSet.java:111-124: subtract first drops any stream that is
+    contained-with the other's SAME stream — containsAll OR isAllBefore
+    (min sequence <= the other's min) — and only then removes exact
+    members. An all-before stream holding gtids the other lacks must not
+    survive partially."""
+    from debezium_spark.sources.gtid import MariaDbGtidSet
+
+    # stream 0-27: this min seq (1) <= other's min seq (2), so the WHOLE
+    # stream drops even though gtid 0-27-3 is absent from the other set.
+    s = MariaDbGtidSet.parse("0-27-1,0-27-3")
+    assert s.subtract(MariaDbGtidSet.parse("0-27-2")).is_empty()
+    # not all-before (min 5 > other's min 2) -> exact member subtract only
+    t = MariaDbGtidSet.parse("0-27-5,0-27-7")
+    assert str(t.subtract(MariaDbGtidSet.parse("0-27-2,0-27-5"))) == "0-27-7"
+    # a stream id the other set has never seen survives whole
+    u = MariaDbGtidSet.parse("1-9-4")
+    assert u.subtract(MariaDbGtidSet.parse("0-27-2")) == u
+
+
+def test_membership_predicate_is_uuid_case_insensitive(spark):
+    """GtidSet normalizes server uuids to lowercase; a stream whose uuid
+    column carries uppercase hex must still match the watermark window
+    (gtid_membership_predicate lowers the column before comparing)."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.gtid import (
+        GtidSet,
+        gtid_membership_predicate,
+    )
+
+    s = GtidSet.parse(f"{A}:1-10")
+    df = spark.createDataFrame(
+        [(A.upper(), 5), (A.upper(), 11), (A, 7)], "uuid string, txid long"
+    )
+    got = sorted(
+        r["txid"]
+        for r in df.filter(
+            gtid_membership_predicate(s, F.col("uuid"), F.col("txid"))
+        ).collect()
+    )
+    assert got == [5, 7]
+    # GtidSet.of normalizes too, so sets built from raw stream values
+    # (uppercase reporting clients) behave like parsed ones
+    up = GtidSet.of({A.upper(): [(1, 10)]})
+    assert up == s and up.max_transaction_id(A) == 10

@@ -840,3 +840,19 @@ def test_pg_temporal_and_uuid_arrays(spark):
     ]
     assert r["tz"][1] is None and r["tz"][0] is not None
     assert r["u"] == ["123e4567-e89b-12d3-a456-426614174000"]
+
+
+def test_pg_array_three_dimensional_in_2d_column_raises(spark):
+    """A 3-D value (nested element inside the inner array) in a column
+    declared 2-D must raise like the 1-D dimension-mismatch guard, not
+    silently split sub-arrays on commas."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_array_value
+
+    df = spark.createDataFrame([('{{{1,2},{3}},{{4}}}',)], "s string")
+    with _pytest.raises(Exception, match="declared 2-D"):
+        df.select(
+            pg_array_value(F.col("s"), "int", ndims=2).alias("a")
+        ).collect()

@@ -549,8 +549,8 @@ def test_bloom_artifact_round_trip(spark, tmp_path):
     bench = docs.filter(F.col("doc_id") % 7 == 0)
     corpus = docs.filter(F.col("doc_id") % 7 != 0)
     words = bloom_ngram_build(bench, n=3, m_words=16, k=2)
-    save_bloom(str(tmp_path / "bloom"), words, n=3, k=2)
-    w2, n, k = load_bloom(str(tmp_path / "bloom"))
+    save_bloom(spark, str(tmp_path / "bloom"), words, n=3, k=2)
+    w2, n, k = load_bloom(spark, str(tmp_path / "bloom"))
     assert (w2, n, k) == (words, 3, 2)
     a = sorted(
         tuple(r) for r in bloom_decontaminate(corpus, words, n=3, k=2)
