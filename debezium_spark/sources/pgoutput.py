@@ -1069,6 +1069,13 @@ PG_DATE, PG_TIME, PG_TIMESTAMP, PG_TIMESTAMPTZ = 1082, 1083, 1114, 1184
 PG_NUMERIC, PG_UUID, PG_JSONB = 1700, 2950, 3802
 PG_POINT, PG_CIDR, PG_MONEY, PG_MACADDR, PG_INET = 600, 650, 790, 829, 869
 PG_INTERVAL = 1186
+# Range types surface as their text form (PostgresValueConverter.java:
+# 252-259 maps TSRANGE/TSTZRANGE/DATERANGE/INT4RANGE/NUM_RANGE/INT8RANGE
+# to SchemaBuilder.string(); :500-553 converts via convertString).
+PG_INT4RANGE, PG_NUMRANGE, PG_TSRANGE = 3904, 3906, 3908
+PG_TSTZRANGE, PG_DATERANGE, PG_INT8RANGE = 3910, 3912, 3926
+_PG_RANGE_OIDS = {PG_INT4RANGE, PG_NUMRANGE, PG_TSRANGE, PG_TSTZRANGE,
+                  PG_DATERANGE, PG_INT8RANGE}
 _PG_STRING_OIDS = {PG_CHAR, PG_NAME, PG_TEXT, PG_JSON, PG_XML, PG_BPCHAR,
                    PG_VARCHAR, PG_UUID, PG_JSONB}
 #: array-type OID -> element cast ("" = text elements, unquoted JVM-side).
@@ -1082,6 +1089,12 @@ _PG_ARRAY_ELEM = {
     1182: "date",
     1115: "timestamp_ntz",         # _timestamp (no tz)
     1185: "timestamp",             # _timestamptz
+    # range arrays -> arrays of the range TEXT form (string elements,
+    # PostgresValueConverter.java:300-303). Range text always carries a
+    # comma, so array_out quotes every element — the quote-aware
+    # tokenizer is what makes these decodable at all.
+    3905: "", 3907: "", 3909: "",  # _int4range / _numrange / _tsrange
+    3911: "", 3913: "", 3927: "",  # _tstzrange / _daterange / _int8range
 }
 
 # PG array_out grammar (the full element forms, one nesting level): an
@@ -1187,6 +1200,37 @@ def pg_array_value(col, elem_t: str, ndims: int = 1):
     return F.transform(tokens, sub)
 
 
+# hstore_out always double-quotes keys and values ("k"=>"v") with \" and
+# \\ escapes; a NULL value renders as unquoted NULL. Two capture groups:
+# idx 1 = the quoted key, idx 2 = the quoted value or NULL.
+_PG_HSTORE_PAIR = (
+    r'("(?:[^"\\]|\\.)*")\s*=>\s*("(?:[^"\\]|\\.)*"|NULL)'
+)
+
+
+def pg_hstore_value(col, mode: str = "map"):
+    """hstore text ('"k 1"=>"v,1", "nil"=>NULL') -> map<string,string>
+    (hstore.handling.mode=map: keys non-null, values nullable) or a JSON
+    object string (mode=json), per PostgresValueConverter.convertHStore
+    (:721-726) + hstoreSchema (:436-445). Pure Catalyst: one
+    regexp_extract_all per side of the pair, unescape in transform."""
+    if mode not in ("map", "json"):
+        raise ValueError(f"hstore mode must be 'map' or 'json', got {mode!r}")
+    keys = F.regexp_extract_all(col, F.lit(_PG_HSTORE_PAIR), 1)
+    vals = F.regexp_extract_all(col, F.lit(_PG_HSTORE_PAIR), 2)
+    m = F.map_from_arrays(
+        F.transform(keys, _pg_unquote),
+        F.transform(
+            vals,
+            lambda v: F.when(v == "NULL", F.lit(None).cast("string"))
+            .otherwise(_pg_unquote(v)),
+        ),
+    )
+    if mode == "map":
+        return m
+    return F.to_json(m)
+
+
 def pg_interval_iso(col):
     """PG interval text ('1 year 2 mons 3 days 04:05:06.789', pieces
     optional, time sign distributing over h/m/s) -> the reference's
@@ -1232,7 +1276,9 @@ def numeric_type_for(atttypmod: int) -> str:
 
 
 def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
-                   include_unknown: bool = False, ndims: int = 1):
+                   include_unknown: bool = False, ndims: int = 1,
+                   hstore_oids: frozenset = frozenset(),
+                   hstore_mode: str = "map"):
     """One pgoutput text cell -> typed Spark column, dispatched on the
     relation's column OID (PostgresValueConverter.java:112,286-324).
 
@@ -1310,6 +1356,24 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
             F.regexp_extract(col, r",([^)]+)\)$", 1).cast("double")
             .alias("y"),
         )
+    if type_oid in _PG_RANGE_OIDS:
+        # range_out: 'empty' or a bracketed pair — the reference passes
+        # the text through as a string (convertString); validate the
+        # envelope so framing bugs can't smuggle arbitrary text into a
+        # column consumers parse as a range
+        return F.when(col.isNull(), F.lit(None).cast("string")).when(
+            (col == "empty") | col.rlike(r"^[\[(].*,.*[\])]$"), col
+        ).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"malformed range text for pg type OID {type_oid}: "),
+                col,
+            )).cast("string")
+        )
+    if type_oid in hstore_oids:
+        # hstore's OID is installation-specific (an extension type, looked
+        # up via the reference's TypeRegistry.hstoreOid()) — callers pass
+        # the oid(s) their installation assigned
+        return pg_hstore_value(col, hstore_mode)
     if include_unknown:
         return col  # the text form, the reference's opt-in passthrough
     raise ValueError(
@@ -1327,6 +1391,8 @@ def typed_projection(
     src: str = "after",
     include_unknown: bool = False,
     array_dims: dict[str, int] | None = None,
+    hstore_oids: frozenset = frozenset(),
+    hstore_mode: str = "map",
 ) -> DataFrame:
     """Project one relation's decoded text envelope into TYPED columns
     driven by the relation registry's (col_names, col_oids, col_typmods)
@@ -1367,6 +1433,8 @@ def typed_projection(
             pg_typed_value(src_col[name], oid, mod,
                            include_unknown=include_unknown,
                            ndims=(array_dims or {}).get(name, 1),
+                           hstore_oids=hstore_oids,
+                           hstore_mode=hstore_mode,
                            ).alias(name)
             for name, oid, mod in zip(
                 ver["col_names"], ver["col_oids"], ver["col_typmods"]

@@ -2251,6 +2251,136 @@ def s22b_pg_array_grammar(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S22c — PG range types + hstore through the typed projection
+# (PostgresValueConverter.java:252-259 ranges as strings, :300-303 range
+# arrays, :362-378 + :436-445 + :721-726 hstore map/json modes).
+# ---------------------------------------------------------------------------
+_PG_RANGE_RELID = 16402
+_PG_HSTORE_OID = 16999   # extension type: installation-specific OID
+_PG_RANGE_COLS = [  # (flags, name, type_oid, atttypmod)
+    (1, "id", 20, -1),        # int8
+    (0, "valid", 3908, -1),   # tsrange
+    (0, "span", 3904, -1),    # int4range
+    (0, "prices", 3906, -1),  # numrange
+    (0, "slots", 3913, -1),   # daterange[]
+    (0, "attrs", _PG_HSTORE_OID, -1),  # hstore
+]
+
+
+def _pg_range_hstore_fixture(spark, sf_dir):
+    """Binary pgoutput stream with range/hstore text cells: a quoted
+    tsrange (bounds carry spaces), a bare int4range, a lower-unbounded
+    numrange, a daterange ARRAY (every element quoted — range text always
+    has a comma), and an hstore with a space-bearing key, a NULL value and
+    escaped quote/backslash. Every value derives closed-form from events
+    so the oracle can rebuild it."""
+    import pandas as pd
+
+    from debezium_spark.sources.pgoutput import (
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+    )
+
+    ev = _events_feed(spark, sf_dir).select("event_id", "event_type")
+
+    def enc(batches):
+        for pdf in batches:
+            lsns, msgs = [], []
+            for e, t in zip(pdf["event_id"], pdf["event_type"]):
+                e = int(e)
+                d, m = e % 27 + 1, e % 12 + 1
+                after = [
+                    ("t", str(e)),
+                    ("t", f'["2020-01-{d:02d} 00:00:00",'
+                          f'"2021-01-{d:02d} 00:00:00")'),
+                    ("t", f"[{e % 100},{e % 100 + 5})"),
+                    ("t", f"(,{e % 1000}.50]"),
+                    ("t", '{"[2020-01-01,2020-02-01)",'
+                          f'"[2021-{m:02d}-01,2021-{m:02d}-02)"' + "}"),
+                    ("t", f'"k 1"=>"v,{e}", "nil"=>NULL, '
+                          f'"q\\"{t}"=>"x\\\\y"'),
+                ]
+                lsns.append(e + 2)
+                msgs.append(encode_insert(_PG_RANGE_RELID, after))
+            yield pd.DataFrame({"lsn": lsns, "msg": msgs})
+
+    data = ev.mapInPandas(enc, "lsn long, msg binary")
+    head = spark.createDataFrame(
+        [
+            (0, bytearray(encode_relation(
+                _PG_RANGE_RELID, "public", "rangeful", _PG_RANGE_COLS))),
+            (1, bytearray(encode_begin(10**9, 7_000_000, 4244))),
+            (10**9, bytearray(encode_commit(10**9, 10**9, 7_000_000))),
+        ],
+        "lsn long, msg binary",
+    )
+    return head.unionByName(data).localCheckpoint(eager=True)
+
+
+@register(
+    "s22c_pg_range_hstore",
+    oracle="""
+    SELECT event_id AS id,
+           printf('["2020-01-%02d 00:00:00","2021-01-%02d 00:00:00")',
+                  event_id % 27 + 1, event_id % 27 + 1) AS valid_str,
+           printf('[%d,%d)', event_id % 100, event_id % 100 + 5) AS span_str,
+           printf('(,%d.50]', event_id % 1000) AS prices_str,
+           2 AS slots_n,
+           printf('[2021-%02d-01,2021-%02d-02)',
+                  event_id % 12 + 1, event_id % 12 + 1) AS slot2,
+           'v,' || CAST(event_id AS VARCHAR) AS attrs_k1,
+           TRUE AS attrs_has_nil,
+           TRUE AS attrs_nil_null,
+           'k 1|nil|q"' || event_type AS attrs_keys,
+           'x\\y' AS attrs_qval
+    FROM events
+    """,
+)
+def s22c_pg_range_hstore(spark, sf_dir):
+    """PG range types + hstore (the everyday-Postgres tail of the s22
+    typed projection): TSRANGE/INT4RANGE/NUMRANGE pass through as
+    validated range text, DATERANGE[] rides the quote-aware array
+    tokenizer (every element carries a comma), and hstore parses to
+    map<string,string-nullable> — space-bearing keys, NULL vs "NULL"
+    values, \\" and \\\\ escapes. JSON-mode hstore rendering is
+    golden-tested in tests/test_pgoutput.py (it's a config mode, not a
+    second column shape)."""
+    from debezium_spark.sources.pgoutput import (
+        decode_pgoutput_binary,
+        relation_registry,
+        typed_projection,
+    )
+
+    stream = _pg_range_hstore_fixture(spark, sf_dir)
+    reg = relation_registry(spark, stream)
+    dec = decode_pgoutput_binary(spark, stream, registry=reg)
+    typed = typed_projection(
+        dec, reg, "public", "rangeful",
+        hstore_oids=frozenset({_PG_HSTORE_OID}),
+    )
+    return typed.select(
+        "id",
+        F.col("valid").alias("valid_str"),
+        F.col("span").alias("span_str"),
+        F.col("prices").alias("prices_str"),
+        F.size("slots").alias("slots_n"),
+        F.element_at("slots", 2).alias("slot2"),
+        F.element_at("attrs", "k 1").alias("attrs_k1"),
+        F.map_contains_key("attrs", "nil").alias("attrs_has_nil"),
+        F.element_at("attrs", "nil").isNull().alias("attrs_nil_null"),
+        F.array_join(F.map_keys("attrs"), "|").alias("attrs_keys"),
+        # the escaped-quote key's VALUE, looked up via the key list (the
+        # key itself carries the row's event_type and is asserted through
+        # attrs_keys above)
+        F.element_at(
+            "attrs", F.element_at(F.map_keys("attrs"), 3)
+        ).alias("attrs_qval"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S19b — binlog column-type widening: NEWDECIMAL / DATE / DATETIME2 /
 # TIMESTAMP2 / TIME2 / BLOB / ENUM / SET value layouts through the same
 # Arrow decode kernel (the full set the reference's deserializer wiring

@@ -856,3 +856,59 @@ def test_pg_array_three_dimensional_in_2d_column_raises(spark):
         df.select(
             pg_array_value(F.col("s"), "int", ndims=2).alias("a")
         ).collect()
+
+
+def test_pg_range_and_hstore_values(spark):
+    """Range OIDs pass through as validated range text; hstore parses to
+    map (keys ordered as in the text, NULL vs "NULL") and renders the
+    reference's JSON shape in json mode (PostgresValueConverter.java:
+    252-259, 436-445, 721-726)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import (
+        pg_hstore_value,
+        pg_typed_value,
+    )
+
+    df = spark.createDataFrame(
+        [("[1,5)",), ("empty",), ('["a,b","c")',), (None,)], "s string"
+    )
+    got = [r["v"] for r in df.select(
+        pg_typed_value(F.col("s"), 3904).alias("v")
+    ).collect()]
+    assert got == ["[1,5)", "empty", '["a,b","c")', None]
+
+    bad = spark.createDataFrame([("not a range",)], "s string")
+    with _pytest.raises(Exception, match="malformed range text"):
+        bad.select(pg_typed_value(F.col("s"), 3908).alias("v")).collect()
+
+    hs = spark.createDataFrame(
+        [('"k 1"=>"v,1", "nil"=>NULL, "esc\\"q"=>"a\\\\b"',), ("",)],
+        "s string",
+    )
+    rows = hs.select(
+        pg_hstore_value(F.col("s"), "map").alias("m"),
+        pg_hstore_value(F.col("s"), "json").alias("j"),
+    ).collect()
+    assert rows[0]["m"] == {"k 1": "v,1", "nil": None, 'esc"q': "a\\b"}
+    assert rows[0]["j"] == '{"k 1":"v,1","nil":null,"esc\\"q":"a\\\\b"}'
+    assert rows[1]["m"] == {} and rows[1]["j"] == "{}"
+
+    with _pytest.raises(ValueError, match="hstore mode"):
+        pg_hstore_value(F.col("s"), "xml")
+
+
+def test_pg_range_array_through_tokenizer(spark):
+    """Range arrays decode through the quote-aware tokenizer — every
+    element is quoted because range text always carries a comma
+    (PostgresValueConverter.java:300-303 arrays of strings)."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_typed_value
+
+    df = spark.createDataFrame(
+        [('{"[2020-01-01,2020-02-01)","(,3)",NULL}',)], "s string"
+    )
+    out = df.select(pg_typed_value(F.col("s"), 3913).alias("a")).collect()
+    assert out[0]["a"] == ["[2020-01-01,2020-02-01)", "(,3)", None]
