@@ -70,6 +70,7 @@ WRITE_ROWS_EVENT = 30  # v2 ("EXT_WRITE_ROWS" in the reference's enum)
 UPDATE_ROWS_EVENT = 31
 DELETE_ROWS_EVENT = 32
 GTID_EVENT = 33
+TRANSACTION_PAYLOAD_EVENT = 40  # MySQL 8.0.20+ compressed transactions
 MARIADB_GTID_EVENT = 0xA2  # MariaDB numbers its GTID events from 160
 
 EVENT_NAMES = {
@@ -82,6 +83,7 @@ EVENT_NAMES = {
     UPDATE_ROWS_EVENT: "update_rows",
     DELETE_ROWS_EVENT: "delete_rows",
     GTID_EVENT: "gtid",
+    TRANSACTION_PAYLOAD_EVENT: "transaction_payload",
     MARIADB_GTID_EVENT: "gtid",
 }
 
@@ -791,6 +793,127 @@ def encode_rows_event(
     return encode_header(type_code, len(body), **hdr) + body
 
 
+# ---------------------------------------------------------------------------
+# TRANSACTION_PAYLOAD (MySQL 8.0.20+, binlog_transaction_compression=ON,
+# WL#3549): row events for a whole transaction arrive wrapped in ONE
+# payload event — a short TLV header (lenenc type, lenenc length, lenenc
+# value) followed by the concatenated embedded events, zstd-compressed
+# unless the compression-type field says NONE. The reference registers a
+# dedicated handler that replays the embedded events through the normal
+# dispatch (BinlogStreamingChangeEventSource.java:203,500-510,981-999).
+# ---------------------------------------------------------------------------
+PAYLOAD_COMPRESSION_ZSTD = 0
+PAYLOAD_COMPRESSION_NONE = 255
+_OTW_END = 0                 # end of the TLV header
+_OTW_PAYLOAD_SIZE = 1        # compressed size (informative)
+_OTW_COMPRESSION_TYPE = 2
+_OTW_UNCOMPRESSED_SIZE = 3
+
+
+def _zstd(buf: bytes, mode: str, expected: int | None = None) -> bytes:
+    """zstd via pyarrow's bundled libzstd (the container has no
+    standalone zstandard module); gated so environments without pyarrow
+    fail with a clear message instead of an undecodable stream."""
+    try:
+        import pyarrow as pa
+    except ImportError as exc:  # pragma: no cover - pyarrow is baked in
+        raise RuntimeError(
+            "TRANSACTION_PAYLOAD zstd handling needs pyarrow"
+        ) from exc
+    codec = pa.Codec("zstd")
+    if mode == "compress":
+        return bytes(codec.compress(buf))
+    if expected is None:
+        raise ValueError(
+            "compressed transaction payload without an uncompressed-size "
+            "field — cannot size the decompression buffer"
+        )
+    return bytes(codec.decompress(buf, expected))
+
+
+def _payload_raw_events(body: bytes) -> list[bytes]:
+    """TLV walk + decompress + split: the payload event's body -> the raw
+    bytes (header included) of each embedded event, order preserved.
+    Unknown TLV fields are skipped by their declared length (the codec's
+    forward-compatibility contract)."""
+    off = 0
+    comp = PAYLOAD_COMPRESSION_NONE
+    unc_size: int | None = None
+    while True:
+        ftype, off = _read_lenenc(body, off)
+        if ftype == _OTW_END:
+            break
+        flen, off = _read_lenenc(body, off)
+        if ftype == _OTW_COMPRESSION_TYPE:
+            comp, _ = _read_lenenc(body, off)
+        elif ftype == _OTW_UNCOMPRESSED_SIZE:
+            unc_size, _ = _read_lenenc(body, off)
+        off += flen
+    payload = body[off:]
+    if comp == PAYLOAD_COMPRESSION_ZSTD:
+        payload = _zstd(payload, "decompress", unc_size)
+    elif comp != PAYLOAD_COMPRESSION_NONE:
+        raise ValueError(
+            f"unsupported transaction payload compression type {comp}"
+        )
+    if unc_size is not None and len(payload) != unc_size:
+        raise ValueError(
+            f"transaction payload declared {unc_size} uncompressed bytes, "
+            f"got {len(payload)}"
+        )
+    events = []
+    off = 0
+    while off < len(payload):
+        if off + HEADER_LEN > len(payload):
+            raise ValueError("truncated embedded event header in payload")
+        (size,) = struct.unpack_from("<I", payload, off + 9)
+        if size < HEADER_LEN or off + size > len(payload):
+            raise ValueError("embedded event size overruns the payload")
+        events.append(payload[off: off + size])
+        off += size
+    return events
+
+
+def parse_transaction_payload(body: bytes, registry: dict) -> dict:
+    """Replay the embedded events: TABLE_MAPs update ``registry`` BEFORE
+    the rows events that reference them parse — the reference captures
+    payload-embedded table maps the same way (:500-510)."""
+    parsed = []
+    for raw in _payload_raw_events(body):
+        hdr = parse_header(raw)
+        if hdr["type_code"] == TABLE_MAP_EVENT:
+            tm = parse_table_map(raw[HEADER_LEN:])
+            registry[tm["table_id"]] = tm
+        parsed.append(parse_event(raw, registry))
+    return {"kind": "transaction_payload", "events": parsed}
+
+
+def encode_transaction_payload(
+    events: list[bytes],
+    compression: int = PAYLOAD_COMPRESSION_ZSTD,
+    **hdr,
+) -> bytes:
+    payload = b"".join(events)
+    unc = len(payload)
+    if compression == PAYLOAD_COMPRESSION_ZSTD:
+        payload = _zstd(payload, "compress")
+    elif compression != PAYLOAD_COMPRESSION_NONE:
+        raise ValueError(f"unsupported compression type {compression}")
+
+    def tlv(ftype: int, value: int) -> bytes:
+        v = _enc_lenenc(value)
+        return _enc_lenenc(ftype) + _enc_lenenc(len(v)) + v
+
+    body = (
+        tlv(_OTW_COMPRESSION_TYPE, compression)
+        + tlv(_OTW_UNCOMPRESSED_SIZE, unc)
+        + tlv(_OTW_PAYLOAD_SIZE, len(payload))
+        + _enc_lenenc(_OTW_END)
+        + payload
+    )
+    return encode_header(TRANSACTION_PAYLOAD_EVENT, len(body), **hdr) + body
+
+
 def parse_query(body: bytes) -> dict:
     _thread_id, _exec_time = struct.unpack_from("<II", body, 0)
     slen = body[8]
@@ -912,6 +1035,8 @@ def parse_event(buf: bytes, registry: dict) -> dict:
         out = parse_rotate(body)
     elif code == GTID_EVENT:
         out = parse_gtid(body)
+    elif code == TRANSACTION_PAYLOAD_EVENT:
+        out = parse_transaction_payload(body, registry)
     elif code == MARIADB_GTID_EVENT:
         out = parse_mariadb_gtid(body, hdr["server_id"])
     else:
@@ -935,15 +1060,30 @@ def table_map_registry(
     BODY (bounded by table count × schema changes) before collecting;
     distinct on the full message would dedupe nothing on a real stream
     and the collect would scale with stream length."""
-    body_rows = (
-        df.filter(
-            F.expr(f"substring({msg_col}, 5, 1)")
-            == bytes([TABLE_MAP_EVENT])
-        )
-        .select(F.expr(f"substring({msg_col}, {HEADER_LEN + 1})").alias("body"))
-        .distinct()
-        .collect()
-    )
+    type_byte = F.expr(f"substring({msg_col}, 5, 1)")
+    body = F.expr(f"substring({msg_col}, {HEADER_LEN + 1})").alias("body")
+    plain = df.filter(type_byte == bytes([TABLE_MAP_EVENT])).select(body)
+    # Compressed transactions hide their TABLE_MAPs inside the payload:
+    # extract them DISTRIBUTED (decompress + emit only embedded map
+    # bodies), so the driver collect stays bounded by distinct maps —
+    # collecting whole payloads would pull the entire stream driver-side.
+    payloads = df.filter(
+        type_byte == bytes([TRANSACTION_PAYLOAD_EVENT])
+    ).select(body)
+
+    def extract_maps(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for b in pdf["body"]:
+                for raw in _payload_raw_events(bytes(b)):
+                    if raw[4] == TABLE_MAP_EVENT:
+                        out.append(raw[HEADER_LEN:])
+            yield pd.DataFrame({"body": out})
+
+    emb = payloads.mapInPandas(extract_maps, "body binary")
+    body_rows = plain.unionByName(emb).distinct().collect()
     registry: dict[int, dict] = {}
     for r in body_rows:
         tm = parse_table_map(bytes(r["body"]))
@@ -1025,50 +1165,57 @@ def decode_binlog_rows(
         return [float(v) if isinstance(v, float) else None for v in vals]
 
     def run(batches):
-        for pdf in batches:
-            out = []
-            for raw in pdf[msg_col]:
-                ev = parse_event(bytes(raw), registry)
-                if ev["kind"] in ("write_rows", "update_rows", "delete_rows"):
-                    op = {
-                        "write_rows": "c",
-                        "update_rows": "u",
-                        "delete_rows": "d",
-                    }[ev["kind"]]
-                    tm = registry.get(ev["table_id"], {})
-                    el = tm.get("enum_labels_by_col")
-                    sl = tm.get("set_labels_by_col")
-                    for row in ev["rows"]:
-                        out.append(
-                            (
-                                ev["log_pos"],
-                                op,
-                                ev["schema"],
-                                ev["table"],
-                                to_text(row["before"], el, sl),
-                                to_text(row["after"], el, sl),
-                                to_num(row["before"]),
-                                to_num(row["after"]),
-                                ev["before_present"],
-                                ev["after_present"],
-                            )
-                        )
-                elif ev["kind"] in ("query", "xid"):
+        def emit(ev, out):
+            if ev["kind"] in ("write_rows", "update_rows", "delete_rows"):
+                op = {
+                    "write_rows": "c",
+                    "update_rows": "u",
+                    "delete_rows": "d",
+                }[ev["kind"]]
+                tm = registry.get(ev["table_id"], {})
+                el = tm.get("enum_labels_by_col")
+                sl = tm.get("set_labels_by_col")
+                for row in ev["rows"]:
                     out.append(
                         (
                             ev["log_pos"],
-                            ev["kind"],
-                            ev.get("schema"),
-                            None,
-                            None,
-                            [ev["query"]] if ev["kind"] == "query"
-                            else [str(ev["xid"])],
-                            None,
-                            None,
-                            None,
-                            None,
+                            op,
+                            ev["schema"],
+                            ev["table"],
+                            to_text(row["before"], el, sl),
+                            to_text(row["after"], el, sl),
+                            to_num(row["before"]),
+                            to_num(row["after"]),
+                            ev["before_present"],
+                            ev["after_present"],
                         )
                     )
+            elif ev["kind"] in ("query", "xid"):
+                out.append(
+                    (
+                        ev["log_pos"],
+                        ev["kind"],
+                        ev.get("schema"),
+                        None,
+                        None,
+                        [ev["query"]] if ev["kind"] == "query"
+                        else [str(ev["xid"])],
+                        None,
+                        None,
+                        None,
+                        None,
+                    )
+                )
+            elif ev["kind"] == "transaction_payload":
+                # the reference's handleTransactionPayload: replay every
+                # embedded event through the normal dispatch (:992-999)
+                for emb in ev["events"]:
+                    emit(emb, out)
+
+        for pdf in batches:
+            out = []
+            for raw in pdf[msg_col]:
+                emit(parse_event(bytes(raw), registry), out)
             yield pd.DataFrame(
                 out,
                 columns=[

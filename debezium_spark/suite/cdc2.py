@@ -2381,6 +2381,109 @@ def s22c_pg_range_hstore(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S32 — MySQL compressed transactions (TRANSACTION_PAYLOAD, WL#3549):
+# WRITE/UPDATE/DELETE rows arrive ONLY inside zstd-compressed payload
+# events (every 5th transaction uncompressed, compression type NONE) and
+# must decode identically to a plain stream
+# (BinlogStreamingChangeEventSource.java:203,500-510,981-999).
+# ---------------------------------------------------------------------------
+@register(
+    "s32_binlog_txn_payload",
+    oracle="""
+    SELECT 1000 + event_id AS pos,
+           CASE event_type WHEN 'signup' THEN 'c'
+                           WHEN 'error' THEN 'd'
+                           ELSE 'u' END AS op,
+           event_id AS id,
+           event_id % 1000 AS qty,
+           'L' || CAST(event_id % 97 AS VARCHAR) AS label
+    FROM events
+    """,
+)
+def s32_binlog_txn_payload(spark, sf_dir):
+    """Compressed-transaction decode: each event row becomes one
+    TRANSACTION_PAYLOAD wrapping [TABLE_MAP, rows event, XID] — so the
+    TABLE_MAPs are only discoverable inside the payloads (the extended
+    table_map_registry extracts them DISTRIBUTED, decompress-and-emit,
+    never collecting whole payloads driver-side). Deletes read the
+    before image; the oracle rebuilds every value closed-form."""
+    import pandas as pd
+
+    from debezium_spark.sources.binlog import (
+        DELETE_ROWS_EVENT,
+        PAYLOAD_COMPRESSION_NONE,
+        PAYLOAD_COMPRESSION_ZSTD,
+        TYPE_LONG,
+        TYPE_LONGLONG,
+        TYPE_VARCHAR,
+        UPDATE_ROWS_EVENT,
+        WRITE_ROWS_EVENT,
+        decode_binlog_rows,
+        encode_rows_event,
+        encode_table_map,
+        encode_transaction_payload,
+        encode_xid,
+    )
+
+    TID = 415
+    TYPES = [TYPE_LONGLONG, TYPE_LONG, TYPE_VARCHAR]
+    METAS = [0, 0, 120]
+
+    ev = _events_feed(spark, sf_dir).select("event_id", "event_type")
+
+    def enc(batches):
+        for pdf in batches:
+            poss, msgs = [], []
+            for e, t in zip(pdf["event_id"], pdf["event_type"]):
+                e = int(e)
+                vals = [e, e % 1000, f"L{e % 97}"]
+                if t == "signup":
+                    rows = encode_rows_event(
+                        WRITE_ROWS_EVENT, TID, TYPES, METAS,
+                        [{"after": vals}], log_pos=1000 + e,
+                    )
+                elif t == "error":
+                    rows = encode_rows_event(
+                        DELETE_ROWS_EVENT, TID, TYPES, METAS,
+                        [{"before": vals}], log_pos=1000 + e,
+                    )
+                else:
+                    rows = encode_rows_event(
+                        UPDATE_ROWS_EVENT, TID, TYPES, METAS,
+                        [{"before": [e, 0, "old"], "after": vals}],
+                        log_pos=1000 + e,
+                    )
+                tm = encode_table_map(
+                    TID, "shop", "stock", TYPES, METAS,
+                    [False, True, True], log_pos=999 + e,
+                )
+                comp = (PAYLOAD_COMPRESSION_NONE if e % 5 == 0
+                        else PAYLOAD_COMPRESSION_ZSTD)
+                msgs.append(encode_transaction_payload(
+                    [tm, rows, encode_xid(e, log_pos=1001 + e)],
+                    compression=comp, log_pos=1001 + e,
+                ))
+                poss.append(e)
+            yield pd.DataFrame({"pos": poss, "msg": msgs})
+
+    stream = (
+        ev.mapInPandas(enc, "pos long, msg binary")
+        .localCheckpoint(eager=True)
+    )
+    dec = decode_binlog_rows(stream)
+    img = F.when(
+        F.col("kind") == "d", F.col("before")
+    ).otherwise(F.col("after"))
+    return dec.filter(F.col("kind").isin("c", "u", "d")).select(
+        F.col("log_pos").alias("pos"),
+        F.col("kind").alias("op"),
+        F.element_at(img, 1).cast("long").alias("id"),
+        F.element_at(img, 2).cast("long").alias("qty"),
+        F.element_at(img, 3).alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S19b — binlog column-type widening: NEWDECIMAL / DATE / DATETIME2 /
 # TIMESTAMP2 / TIME2 / BLOB / ENUM / SET value layouts through the same
 # Arrow decode kernel (the full set the reference's deserializer wiring

@@ -797,3 +797,87 @@ def test_unsigned_decode_and_wire_labels(spark):
     with _pytest.raises(Exception, match="set bitmask"):
         decode_binlog_rows(stream([(1, 1, 4)])).filter(
             "kind = 'c'").collect()
+
+
+def test_transaction_payload_compressed_equals_plain(spark):
+    """A zstd-compressed TRANSACTION_PAYLOAD decodes to exactly the rows
+    its uncompressed twin produces (WL#3549; the reference's
+    handleTransactionPayload replays embedded events through the normal
+    dispatch). The NONE compression arm and payload-embedded TABLE_MAP
+    discovery are covered too."""
+    from debezium_spark.sources.binlog import (
+        PAYLOAD_COMPRESSION_NONE,
+        TYPE_LONGLONG,
+        TYPE_VARCHAR,
+        WRITE_ROWS_EVENT,
+        XID_EVENT,
+        decode_binlog_rows,
+        encode_rows_event,
+        encode_table_map,
+        encode_transaction_payload,
+        encode_xid,
+    )
+
+    types, metas = [TYPE_LONGLONG, TYPE_VARCHAR], [0, 40]
+    tm = encode_table_map(7, "db", "t", types, metas, [False, True],
+                          log_pos=10)
+    rows = encode_rows_event(
+        WRITE_ROWS_EVENT, 7, types, metas,
+        [{"after": [1, "a"]}, {"after": [2, "b,c"]}], log_pos=11)
+    xid = encode_xid(42, log_pos=12)
+
+    def decoded(msgs):
+        df = spark.createDataFrame(
+            [(i, bytearray(m)) for i, m in enumerate(msgs)],
+            "pos long, msg binary")
+        return sorted(
+            tuple(r) for r in decode_binlog_rows(df)
+            .select("log_pos", "kind", "after").collect()
+        )
+
+    plain = decoded([tm, rows, xid])
+    zstd_wrapped = decoded([encode_transaction_payload([tm, rows, xid])])
+    none_wrapped = decoded([encode_transaction_payload(
+        [tm, rows, xid], compression=PAYLOAD_COMPRESSION_NONE)])
+    assert plain == zstd_wrapped == none_wrapped
+    assert any(k == "c" for _, k, _a in plain)
+    assert any(k == "xid" for _, k, _a in plain)
+
+
+def test_transaction_payload_malformed():
+    """Size-declaration mismatches and unknown compression types raise;
+    unknown TLV fields are skipped by their declared length."""
+    import pytest
+
+    from debezium_spark.sources.binlog import (
+        _enc_lenenc,
+        _payload_raw_events,
+        encode_transaction_payload,
+        encode_xid,
+    )
+
+    xid = encode_xid(1, log_pos=5)
+    ok = encode_transaction_payload([xid])
+    assert _payload_raw_events(ok[19:]) == [xid]
+
+    with pytest.raises(ValueError, match="unsupported compression"):
+        encode_transaction_payload([xid], compression=7)
+
+    # declared uncompressed size wrong -> raise, not silent truncation
+    body = bytearray(encode_transaction_payload(
+        [xid], compression=255)[19:])
+    # TLV layout: type,len,value triplets — the second triplet's value is
+    # the uncompressed size; corrupt it
+    bad = bytes(body).replace(
+        _enc_lenenc(3) + _enc_lenenc(len(_enc_lenenc(len(xid))))
+        + _enc_lenenc(len(xid)),
+        _enc_lenenc(3) + _enc_lenenc(len(_enc_lenenc(len(xid) + 9)))
+        + _enc_lenenc(len(xid) + 9),
+    )
+    with pytest.raises(ValueError, match="declared"):
+        _payload_raw_events(bad)
+
+    # unknown TLV field type skipped by length
+    unknown = _enc_lenenc(9) + _enc_lenenc(3) + b"abc"
+    patched = unknown + bytes(body)
+    assert _payload_raw_events(patched) == [xid]
