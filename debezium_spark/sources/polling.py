@@ -175,3 +175,47 @@ def assemble_change_table(
             F.col("__hi"),
         ).alias("after"),
     )
+
+
+def migrate_capture_instances(
+    instances: list[tuple[int, DataFrame]],
+    lsn_col: str = "start_lsn",
+) -> DataFrame:
+    """S33 — SQL Server capture-instance migration: a schema change on a
+    CDC-enabled table creates a NEW capture instance whose change table
+    COEXISTS with the old one (SQL Server keeps writing to both until the
+    old one is dropped), so a poll sees overlapping LSN ranges for one
+    source table. The reference orders the instances by start LSN, sets
+    the older one's stop LSN to the newer one's start LSN, and SKIPS any
+    old-instance row whose commit LSN is at-or-past that stop
+    (SqlServerStreamingChangeEventSource.java:465-536 getChangeTablesToQuery;
+    :315-321 the per-row stopLsn skip; migrateTable dispatches the ALTER).
+
+    ``instances`` is [(start_lsn, change_table_df), ...] for ONE source
+    table (SQL Server allows at most two concurrent capture instances;
+    N are accepted here — each instance's effective window is
+    [its start, next start)). The merged stream unions BY NAME, so a
+    renamed/added column surfaces as typed NULLs on the rows captured
+    under instances that didn't have it — exactly the reference's
+    post-migration shape. Each window predicate is a pair of literals
+    pushed into the scan; no shuffle is added."""
+    if not instances:
+        raise ValueError("no capture instances to merge")
+    ordered = sorted(instances, key=lambda it: it[0])
+    starts = [s for s, _ in ordered]
+    if len(set(starts)) != len(starts):
+        raise ValueError(
+            f"capture instances must have distinct start LSNs: {starts}"
+        )
+    frames = []
+    for i, (start, df) in enumerate(ordered):
+        cond = F.col(lsn_col) >= F.lit(start)
+        if i + 1 < len(ordered):
+            # old instance's stop = next instance's start; rows with
+            # commit lsn >= stop are the new instance's to emit
+            cond = cond & (F.col(lsn_col) < F.lit(ordered[i + 1][0]))
+        frames.append(df.filter(cond))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out

@@ -3221,6 +3221,76 @@ def s27_sqlserver_changetable(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S33 — SQL Server capture-instance migration: a mid-stream column rename
+# creates a second capture instance with an overlapping LSN range; the old
+# instance's rows at-or-past the new instance's start LSN must be skipped
+# and the merged stream aligns columns by name
+# (SqlServerStreamingChangeEventSource.java:465-536, :315-321).
+# ---------------------------------------------------------------------------
+@register(
+    "s33_sqlserver_capture_migration",
+    oracle=f"""
+    SELECT event_id AS pos,
+           'c' AS op,
+           event_id AS id,
+           CASE WHEN event_id < {DDL_POS_SQL} THEN event_type END AS status,
+           CASE WHEN event_id >= {DDL_POS_SQL} THEN event_type END AS state,
+           CASE WHEN event_id >= {DDL_POS_SQL}
+                THEN upper(substr(event_type, 1, 1)) END AS tier
+    FROM events
+    """,
+)
+def s33_sqlserver_capture_migration(spark, sf_dir):
+    """The migration golden the reference's getChangeTablesToQuery
+    implements: instance v1 (id, status) keeps capturing PAST the rename
+    (its change table carries rows beyond the new instance's start — the
+    real overlap), instance v2 (id, state, tier) starts at the rename
+    LSN. Without the stop-LSN skip every post-rename change would emit
+    TWICE; without name-aligned union the renamed column would silently
+    collapse. The split is scale-relative (max(pos)//2)."""
+    from debezium_spark.sources.polling import (
+        assemble_change_table,
+        migrate_capture_instances,
+    )
+
+    ev = _events_feed(spark, sf_dir).select("event_id", "event_type")
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("mx")
+    ).collect()[0]
+    lo, split = int(bounds["lo"]), int(bounds["mx"]) // 2
+    # v1's change table: ALL rows (SQL Server keeps writing to the old
+    # instance), pre-rename column names
+    v1 = ev.select(
+        F.col("event_id").alias("start_lsn"),
+        F.lit(0).alias("seqval"),
+        F.lit(2).alias("operation"),
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("status"),
+    )
+    # v2's change table: rows from the rename on, renamed + added columns
+    v2 = ev.filter(F.col("event_id") >= split).select(
+        F.col("event_id").alias("start_lsn"),
+        F.lit(0).alias("seqval"),
+        F.lit(2).alias("operation"),
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("state"),
+        F.upper(F.substring("event_type", 1, 1)).alias("tier"),
+    )
+    merged = migrate_capture_instances([(lo, v1), (split, v2)])
+    out = assemble_change_table(
+        merged, value_cols=["id", "status", "state", "tier"]
+    )
+    return out.select(
+        F.col("start_lsn").alias("pos"),
+        "op",
+        F.col("after")["id"].alias("id"),
+        F.col("after")["status"].alias("status"),
+        F.col("after")["state"].alias("state"),
+        F.col("after")["tier"].alias("tier"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S19c — the rest of the binlog type switch: the fixed-width integer family
 # (TINY/SHORT/INT24), FLOAT, YEAR and BIT, over real wire bytes.
 # ---------------------------------------------------------------------------

@@ -212,3 +212,41 @@ def test_bench_quarantine_noisy_legs():
     # no previous payload at all: nothing quarantined, totals equal
     k2, a2, q2 = bench.quarantine_noisy_legs(timings, {}, evidence)
     assert q2 == [] and k2 == a2
+
+
+def test_capture_instance_migration_no_double_emit(spark):
+    """The stop-LSN rule: the OLD capture instance keeps capturing past
+    the new instance's start (real SQL Server overlap) but those rows
+    must come from the NEW instance only; renamed columns align by name
+    with typed NULLs on the other side
+    (SqlServerStreamingChangeEventSource.java:465-536,315-321)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.polling import migrate_capture_instances
+
+    v1 = spark.createDataFrame(
+        [(1, 1, "a"), (2, 2, "b"), (5, 5, "E-OLD"), (6, 6, "F-OLD")],
+        "start_lsn long, id long, status string",
+    )
+    v2 = spark.createDataFrame(
+        [(5, 5, "E", "t1"), (6, 6, "F", "t2")],
+        "start_lsn long, id long, state string, tier string",
+    )
+    merged = migrate_capture_instances([(1, v1), (5, v2)])
+    rows = {r["start_lsn"]: r for r in merged.collect()}
+    assert sorted(rows) == [1, 2, 5, 6]          # no duplicates
+    assert rows[2]["status"] == "b" and rows[2]["state"] is None
+    assert rows[5]["state"] == "E" and rows[5]["status"] is None
+    assert rows[6]["tier"] == "t2"
+
+    # instance order is by start LSN, not list order
+    swapped = migrate_capture_instances([(5, v2), (1, v1)])
+    assert sorted(
+        r["start_lsn"] for r in swapped.collect()
+    ) == [1, 2, 5, 6]
+
+    with pytest.raises(ValueError, match="distinct start"):
+        migrate_capture_instances([(1, v1), (1, v2)])
+    with pytest.raises(ValueError, match="no capture instances"):
+        migrate_capture_instances([])
