@@ -415,3 +415,99 @@ def test_readonly_gtid_windows_and_failover_reread(spark, tmp_path):
     with open(str(tmp_path / "state" / "snapshot_progress.json")) as fh:
         p = _json.load(fh)
     assert UUID_A in p["executed"] and UUID_B in p["executed"]
+
+
+def test_readonly_reread_chunk_end_to_end_matches_batch(spark, tmp_path):
+    """The rereadChunk path END-TO-END: a failover lands mid-chunk, the
+    CHUNK_REREAD notification fires, the chunk re-reads from the LIVE
+    table (which moved during the deferred window — the property the
+    reference relies on), and the final materialized state (chunk rows
+    + streamed changes, last-write-wins) equals the batch oracle: the
+    live table's final state."""
+    from types import SimpleNamespace
+
+    from debezium_spark.streaming.signals import (
+        IncrementalSnapshotter,
+        NotificationLog,
+    )
+
+    UUID_A = "aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa"
+    UUID_B = "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb"
+
+    # the LIVE source: a mutable dict the loader snapshots on every read
+    live = {i: f"v{i}" for i in range(1, 9)}
+
+    def load():
+        return spark.createDataFrame(
+            sorted(live.items()), "id long, val string"
+        )
+
+    emitted: list[tuple[int, str]] = []   # (id, val) from chunk emissions
+    streamed: list[tuple[int, str]] = []  # changes delivered by the stream
+
+    class CaptureSink:
+        def write_batch(self, df, epoch=None):
+            emitted.extend((r["id"], r["val"]) for r in df.collect())
+
+    notif = NotificationLog(str(tmp_path / "notif.jsonl"))
+    snap = IncrementalSnapshotter(
+        spark,
+        source_loader=load,
+        wrap_chunk=lambda df: df,
+        pk_col="id",
+        state_dir=str(tmp_path / "state"),
+        chunk_size=4,
+        notifications=notif,
+        gtid_uuid_expr="source.guuid",
+        gtid_txid_expr="source.gtx",
+    )
+    snap.begin(["t"])
+    pipe = SimpleNamespace(sink=CaptureSink())
+
+    def apply_and_batch(rows):
+        # rows: (id, new_val, uuid, txid) — mutate the live table (the
+        # change is committed there first) AND deliver the stream event
+        for i, v, _u, _t in rows:
+            live[i] = v
+            streamed.append((i, v))
+        return spark.createDataFrame(
+            [
+                {"key": {"id": i}, "op": "u",
+                 "source": {"guuid": u, "gtx": t}}
+                for i, v, u, t in rows
+            ],
+            "key struct<id:long>, op string,"
+            " source struct<guuid:string, gtx:long>",
+        )
+
+    # batch 1 (A): id 2 changes -> chunk 1 (ids 1-4) emits without it
+    snap.advance(pipe, apply_and_batch([(2, "s2", UUID_A, 101)]))
+    assert sorted(i for i, _ in emitted) == [1, 3, 4]
+
+    # batch 2: FAILOVER mid-chunk-2 window — ids 5 (under A) and 6
+    # (under B) change; the chunk defers and CHUNK_REREAD fires
+    snap.advance(pipe, apply_and_batch(
+        [(5, "s5", UUID_A, 102), (6, "s6", UUID_B, 1)]
+    ))
+    assert any(n["type"] == "CHUNK_REREAD" for n in notif.read())
+    assert sorted(i for i, _ in emitted) == [1, 3, 4]  # nothing new
+
+    # batch 3 (stable under B): id 7 changes inside THIS window -> the
+    # RE-READ chunk picks up 5/6's new values from the live table and
+    # evicts only 7
+    snap.advance(pipe, apply_and_batch([(7, "s7", UUID_B, 2)]))
+    snap.advance(pipe, apply_and_batch([]).limit(0))  # drain -> complete
+    assert not snap.active
+
+    # the re-read observed the moved rows, not the stale first read
+    assert ("s5" in dict(emitted).values() or (5, "s5") in emitted)
+    assert (6, "s6") in emitted and 7 not in dict(emitted)
+
+    # LWW merge of chunk emissions + streamed changes == the live table's
+    # final state (the batch oracle)
+    final: dict[int, str] = {}
+    for i, v in emitted:
+        final.setdefault(i, v)  # chunk rows lose to streamed changes
+    for i, v in streamed:
+        final[i] = v
+    assert final == live
