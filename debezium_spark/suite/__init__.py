@@ -35,73 +35,71 @@ QUERIES: dict[str, Q] = {}
 # Everything not listed still registers (and is value-checked by the in-repo
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
-    # --- r11 rotation (the per-query ledger lives in COVERAGE.md):
-    # 1. the 8 queries registered THIS round (new queries must be
-    #    windowed): s22b full pg array grammar + OID tail, s30 GTID-set
-    #    read-only snapshot watermarks, s29b LOB erase/noop/32k chains,
-    #    s28b JSONB OPAQUE values, s31 BSON typed decode, x44 Bloom
-    #    decontamination, x45 the bloom->exact funnel, s19d TABLE_MAP
-    #    optional metadata (unsigned + wire labels).
-    # 2. the r7 tier (VERDICT r10 item 6): 43 of its 46 legs — after
-    #    this window nothing registered sits below r8 except
-    #    k1_merge_upsert (exercised EVERY round by the entry() smoke),
-    #    t15_vector_to_json (sibling t15b re-proven r10),
-    #    a6_cosine_near_dup (in the bench HEADLINE every round) and
-    #    f4_avro_roundtrip (spec-example byte goldens in
-    #    tests/test_avro.py); all four stay value-checked by the in-repo
-    #    gate and rotate in r12.
+    # --- r12 rotation (the per-query ledger lives in COVERAGE.md):
+    # 1. the queries registered THIS round: s22c PG ranges + hstore,
+    #    s32 MySQL compressed transactions, s33 SQL Server capture-
+    #    instance migration.
+    # 2. the four r7 stragglers VERDICT r11 item 5 named (a6/f4/k1/t15)
+    #    — after this window nothing registered sits below r8.
+    # 3. 43 of the 49 r8-tier legs. Left for r13 (all value-checked by
+    #    the in-repo gate every round, each with strong alternate
+    #    coverage): a5 (sibling a4 windowed), e1 (e2/e3 windows r7/r9),
+    #    x11_chunk_documents (x11_corpus_pipeline r9), m6 (7 packing
+    #    goldens), x19 and x3 (single-expression legs inside windowed
+    #    pipelines).
     # registered this round ----------------------------------------------------
-    "s22b_pg_array_grammar",           # quoted/escaped/2-D arrays + OID tail
-    "s30_gtidset_readonly_snapshot",   # GTID-set watermarks across failover
-    "s29b_logminer_lob_edge",          # LOB_ERASE/noop gate/32k strings
-    "s28b_binlog_json_opaque",         # packed decimal/temporal JSON values
-    "s31_bson_typed",                  # BSON wire -> MongoDataConverter types
-    "x44_bloom_decontaminate",         # mergeable-bitset contamination screen
-    "x45_bloom_then_exact",            # Bloom screen -> exact verify funnel
-    "s19d_binlog_unsigned_labels",     # SIGNEDNESS + wire ENUM/SET labels
-    # the r7 tier ---------------------------------------------------------------
-    "a12_sparse_cosine",
-    "a13_knn_sparse",
-    "a14_bm25_rank",
-    "a15_rrf_fusion",
-    "a16_semdedup",
-    "a3_knn_lsh",
-    "a8_ivf_search",
-    "e2_sliding_window",
-    "e4_hierarchical_rollup",
-    "f1_cloudevents_roundtrip",
-    "f5_protobuf_roundtrip",
-    "h6_interval_enum_set",
-    "k11_incremental_avg",
-    "k12_sink_fingerprint",
-    "k2_merge_insert_mode",
-    "k4_reduce_last_per_key",
-    "k6_schema_evolution",
-    "k7_naming_strategy",
-    "p9_dlq_quarantine",
-    "s10_lsn_window_poll",
-    "s11_mongo_update_description",
-    "s12_snapshot_override",
-    "s14_envelope_timestamps",
-    "s4_readonly_incremental",
-    "s7_binlog_dispatch",
-    "s9_commit_ordered",
-    "t10_partition_routing",
-    "t11_enforce_record_size",
-    "t12_schema_change_filter",
-    "t14b_geometry_circle_line",
-    "t19_custom_converters",
-    "t21_docling_markdown",
-    "t22_skipped_operations",
-    "t3_extract_changed_record_state",
-    "t4_filter_expression",
-    "t6_logical_table_router",
-    "t8_header_to_value",
-    "w2_top_revenue_orders",
-    "w31_range_join",
-    "w8_asof_join",
-    "x21_decontamination",
-    "x6_lsh_candidates",
+    "s22c_pg_range_hstore",            # ranges as text, hstore map/json
+    "s32_binlog_txn_payload",          # zstd compressed transactions
+    "s33_sqlserver_capture_migration", # overlapping capture instances
+    # the r7 stragglers ---------------------------------------------------------
+    "a6_cosine_near_dup",
+    "f4_avro_roundtrip",
+    "k1_merge_upsert",
+    "t15_vector_to_json",
+    # the r8 tier ---------------------------------------------------------------
+    "a17_cluster_balanced_sample",
+    "a18_mmr_rerank",
+    "a19_sq8_search",
+    "a2_knn_bruteforce",
+    "a4_field_to_embedding",
+    "a7_ivf_centroids",
+    "e5_funnel",
+    "k13_scd2_history",
+    "k14_sequence_gaps",
+    "m1_image_meta",
+    "m5_binary_exact_dedup",
+    "m7_image_near_dups",
+    "p4_transaction_metadata",
+    "s15_composite_key_chunks",
+    "s16_string_keyset_chunk",
+    "s17_ddl_schema_history",
+    "s3_incremental_snapshot_dedup",
+    "t1_extract_new_record_state",
+    "w1_pricing_summary",
+    "w32_waiting_suppliers",
+    "w33_market_share",
+    "w34_important_parts",
+    "w35_top_supplier",
+    "x10_word_ngram_jaccard",
+    "x14_priority_dedup",
+    "x17_cm_heavy_hitters",
+    "x18_posting_lists",
+    "x1_text_stats",
+    "x27_pack_sequences",
+    "x28_token_budget_sample",
+    "x29_pii_redaction",
+    "x30_remove_boilerplate",
+    "x31_dedupe_lines",
+    "x32_dedupe_corpus_lines",
+    "x33_repetition_metrics",
+    "x34_incremental_dedup",
+    "x35_leakage_safe_split",
+    "x36_interleaved_order",
+    "x37_duplicated_spans",
+    "x38_charlm_quality",
+    "x39_duplicated_spans_sampled",
+    "x40_incremental_spans",
+    "x9_quality_filter",
 )
 
 
