@@ -40,6 +40,10 @@ HEADLINE = [
     "s29b_logminer_lob_edge",
     "s30_gtidset_readonly_snapshot",
     "s31_bson_typed",
+    "s22c_pg_range_hstore",
+    "s22d_pgvector_types",
+    "s32_binlog_txn_payload",
+    "s33_sqlserver_capture_migration",
     "x44_bloom_decontaminate",
     "x45_bloom_then_exact",
     "x42_dsir_resample",

@@ -1231,6 +1231,54 @@ def pg_hstore_value(col, mode: str = "map"):
     return F.to_json(m)
 
 
+def pg_vector_value(col, elem_t: str = "double"):
+    """pgvector 'vector'/'halfvec' text '[x,y,z]' -> array<double>/
+    array<float> (DoubleVector/FloatVector logical types,
+    PostgresValueConverter.java:738-766 via Vectors.fromVectorString).
+    A value not shaped '[...]' yields NULL — the reference WARNS and
+    returns null here (Vectors.java:28-31), unlike the raise-on-malformed
+    arms, because pgvector text is produced by the extension itself."""
+    t = F.trim(col)
+    body = F.regexp_extract(t, r"^\[(.*)\]$", 1)
+    arr = F.transform(
+        F.split(body, ","), lambda e: F.trim(e).cast(elem_t)
+    )
+    return F.when(t.rlike(r"^\[.*\]$"), arr)
+
+
+def pg_sparsevec_value(col):
+    """pgvector 'sparsevec' text '{i:v,i2:v2}/dims' -> the engine's
+    SparseDoubleVector struct {dimensions, indices[], values[]} (the
+    reference's struct{dimensions, vector map} reshaped to the repo's
+    computable contract — analytics/sparse.py consumes it directly;
+    semantics per Vectors.fromSparseVectorString:42-70, including the
+    empty '{}/n' vector). Malformed text -> NULL (reference warns)."""
+    t = F.trim(col)
+    valid = t.rlike(r"^\{[^}]*\}\s*/\s*\d+$")
+    body = F.regexp_extract(t, r"^\{([^}]*)\}", 1)
+    dims = F.regexp_extract(t, r"/\s*(\d+)\s*$", 1).cast("int")
+    entries = F.filter(
+        F.split(body, ","), lambda e: F.trim(e) != ""
+    )
+    idx = F.transform(
+        entries,
+        lambda e: F.trim(F.split_part(e, F.lit(":"), F.lit(1))).cast("int"),
+    )
+    vals = F.transform(
+        entries,
+        lambda e: F.trim(F.split_part(e, F.lit(":"), F.lit(2)))
+        .cast("double"),
+    )
+    return F.when(
+        valid,
+        F.struct(
+            dims.alias("dimensions"),
+            idx.alias("indices"),
+            vals.alias("values"),
+        ),
+    )
+
+
 def pg_interval_iso(col):
     """PG interval text ('1 year 2 mons 3 days 04:05:06.789', pieces
     optional, time sign distributing over h/m/s) -> the reference's
@@ -1278,7 +1326,8 @@ def numeric_type_for(atttypmod: int) -> str:
 def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
                    include_unknown: bool = False, ndims: int = 1,
                    hstore_oids: frozenset = frozenset(),
-                   hstore_mode: str = "map"):
+                   hstore_mode: str = "map",
+                   ext_oids: dict[int, str] | None = None):
     """One pgoutput text cell -> typed Spark column, dispatched on the
     relation's column OID (PostgresValueConverter.java:112,286-324).
 
@@ -1374,6 +1423,28 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
         # up via the reference's TypeRegistry.hstoreOid()) — callers pass
         # the oid(s) their installation assigned
         return pg_hstore_value(col, hstore_mode)
+    ext = (ext_oids or {}).get(type_oid)
+    if ext is not None:
+        # other extension types the reference resolves via TypeRegistry
+        # (PostgresValueConverter.java:362-378): pgvector's three types
+        # and ltree. Installation-specific OIDs, so name-keyed here.
+        if ext == "vector":
+            return pg_vector_value(col, "double")
+        if ext == "halfvec":
+            return pg_vector_value(col, "float")
+        if ext == "sparsevec":
+            return pg_sparsevec_value(col)
+        if ext == "ltree":
+            # label path 'a.b.c' -> string (Ltree.builder); validate the
+            # dotted-label envelope
+            return F.when(col.isNull(), F.lit(None).cast("string")).when(
+                col.rlike(r"^[A-Za-z0-9_]+(\.[A-Za-z0-9_]+)*$"), col
+            ).otherwise(
+                F.raise_error(F.concat(
+                    F.lit("malformed ltree path: "), col
+                )).cast("string")
+            )
+        raise ValueError(f"unknown extension type name {ext!r}")
     if include_unknown:
         return col  # the text form, the reference's opt-in passthrough
     raise ValueError(
@@ -1393,6 +1464,7 @@ def typed_projection(
     array_dims: dict[str, int] | None = None,
     hstore_oids: frozenset = frozenset(),
     hstore_mode: str = "map",
+    ext_oids: dict[int, str] | None = None,
 ) -> DataFrame:
     """Project one relation's decoded text envelope into TYPED columns
     driven by the relation registry's (col_names, col_oids, col_typmods)
@@ -1435,6 +1507,7 @@ def typed_projection(
                            ndims=(array_dims or {}).get(name, 1),
                            hstore_oids=hstore_oids,
                            hstore_mode=hstore_mode,
+                           ext_oids=ext_oids,
                            ).alias(name)
             for name, oid, mod in zip(
                 ver["col_names"], ver["col_oids"], ver["col_typmods"]

@@ -38,19 +38,20 @@ PRIORITY: tuple[str, ...] = (
     # --- r12 rotation (the per-query ledger lives in COVERAGE.md):
     # 1. the queries registered THIS round: s22c PG ranges + hstore,
     #    s32 MySQL compressed transactions, s33 SQL Server capture-
-    #    instance migration.
+    #    instance migration, s22d pgvector/ltree extension types.
     # 2. the four r7 stragglers VERDICT r11 item 5 named (a6/f4/k1/t15)
     #    — after this window nothing registered sits below r8.
     # 3. 43 of the 49 r8-tier legs. Left for r13 (all value-checked by
     #    the in-repo gate every round, each with strong alternate
     #    coverage): a5 (sibling a4 windowed), e1 (e2/e3 windows r7/r9),
     #    x11_chunk_documents (x11_corpus_pipeline r9), m6 (7 packing
-    #    goldens), x19 and x3 (single-expression legs inside windowed
+    #    goldens), x19, x3 and x9 (single-expression legs inside windowed
     #    pipelines).
     # registered this round ----------------------------------------------------
     "s22c_pg_range_hstore",            # ranges as text, hstore map/json
     "s32_binlog_txn_payload",          # zstd compressed transactions
     "s33_sqlserver_capture_migration", # overlapping capture instances
+    "s22d_pgvector_types",             # pgvector/ltree -> computable types
     # the r7 stragglers ---------------------------------------------------------
     "a6_cosine_near_dup",
     "f4_avro_roundtrip",
@@ -99,7 +100,6 @@ PRIORITY: tuple[str, ...] = (
     "x38_charlm_quality",
     "x39_duplicated_spans_sampled",
     "x40_incremental_spans",
-    "x9_quality_filter",
 )
 
 

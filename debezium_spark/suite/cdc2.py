@@ -2381,6 +2381,114 @@ def s22c_pg_range_hstore(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S22d — pgvector + ltree extension types through the typed projection
+# (PostgresValueConverter.java:362-378 TypeRegistry lookups, :738-773
+# Vectors.fromVectorString/fromSparseVectorString; ltree -> string).
+# ---------------------------------------------------------------------------
+_PG_VEC_RELID = 16403
+_PG_VEC_COLS = [  # (flags, name, type_oid, atttypmod)
+    (1, "id", 20, -1),
+    (0, "emb", 17001, -1),    # vector  -> array<double>
+    (0, "hemb", 17002, -1),   # halfvec -> array<float>
+    (0, "semb", 17003, -1),   # sparsevec -> SparseDoubleVector struct
+    (0, "path", 17004, -1),   # ltree -> string
+]
+_PG_EXT_OIDS = {17001: "vector", 17002: "halfvec",
+                17003: "sparsevec", 17004: "ltree"}
+
+
+def _pg_vector_fixture(spark, sf_dir):
+    import pandas as pd
+
+    from debezium_spark.sources.pgoutput import (
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+    )
+
+    ev = _events_feed(spark, sf_dir).select("event_id")
+
+    def enc(batches):
+        for pdf in batches:
+            lsns, msgs = [], []
+            for e in pdf["event_id"]:
+                e = int(e)
+                after = [
+                    ("t", str(e)),
+                    ("t", f"[{e % 7}.5,{e % 11},2]"),
+                    ("t", f"[{e % 5},1.25]"),
+                    ("t", "{" + f"1:{e % 9}.5,4:2" + "}/6"),
+                    ("t", f"a.b{e % 3}.c"),
+                ]
+                lsns.append(e + 2)
+                msgs.append(encode_insert(_PG_VEC_RELID, after))
+            yield pd.DataFrame({"lsn": lsns, "msg": msgs})
+
+    data = ev.mapInPandas(enc, "lsn long, msg binary")
+    head = spark.createDataFrame(
+        [
+            (0, bytearray(encode_relation(
+                _PG_VEC_RELID, "public", "vectorful", _PG_VEC_COLS))),
+            (1, bytearray(encode_begin(10**9, 7_000_000, 4245))),
+            (10**9, bytearray(encode_commit(10**9, 10**9, 7_000_000))),
+        ],
+        "lsn long, msg binary",
+    )
+    return head.unionByName(data).localCheckpoint(eager=True)
+
+
+@register(
+    "s22d_pgvector_types",
+    oracle="""
+    SELECT event_id AS id,
+           CAST(event_id % 7 AS DOUBLE) + 0.5 AS v1,
+           3 AS v_len,
+           CAST(1.25 AS REAL) AS h2,
+           6 AS s_dims,
+           '1|4' AS s_idx,
+           sqrt((CAST(event_id % 9 AS DOUBLE) + 0.5)
+                * (CAST(event_id % 9 AS DOUBLE) + 0.5) + 4.0) AS s_norm,
+           'a.b' || CAST(event_id % 3 AS VARCHAR) || '.c' AS path
+    FROM events
+    """,
+)
+def s22d_pgvector_types(spark, sf_dir):
+    """pgvector columns land as COMPUTABLE types: vector/halfvec become
+    float arrays, sparsevec becomes the engine's SparseDoubleVector
+    struct (analytics/sparse.py consumes it directly — s_norm here IS
+    sparse_norm over the freshly decoded CDC value, the embedding-column
+    handoff to the ANN operators), ltree as a validated label path."""
+    from debezium_spark.analytics.sparse import sparse_norm
+    from debezium_spark.sources.pgoutput import (
+        decode_pgoutput_binary,
+        relation_registry,
+        typed_projection,
+    )
+
+    stream = _pg_vector_fixture(spark, sf_dir)
+    reg = relation_registry(spark, stream)
+    dec = decode_pgoutput_binary(spark, stream, registry=reg)
+    typed = typed_projection(
+        dec, reg, "public", "vectorful", ext_oids=_PG_EXT_OIDS
+    )
+    return typed.select(
+        "id",
+        F.element_at("emb", 1).alias("v1"),
+        F.size("emb").alias("v_len"),
+        F.element_at("hemb", 2).alias("h2"),
+        F.col("semb")["dimensions"].alias("s_dims"),
+        F.array_join(
+            F.transform(F.col("semb")["indices"],
+                        lambda i: i.cast("string")),
+            "|",
+        ).alias("s_idx"),
+        sparse_norm(F.col("semb")).alias("s_norm"),
+        "path",
+    )
+
+
+# ---------------------------------------------------------------------------
 # S32 — MySQL compressed transactions (TRANSACTION_PAYLOAD, WL#3549):
 # WRITE/UPDATE/DELETE rows arrive ONLY inside zstd-compressed payload
 # events (every 5th transaction uncompressed, compression type NONE) and

@@ -912,3 +912,46 @@ def test_pg_range_array_through_tokenizer(spark):
     )
     out = df.select(pg_typed_value(F.col("s"), 3913).alias("a")).collect()
     assert out[0]["a"] == ["[2020-01-01,2020-02-01)", "(,3)", None]
+
+
+def test_pgvector_and_ltree_values(spark):
+    """vector/halfvec '[x,y]' -> float arrays, sparsevec '{i:v}/d' -> the
+    SparseDoubleVector struct (empty '{}/n' included), malformed vector
+    text -> NULL (the reference WARNS and nulls, Vectors.java:28-31);
+    ltree validates its dotted-label envelope."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import (
+        pg_sparsevec_value,
+        pg_typed_value,
+        pg_vector_value,
+    )
+
+    df = spark.createDataFrame(
+        [("[1.5, 2,3]",), ("not a vector",), (None,)], "s string"
+    )
+    got = [r["v"] for r in df.select(
+        pg_vector_value(F.col("s"), "double").alias("v")).collect()]
+    assert got == [[1.5, 2.0, 3.0], None, None]
+
+    sv = spark.createDataFrame(
+        [("{1:1.5,4:2}/6",), ("{}/3",), ("oops",)], "s string"
+    )
+    rows = [r["v"] for r in sv.select(
+        pg_sparsevec_value(F.col("s")).alias("v")).collect()]
+    assert rows[0]["dimensions"] == 6
+    assert list(rows[0]["indices"]) == [1, 4]
+    assert list(rows[0]["values"]) == [1.5, 2.0]
+    assert rows[1]["dimensions"] == 3 and list(rows[1]["indices"]) == []
+    assert rows[2] is None
+
+    lt = spark.createDataFrame([("Top.Science.astro_1",)], "s string")
+    assert lt.select(
+        pg_typed_value(F.col("s"), 99, ext_oids={99: "ltree"}).alias("v")
+    ).collect()[0]["v"] == "Top.Science.astro_1"
+    bad = spark.createDataFrame([("a..b",)], "s string")
+    with _pytest.raises(Exception, match="malformed ltree"):
+        bad.select(
+            pg_typed_value(F.col("s"), 99, ext_oids={99: "ltree"}).alias("v")
+        ).collect()
