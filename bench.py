@@ -47,6 +47,7 @@ HEADLINE = [
     "x44_bloom_decontaminate",
     "x45_bloom_then_exact",
     "x42_dsir_resample",
+    "x46_temperature_mixture",
     "t1_extract_new_record_state",
     "p4_transaction_metadata",
     "x4_exact_dedup",

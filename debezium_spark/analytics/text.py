@@ -815,6 +815,60 @@ def stratified_sample(
     return df.filter(h < rate_bp)
 
 
+def temperature_sample(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    target_denom: int = 2,
+    seed: str = "temp:",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/GPT-3 data-mixing
+    recipe at alpha = 0.5): per-source sampling budgets proportional to
+    sqrt(source mass) — upweighting small sources relative to their
+    share, capping dominant ones — with a total budget of
+    ``1/target_denom`` of the corpus mass.
+
+    Arithmetic is pinned so an independent engine reproduces the draw
+    bit-for-bit: masses are exact integer sums; sqrt is quantized to
+    integer micro-units before the cross-source sum (a float sum's
+    result depends on aggregation order — the one thing a distributed
+    engine must not depend on); the per-source keep threshold is one
+    fixed-shape double expression over those integers, floored to a
+    parts-per-million rate; the keep decision is the portable md5 hash
+    of the id against that rate. Plan shape: ONE map-side-combinable
+    agg (rows = source count) collected driver-side, thresholds inlined
+    as a literal CASE — the sampling filter itself is zero-shuffle and
+    rides the scan."""
+    import math
+
+    stats = (
+        df.groupBy(source_col)
+        .agg(F.sum(weight_col).cast("long").alias("mass"))
+        .collect()
+    )
+    masses = {r[source_col]: int(r["mass"]) for r in stats}
+    if not masses:
+        return df.filter(F.lit(False))
+    total = sum(masses.values())
+    budget = total // target_denom
+    sq = {s: math.floor(math.sqrt(m) * 1_000_000) for s, m in masses.items()}
+    ssum = sum(sq.values())
+    thr = {
+        s: min(
+            1_000_000,
+            math.floor((1_000_000.0 * budget) * sq[s] / (ssum * masses[s])),
+        )
+        for s in masses
+    }
+    h = portable_hash64(F.col(id_col).cast("string"), seed=seed) % 1_000_000
+    rate = F.lit(0)
+    for s, t in sorted(thr.items()):
+        rate = F.when(F.col(source_col) == s, F.lit(t)).otherwise(rate)
+    return df.filter(h < rate)
+
+
 def quota_per_group(
     df: DataFrame,
     *,

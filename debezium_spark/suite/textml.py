@@ -963,6 +963,53 @@ def x23_stratified_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# X46 — temperature-based mixture sampling (mT5/GPT-3 data mixing, α=0.5)
+# ---------------------------------------------------------------------------
+@register(
+    "x46_temperature_mixture",
+    oracle=f"""
+    WITH stats AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+        FROM documents GROUP BY source
+    ),
+    q AS (
+        SELECT source, mass,
+               CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS sq
+        FROM stats
+    ),
+    g AS (
+        SELECT CAST(SUM(mass) AS BIGINT) // 2 AS budget,
+               CAST(SUM(sq) AS BIGINT) AS ssum
+        FROM q
+    ),
+    thr AS (
+        SELECT source,
+               LEAST(1000000, CAST(floor(
+                   (1000000.0 * (SELECT budget FROM g)) * sq
+                   / ((SELECT ssum FROM g) * mass)) AS BIGINT)) AS thr
+        FROM q
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr t ON d.source = t.source
+    WHERE ({_ohash("CAST(d.doc_id AS VARCHAR)", "temp:")}) % 1000000 < t.thr
+    """,
+)
+def x46_temperature_mixture(spark, sf_dir):
+    """Temperature mixing at alpha = 0.5: per-source budgets proportional
+    to sqrt(mass) — small sources upweighted relative to their share,
+    dominant ones capped — targeting half the corpus mass. The draw is
+    the portable md5 hash (re-runs keep the SAME documents); sqrt is
+    integer-quantized BEFORE the cross-source sum so the thresholds are
+    aggregation-order-independent, and the oracle replays the identical
+    arithmetic. One bounded agg + a zero-shuffle scan filter."""
+    from debezium_spark.analytics.text import temperature_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_sample(docs).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
 # X24 — per-group quota cap (anti-spam domain capping)
 # ---------------------------------------------------------------------------
 @register(

@@ -847,3 +847,32 @@ def test_nb_quality_learns_past_the_seed_rule(spark):
     assert out[501]["seed_label"] == 1 and out[501]["pred_label"] == 0
     # training mass keeps its labels
     assert out[0]["pred_label"] == 1 and out[100]["pred_label"] == 0
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    """alpha=0.5 mixing: the kept FRACTION of a small source must exceed
+    the kept fraction of a dominant one, and the total kept mass lands
+    near the half-corpus budget."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.analytics.text import temperature_sample
+
+    rows = [(i, "big", 100) for i in range(4000)] + [
+        (10_000 + i, "small", 100) for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    kept = temperature_sample(df)
+    counts = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(
+            F.count("*").alias("n")).collect()
+    }
+    frac_big = counts.get("big", 0) / 4000
+    frac_small = counts.get("small", 0) / 250
+    assert frac_small > frac_big
+    total_kept = sum(counts.values())
+    assert 0.35 < total_kept / 4250 < 0.65
+    # deterministic: the same call keeps the same documents
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(df).collect())
+    assert a == b

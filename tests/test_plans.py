@@ -568,3 +568,35 @@ def test_bloom_screen_is_join_free(spark, qs):
     # key shuffle, never a join
     assert "hashpartitioning" not in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_typed_projection_tails_are_scan_shaped(spark, qs):
+    """s22c (ranges/hstore) and s22d (pgvector/ltree) must add NOTHING to
+    the decode plan: no join, no key shuffle — the typed projection is a
+    pure expression layer over the Arrow decode; the only exchange is the
+    fixture's small-input round-robin rebalance."""
+    for name in ("s22c_pg_range_hstore", "s22d_pgvector_types"):
+        plan = _plan(spark, qs, name)
+        assert "hashpartitioning" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_capture_migration_pushes_windows_and_adds_no_shuffle(spark, qs):
+    """s33: each capture instance's [start, next-start) literal window
+    reaches its scan as a pushed filter; the union adds no exchange —
+    the only key shuffle is the change-table pairing aggregation."""
+    plan = _plan(spark, qs, "s33_sqlserver_capture_migration")
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    # exactly one aggregation exchange (the (start_lsn, seqval) pairing)
+    assert plan.count("hashpartitioning(start_lsn") == 1
+    # the v2 instance's start-LSN window is pushed into the parquet scan
+    assert "GreaterThanOrEqual(event_id" in plan
+
+
+def test_txn_payload_decode_is_single_pass(spark, qs):
+    """s32: the compressed-payload decode is ONE Arrow kernel pass — no
+    join, no key shuffle anywhere in the registered query's plan."""
+    plan = _plan(spark, qs, "s32_binlog_txn_payload")
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
