@@ -1434,6 +1434,21 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
             return pg_vector_value(col, "float")
         if ext == "sparsevec":
             return pg_sparsevec_value(col)
+        if ext == "hstore_array":
+            # array of hstore (PostgresValueConverter.java:377-378):
+            # every element is quoted in array_out (hstore text always
+            # carries '"' and ','), so unquote then parse per element
+            inner = col.substr(F.lit(2), F.length(col) - 2)
+            tokens = F.regexp_extract_all(inner, F.lit(_PG_ARR_TOKEN), 1)
+            return F.when(
+                col.isNotNull(),
+                F.transform(
+                    tokens,
+                    lambda e: F.when(
+                        e == "NULL", F.lit(None).cast("map<string,string>")
+                    ).otherwise(pg_hstore_value(_pg_unquote(e), "map")),
+                ),
+            )
         if ext == "ltree":
             # label path 'a.b.c' -> string (Ltree.builder); validate the
             # dotted-label envelope

@@ -881,3 +881,40 @@ def test_transaction_payload_malformed():
     unknown = _enc_lenenc(9) + _enc_lenenc(3) + b"abc"
     patched = unknown + bytes(body)
     assert _payload_raw_events(patched) == [xid]
+
+
+def test_stream_decoder_accumulates_payload_embedded_maps(spark):
+    """BinlogStreamDecoder: a TABLE_MAP that only ever appeared INSIDE a
+    compressed payload in batch 1 must still decode a plain rows event
+    in batch 2 (the reference caches payload-embedded TableMapEventData
+    the same way, BinlogStreamingChangeEventSource.java:500-510)."""
+    from debezium_spark.sources.binlog import (
+        BinlogStreamDecoder,
+        TYPE_LONGLONG,
+        WRITE_ROWS_EVENT,
+        encode_rows_event,
+        encode_table_map,
+        encode_transaction_payload,
+    )
+
+    types, metas = [TYPE_LONGLONG], [0]
+    tm = encode_table_map(9, "db", "t", types, metas, [False], log_pos=10)
+    rows1 = encode_rows_event(WRITE_ROWS_EVENT, 9, types, metas,
+                              [{"after": [1]}], log_pos=11)
+    rows2 = encode_rows_event(WRITE_ROWS_EVENT, 9, types, metas,
+                              [{"after": [2]}], log_pos=20)
+
+    dec = BinlogStreamDecoder()
+    b1 = spark.createDataFrame(
+        [(1, bytearray(encode_transaction_payload([tm, rows1])))],
+        "pos long, msg binary",
+    )
+    out1 = dec.decode_batch(b1).filter("kind = 'c'").collect()
+    assert [r["after"] for r in out1] == [["1"]]
+
+    # batch 2: a BARE rows event, no map anywhere in the batch
+    b2 = spark.createDataFrame(
+        [(2, bytearray(rows2))], "pos long, msg binary"
+    )
+    out2 = dec.decode_batch(b2).filter("kind = 'c'").collect()
+    assert [r["after"] for r in out2] == [["2"]]

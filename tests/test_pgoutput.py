@@ -955,3 +955,24 @@ def test_pgvector_and_ltree_values(spark):
         bad.select(
             pg_typed_value(F.col("s"), 99, ext_oids={99: "ltree"}).alias("v")
         ).collect()
+
+
+def test_pg_hstore_array(spark):
+    """hstore[] decodes element-wise: array_out quotes every element
+    (hstore text always carries '\"' and ','), unquote-then-parse, with
+    NULL elements surviving (PostgresValueConverter.java:377-378)."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_typed_value
+
+    df = spark.createDataFrame(
+        [('{"\\"a\\"=>\\"1\\", \\"b\\"=>NULL",NULL,"\\"c d\\"=>\\"x,y\\""}',)],
+        "s string",
+    )
+    out = df.select(
+        pg_typed_value(F.col("s"), 98, ext_oids={98: "hstore_array"})
+        .alias("a")
+    ).collect()[0]["a"]
+    assert out[0] == {"a": "1", "b": None}
+    assert out[1] is None
+    assert out[2] == {"c d": "x,y"}
