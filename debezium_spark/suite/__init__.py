@@ -39,7 +39,7 @@ PRIORITY: tuple[str, ...] = (
     # 1. the queries registered THIS round: s22c PG ranges + hstore,
     #    s32 MySQL compressed transactions, s33 SQL Server capture-
     #    instance migration, s22d pgvector/ltree extension types, x46
-    #    temperature mixture sampling.
+    #    temperature mixture sampling, w38 cohort retention.
     # 2. the four r7 stragglers VERDICT r11 item 5 named (a6/f4/k1/t15)
     #    — after this window nothing registered sits below r8.
     # 3. 43 of the 49 r8-tier legs. Left for r13 (all value-checked by
@@ -47,13 +47,15 @@ PRIORITY: tuple[str, ...] = (
     #    coverage): a5 (sibling a4 windowed), e1 (e2/e3 windows r7/r9),
     #    x11_chunk_documents (x11_corpus_pipeline r9), m6 (7 packing
     #    goldens), x19, x3 and x9 (single-expression legs inside windowed
-    #    pipelines), x14 (the dedup family holds five windowed legs).
+    #    pipelines), x14 (the dedup family holds five windowed legs), x18 (a13's
+    #    posting join is its windowed production consumer).
     # registered this round ----------------------------------------------------
     "s22c_pg_range_hstore",            # ranges as text, hstore map/json
     "s32_binlog_txn_payload",          # zstd compressed transactions
     "s33_sqlserver_capture_migration", # overlapping capture instances
     "s22d_pgvector_types",             # pgvector/ltree -> computable types
     "x46_temperature_mixture",         # sqrt-mass temperature data mixing
+    "w38_cohort_retention",            # cohort matrix, 2-shuffle shape
     # the r7 stragglers ---------------------------------------------------------
     "a6_cosine_near_dup",
     "f4_avro_roundtrip",
@@ -85,7 +87,6 @@ PRIORITY: tuple[str, ...] = (
     "w35_top_supplier",
     "x10_word_ngram_jaccard",
     "x17_cm_heavy_hitters",
-    "x18_posting_lists",
     "x1_text_stats",
     "x27_pack_sequences",
     "x28_token_budget_sample",

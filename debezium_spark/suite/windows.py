@@ -348,3 +348,59 @@ def e6_ts_pattern_search(spark, sf_dir):
             F.round("corr", 6).alias("corr_r"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W38 — cohort retention (product-analytics matrix: users bucketed by
+# first-seen week x weeks-since-cohort activity)
+# ---------------------------------------------------------------------------
+@register(
+    "w38_cohort_retention",
+    oracle="""
+    WITH up AS (
+        SELECT DISTINCT user_id,
+               CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                     - DATE '1970-01-01') // 7 AS BIGINT) AS period
+        FROM events
+    ),
+    c AS (SELECT user_id, min(period) AS cohort FROM up GROUP BY user_id)
+    SELECT c.cohort AS cohort_period,
+           up.period - c.cohort AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM up JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def w38_cohort_retention(spark, sf_dir):
+    """Cohort retention over the events stream: each user's cohort is the
+    7-day period of their first event (integer epoch-day // 7 — no ISO
+    week-start convention to disagree on); the matrix counts users active
+    at each week offset from their cohort.
+
+    Spark shape beats the textbook 3-shuffle form (distinct + first-seen
+    agg + join back): ONE user-keyed aggregation computes the cohort and
+    the distinct period set together (collect_set is bounded by the data's
+    week span, not its event count), then one matrix aggregation over the
+    exploded per-user rows. Two shuffles total at any scale."""
+    from debezium_spark.sources.changefeed import events_with_ts
+
+    ev = events_with_ts(spark, sf_dir)
+    period = F.expr(
+        "CAST(datediff(CAST(ts_utc AS DATE), DATE'1970-01-01') DIV 7"
+        " AS BIGINT)"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(period).alias("cohort"),
+        F.collect_set(period).alias("periods"),
+    )
+    return (
+        per_user.select(
+            F.col("cohort").alias("cohort_period"),
+            F.explode("periods").alias("p"),
+        )
+        .groupBy(
+            "cohort_period",
+            (F.col("p") - F.col("cohort_period")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
