@@ -848,7 +848,17 @@ def temperature_sample(
         .agg(F.sum(weight_col).cast("long").alias("mass"))
         .collect()
     )
-    masses = {r[source_col]: int(r["mass"]) for r in stats}
+    # A NULL source or a zero/NULL mass (all-empty documents) cannot
+    # receive a sqrt-proportional budget — those rows sample at rate 0
+    # (they fall through the CASE chain) instead of killing the job with
+    # a ZeroDivisionError/TypeError driver-side.
+    masses = {
+        r[source_col]: int(r["mass"])
+        for r in stats
+        if r[source_col] is not None
+        and r["mass"] is not None
+        and int(r["mass"]) > 0
+    }
     if not masses:
         return df.filter(F.lit(False))
     total = sum(masses.values())

@@ -880,11 +880,12 @@ def parse_transaction_payload(body: bytes, registry: dict) -> dict:
     payload-embedded table maps the same way (:500-510)."""
     parsed = []
     for raw in _payload_raw_events(body):
-        hdr = parse_header(raw)
-        if hdr["type_code"] == TABLE_MAP_EVENT:
-            tm = parse_table_map(raw[HEADER_LEN:])
-            registry[tm["table_id"]] = tm
-        parsed.append(parse_event(raw, registry))
+        ev = parse_event(raw, registry)
+        if ev["kind"] == "table_map":
+            # register BEFORE the next embedded event parses (rows events
+            # in the same payload reference this map); one parse, not two
+            registry[ev["table_id"]] = ev
+        parsed.append(ev)
     return {"kind": "transaction_payload", "events": parsed}
 
 

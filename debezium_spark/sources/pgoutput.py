@@ -1437,7 +1437,14 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
         if ext == "hstore_array":
             # array of hstore (PostgresValueConverter.java:377-378):
             # every element is quoted in array_out (hstore text always
-            # carries '"' and ','), so unquote then parse per element
+            # carries '"' and ','), so unquote then parse per element.
+            # The element schema follows hstore_mode like the scalar arm
+            # (hstoreSchema():436-445 builds the array element from the
+            # configured mode): map mode -> array<map>, json mode ->
+            # array of JSON object strings.
+            elem_null_t = (
+                "map<string,string>" if hstore_mode == "map" else "string"
+            )
             inner = col.substr(F.lit(2), F.length(col) - 2)
             tokens = F.regexp_extract_all(inner, F.lit(_PG_ARR_TOKEN), 1)
             return F.when(
@@ -1445,8 +1452,10 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
                 F.transform(
                     tokens,
                     lambda e: F.when(
-                        e == "NULL", F.lit(None).cast("map<string,string>")
-                    ).otherwise(pg_hstore_value(_pg_unquote(e), "map")),
+                        e == "NULL", F.lit(None).cast(elem_null_t)
+                    ).otherwise(
+                        pg_hstore_value(_pg_unquote(e), hstore_mode)
+                    ),
                 ),
             )
         if ext == "ltree":

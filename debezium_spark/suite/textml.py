@@ -984,10 +984,15 @@ def x23_stratified_sample(spark, sf_dir):
         FROM q
     ),
     thr AS (
+        -- HUGEINT for the denominator product: BIGINT*BIGINT overflows
+        -- at ~1e9-char sources (ssum*mass > 2^63); the exact 128-bit
+        -- product then rounds ONCE to double, matching Python's
+        -- arbitrary-precision int -> float conversion bit-for-bit
         SELECT source,
                LEAST(1000000, CAST(floor(
                    (1000000.0 * (SELECT budget FROM g)) * sq
-                   / ((SELECT ssum FROM g) * mass)) AS BIGINT)) AS thr
+                   / (CAST((SELECT ssum FROM g) AS HUGEINT) * mass))
+                   AS BIGINT)) AS thr
         FROM q
     )
     SELECT d.doc_id, d.source

@@ -359,8 +359,7 @@ def e6_ts_pattern_search(spark, sf_dir):
     oracle="""
     WITH up AS (
         SELECT DISTINCT user_id,
-               CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE)
-                     - DATE '1970-01-01') // 7 AS BIGINT) AS period
+               epoch_ns(CAST(ts AS TIMESTAMP)) // 604800000000000 AS period
         FROM events
     ),
     c AS (SELECT user_id, min(period) AS cohort FROM up GROUP BY user_id)
@@ -373,9 +372,11 @@ def e6_ts_pattern_search(spark, sf_dir):
 )
 def w38_cohort_retention(spark, sf_dir):
     """Cohort retention over the events stream: each user's cohort is the
-    7-day period of their first event (integer epoch-day // 7 — no ISO
-    week-start convention to disagree on); the matrix counts users active
-    at each week offset from their cohort.
+    7-day period of their first event — pure INTEGER nanosecond
+    arithmetic (epoch-ns div one week), never a timestamp→date cast,
+    which would shift bucket boundaries under a non-UTC driver session
+    timezone and disagree with any independent engine; the matrix counts
+    users active at each week offset from their cohort.
 
     Spark shape beats the textbook 3-shuffle form (distinct + first-seen
     agg + join back): ONE user-keyed aggregation computes the cohort and
@@ -385,10 +386,7 @@ def w38_cohort_retention(spark, sf_dir):
     from debezium_spark.sources.changefeed import events_with_ts
 
     ev = events_with_ts(spark, sf_dir)
-    period = F.expr(
-        "CAST(datediff(CAST(ts_utc AS DATE), DATE'1970-01-01') DIV 7"
-        " AS BIGINT)"
-    )
+    period = F.expr("ts_ns div 604800000000000")
     per_user = ev.groupBy("user_id").agg(
         F.min(period).alias("cohort"),
         F.collect_set(period).alias("periods"),

@@ -876,3 +876,16 @@ def test_temperature_mixture_upweights_small_sources(spark):
     a = sorted(r["doc_id"] for r in kept.collect())
     b = sorted(r["doc_id"] for r in temperature_sample(df).collect())
     assert a == b
+
+
+def test_temperature_mixture_skips_null_and_zero_mass_sources(spark):
+    """A NULL source key or an all-zero-weight source samples at rate 0
+    instead of crashing the threshold computation driver-side."""
+    from debezium_spark.analytics.text import temperature_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 100), (3, None, 50), (4, "empty", 0)],
+        "doc_id long, source string, n_chars int",
+    )
+    kept = temperature_sample(df).collect()
+    assert all(r["source"] == "a" for r in kept)

@@ -976,3 +976,21 @@ def test_pg_hstore_array(spark):
     assert out[0] == {"a": "1", "b": None}
     assert out[1] is None
     assert out[2] == {"c d": "x,y"}
+
+
+def test_pg_hstore_array_json_mode(spark):
+    """hstore[] follows the configured mode like the scalar arm: json
+    mode yields an array of JSON object strings (hstoreSchema builds the
+    array element from the mode, PostgresValueConverter.java:436-445)."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_typed_value
+
+    df = spark.createDataFrame(
+        [('{"\\"a\\"=>\\"1\\"",NULL}',)], "s string"
+    )
+    out = df.select(
+        pg_typed_value(F.col("s"), 98, ext_oids={98: "hstore_array"},
+                       hstore_mode="json").alias("a")
+    ).collect()[0]["a"]
+    assert out[0] == '{"a":"1"}' and out[1] is None
