@@ -75,6 +75,7 @@ HEADLINE = [
     "w2_top_revenue_orders",
     "w8_asof_join",
     "w31_range_join",
+    "w38_cohort_retention",
     "e4_hierarchical_rollup",
     "e6_ts_pattern_search",
     "e1_tumbling_window",
