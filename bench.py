@@ -169,9 +169,11 @@ def quarantine_noisy_legs(
     """Quarantine decision for noisy-accepted legs (VERDICT r10 Wrong #2,
     tightened per r11 ADVICE): a leg whose accepted median sits >
     ``factor`` x its previous committed value AND whose timing block the
-    HOST PROBES flagged noisy (``evidence`` = probe-flagged legs only —
-    run spread or a requeue alone does not qualify, because a genuine
-    regression that adds a shuffle also shows spread) is host noise, not
+    HOST PROBES flagged noisy (``evidence`` = legs whose ACCEPTED block's
+    bracketing probes read noisy — run spread, a requeue, or noise on a
+    discarded earlier attempt do not qualify, because a genuine
+    regression that adds a shuffle also shows spread, and a requeued
+    attempt's noise was discarded with its timings) is host noise, not
     a code regression — exclude it from the headline and report BOTH
     totals. A >2x move without probe evidence stays in the headline: that
     is a real regression and must hurt. Returns (kept_total, all_total,
@@ -279,7 +281,6 @@ def main() -> None:
         # calm-window spreads are ~6%. Such a block re-runs like a
         # probe-noisy one, and if it never settles it's recorded in
         # spread_accepted so the delta reader knows not to trust it.
-        probe_noisy_any_attempt = False
         for attempt in range(MAX_SEGMENT_RETRIES + 1):
             pre = _noise_probe()
             runs = []
@@ -288,16 +289,18 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
             post = _noise_probe()
-            if _is_noisy(pre) or _is_noisy(post):
-                probe_noisy_any_attempt = True
             wide = max(runs) / max(min(runs), 1e-9) > SPREAD_FACTOR
             if not (_is_noisy(pre) or _is_noisy(post) or wide):
                 break
         if attempt:
             requeues[name] = attempt
         if _is_noisy(pre) or _is_noisy(post):
+            # Quarantine evidence comes from the ACCEPTED block's probes
+            # only: an earlier requeued attempt's noise was already
+            # discarded along with its timings, so letting it flag the leg
+            # would quarantine a genuine >2x regression measured in the
+            # calm accepted block (r12 ADVICE).
             noisy_accepted.append(name)
-        if probe_noisy_any_attempt:
             probe_flagged.add(name)
         if wide:
             spread_accepted.append(name)

@@ -839,11 +839,27 @@ def _payload_raw_events(body: bytes) -> list[bytes]:
     off = 0
     comp = PAYLOAD_COMPRESSION_NONE
     unc_size: int | None = None
+
+    def lenenc(o: int) -> tuple[int, int]:
+        # A truncated/garbled header that never yields the END field must
+        # fail with the module's ValueError contract, not walk off the
+        # buffer into IndexError/struct.error (r12 ADVICE).
+        try:
+            return _read_lenenc(body, o)
+        except (IndexError, struct.error) as exc:
+            raise ValueError(
+                "truncated transaction payload TLV header"
+            ) from exc
+
     while True:
-        ftype, off = _read_lenenc(body, off)
+        if off >= len(body):
+            raise ValueError("truncated transaction payload TLV header")
+        ftype, off = lenenc(off)
         if ftype == _OTW_END:
             break
-        flen, off = _read_lenenc(body, off)
+        flen, off = lenenc(off)
+        if off + flen > len(body):
+            raise ValueError("transaction payload TLV field overruns body")
         if ftype == _OTW_COMPRESSION_TYPE:
             comp, _ = _read_lenenc(body, off)
         elif ftype == _OTW_UNCOMPRESSED_SIZE:

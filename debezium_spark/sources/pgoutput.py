@@ -1074,6 +1074,16 @@ PG_INTERVAL = 1186
 # to SchemaBuilder.string(); :500-553 converts via convertString).
 PG_INT4RANGE, PG_NUMRANGE, PG_TSRANGE = 3904, 3906, 3908
 PG_TSTZRANGE, PG_DATERANGE, PG_INT8RANGE = 3910, 3912, 3926
+PG_TIMETZ = 1266
+PG_BIT, PG_VARBIT = 1560, 1562
+# Array forms the reference leaves UNIMPLEMENTED (schemaBuilder returns
+# null for TIMETZ_ARRAY/BIT_ARRAY/VARBIT_ARRAY at
+# PostgresValueConverter.java:324-347 with a "still need to be
+# implemented" comment, so the column is omitted) — the dispatch raises
+# with that citation instead of guessing a shape the reference never
+# defined.
+_PG_UNIMPLEMENTED_ARRAY_OIDS = {1270: "timetz[]", 1561: "bit[]",
+                                1563: "varbit[]"}
 _PG_RANGE_OIDS = {PG_INT4RANGE, PG_NUMRANGE, PG_TSRANGE, PG_TSTZRANGE,
                   PG_DATERANGE, PG_INT8RANGE}
 _PG_STRING_OIDS = {PG_CHAR, PG_NAME, PG_TEXT, PG_JSON, PG_XML, PG_BPCHAR,
@@ -1279,6 +1289,176 @@ def pg_sparsevec_value(col):
     )
 
 
+# TIMETZ text grammar (PostgresValueConverter.java:167-168's
+# TIMETZ_PATTERN verbatim): clock with optional 1-6 fraction digits and
+# an offset given as +HH, +HH:MM or +HH:MM:SS. Hour 24 (PG's end-of-day
+# boundary) is only legal through the boundary short-circuit below.
+_PG_TIMETZ_PAT = (
+    r"^(\d{1,2}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?"
+    r"([+-]\d{2}(?::\d{2}(?::\d{2})?)?)$"
+)
+# end-of-day boundary at UTC (PostgresTimeBoundary.java:19)
+_PG_TIMETZ_BOUNDARY = r"^24:00:00(?:\.0{1,6})?(?:Z|[+-]00(?::?00)?)$"
+
+
+def pg_timetz_value(col):
+    """TIMETZ text ('HH:MM:SS[.ffffff]±HH[:MM[:SS]]') -> the reference's
+    ZonedTime ISO string (PostgresValueConverter.java:1108-1128): parse,
+    shift same-instant to UTC (wrapping through midnight — OffsetTime
+    arithmetic is mod 24 h), render ISO_OFFSET_TIME — 'HH:MM:SS',
+    trailing-zero-stripped fraction, 'Z'. The end-of-day boundary
+    '24:00:00[+00]' short-circuits to the pinned '24:00:00Z'
+    (PostgresTimeBoundary.java:16-22, isTimeWithTimeZoneBoundaryAtUtc)
+    because OffsetTime cannot represent hour 24. Malformed text raises —
+    the reference's default-mode OffsetTime.parse throws the same way."""
+    h = F.regexp_extract(col, _PG_TIMETZ_PAT, 1).cast("long")
+    m = F.regexp_extract(col, _PG_TIMETZ_PAT, 2).cast("long")
+    s = F.regexp_extract(col, _PG_TIMETZ_PAT, 3).cast("long")
+    frac = F.regexp_extract(col, _PG_TIMETZ_PAT, 4)
+    micros = F.when(frac == "", F.lit(0)).otherwise(
+        F.rpad(frac, 6, "0").cast("long")
+    )
+    off = F.regexp_extract(col, _PG_TIMETZ_PAT, 5)
+    sign = F.when(off.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    off_body = off.substr(F.lit(2), F.length(off) - 1)
+    opart = lambda i: F.coalesce(  # noqa: E731 - tiny local extractor
+        F.nullif(
+            F.regexp_extract(
+                off_body, r"^(\d{2})(?::(\d{2}))?(?::(\d{2}))?$", i
+            ),
+            F.lit(""),
+        ).cast("long"),
+        F.lit(0),
+    )
+    off_us = sign * (
+        opart(1) * 3600 + opart(2) * 60 + opart(3)
+    ) * F.lit(1_000_000)
+    utc_us = F.pmod(
+        (h * 3600 + m * 60 + s) * F.lit(1_000_000) + micros - off_us,
+        F.lit(86_400_000_000),
+    )
+    fr = F.regexp_replace(
+        F.format_string("%06d", utc_us % 1_000_000), r"0+$", ""
+    )
+    rendered = F.concat(
+        F.format_string(
+            "%02d:%02d:%02d",
+            F.floor(utc_us / F.lit(3_600_000_000)).cast("long"),
+            F.floor((utc_us % 3_600_000_000) / F.lit(60_000_000))
+            .cast("long"),
+            F.floor((utc_us % 60_000_000) / F.lit(1_000_000)).cast("long"),
+        ),
+        F.when(fr == "", F.lit("")).otherwise(F.concat(F.lit("."), fr)),
+        F.lit("Z"),
+    )
+    return (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(col.rlike(_PG_TIMETZ_BOUNDARY), F.lit("24:00:00Z"))
+        # the shared TIMETZ_PATTERN is \d{1,2}-lenient because STRUCTURED
+        # mode admits the raw hour 24; default mode's OffsetTime.parse
+        # rejects hours past 23, and the boundary arm above is the only
+        # legal 24 — so a non-boundary hour > 23 is malformed here
+        .when(col.rlike(_PG_TIMETZ_PAT) & (h <= 23), rendered)
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("malformed timetz text: "), col)
+            ).cast("string")
+        )
+    )
+
+
+def pg_bits_value(col, length: int):
+    """BIT(n)/VARBIT bit-string text ('10110') -> io.debezium.data.Bits:
+    little-endian bytes re-sized to the CONTENT's highest set bit, not
+    the declared length (PostgresValueConverter.java:916-948 — the
+    BitSet is built rightmost-char = bit 0, then toByteArray() drops
+    trailing zero bytes, so b'101' in a BIT VARYING(33) ships one byte).
+    ``length`` (the declared bit length, pg_attribute.atttypmod for bit
+    types) == 1 maps to boolean, the BIT(1)/VARBIT(1) special case
+    (:899-912). All-zero strings ship zero bytes (BitSet.toByteArray()
+    on an empty set). Pure Catalyst: 8-char chunks from the right, each
+    conv(…, 2, 10) -> one hex pair, unhex once."""
+    if length == 1:
+        return (
+            F.when(col == "1", F.lit(True))
+            .when(col == "0", F.lit(False))
+            .when(
+                col.isNotNull(),
+                F.raise_error(
+                    F.concat(F.lit("malformed bit(1) text: "), col)
+                ).cast("boolean"),
+            )
+        )
+    stripped = F.regexp_replace(col, r"^0+", "")
+    nbytes = F.ceil(F.length(stripped) / F.lit(8)).cast("int")
+    pad = F.lpad(stripped, (nbytes * 8).cast("int"), "0")
+
+    def byte_hex(j):
+        chunk = pad.substr(F.length(pad) - j * 8 + 1, F.lit(8))
+        return F.lpad(F.hex(F.conv(chunk, 2, 10).cast("long")), 2, "0")
+
+    hexstr = F.aggregate(
+        F.sequence(F.lit(1), nbytes),
+        F.lit(""),
+        lambda acc, j: F.concat(acc, byte_hex(j)),
+    )
+    return (
+        F.when(col.isNull(), F.lit(None).cast("binary"))
+        .when(
+            ~col.rlike(r"^[01]+$"),
+            F.raise_error(
+                F.concat(F.lit("malformed bit-string text: "), col)
+            ).cast("binary"),
+        )
+        .when(stripped == "", F.unhex(F.lit("")))
+        .otherwise(F.unhex(hexstr))
+    )
+
+
+# Hex EWKB for GEOMETRYCOLLECTION EMPTY — the reference's fallback value
+# when a geometry cell fails to parse (PostgisGeometry.java:24,
+# convertGeometry's createEmpty() + warn at PostgresValueConverter.java:
+# 1258-1281; it logs instead of failing the task).
+_EWKB_EMPTY = "010700000000000000"
+_EWKB_SRID_FLAG = 0x20000000
+
+
+def _hex_le32(hx):
+    """Reverse a fixed 8-hex-char (4-byte) slice's byte pairs."""
+    return F.concat(
+        hx.substr(7, 2), hx.substr(5, 2), hx.substr(3, 2), hx.substr(1, 2)
+    )
+
+
+def pg_ewkb_value(col):
+    """PostGIS hex-EWKB text -> the Geometry/Geography logical struct
+    {wkb: binary, srid: int-nullable} (data/geometry/Geometry.java:25;
+    PostgisGeometry.fromHexEwkb keeps the FULL EWKB bytes as wkb and
+    extracts srid from the header, PostgisGeometry.java:46-58,100-125):
+    byte 0 picks endianness, the 4-byte type word's 0x20000000 flag
+    gates a 4-byte srid right after it. Unparseable text degrades to
+    GEOMETRYCOLLECTION EMPTY with NULL srid — the reference WARNS and
+    falls back rather than failing (convertGeometry:1258-1281), because
+    geometry text is produced by the PostGIS extension itself."""
+    hx = F.lower(col)
+    valid = hx.rlike(r"^(?:[0-9a-f]{2}){9,}$")
+    little = hx.substr(1, 2) == "01"
+    type_raw = hx.substr(3, 8)
+    type_hex = F.when(little, _hex_le32(type_raw)).otherwise(type_raw)
+    type_val = F.conv(type_hex, 16, 10).cast("long")
+    srid_raw = hx.substr(11, 8)
+    srid_hex = F.when(little, _hex_le32(srid_raw)).otherwise(srid_raw)
+    has_srid = type_val.bitwiseAND(F.lit(_EWKB_SRID_FLAG)) != 0
+    srid = F.when(
+        valid & has_srid, F.conv(srid_hex, 16, 10).cast("long").cast("int")
+    )
+    wkb = F.when(valid, F.unhex(hx)).otherwise(F.unhex(F.lit(_EWKB_EMPTY)))
+    return F.when(
+        col.isNotNull(),
+        F.struct(wkb.alias("wkb"), srid.alias("srid")),
+    )
+
+
 def pg_interval_iso(col):
     """PG interval text ('1 year 2 mons 3 days 04:05:06.789', pieces
     optional, time sign distributing over h/m/s) -> the reference's
@@ -1418,6 +1598,19 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
                 col,
             )).cast("string")
         )
+    if type_oid == PG_TIMETZ:
+        return pg_timetz_value(col)
+    if type_oid in (PG_BIT, PG_VARBIT):
+        # bit types carry their declared bit length directly in atttypmod
+        # (no VARHDRSZ offset); -1 = unconstrained VARBIT -> bytes form
+        return pg_bits_value(col, atttypmod)
+    if type_oid in _PG_UNIMPLEMENTED_ARRAY_OIDS:
+        raise ValueError(
+            f"pg type {_PG_UNIMPLEMENTED_ARRAY_OIDS[type_oid]} (OID "
+            f"{type_oid}) has no defined mapping: the reference leaves "
+            "TIMETZ/BIT/VARBIT arrays unimplemented and omits the column "
+            "(PostgresValueConverter.java:324-347)"
+        )
     if type_oid in hstore_oids:
         # hstore's OID is installation-specific (an extension type, looked
         # up via the reference's TypeRegistry.hstoreOid()) — callers pass
@@ -1456,6 +1649,33 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
                     ).otherwise(
                         pg_hstore_value(_pg_unquote(e), hstore_mode)
                     ),
+                ),
+            )
+        if ext == "citext":
+            # case-insensitive text -> plain string
+            # (PostgresValueConverter.java:356-359,586 convertCitext)
+            return col
+        if ext == "citext_array":
+            # array of citext -> array<string> (:383-384,608)
+            return pg_array_value(col, "", ndims)
+        if ext in ("geometry", "geography"):
+            # PostGIS installation-keyed OIDs
+            # (PostgresValueConverter.java:350-356 via typeRegistry
+            # .geometryOid()/geographyOid()) — hex EWKB to the
+            # struct{wkb,srid} the T14 geometry SMTs consume
+            return pg_ewkb_value(col)
+        if ext in ("geometry_array", "geography_array"):
+            # array of Geometry/Geography (:359-360,381-382): hex EWKB
+            # has no special chars so array_out leaves elements unquoted
+            inner = col.substr(F.lit(2), F.length(col) - 2)
+            tokens = F.regexp_extract_all(
+                inner, F.lit(_PG_ARR_TOKEN_FLAT), 1
+            )
+            return F.when(
+                col.isNotNull(),
+                F.transform(
+                    tokens,
+                    lambda e: F.when(e != "NULL", pg_ewkb_value(e)),
                 ),
             )
         if ext == "ltree":

@@ -2489,6 +2489,184 @@ def s22d_pgvector_types(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S22e — the last PG typed-projection arms: TIMETZ (ZonedTime ISO at UTC
+# incl. the hour-24 boundary, PostgresValueConverter.java:157-167,241,
+# 1108-1128), BIT/VARBIT (data.Bits little-endian content-sized bytes,
+# :226-228,483-485,899-948; length-1 -> boolean), PostGIS geometry/
+# geography (hex EWKB -> struct{wkb,srid} via installation-keyed OIDs,
+# :350-356,1258-1281), citext + citext[] (:356-359,383-384).
+# ---------------------------------------------------------------------------
+_PG_MISC_RELID = 16404
+_PG_MISC_COLS = [  # (flags, name, type_oid, atttypmod)
+    (1, "id", 20, -1),
+    (0, "t_tz", 1266, -1),      # timetz
+    (0, "flags", 1560, 5),      # bit(5) — typmod IS the bit length
+    (0, "vb", 1562, -1),        # varbit (unconstrained)
+    (0, "b1", 1560, 1),         # bit(1) -> boolean
+    (0, "geom", 17020, -1),     # geometry (installation OID)
+    (0, "geog", 17021, -1),     # geography
+    (0, "name_ci", 17022, -1),  # citext
+    (0, "tags", 17023, -1),     # citext[]
+]
+_PG_MISC_EXT = {17020: "geometry", 17021: "geography",
+                17022: "citext", 17023: "citext_array"}
+
+
+def _pg_misc_types_fixture(spark, sf_dir):
+    """pgoutput stream exercising every new arm's edge: the 24:00:00
+    end-of-day boundary, a fractional-second TIMETZ, a minute-bearing
+    negative offset, a past-midnight UTC wrap; an all-zero bit string
+    (ships ZERO bytes), a two-byte varbit; little-endian EWKB with and
+    without the SRID flag, a big-endian EWKB, and an unparseable
+    geometry cell (must degrade to GEOMETRYCOLLECTION EMPTY, the
+    reference's warn-and-fallback); a quoted space-bearing citext array
+    element. Every value derives closed-form from events."""
+    import pandas as pd
+
+    from debezium_spark.sources.pgoutput import (
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+    )
+
+    ev = _events_feed(spark, sf_dir).select("event_id")
+
+    def enc(batches):
+        for pdf in batches:
+            lsns, msgs = [], []
+            for e in pdf["event_id"]:
+                e = int(e)
+                if e % 10 == 0:
+                    ttz = "24:00:00+00"
+                elif e % 10 == 5:
+                    ttz = f"{e % 12 + 6:02d}:{e % 60:02d}:30.123456+02"
+                elif e % 10 == 7:
+                    ttz = f"{e % 12 + 6:02d}:{e % 60:02d}:30-03:30"
+                elif e % 10 == 9:
+                    ttz = "23:30:00-05"  # wraps past midnight at UTC
+                else:
+                    ttz = f"{e % 12 + 6:02d}:{e % 60:02d}:30+02"
+                pay = (f"{e % 256:02X}" + "00" * 7
+                       + f"{e // 3 % 256:02X}" + "00" * 7)
+                if e % 13 == 6:
+                    geom = "not-a-geometry"
+                elif e % 7 == 0:
+                    geom = "0101000000" + pay          # no SRID flag
+                elif e % 7 == 3:
+                    geom = "0020000001" + "000010E6" + pay  # big-endian
+                else:
+                    geom = "0101000020" + "E6100000" + pay
+                after = [
+                    ("t", str(e)),
+                    ("t", ttz),
+                    ("t", f"{e % 32:05b}"),
+                    ("t", f"{e % 1000:010b}"),
+                    ("t", "1" if e % 2 else "0"),
+                    ("t", geom),
+                    ("t", "0101000020E6100000"
+                          + f"{(e + 7) % 256:02X}" + "00" * 7 + "00" * 8),
+                    ("t", f"Us er {e}"),
+                    ("t", "{a,B" + str(e % 5) + ',"c d"}'),
+                ]
+                lsns.append(e + 2)
+                msgs.append(encode_insert(_PG_MISC_RELID, after))
+            yield pd.DataFrame({"lsn": lsns, "msg": msgs})
+
+    data = ev.mapInPandas(enc, "lsn long, msg binary")
+    head = spark.createDataFrame(
+        [
+            (0, bytearray(encode_relation(
+                _PG_MISC_RELID, "public", "miscful", _PG_MISC_COLS))),
+            (1, bytearray(encode_begin(10**9, 7_000_000, 4246))),
+            (10**9, bytearray(encode_commit(10**9, 10**9, 7_000_000))),
+        ],
+        "lsn long, msg binary",
+    )
+    return head.unionByName(data).localCheckpoint(eager=True)
+
+
+@register(
+    "s22e_pg_misc_types",
+    oracle="""
+    WITH p AS (
+        SELECT event_id,
+               printf('%02x', event_id % 256) || '00000000000000'
+               || printf('%02x', (event_id // 3) % 256)
+               || '00000000000000' AS pay
+        FROM events
+    )
+    SELECT event_id AS id,
+           CASE WHEN event_id % 10 = 0 THEN '24:00:00Z'
+                WHEN event_id % 10 = 5 THEN printf(
+                    '%02d:%02d:30.123456Z',
+                    event_id % 12 + 4, event_id % 60)
+                WHEN event_id % 10 = 7 THEN printf(
+                    '%02d:%02d:30Z',
+                    event_id % 12 + 9 + (event_id % 60 + 30) // 60,
+                    (event_id % 60 + 30) % 60)
+                WHEN event_id % 10 = 9 THEN '04:30:00Z'
+                ELSE printf('%02d:%02d:30Z',
+                            event_id % 12 + 4, event_id % 60) END AS t_tz,
+           CASE WHEN event_id % 32 = 0 THEN ''
+                ELSE printf('%02x', event_id % 32) END AS flags_hex,
+           CASE WHEN event_id % 1000 = 0 THEN ''
+                WHEN event_id % 1000 < 256
+                    THEN printf('%02x', event_id % 1000)
+                ELSE printf('%02x%02x', (event_id % 1000) % 256,
+                            (event_id % 1000) // 256) END AS vb_hex,
+           event_id % 2 = 1 AS b1,
+           CASE WHEN event_id % 13 = 6 THEN '010700000000000000'
+                WHEN event_id % 7 = 0 THEN '0101000000' || pay
+                WHEN event_id % 7 = 3 THEN '0020000001000010e6' || pay
+                ELSE '0101000020e6100000' || pay END AS geom_hex,
+           CASE WHEN event_id % 13 = 6 OR event_id % 7 = 0 THEN NULL
+                ELSE 4326 END AS geom_srid,
+           4326 AS geog_srid,
+           25 AS geog_len,
+           'Us er ' || CAST(event_id AS VARCHAR) AS name_ci,
+           'a|B' || CAST(event_id % 5 AS VARCHAR) || '|c d' AS tags_joined
+    FROM p
+    """,
+)
+def s22e_pg_misc_types(spark, sf_dir):
+    """The completion of the PG typed projection: TIMETZ renders the
+    reference's ZonedTime ISO string at UTC (end-of-day 24:00:00 pinned,
+    fractions trailing-zero-stripped, offsets to the second, midnight
+    wrap); BIT(5)/VARBIT become content-sized little-endian Bits bytes
+    and BIT(1) a boolean; PostGIS geometry/geography decode hex EWKB
+    into struct{wkb,srid} with the SRID extracted per the flag word on
+    either endianness (unparseable cells degrade to the reference's
+    GEOMETRYCOLLECTION EMPTY fallback); citext passes as string and
+    citext[] rides the quote-aware array tokenizer."""
+    from debezium_spark.sources.pgoutput import (
+        decode_pgoutput_binary,
+        relation_registry,
+        typed_projection,
+    )
+
+    stream = _pg_misc_types_fixture(spark, sf_dir)
+    reg = relation_registry(spark, stream)
+    dec = decode_pgoutput_binary(spark, stream, registry=reg)
+    typed = typed_projection(
+        dec, reg, "public", "miscful", ext_oids=_PG_MISC_EXT
+    )
+    return typed.select(
+        "id",
+        "t_tz",
+        F.lower(F.hex("flags")).alias("flags_hex"),
+        F.lower(F.hex("vb")).alias("vb_hex"),
+        "b1",
+        F.lower(F.hex(F.col("geom")["wkb"])).alias("geom_hex"),
+        F.col("geom")["srid"].alias("geom_srid"),
+        F.col("geog")["srid"].alias("geog_srid"),
+        F.length(F.col("geog")["wkb"]).alias("geog_len"),
+        "name_ci",
+        F.array_join("tags", "|").alias("tags_joined"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S32 — MySQL compressed transactions (TRANSACTION_PAYLOAD, WL#3549):
 # WRITE/UPDATE/DELETE rows arrive ONLY inside zstd-compressed payload
 # events (every 5th transaction uncompressed, compression type NONE) and

@@ -969,8 +969,14 @@ def x23_stratified_sample(spark, sf_dir):
     "x46_temperature_mixture",
     oracle=f"""
     WITH stats AS (
+        -- mirror temperature_sample's masses filter exactly: a NULL
+        -- source or a zero/NULL mass samples at rate 0 on the engine
+        -- side; without this filter DuckDB's thr division would go
+        -- 0/NULL -> NULL and LEAST(1000000, NULL) would keep EVERY doc
+        -- of such a source (r12 ADVICE)
         SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
-        FROM documents GROUP BY source
+        FROM documents WHERE source IS NOT NULL GROUP BY source
+        HAVING SUM(n_chars) > 0
     ),
     q AS (
         SELECT source, mass,

@@ -358,8 +358,13 @@ def e6_ts_pattern_search(spark, sf_dir):
     "w38_cohort_retention",
     oracle="""
     WITH up AS (
+        -- epoch_ns over the raw column, no µs TIMESTAMP cast: on a
+        -- TIMESTAMP_NS-vintage fixture the cast would truncate to µs
+        -- BEFORE the week division while the Spark side buckets the full
+        -- raw nanos, splitting an event within 1µs of a week boundary
+        -- (r12 ADVICE)
         SELECT DISTINCT user_id,
-               epoch_ns(CAST(ts AS TIMESTAMP)) // 604800000000000 AS period
+               epoch_ns(ts) // 604800000000000 AS period
         FROM events
     ),
     c AS (SELECT user_id, min(period) AS cohort FROM up GROUP BY user_id)

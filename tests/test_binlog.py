@@ -882,6 +882,17 @@ def test_transaction_payload_malformed():
     patched = unknown + bytes(body)
     assert _payload_raw_events(patched) == [xid]
 
+    # truncated/garbled TLV headers raise the module's clean ValueError,
+    # never IndexError/struct.error (r12 ADVICE): a header cut before the
+    # END field, a multi-byte lenenc cut mid-value, and a field whose
+    # declared length overruns the body
+    with pytest.raises(ValueError, match="TLV"):
+        _payload_raw_events(_enc_lenenc(2) + _enc_lenenc(1))  # no value/END
+    with pytest.raises(ValueError, match="TLV"):
+        _payload_raw_events(b"\xfc\x01")  # lenenc cut mid-value
+    with pytest.raises(ValueError, match="TLV"):
+        _payload_raw_events(_enc_lenenc(9) + _enc_lenenc(50) + b"abc")
+
 
 def test_stream_decoder_accumulates_payload_embedded_maps(spark):
     """BinlogStreamDecoder: a TABLE_MAP that only ever appeared INSIDE a

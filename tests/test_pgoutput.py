@@ -994,3 +994,114 @@ def test_pg_hstore_array_json_mode(spark):
                        hstore_mode="json").alias("a")
     ).collect()[0]["a"]
     assert out[0] == '{"a":"1"}' and out[1] is None
+
+
+def test_pg_timetz_values(spark):
+    """TIMETZ -> ZonedTime ISO at UTC: fraction trailing-zero strip
+    ('.5', not '.500000'), second-bearing offsets, midnight wrap in both
+    directions, every boundary spelling pinned to '24:00:00Z'
+    (PostgresValueConverter.java:1108-1128, PostgresTimeBoundary.java)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_typed_value
+
+    cases = [
+        ("10:15:30+01", "09:15:30Z"),
+        ("10:15:30.500000+00", "10:15:30.5Z"),
+        ("10:15:30.123000-01:30", "11:45:30.123Z"),
+        ("00:10:00+02", "22:10:00Z"),          # wraps backwards
+        ("23:59:59.999999-00:00:30", "00:00:29.999999Z"),  # offset seconds
+        ("24:00:00+00", "24:00:00Z"),
+        ("24:00:00.000000Z", "24:00:00Z"),
+        ("24:00:00-0000", "24:00:00Z"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = [
+        r["t"]
+        for r in df.select(
+            pg_typed_value(F.col("s"), 1266).alias("t")
+        ).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+    bad = spark.createDataFrame([("25:00:00+01",)], "s string")
+    with pytest.raises(Exception, match="malformed timetz"):
+        bad.select(pg_typed_value(F.col("s"), 1266).alias("t")).collect()
+
+
+def test_pg_bits_values(spark):
+    """Bits bytes are content-sized little-endian: a 68-bit string needs
+    the chunked conv path (past any 64-bit ceiling), b'101' in a wide
+    VARBIT ships one byte, all-zeros ship zero bytes, BIT(1) is boolean,
+    and TIMETZ/BIT/VARBIT arrays raise the reference's unimplemented
+    contract (PostgresValueConverter.java:324-347,899-948)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_bits_value, pg_typed_value
+
+    # 68 bits: 4 ones, then 64 zeros -> int = 0b1111 << 64
+    wide = "1111" + "0" * 64
+    cases = [
+        ("101", "05"),
+        ("00000000", ""),
+        ("0000000101", "05"),            # leading zeros don't add bytes
+        ("1000000001", "0102"),          # two little-endian bytes
+        (wide, "00000000000000000f"),    # bit 64..67 -> 9th byte 0x0f
+        (None, None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = [
+        r["h"]
+        for r in df.select(
+            F.lower(F.hex(pg_bits_value(F.col("s"), 33))).alias("h")
+        ).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+    b1 = spark.createDataFrame([("1",), ("0",)], "s string")
+    assert [
+        r["b"] for r in b1.select(
+            pg_typed_value(F.col("s"), 1560, atttypmod=1).alias("b")
+        ).collect()
+    ] == [True, False]
+
+    with pytest.raises(ValueError, match="unimplemented"):
+        pg_typed_value(F.col("s"), 1270)  # timetz[]
+    with pytest.raises(ValueError, match="unimplemented"):
+        pg_typed_value(F.col("s"), 1563)  # varbit[]
+
+    bad = spark.createDataFrame([("10a01",)], "s string")
+    with pytest.raises(Exception, match="malformed bit-string"):
+        bad.select(pg_bits_value(F.col("s"), 5).alias("b")).collect()
+
+
+def test_pg_ewkb_geometry_array(spark):
+    """geometry[]: unquoted hex EWKB elements decode per-element into
+    the struct, NULL elements stay NULL, and the unparseable-cell
+    fallback is GEOMETRYCOLLECTION EMPTY with NULL srid
+    (PostgresValueConverter.java:359-360,1258-1281)."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_typed_value
+
+    pt = "0101000020E6100000" + "11" + "00" * 7 + "22" + "00" * 7
+    df = spark.createDataFrame(
+        [("{" + pt + ",NULL}",)], "s string"
+    )
+    out = df.select(
+        pg_typed_value(F.col("s"), 99, ext_oids={99: "geometry_array"})
+        .alias("a")
+    ).collect()[0]["a"]
+    assert out[0]["srid"] == 4326
+    assert bytes(out[0]["wkb"]).hex() == pt.lower()
+    assert out[1] is None
+
+    bad = spark.createDataFrame([("nope",)], "s string")
+    row = bad.select(
+        pg_typed_value(F.col("s"), 99, ext_oids={99: "geometry"}).alias("g")
+    ).collect()[0]["g"]
+    assert bytes(row["wkb"]).hex() == "010700000000000000"
+    assert row["srid"] is None

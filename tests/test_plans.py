@@ -575,7 +575,8 @@ def test_typed_projection_tails_are_scan_shaped(spark, qs):
     the decode plan: no join, no key shuffle — the typed projection is a
     pure expression layer over the Arrow decode; the only exchange is the
     fixture's small-input round-robin rebalance."""
-    for name in ("s22c_pg_range_hstore", "s22d_pgvector_types"):
+    for name in ("s22c_pg_range_hstore", "s22d_pgvector_types",
+                 "s22e_pg_misc_types"):
         plan = _plan(spark, qs, name)
         assert "hashpartitioning" not in plan, name
         assert "CartesianProduct" not in plan, name
