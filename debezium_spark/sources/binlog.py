@@ -70,7 +70,13 @@ WRITE_ROWS_EVENT = 30  # v2 ("EXT_WRITE_ROWS" in the reference's enum)
 UPDATE_ROWS_EVENT = 31
 DELETE_ROWS_EVENT = 32
 GTID_EVENT = 33
+VIEW_CHANGE_EVENT = 37          # group replication membership change
+XA_PREPARE_EVENT = 38           # XA transaction prepare boundary
 TRANSACTION_PAYLOAD_EVENT = 40  # MySQL 8.0.20+ compressed transactions
+# statement text of the following rows events, emitted only under
+# binlog_rows_query_log_events=ON (MySQL) / always (MariaDB annotates)
+ROWS_QUERY_EVENT = 29
+MARIADB_ANNOTATE_ROWS_EVENT = 0xA0
 MARIADB_GTID_EVENT = 0xA2  # MariaDB numbers its GTID events from 160
 
 EVENT_NAMES = {
@@ -83,7 +89,11 @@ EVENT_NAMES = {
     UPDATE_ROWS_EVENT: "update_rows",
     DELETE_ROWS_EVENT: "delete_rows",
     GTID_EVENT: "gtid",
+    VIEW_CHANGE_EVENT: "view_change",
+    XA_PREPARE_EVENT: "xa_prepare",
     TRANSACTION_PAYLOAD_EVENT: "transaction_payload",
+    ROWS_QUERY_EVENT: "rows_query",
+    MARIADB_ANNOTATE_ROWS_EVENT: "rows_query",
     MARIADB_GTID_EVENT: "gtid",
 }
 
@@ -1033,6 +1043,91 @@ def encode_xid(xid: int, **hdr) -> bytes:
     return encode_header(XID_EVENT, 8, **hdr) + struct.pack("<Q", xid)
 
 
+def parse_rows_query(body: bytes) -> dict:
+    """ROWS_QUERY (include.query): one ignored length byte, then the
+    originating SQL — the statement text the reference copies into the
+    following rows events' source.query when
+    binlog_rows_query_log_events=ON (handleRecordingQuery,
+    MySqlStreamingChangeEventSource.java:124-130; the handler is only
+    registered under the config, BinlogStreamingChangeEventSource.java:
+    224-228). The leading byte is the historical truncated length —
+    every decoder skips it and reads the remainder."""
+    return {"kind": "rows_query", "query": body[1:].decode("utf-8")}
+
+
+def encode_rows_query(query: str, **hdr) -> bytes:
+    q = query.encode("utf-8")
+    body = bytes([min(len(q), 255)]) + q
+    return encode_header(ROWS_QUERY_EVENT, len(body), **hdr) + body
+
+
+def parse_annotate_rows(body: bytes) -> dict:
+    """MariaDB ANNOTATE_ROWS: the body IS the statement text (the
+    MariaDB flavor of include.query — MariaDbStreamingChangeEventSource
+    .java:117-137 reads AnnotateRowsEventData.getRowsQuery())."""
+    return {"kind": "rows_query", "query": body.decode("utf-8")}
+
+
+def encode_annotate_rows(query: str, **hdr) -> bytes:
+    q = query.encode("utf-8")
+    return encode_header(MARIADB_ANNOTATE_ROWS_EVENT, len(q), **hdr) + q
+
+
+def parse_xa_prepare(body: bytes) -> dict:
+    """XA_PREPARE: one-phase flag + the xid triple (formatID,
+    gtrid, bqual). The reference registers the handler but treats the
+    boundary as a no-op (prepareTransaction,
+    BinlogStreamingChangeEventSource.java:221,1062-1070 — debug log
+    only); the parse surfaces the boundary so downstream can observe
+    prepare/commit bracketing without changing tx semantics. xid_text
+    renders MySQL's X'gtrid',X'bqual',formatID form."""
+    one_phase = bool(body[0])
+    fmt, glen, blen = struct.unpack_from("<iII", body, 1)
+    data = body[13:13 + glen + blen]
+    if len(data) < glen + blen:
+        raise ValueError("truncated XA_PREPARE xid data")
+    gtrid, bqual = data[:glen], data[glen:]
+    return {
+        "kind": "xa_prepare",
+        "one_phase": one_phase,
+        "format_id": fmt,
+        "gtrid": gtrid,
+        "bqual": bqual,
+        "xid_text": f"X'{gtrid.hex()}',X'{bqual.hex()}',{fmt}",
+    }
+
+
+def encode_xa_prepare(
+    gtrid: bytes, bqual: bytes = b"", format_id: int = 1,
+    one_phase: bool = False, **hdr,
+) -> bytes:
+    body = (
+        bytes([1 if one_phase else 0])
+        + struct.pack("<iII", format_id, len(gtrid), len(bqual))
+        + gtrid + bqual
+    )
+    return encode_header(XA_PREPARE_EVENT, len(body), **hdr) + body
+
+
+def parse_view_change(body: bytes) -> dict:
+    """VIEW_CHANGE (group replication): 40-byte view id + uint64
+    sequence number (certification info skipped). The reference
+    registers the handler as an explicit no-op (viewChange,
+    BinlogStreamingChangeEventSource.java:220,1051-1059) — parsed here
+    and surfaced as a marker row so membership boundaries are
+    observable without changing row semantics."""
+    view_id = body[:40].split(b"\x00", 1)[0].decode("utf-8")
+    (seq,) = struct.unpack_from("<Q", body, 40)
+    return {"kind": "view_change", "view_id": view_id, "seq": seq}
+
+
+def encode_view_change(view_id: str, seq: int, **hdr) -> bytes:
+    body = view_id.encode("utf-8").ljust(40, b"\x00") + struct.pack(
+        "<Q", seq
+    )
+    return encode_header(VIEW_CHANGE_EVENT, len(body), **hdr) + body
+
+
 def parse_event(buf: bytes, registry: dict) -> dict:
     """One full event (header + payload) → dict; unknown event types
     return kind='skip' with the header fields (the reference's dispatch
@@ -1054,6 +1149,14 @@ def parse_event(buf: bytes, registry: dict) -> dict:
         out = parse_gtid(body)
     elif code == TRANSACTION_PAYLOAD_EVENT:
         out = parse_transaction_payload(body, registry)
+    elif code == ROWS_QUERY_EVENT:
+        out = parse_rows_query(body)
+    elif code == MARIADB_ANNOTATE_ROWS_EVENT:
+        out = parse_annotate_rows(body)
+    elif code == XA_PREPARE_EVENT:
+        out = parse_xa_prepare(body)
+    elif code == VIEW_CHANGE_EVENT:
+        out = parse_view_change(body)
     elif code == MARIADB_GTID_EVENT:
         out = parse_mariadb_gtid(body, hdr["server_id"])
     else:
@@ -1120,13 +1223,28 @@ def decode_binlog_rows(
     df: DataFrame,
     msg_col: str = "msg",
     registry: dict[int, dict] | None = None,
+    include_query: bool = False,
 ) -> DataFrame:
     """Arrow-batched decode of WRITE/UPDATE/DELETE_ROWS events into one
     output row per row-image pair. Values surface twice — text form
     (ints/strings rendered exactly) and numeric form (for DOUBLE/FLOAT
     columns; text would lose float bits) — the same dual the reference's
     value converters expose. Non-rows events pass through kind-only so
-    tx markers (query BEGIN / xid) stay joinable downstream.
+    tx markers (query BEGIN / xid / xa_prepare / view_change) stay
+    joinable downstream.
+
+    ``include_query`` mirrors the reference's include.query config: ON
+    adds a ``query`` column carrying the originating SQL from
+    ROWS_QUERY/ANNOTATE_ROWS events (the conditional handler at
+    BinlogStreamingChangeEventSource.java:224-228). Inside a
+    TRANSACTION_PAYLOAD the whole transaction is one parse unit, so the
+    statement threads to its rows events directly; for UNCOMPRESSED
+    streams — where the marker is a separate top-level message and
+    ordering across partitions can't be assumed — the marker surfaces
+    as a kind='rows_query' row and ``attach_rows_query`` joins it to
+    its statement's rows by position interval. OFF (the default) keeps
+    the exact legacy schema and drops the markers entirely, like the
+    unregistered handler.
 
     ``registry`` (table_id → TABLE_MAP parse) defaults to the batch's
     own TABLE_MAPs; a streaming caller passes the accumulated one (see
@@ -1182,7 +1300,13 @@ def decode_binlog_rows(
         return [float(v) if isinstance(v, float) else None for v in vals]
 
     def run(batches):
-        def emit(ev, out):
+        def emit(ev, out, cur):
+            # `cur` is the current statement text — one slot per TOP-LEVEL
+            # message, so it only ever threads across events that arrived
+            # inside the same TRANSACTION_PAYLOAD (one transaction, one
+            # parse unit); it never leaks across messages, whose relative
+            # order across partitions is not guaranteed.
+            tail = ((cur[0],) if include_query else ())
             if ev["kind"] in ("write_rows", "update_rows", "delete_rows"):
                 op = {
                     "write_rows": "c",
@@ -1205,9 +1329,23 @@ def decode_binlog_rows(
                             to_num(row["after"]),
                             ev["before_present"],
                             ev["after_present"],
-                        )
+                        ) + tail
                     )
-            elif ev["kind"] in ("query", "xid"):
+            elif ev["kind"] in ("query", "xid", "xa_prepare",
+                                "view_change", "rows_query"):
+                if ev["kind"] == "rows_query":
+                    if not include_query:
+                        return  # config off: handler never registered
+                    cur[0] = ev["query"]
+                    marker = [ev["query"]]
+                elif ev["kind"] == "query":
+                    marker = [ev["query"]]
+                elif ev["kind"] == "xid":
+                    marker = [str(ev["xid"])]
+                elif ev["kind"] == "xa_prepare":
+                    marker = [ev["xid_text"]]
+                else:
+                    marker = [ev["view_id"]]
                 out.append(
                     (
                         ev["log_pos"],
@@ -1215,34 +1353,90 @@ def decode_binlog_rows(
                         ev.get("schema"),
                         None,
                         None,
-                        [ev["query"]] if ev["kind"] == "query"
-                        else [str(ev["xid"])],
+                        marker,
                         None,
                         None,
                         None,
                         None,
-                    )
+                    ) + tail
                 )
+                if ev["kind"] == "xid":
+                    # tx completion resets the recorded statement
+                    # (BinlogOffsetContext resets sourceInfo's query the
+                    # same way at transaction end)
+                    cur[0] = None
             elif ev["kind"] == "transaction_payload":
                 # the reference's handleTransactionPayload: replay every
                 # embedded event through the normal dispatch (:992-999)
                 for emb in ev["events"]:
-                    emit(emb, out)
+                    emit(emb, out, cur)
 
+        cols = [
+            "log_pos", "kind", "schema", "table", "before",
+            "after", "before_nums", "after_nums",
+            "before_present", "after_present",
+        ] + (["query"] if include_query else [])
         for pdf in batches:
             out = []
             for raw in pdf[msg_col]:
-                emit(parse_event(bytes(raw), registry), out)
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "log_pos", "kind", "schema", "table", "before",
-                    "after", "before_nums", "after_nums",
-                    "before_present", "after_present",
-                ],
-            )
+                emit(parse_event(bytes(raw), registry), out, [None])
+            yield pd.DataFrame(out, columns=cols)
 
-    return df.select(msg_col).mapInPandas(run, _ROW_SCHEMA)
+    schema = _ROW_SCHEMA + (", query string" if include_query else "")
+    return df.select(msg_col).mapInPandas(run, schema)
+
+
+def attach_rows_query(
+    decoded: DataFrame, pos_col: str = "log_pos"
+) -> DataFrame:
+    """include.query enrichment for UNCOMPRESSED streams: join each
+    c/u/d row to the ROWS_QUERY/ANNOTATE_ROWS marker whose position
+    interval contains it, filling the ``query`` column where the decode
+    left it NULL (payload-embedded rows already carry theirs — coalesce
+    keeps them).
+
+    Interval construction mirrors the reference's offset-context
+    semantics (set on the marker, replaced by the next statement's
+    marker, reset at transaction completion): markers AND xid rows
+    breaker-sort by position, each rows_query interval runs to the next
+    breaker of either kind — so a rows event after a commit but before
+    the next statement's marker stays NULL instead of inheriting a
+    stale query.
+
+    Scale: the join side is ONE ROW PER STATEMENT (not per row-change),
+    broadcast — the lead() window over it is a single-partition sort of
+    the statement markers only. A stream with more distinct statements
+    than fits a broadcast should decode with compressed transactions
+    (where the query threads for free) or partition the attach by
+    binlog file."""
+    from pyspark.sql import Window
+
+    breakers = (
+        decoded.filter(F.col("kind").isin("rows_query", "xid"))
+        .select(
+            F.col(pos_col).alias("q_from"),
+            "kind",
+            F.element_at("after", 1).alias("q_text"),
+        )
+    )
+    w = Window.orderBy("q_from")
+    intervals = (
+        breakers.withColumn("q_to", F.lead("q_from").over(w))
+        .filter(F.col("kind") == "rows_query")
+        .select("q_from", "q_to", "q_text")
+    )
+    rows = decoded.filter(F.col("kind").isin("c", "u", "d"))
+    others = decoded.filter(~F.col("kind").isin("c", "u", "d"))
+    joined = rows.join(
+        F.broadcast(intervals),
+        (F.col(pos_col) > F.col("q_from"))
+        & (F.col("q_to").isNull() | (F.col(pos_col) < F.col("q_to"))),
+        "left",
+    )
+    enriched = joined.withColumn(
+        "query", F.coalesce(F.col("query"), F.col("q_text"))
+    ).drop("q_from", "q_to", "q_text")
+    return enriched.unionByName(others)
 
 
 def named_typed_rows(

@@ -2770,6 +2770,208 @@ def s32_binlog_txn_payload(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S34 — binlog include.query: ROWS_QUERY (MySQL,
+# binlog_rows_query_log_events=ON) and ANNOTATE_ROWS (MariaDB) carry the
+# originating SQL into the rows events' query field — the conditional
+# handler at BinlogStreamingChangeEventSource.java:224-228 +
+# MySqlStreamingChangeEventSource.java:124-130 /
+# MariaDbStreamingChangeEventSource.java:117-137.
+# ---------------------------------------------------------------------------
+@register(
+    "s34_binlog_include_query",
+    oracle="""
+    SELECT event_id * 10 + 3 AS pos,
+           event_id AS id,
+           event_id % 1000 AS qty,
+           CASE WHEN event_id % 9 = 0 THEN NULL
+                ELSE 'UPDATE shop.stock SET qty=qty+1 WHERE id='
+                     || CAST(event_id AS VARCHAR) END AS query
+    FROM events
+    """,
+)
+def s34_binlog_include_query(spark, sf_dir):
+    """include.query through BOTH flavors and BOTH transports: even
+    event ids ship MySQL-style [ROWS_QUERY, TABLE_MAP, rows, XID] inside
+    a TRANSACTION_PAYLOAD (the statement threads to its rows in the same
+    parse unit); odd ids ship MariaDB-style ANNOTATE_ROWS as separate
+    top-level messages, attached by position-interval join. Every 9th
+    transaction carries NO statement marker — its rows must stay NULL
+    (intervals break at the previous transaction's XID, so no stale
+    query leaks forward)."""
+    import pandas as pd
+
+    from debezium_spark.sources.binlog import (
+        PAYLOAD_COMPRESSION_NONE,
+        PAYLOAD_COMPRESSION_ZSTD,
+        TYPE_LONG,
+        TYPE_LONGLONG,
+        WRITE_ROWS_EVENT,
+        attach_rows_query,
+        decode_binlog_rows,
+        encode_annotate_rows,
+        encode_rows_event,
+        encode_rows_query,
+        encode_table_map,
+        encode_transaction_payload,
+        encode_xid,
+    )
+
+    TID = 416
+    TYPES = [TYPE_LONGLONG, TYPE_LONG]
+    METAS = [0, 0]
+
+    ev = _events_feed(spark, sf_dir).select("event_id")
+
+    def enc(batches):
+        for pdf in batches:
+            poss, msgs = [], []
+            for e in pdf["event_id"]:
+                e = int(e)
+                sql = f"UPDATE shop.stock SET qty=qty+1 WHERE id={e}"
+                tm = encode_table_map(
+                    TID, "shop", "stock", TYPES, METAS,
+                    [False, True], log_pos=e * 10 + 2,
+                )
+                rows = encode_rows_event(
+                    WRITE_ROWS_EVENT, TID, TYPES, METAS,
+                    [{"after": [e, e % 1000]}], log_pos=e * 10 + 3,
+                )
+                xid = encode_xid(e, log_pos=e * 10 + 4)
+                if e % 2 == 0:
+                    emb = [tm, rows, xid]
+                    if e % 9 != 0:
+                        emb.insert(0, encode_rows_query(
+                            sql, log_pos=e * 10 + 1))
+                    comp = (PAYLOAD_COMPRESSION_NONE if e % 6 == 0
+                            else PAYLOAD_COMPRESSION_ZSTD)
+                    poss.append(e * 10)
+                    msgs.append(encode_transaction_payload(
+                        emb, compression=comp, log_pos=e * 10 + 4))
+                else:
+                    parts = [(e * 10 + 2, tm), (e * 10 + 3, rows),
+                             (e * 10 + 4, xid)]
+                    if e % 9 != 0:
+                        parts.insert(0, (e * 10 + 1, encode_annotate_rows(
+                            sql, log_pos=e * 10 + 1)))
+                    for p, m in parts:
+                        poss.append(p)
+                        msgs.append(m)
+            yield pd.DataFrame({"pos": poss, "msg": msgs})
+
+    stream = (
+        ev.mapInPandas(enc, "pos long, msg binary")
+        .localCheckpoint(eager=True)
+    )
+    dec = decode_binlog_rows(stream, include_query=True)
+    out = attach_rows_query(dec)
+    return out.filter(F.col("kind").isin("c", "u", "d")).select(
+        F.col("log_pos").alias("pos"),
+        F.element_at("after", 1).cast("long").alias("id"),
+        F.element_at("after", 2).cast("long").alias("qty"),
+        "query",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S35 — XA transactions + group replication view changes: XA_PREPARE and
+# VIEW_CHANGE arms of the event dispatch
+# (BinlogStreamingChangeEventSource.java:220-221,1051-1070 — the
+# reference registers both handlers; prepare/view boundaries surface as
+# marker rows, rows events inside the XA bracket decode normally).
+# ---------------------------------------------------------------------------
+@register(
+    "s35_binlog_xa_view_change",
+    oracle="""
+    SELECT event_id * 10 + 3 AS pos, 'c' AS kind,
+           CAST(event_id AS VARCHAR) AS val
+    FROM events
+    UNION ALL
+    SELECT event_id * 10 + 6, 'xa_prepare',
+           'X''' || lower(hex('g' || CAST(event_id AS VARCHAR)))
+           || ''',X''' || lower(hex('b' || CAST(event_id % 7 AS VARCHAR)))
+           || ''',1'
+    FROM events
+    UNION ALL
+    SELECT event_id * 10 + 1, 'view_change',
+           'v-' || CAST(event_id // 50 AS VARCHAR)
+    FROM events WHERE event_id % 50 = 0
+    """,
+)
+def s35_binlog_xa_view_change(spark, sf_dir):
+    """Each event id becomes one XA transaction: [XA START query,
+    TABLE_MAP, rows, XA END query, XA_PREPARE] with a VIEW_CHANGE
+    heading every 50th — the rows events inside the XA bracket decode
+    exactly like a plain transaction's, the prepare boundary surfaces
+    MySQL's X'gtrid',X'bqual',formatID rendering, and view boundaries
+    surface their view id. The XA COMMIT arrives later as a plain QUERY
+    event (how MySQL logs it), excluded here like every BEGIN/COMMIT
+    marker."""
+    import pandas as pd
+
+    from debezium_spark.sources.binlog import (
+        TYPE_LONGLONG,
+        WRITE_ROWS_EVENT,
+        decode_binlog_rows,
+        encode_query,
+        encode_rows_event,
+        encode_table_map,
+        encode_view_change,
+        encode_xa_prepare,
+    )
+
+    TID = 417
+    TYPES = [TYPE_LONGLONG]
+    METAS = [0]
+
+    ev = _events_feed(spark, sf_dir).select("event_id")
+
+    def enc(batches):
+        for pdf in batches:
+            poss, msgs = [], []
+            for e in pdf["event_id"]:
+                e = int(e)
+                xa = f"X'{e}'"
+                parts = []
+                if e % 50 == 0:
+                    parts.append((e * 10 + 1, encode_view_change(
+                        f"v-{e // 50}", e, log_pos=e * 10 + 1)))
+                parts += [
+                    (e * 10 + 2, encode_query(
+                        "shop", f"XA START {xa}", log_pos=e * 10 + 2)),
+                    (e * 10 + 2, encode_table_map(
+                        TID, "shop", "ledger", TYPES, METAS, [False],
+                        log_pos=e * 10 + 2)),
+                    (e * 10 + 3, encode_rows_event(
+                        WRITE_ROWS_EVENT, TID, TYPES, METAS,
+                        [{"after": [e]}], log_pos=e * 10 + 3)),
+                    (e * 10 + 5, encode_query(
+                        "shop", f"XA END {xa}", log_pos=e * 10 + 5)),
+                    (e * 10 + 6, encode_xa_prepare(
+                        f"g{e}".encode(), f"b{e % 7}".encode(),
+                        log_pos=e * 10 + 6)),
+                    (e * 10 + 7, encode_query(
+                        "shop", f"XA COMMIT {xa}", log_pos=e * 10 + 7)),
+                ]
+                for p, m in parts:
+                    poss.append(p)
+                    msgs.append(m)
+            yield pd.DataFrame({"pos": poss, "msg": msgs})
+
+    stream = (
+        ev.mapInPandas(enc, "pos long, msg binary")
+        .localCheckpoint(eager=True)
+    )
+    dec = decode_binlog_rows(stream)
+    return dec.filter(
+        F.col("kind").isin("c", "xa_prepare", "view_change")
+    ).select(
+        F.col("log_pos").alias("pos"),
+        "kind",
+        F.element_at("after", 1).alias("val"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S19b — binlog column-type widening: NEWDECIMAL / DATE / DATETIME2 /
 # TIMESTAMP2 / TIME2 / BLOB / ENUM / SET value layouts through the same
 # Arrow decode kernel (the full set the reference's deserializer wiring

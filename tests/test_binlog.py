@@ -929,3 +929,106 @@ def test_stream_decoder_accumulates_payload_embedded_maps(spark):
     )
     out2 = dec.decode_batch(b2).filter("kind = 'c'").collect()
     assert [r["after"] for r in out2] == [["2"]]
+
+
+def test_include_query_config_off_drops_markers(spark):
+    """include_query=False mirrors the unregistered handler
+    (BinlogStreamingChangeEventSource.java:224-228): ROWS_QUERY /
+    ANNOTATE_ROWS events vanish entirely, the output schema has no
+    query column, and rows decode unchanged. ON threads the statement
+    to payload-embedded rows and resets it at the XID so a second
+    transaction in the same payload chain can't inherit a stale one."""
+    from debezium_spark.sources.binlog import (
+        TYPE_LONGLONG,
+        WRITE_ROWS_EVENT,
+        decode_binlog_rows,
+        encode_annotate_rows,
+        encode_rows_event,
+        encode_rows_query,
+        encode_table_map,
+        encode_transaction_payload,
+        encode_xid,
+    )
+
+    types, metas = [TYPE_LONGLONG], [0]
+    tm = encode_table_map(5, "db", "t", types, metas, [False], log_pos=10)
+    rq = encode_rows_query("INSERT 1", log_pos=11)
+    rows1 = encode_rows_event(WRITE_ROWS_EVENT, 5, types, metas,
+                              [{"after": [1]}], log_pos=12)
+    xid1 = encode_xid(1, log_pos=13)
+    # a SECOND tx in the same payload without its own marker: must be NULL
+    rows2 = encode_rows_event(WRITE_ROWS_EVENT, 5, types, metas,
+                              [{"after": [2]}], log_pos=22)
+    xid2 = encode_xid(2, log_pos=23)
+    payload = encode_transaction_payload([tm, rq, rows1, xid1, rows2, xid2])
+
+    df = spark.createDataFrame(
+        [(0, bytearray(payload)), (1, bytearray(encode_annotate_rows(
+            "UPDATE x", log_pos=30)))],
+        "pos long, msg binary",
+    )
+    off = decode_binlog_rows(df)
+    assert "query" not in off.columns
+    got_off = {(r["log_pos"], r["kind"]) for r in off.collect()}
+    assert (12, "c") in got_off and (22, "c") in got_off
+    assert not any(k == "rows_query" for _, k in got_off)
+
+    on = decode_binlog_rows(df, include_query=True)
+    by_pos = {r["log_pos"]: r for r in on.collect()}
+    assert by_pos[12]["query"] == "INSERT 1"
+    assert by_pos[22]["query"] is None          # reset at xid1
+    assert by_pos[30]["kind"] == "rows_query"   # top-level marker row
+    assert by_pos[30]["after"] == ["UPDATE x"]
+
+
+def test_xa_bracket_rows_match_plain_transaction(spark):
+    """An XA transaction's rows events (bracketed by XA START/END QUERY
+    events, an XA_PREPARE, and a later XA COMMIT query) decode to
+    exactly the same c-rows a plain BEGIN..XID transaction produces —
+    the reference treats the prepare as a no-op boundary
+    (prepareTransaction:1062-1070), so XA bracketing must never change
+    row output."""
+    from debezium_spark.sources.binlog import (
+        TYPE_LONGLONG,
+        WRITE_ROWS_EVENT,
+        decode_binlog_rows,
+        encode_query,
+        encode_rows_event,
+        encode_table_map,
+        encode_xa_prepare,
+        encode_xid,
+    )
+
+    types, metas = [TYPE_LONGLONG], [0]
+    tm = encode_table_map(6, "db", "t", types, metas, [False], log_pos=9)
+    rows = encode_rows_event(WRITE_ROWS_EVENT, 6, types, metas,
+                             [{"after": [7]}, {"after": [8]}], log_pos=11)
+
+    def c_rows(msgs):
+        df = spark.createDataFrame(
+            [(i, bytearray(m)) for i, m in enumerate(msgs)],
+            "pos long, msg binary")
+        return sorted(
+            tuple(r) for r in decode_binlog_rows(df)
+            .filter("kind = 'c'").select("log_pos", "after").collect()
+        )
+
+    plain = c_rows([tm, encode_query("db", "BEGIN", log_pos=10), rows,
+                    encode_xid(1, log_pos=12)])
+    xa = c_rows([
+        tm,
+        encode_query("db", "XA START X'a1'", log_pos=10),
+        rows,
+        encode_query("db", "XA END X'a1'", log_pos=12),
+        encode_xa_prepare(b"\xa1", log_pos=13),
+        encode_query("db", "XA COMMIT X'a1'", log_pos=14),
+    ])
+    assert plain == xa
+
+    # the prepare marker itself surfaces MySQL's xid rendering
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_xa_prepare(b"\xa1", b"zz", format_id=9,
+                                         log_pos=13)))],
+        "pos long, msg binary")
+    m = decode_binlog_rows(df).filter("kind = 'xa_prepare'").collect()[0]
+    assert m["after"] == ["X'a1',X'7a7a',9"]

@@ -595,6 +595,28 @@ def test_capture_migration_pushes_windows_and_adds_no_shuffle(spark, qs):
     assert "GreaterThanOrEqual(event_id" in plan
 
 
+def test_include_query_attach_is_broadcast_interval_join(spark, qs):
+    """s34: the statement-marker attach is ONE broadcast range join over
+    the per-statement interval table plus the single-partition sort that
+    builds it (markers only — bounded by statement count); the decode
+    itself stays shuffle-free. Never a key shuffle, never a sort-merge
+    join over the row stream."""
+    plan = _plan(spark, qs, "s34_binlog_include_query")
+    assert "hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoop") == 1
+    assert plan.count("SinglePartition") == 1
+
+
+def test_xa_view_change_decode_is_single_pass(spark, qs):
+    """s35: XA/view-change marker surfacing adds nothing to the decode
+    plan — no join, no key shuffle."""
+    plan = _plan(spark, qs, "s35_binlog_xa_view_change")
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
 def test_txn_payload_decode_is_single_pass(spark, qs):
     """s32: the compressed-payload decode is ONE Arrow kernel pass — no
     join, no key shuffle anywhere in the registered query's plan."""
