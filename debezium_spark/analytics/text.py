@@ -804,8 +804,11 @@ def stratified_sample(
     across runs/engines (md5, not a seeded RNG — re-running the pipeline
     keeps the SAME documents, which is what makes downstream caches and
     dedup results stable), and exact-in-expectation per stratum. Rates are
-    compiled into a literal CASE chain: strata sets are small by
-    construction (languages, top-level domains)."""
+    compiled into a literal CASE chain — safe at ANY corpus size because
+    the chain's length is the CALLER's ``rates`` dict (a hand-written
+    mixing recipe), never a collect over the data; cardinality-unbounded
+    recipes belong in temperature_sample, whose guard switches to a
+    broadcast threshold join."""
     h = portable_hash64(F.col(id_col).cast("string"), seed=seed) % 10000
     rate_bp = F.lit(int(default_rate * 10000))
     for k, v in sorted(rates.items()):
@@ -823,6 +826,7 @@ def temperature_sample(
     weight_col: str = "n_chars",
     target_denom: int = 2,
     seed: str = "temp:",
+    max_inline_sources: int = 10_000,
 ) -> DataFrame:
     """Temperature-based mixture sampling (the mT5/GPT-3 data-mixing
     recipe at alpha = 0.5): per-source sampling budgets proportional to
@@ -838,45 +842,117 @@ def temperature_sample(
     fixed-shape double expression over those integers, floored to a
     parts-per-million rate; the keep decision is the portable md5 hash
     of the id against that rate. Plan shape: ONE map-side-combinable
-    agg (rows = source count) collected driver-side, thresholds inlined
-    as a literal CASE — the sampling filter itself is zero-shuffle and
-    rides the scan."""
+    agg (rows = source count); up to ``max_inline_sources`` distinct
+    sources the thresholds inline as a literal CASE and the sampling
+    filter is zero-shuffle, riding the scan. Past the guard — a user
+    passing an unbounded-cardinality column like a raw domain — neither
+    the driver collect nor the plan literal may grow with the corpus,
+    so the same arithmetic runs distributed (the one 128-bit-exact
+    denominator product in decimal(38,0), then ONE round to double,
+    matching Python's int->float conversion) and the per-source
+    thresholds broadcast-join back on the source key."""
     import math
 
-    stats = (
-        df.groupBy(source_col)
+    stats_df = (
+        df.filter(F.col(source_col).isNotNull())
+        .groupBy(source_col)
         .agg(F.sum(weight_col).cast("long").alias("mass"))
-        .collect()
+        .filter(F.col("mass") > 0)
     )
-    # A NULL source or a zero/NULL mass (all-empty documents) cannot
-    # receive a sqrt-proportional budget — those rows sample at rate 0
-    # (they fall through the CASE chain) instead of killing the job with
-    # a ZeroDivisionError/TypeError driver-side.
-    masses = {
-        r[source_col]: int(r["mass"])
-        for r in stats
-        if r[source_col] is not None
-        and r["mass"] is not None
-        and int(r["mass"]) > 0
-    }
-    if not masses:
-        return df.filter(F.lit(False))
-    total = sum(masses.values())
-    budget = total // target_denom
-    sq = {s: math.floor(math.sqrt(m) * 1_000_000) for s, m in masses.items()}
-    ssum = sum(sq.values())
-    thr = {
-        s: min(
-            1_000_000,
-            math.floor((1_000_000.0 * budget) * sq[s] / (ssum * masses[s])),
+    # Bounded probe: collect at most guard+1 stat rows. A full set means
+    # these ARE the complete stats (reuse them — no second agg job); an
+    # overflow means inline literals would grow with the corpus, so
+    # switch to the distributed path.
+    stats = stats_df.limit(max_inline_sources + 1).collect()
+    if len(stats) <= max_inline_sources:
+        # A NULL source or a zero/NULL mass (all-empty documents) cannot
+        # receive a sqrt-proportional budget — those rows sample at rate
+        # 0 (they fall through the CASE chain; the agg-side filter
+        # already dropped them) instead of killing the job with a
+        # ZeroDivisionError/TypeError driver-side.
+        masses = {r[source_col]: int(r["mass"]) for r in stats}
+        if not masses:
+            return df.filter(F.lit(False))
+        total = sum(masses.values())
+        budget = total // target_denom
+        sq = {
+            s: math.floor(math.sqrt(m) * 1_000_000)
+            for s, m in masses.items()
+        }
+        ssum = sum(sq.values())
+        thr = {
+            s: min(
+                1_000_000,
+                math.floor(
+                    (1_000_000.0 * budget) * sq[s] / (ssum * masses[s])
+                ),
+            )
+            for s in masses
+        }
+        h = (
+            portable_hash64(F.col(id_col).cast("string"), seed=seed)
+            % 1_000_000
         )
-        for s in masses
-    }
-    h = portable_hash64(F.col(id_col).cast("string"), seed=seed) % 1_000_000
-    rate = F.lit(0)
-    for s, t in sorted(thr.items()):
-        rate = F.when(F.col(source_col) == s, F.lit(t)).otherwise(rate)
-    return df.filter(h < rate)
+        # flat map literal, NOT a nested when/otherwise chain: the chain
+        # builds an expression tree whose DEPTH is the source count and
+        # Catalyst overflows its stack around a few hundred levels — the
+        # literal map keeps the lookup one node deep at any width
+        entries: list = []
+        for s, t in sorted(thr.items()):
+            entries += [F.lit(s), F.lit(t)]
+        rate = F.coalesce(
+            F.element_at(F.create_map(*entries), F.col(source_col)),
+            F.lit(0),
+        )
+        return df.filter(h < rate)
+
+    # Distributed path: identical arithmetic, never driver-side. sq is
+    # quantized per source exactly like the literal path (IEEE sqrt is
+    # engine-independent); the global sums ride decimal(38,0) so ssum
+    # can't overflow a long, and the denominator ssum*mass stays an
+    # exact 128-bit product rounded ONCE to double — the same value
+    # Python's arbitrary-precision int/float division sees (exact up to
+    # 38-digit products, i.e. any physically real corpus).
+    q = stats_df.withColumn(
+        "sq", F.floor(F.sqrt(F.col("mass").cast("double")) * 1_000_000)
+    )
+    denom = int(target_denom)
+    g = q.agg(
+        F.sum(F.col("mass").cast("decimal(38,0)")).alias("total"),
+        F.sum(F.col("sq").cast("decimal(38,0)")).alias("ssum"),
+    ).select(
+        F.expr(f"CAST(total / {denom} AS decimal(38,0))").alias("bc"),
+        "total", "ssum",
+    ).select(
+        # decimal division rounds half-up; floor-divide like Python's //
+        # (masses are positive, so flooring == subtract-1-when-over)
+        F.when(
+            F.col("bc") * denom > F.col("total"), F.col("bc") - 1
+        ).otherwise(F.col("bc")).alias("budget"),
+        "ssum",
+    )
+    thr_df = q.crossJoin(F.broadcast(g)).select(
+        source_col,
+        F.least(
+            F.lit(1_000_000),
+            F.floor(
+                (F.lit(1_000_000.0) * F.col("budget").cast("double"))
+                * F.col("sq").cast("double")
+                / (
+                    F.col("ssum") * F.col("mass").cast("decimal(38,0)")
+                ).cast("double")
+            ),
+        ).alias("thr"),
+    )
+    h = (
+        portable_hash64(F.col(id_col).cast("string"), seed=seed)
+        % 1_000_000
+    )
+    return (
+        df.join(F.broadcast(thr_df), on=source_col, how="inner")
+        .filter(h < F.col("thr"))
+        .select(*df.columns)  # the key-join reordered; restore the shape
+    )
 
 
 def quota_per_group(

