@@ -11,8 +11,14 @@ offsets — maps onto Structured Streaming primitives:
 | BaseSourceTask offsets/commit | .../connector/common/BaseSourceTask.java:364,565-575 | checkpointLocation + idempotent MERGE |
 | SignalProcessor (control channel) | .../pipeline/signal/SignalProcessor.java:45,117,147 | SignalChannel control table polled per batch |
 | Notifications | .../pipeline/notification/Notification.java:21 | NotificationLog appended per phase |
+| OpenLineage emission | debezium-openlineage-core/.../OpenLineageEmitter.java:54 | OpenLineageEmitter RunEvents per lifecycle |
 """
 
+from debezium_spark.streaming.lineage import (  # noqa: F401
+    DatasetMetadata,
+    OpenLineageEmitter,
+    validate_run_event,
+)
 from debezium_spark.streaming.pipeline import (  # noqa: F401
     ChangeDataPipeline,
     replay_feed,

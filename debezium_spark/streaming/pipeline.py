@@ -110,6 +110,12 @@ class ChangeDataPipeline:
         dispatch (SignalProcessor.java:117,147).
     notifications: optional ``NotificationLog`` receiving phase events
         (Notification.java:21).
+    lineage: optional ``OpenLineageEmitter`` receiving lifecycle
+        RunEvents (OpenLineageEmitter.java:54): START at snapshot begin,
+        RUNNING at stream begin, COMPLETE at stream end — with the
+        pipeline's source/sink datasets attached to the START event.
+    lineage_datasets: the ``DatasetMetadata`` list the lineage events
+        carry (kind routes each to inputs or outputs).
     """
 
     def __init__(
@@ -125,6 +131,8 @@ class ChangeDataPipeline:
         signals=None,
         notifications=None,
         heartbeat=None,
+        lineage=None,
+        lineage_datasets=None,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -136,6 +144,8 @@ class ChangeDataPipeline:
         self.signals = signals
         self.notifications = notifications
         self.heartbeat = heartbeat
+        self.lineage = lineage
+        self.lineage_datasets = list(lineage_datasets or [])
         self.batches_seen = 0
 
     # -- phase 1: snapshot ------------------------------------------------
@@ -143,6 +153,10 @@ class ChangeDataPipeline:
         """Merge a batch of op='r' envelopes into the target (S1)."""
         if self.notifications is not None:
             self.notifications.emit("snapshot", "STARTED")
+        if self.lineage is not None:
+            # INITIAL -> START, datasets attached once up front (the
+            # reference emits table datasets with the task's first state)
+            self.lineage.emit("INITIAL", self.lineage_datasets)
         self.sink.write_batch(snapshot_env_df, epoch_id=-1)
         if self.notifications is not None:
             self.notifications.emit("snapshot", "COMPLETED")
@@ -179,16 +193,27 @@ class ChangeDataPipeline:
         (Trigger.AvailableNow — the golden-test and catch-up mode)."""
         if self.notifications is not None:
             self.notifications.emit("streaming", "STARTED")
-        q = (
-            self.stream_df()
-            .writeStream.foreachBatch(self._dispatch)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        if self.lineage is not None:
+            self.lineage.emit("RUNNING", self.lineage_datasets)
+        try:
+            q = (
+                self.stream_df()
+                .writeStream.foreachBatch(self._dispatch)
+                .option("checkpointLocation", self.checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        except BaseException as exc:
+            if self.lineage is not None:
+                # RESTARTING -> FAIL with the errorMessage run facet
+                self.lineage.emit("RESTARTING", self.lineage_datasets,
+                                  error=exc)
+            raise
         if self.notifications is not None:
             self.notifications.emit("streaming", "COMPLETED")
+        if self.lineage is not None:
+            self.lineage.emit("STOPPED", self.lineage_datasets)
 
     def start(self, processing_time: str = "1 seconds"):
         """Continuous micro-batch mode; returns the StreamingQuery."""
