@@ -35,73 +35,70 @@ QUERIES: dict[str, Q] = {}
 # Everything not listed still registers (and is value-checked by the in-repo
 # oracle gate in tests/test_correctness.py); it just sorts after the window.
 PRIORITY: tuple[str, ...] = (
-    # --- r12 rotation (the per-query ledger lives in COVERAGE.md):
-    # 1. the queries registered THIS round: s22c PG ranges + hstore,
-    #    s32 MySQL compressed transactions, s33 SQL Server capture-
-    #    instance migration, s22d pgvector/ltree extension types, x46
-    #    temperature mixture sampling, w38 cohort retention.
-    # 2. the four r7 stragglers VERDICT r11 item 5 named (a6/f4/k1/t15)
-    #    — after this window nothing registered sits below r8.
-    # 3. 43 of the 49 r8-tier legs. Left for r13 (all value-checked by
-    #    the in-repo gate every round, each with strong alternate
-    #    coverage): a5 (sibling a4 windowed), e1 (e2/e3 windows r7/r9),
-    #    x11_chunk_documents (x11_corpus_pipeline r9), m6 (7 packing
-    #    goldens), x19, x3 and x9 (single-expression legs inside windowed
-    #    pipelines), x14 (the dedup family holds five windowed legs), x18 (a13's
-    #    posting join is its windowed production consumer).
+    # --- r13 rotation (the per-query ledger lives in COVERAGE.md):
+    # 1. the queries registered THIS round: s22e (TIMETZ/BIT/VARBIT/
+    #    PostGIS/citext typed-projection completion), s34 binlog
+    #    include.query (ROWS_QUERY/ANNOTATE_ROWS), s35 binlog XA_PREPARE
+    #    + VIEW_CHANGE arms.
+    # 2. the ten r8 stragglers VERDICT r12 item 3 named — after this
+    #    window nothing registered sits below r9.
+    # 3. 37 of the 50 r9-tier legs. Left for r14 (all value-checked by
+    #    the in-repo gate every round): thirteen single-shape TPC-H-ish
+    #    warehouse legs (w3/w5/w6/w7/w9/w23-w28/w36/w37) whose
+    #    aggregation machinery the windowed w legs re-exercise.
     # registered this round ----------------------------------------------------
-    "s22c_pg_range_hstore",            # ranges as text, hstore map/json
-    "s32_binlog_txn_payload",          # zstd compressed transactions
-    "s33_sqlserver_capture_migration", # overlapping capture instances
-    "s22d_pgvector_types",             # pgvector/ltree -> computable types
-    "x46_temperature_mixture",         # sqrt-mass temperature data mixing
-    "w38_cohort_retention",            # cohort matrix, 2-shuffle shape
-    # the r7 stragglers ---------------------------------------------------------
-    "a6_cosine_near_dup",
-    "f4_avro_roundtrip",
-    "k1_merge_upsert",
-    "t15_vector_to_json",
-    # the r8 tier ---------------------------------------------------------------
-    "a17_cluster_balanced_sample",
-    "a18_mmr_rerank",
-    "a19_sq8_search",
-    "a2_knn_bruteforce",
-    "a4_field_to_embedding",
-    "a7_ivf_centroids",
-    "e5_funnel",
-    "k13_scd2_history",
-    "k14_sequence_gaps",
-    "m1_image_meta",
-    "m5_binary_exact_dedup",
-    "m7_image_near_dups",
-    "p4_transaction_metadata",
-    "s15_composite_key_chunks",
-    "s16_string_keyset_chunk",
-    "s17_ddl_schema_history",
-    "s3_incremental_snapshot_dedup",
-    "t1_extract_new_record_state",
-    "w1_pricing_summary",
-    "w32_waiting_suppliers",
-    "w33_market_share",
-    "w34_important_parts",
-    "w35_top_supplier",
-    "x10_word_ngram_jaccard",
-    "x17_cm_heavy_hitters",
-    "x1_text_stats",
-    "x27_pack_sequences",
-    "x28_token_budget_sample",
-    "x29_pii_redaction",
-    "x30_remove_boilerplate",
-    "x31_dedupe_lines",
-    "x32_dedupe_corpus_lines",
-    "x33_repetition_metrics",
-    "x34_incremental_dedup",
-    "x35_leakage_safe_split",
-    "x36_interleaved_order",
-    "x37_duplicated_spans",
-    "x38_charlm_quality",
-    "x39_duplicated_spans_sampled",
-    "x40_incremental_spans",
+    "s22e_pg_misc_types",            # timetz/bits/EWKB/citext projection
+    "s34_binlog_include_query",      # ROWS_QUERY / ANNOTATE_ROWS
+    "s35_binlog_xa_view_change",     # XA prepare + view-change markers
+    # the r8 stragglers ---------------------------------------------------------
+    "a5_embed_similarity",
+    "e1_tumbling_window",
+    "m6_shard_packing",
+    "x11_chunk_documents",
+    "x14_priority_dedup",
+    "x18_posting_lists",
+    "x19_char_entropy",
+    "x3_token_count",
+    "x4_exact_dedup",
+    "x9_quality_filter",
+    # the r9 tier ---------------------------------------------------------------
+    "e3_session_window",
+    "f2_json_serde",
+    "h1_handling_modes",
+    "h4_special_value_types",
+    "h5_vector_logical_types",
+    "k10_net_effect",
+    "k2_merge_update_mode",
+    "k9_incremental_aggregate",
+    "m3_audio_segments",
+    "s13_snapshot_diff",
+    "s18_pgoutput_binary_decode",
+    "s19_binlog_binary_decode",
+    "s1_snapshot_envelope",
+    "s20_pgoutput_to_table",
+    "s21_toast_reselect",
+    "s2_chunked_snapshot",
+    "s6_snapshot_modes",
+    "s8_pgoutput_decode",
+    "t17_mask_columns",
+    "t2_extract_new_document_state",
+    "t7_outbox_router",
+    "w10_percentiles",
+    "w11_pivot",
+    "w12_region_revenue",
+    "w13_exists_anti",
+    "w16_min_cost_supplier",
+    "w17_small_quantity_revenue",
+    "w18_priority_split",
+    "w19_promo_revenue_share",
+    "w20_large_orders",
+    "w21_disjunctive_revenue",
+    "w22_dormant_customers",
+    "x11_corpus_pipeline",
+    "x12_train_val_split",
+    "x13_repetition_ratio",
+    "x16_hll_distinct_users",
+    "x41_bpe_tokenizer",
 )
 
 
