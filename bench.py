@@ -44,6 +44,10 @@ HEADLINE = [
     "s22d_pgvector_types",
     "s32_binlog_txn_payload",
     "s33_sqlserver_capture_migration",
+    "s22e_pg_misc_types",
+    "s34_binlog_include_query",
+    "s35_binlog_xa_view_change",
+    "s36_olr_stream",
     "x44_bloom_decontaminate",
     "x45_bloom_then_exact",
     "x42_dsir_resample",

@@ -39,17 +39,18 @@ PRIORITY: tuple[str, ...] = (
     # 1. the queries registered THIS round: s22e (TIMETZ/BIT/VARBIT/
     #    PostGIS/citext typed-projection completion), s34 binlog
     #    include.query (ROWS_QUERY/ANNOTATE_ROWS), s35 binlog XA_PREPARE
-    #    + VIEW_CHANGE arms.
+    #    + VIEW_CHANGE arms, s36 Oracle via OpenLogReplicator.
     # 2. the ten r8 stragglers VERDICT r12 item 3 named — after this
     #    window nothing registered sits below r9.
-    # 3. 37 of the 50 r9-tier legs. Left for r14 (all value-checked by
-    #    the in-repo gate every round): thirteen single-shape TPC-H-ish
-    #    warehouse legs (w3/w5/w6/w7/w9/w23-w28/w36/w37) whose
+    # 3. 36 of the 50 r9-tier legs. Left for r14 (all value-checked by
+    #    the in-repo gate every round): fourteen single-shape TPC-H-ish
+    #    warehouse legs (w3/w5/w6/w7/w9/w22-w28/w36/w37) whose
     #    aggregation machinery the windowed w legs re-exercise.
     # registered this round ----------------------------------------------------
     "s22e_pg_misc_types",            # timetz/bits/EWKB/citext projection
     "s34_binlog_include_query",      # ROWS_QUERY / ANNOTATE_ROWS
     "s35_binlog_xa_view_change",     # XA prepare + view-change markers
+    "s36_olr_stream",                # OpenLogReplicator framed-JSON feed
     # the r8 stragglers ---------------------------------------------------------
     "a5_embed_similarity",
     "e1_tumbling_window",
@@ -93,7 +94,6 @@ PRIORITY: tuple[str, ...] = (
     "w19_promo_revenue_share",
     "w20_large_orders",
     "w21_disjunctive_revenue",
-    "w22_dormant_customers",
     "x11_corpus_pipeline",
     "x12_train_val_split",
     "x13_repetition_ratio",

@@ -2972,6 +2972,133 @@ def s35_binlog_xa_view_change(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S36 — Oracle via OpenLogReplicator: the framed-JSON committed-
+# transaction feed (the reference's second Oracle adapter,
+# debezium-connector-oracle/.../olr/ — OlrNetworkClient framing,
+# StreamingEvent/PayloadEvent object model,
+# OpenLogReplicatorValueConverter type semantics).
+# ---------------------------------------------------------------------------
+@register(
+    "s36_olr_stream",
+    oracle="""
+    SELECT event_id AS id,
+           CASE event_type WHEN 'signup' THEN 'c'
+                           WHEN 'error' THEN 'd'
+                           ELSE 'u' END AS op,
+           CAST(event_id % 1000 + 0.25 AS DECIMAL(10,2)) AS amt,
+           'n' || CAST(event_id % 97 AS VARCHAR) AS note,
+           CAST(event_id AS BIGINT) * 1000000 + 123456 AS ts_us,
+           printf('72%02x', event_id % 256) AS rw_hex,
+           CAST(event_id % 20000 AS BIGINT) * 86400000 AS d_ms,
+           (1700000000 + event_id) * 1000000 AS tm_us,
+           event_id AS cscn,
+           event_id % 5 AS cidx,
+           'x' || CAST(event_id AS VARCHAR) AS xid
+    FROM events
+    """,
+)
+def s36_olr_stream(spark, sf_dir):
+    """Each event becomes one OLR streaming event — [begin, mutation,
+    commit] payloads, 4-byte-LE framed JSON, ~16 messages packed per
+    capture blob so the frame split runs distributed — decoded by ONE
+    from_json + posexplode, typed from the feed's OWN schema payloads
+    (NUMBER(p,s) -> decimal, VARCHAR2 -> string, TIMESTAMP nanos -> µs,
+    RAW hex -> bytes, DATE nanos -> millis). The event timestamp
+    rotates through all four epoch units (s/ms/µs/ns) to prove the
+    magnitude-inference cascade; deletes read the before image."""
+    import json
+
+    import pandas as pd
+
+    from debezium_spark.sources.olr import (
+        decode_olr_events,
+        encode_olr_frame,
+        olr_typed_rows,
+        split_olr_frames,
+    )
+
+    COLS = [
+        {"name": "ID", "type": "NUMBER", "precision": 10, "scale": 0,
+         "length": 22, "nullable": False},
+        {"name": "AMT", "type": "NUMBER", "precision": 10, "scale": 2,
+         "length": 22, "nullable": True},
+        {"name": "NOTE", "type": "VARCHAR2", "length": 64,
+         "nullable": True},
+        {"name": "TS_C", "type": "TIMESTAMP", "length": 11,
+         "nullable": True},
+        {"name": "RW", "type": "RAW", "length": 16, "nullable": True},
+        {"name": "D_C", "type": "DATE", "length": 7, "nullable": True},
+    ]
+
+    ev = _events_feed(spark, sf_dir).select("event_id", "event_type")
+
+    def enc(batches):
+        for pdf in batches:
+            blobs, buf = [], bytearray()
+            n_in_blob = 0
+            for e, t in zip(pdf["event_id"], pdf["event_type"]):
+                e = int(e)
+                tm_s = 1_700_000_000 + e
+                tm = [tm_s, tm_s * 1_000, tm_s * 1_000_000,
+                      tm_s * 1_000_000_000][e % 4]
+                vals = {
+                    "ID": e,
+                    "AMT": f"{e % 1000}.25",
+                    "NOTE": f"n{e % 97}",
+                    "TS_C": e * 1_000_000_000 + 123_456_000,
+                    "RW": f"72{e % 256:02X}",
+                    "D_C": (e % 20000) * 86_400_000_000_000,
+                }
+                op = {"signup": "c", "error": "d"}.get(t, "u")
+                mut = {
+                    "op": op,
+                    "rid": f"AAA{e}",
+                    "schema": {"owner": "SHOP", "table": "STOCK",
+                               "obj": 5011, "columns": COLS},
+                }
+                if op == "d":
+                    mut["before"] = vals
+                elif op == "u":
+                    mut["before"] = {**vals, "NOTE": "old"}
+                    mut["after"] = vals
+                else:
+                    mut["after"] = vals
+                doc = {
+                    "scn": str(e), "tm": str(tm), "xid": f"x{e}",
+                    "db": "ORCLPDB1", "c_scn": str(e), "c_idx": e % 5,
+                    "payload": [{"op": "begin"}, mut, {"op": "commit"}],
+                }
+                buf += encode_olr_frame(json.dumps(doc).encode())
+                n_in_blob += 1
+                if n_in_blob == 16:
+                    blobs.append(bytes(buf))
+                    buf, n_in_blob = bytearray(), 0
+            if buf:
+                blobs.append(bytes(buf))
+            yield pd.DataFrame({"blob": blobs})
+
+    stream = (
+        ev.mapInPandas(enc, "blob binary").localCheckpoint(eager=True)
+    )
+    msgs = split_olr_frames(stream)
+    dec = decode_olr_events(msgs)
+    typed = olr_typed_rows(dec, "SHOP", "STOCK")
+    return typed.select(
+        F.col("ID").alias("id"),
+        "op",
+        F.col("AMT").alias("amt"),
+        F.col("NOTE").alias("note"),
+        F.unix_micros("TS_C").alias("ts_us"),
+        F.lower(F.hex("RW")).alias("rw_hex"),
+        F.unix_millis("D_C").alias("d_ms"),
+        F.unix_micros("tm").alias("tm_us"),
+        F.col("c_scn").alias("cscn"),
+        F.col("c_idx").alias("cidx"),
+        "xid",
+    )
+
+
+# ---------------------------------------------------------------------------
 # S19b — binlog column-type widening: NEWDECIMAL / DATE / DATETIME2 /
 # TIMESTAMP2 / TIME2 / BLOB / ENUM / SET value layouts through the same
 # Arrow decode kernel (the full set the reference's deserializer wiring

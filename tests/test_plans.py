@@ -617,6 +617,15 @@ def test_xa_view_change_decode_is_single_pass(spark, qs):
     assert "Join" not in plan and "CartesianProduct" not in plan
 
 
+def test_olr_decode_is_scan_shaped(spark, qs):
+    """s36: frame split + from_json + typed projection stay one
+    shuffle-free pass — the schema registry's bounded distinct is a
+    separate setup job, never part of the row-stream plan."""
+    plan = _plan(spark, qs, "s36_olr_stream")
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
 def test_txn_payload_decode_is_single_pass(spark, qs):
     """s32: the compressed-payload decode is ONE Arrow kernel pass — no
     join, no key shuffle anywhere in the registered query's plan."""
