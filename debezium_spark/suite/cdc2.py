@@ -2863,7 +2863,9 @@ def s34_binlog_include_query(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     dec = decode_binlog_rows(stream, include_query=True)
-    out = attach_rows_query(dec)
+    # bin near the fixture's statement span (4 positions); real binlogs
+    # use byte offsets and the 1 MiB default
+    out = attach_rows_query(dec, bin_width=64)
     return out.filter(F.col("kind").isin("c", "u", "d")).select(
         F.col("log_pos").alias("pos"),
         F.element_at("after", 1).cast("long").alias("id"),

@@ -595,18 +595,22 @@ def test_capture_migration_pushes_windows_and_adds_no_shuffle(spark, qs):
     assert "GreaterThanOrEqual(event_id" in plan
 
 
-def test_include_query_attach_is_broadcast_interval_join(spark, qs):
-    """s34: the statement-marker attach is ONE broadcast range join over
-    the per-statement interval table plus the single-partition sort that
-    builds it (markers only — bounded by statement count); the decode
-    itself stays shuffle-free. Never a key shuffle, never a sort-merge
-    join over the row stream."""
+def test_include_query_attach_is_binned_range_join(spark, qs):
+    """s34: the statement-marker attach rides the BINNED range join — an
+    equi-join on the position bin (broadcast at this scale, a plain
+    shuffled hash join when the statement table outgrows broadcast),
+    NEVER a non-equi BroadcastNestedLoopJoin over the row stream
+    (quadratic in statements x rows; measured 1.5x slower even at
+    sf0.1). The only NL join is the 1-row high-water crossJoin; the only
+    single-partition exchange is the marker-building window (bounded by
+    statement count)."""
     plan = _plan(spark, qs, "s34_binlog_include_query")
-    assert "hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoop") == 1
-    assert plan.count("SinglePartition") == 1
+    assert plan.count("BroadcastHashJoin") == 1  # the binned attach
+    assert plan.count("BroadcastNestedLoop") == 1  # 1-row hi bound only
+    # marker-building window + the 1-row high-water aggregation
+    assert plan.count("SinglePartition") == 2
 
 
 def test_xa_view_change_decode_is_single_pass(spark, qs):
