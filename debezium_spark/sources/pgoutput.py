@@ -1076,14 +1076,19 @@ PG_INT4RANGE, PG_NUMRANGE, PG_TSRANGE = 3904, 3906, 3908
 PG_TSTZRANGE, PG_DATERANGE, PG_INT8RANGE = 3910, 3912, 3926
 PG_TIMETZ = 1266
 PG_BIT, PG_VARBIT = 1560, 1562
+PG_MACADDR8 = 774
+PG_TIMETZ_ARRAY, PG_TIME_ARRAY, PG_BYTEA_ARRAY = 1270, 1183, 1001
 # Array forms the reference leaves UNIMPLEMENTED (schemaBuilder returns
-# null for TIMETZ_ARRAY/BIT_ARRAY/VARBIT_ARRAY at
-# PostgresValueConverter.java:324-347 with a "still need to be
-# implemented" comment, so the column is omitted) — the dispatch raises
-# with that citation instead of guessing a shape the reference never
-# defined.
-_PG_UNIMPLEMENTED_ARRAY_OIDS = {1270: "timetz[]", 1561: "bit[]",
-                                1563: "varbit[]"}
+# null at PostgresValueConverter.java:338-347 with a "still need to be
+# implemented" comment and converter():568-575 falls back to none, so
+# the column is omitted) — the dispatch raises with that citation
+# instead of guessing a shape the reference never defined. BIT_ARRAY
+# sits in the schemaBuilder's Bits arm (:227) but has NO converter arm,
+# so it lands here too.
+_PG_UNIMPLEMENTED_ARRAY_OIDS = {
+    791: "money[]", 1003: "name[]", 1187: "interval[]",
+    1561: "bit[]", 1563: "varbit[]", 143: "xml[]", 1017: "point[]",
+}
 _PG_RANGE_OIDS = {PG_INT4RANGE, PG_NUMRANGE, PG_TSRANGE, PG_TSTZRANGE,
                   PG_DATERANGE, PG_INT8RANGE}
 _PG_STRING_OIDS = {PG_CHAR, PG_NAME, PG_TEXT, PG_JSON, PG_XML, PG_BPCHAR,
@@ -1105,6 +1110,15 @@ _PG_ARRAY_ELEM = {
     # tokenizer is what makes these decodable at all.
     3905: "", 3907: "", 3909: "",  # _int4range / _numrange / _tsrange
     3911: "", 3913: "", 3927: "",  # _tstzrange / _daterange / _int8range
+    # the network/string tails (PostgresValueConverter.java:292-306:
+    # CHAR/INET/CIDR/MACADDR/MACADDR8 arrays -> string elements;
+    # :289-290 OID_ARRAY -> int64; :320-321 JSON/JSONB arrays -> the
+    # Json logical type's string form)
+    1002: "",                      # _char
+    1041: "", 651: "",             # _inet / _cidr
+    1040: "", 775: "",             # _macaddr / _macaddr8
+    1028: "bigint",                # _oid
+    199: "", 3807: "",             # _json / _jsonb
 }
 
 # PG array_out grammar (the full element forms, one nesting level): an
@@ -1129,11 +1143,22 @@ def _pg_unquote(e):
     )
 
 
-def _pg_elem_conv(elem_t: str):
+def _pg_elem_conv(elem_t: str, custom=None, null_type: str = "string"):
     """Element text -> typed value: unquoted NULL is SQL NULL, a quoted
     element unescapes (and only then casts), anything else casts
     directly. Malformed typed text still raises via ANSI cast — a
-    try_cast would silently null corrupted data."""
+    try_cast would silently null corrupted data. ``custom`` replaces the
+    cast with an arbitrary element expression (timetz/time/bytea arrays,
+    whose element conversion is a whole sub-grammar, not a cast);
+    ``null_type`` names its result type for the NULL arm."""
+    if custom is not None:
+        def conv(e):
+            return (
+                F.when(e == "NULL", F.lit(None).cast(null_type))
+                .when(e.startswith('"'), custom(_pg_unquote(e)))
+                .otherwise(custom(e))
+            )
+        return conv
     if elem_t == "boolean":
         def conv(e):
             return (
@@ -1158,7 +1183,8 @@ def _pg_elem_conv(elem_t: str):
     return conv
 
 
-def pg_array_value(col, elem_t: str, ndims: int = 1):
+def pg_array_value(col, elem_t: str, ndims: int = 1, custom=None,
+                   null_type: str = "string"):
     """PG array text -> array<T> (ndims=1) or array<array<T>> (ndims=2),
     via the real array_out grammar: quoted elements with embedded
     commas/braces/escaped quotes, unquoted NULL vs quoted "NULL", empty
@@ -1168,8 +1194,8 @@ def pg_array_value(col, elem_t: str, ndims: int = 1):
     declared-1-D column raises instead of mis-parsing."""
     if ndims not in (1, 2):
         raise ValueError(f"pg arrays supported to 2 dimensions, got {ndims}")
-    conv = _pg_elem_conv(elem_t)
-    scalar_t = elem_t or "string"
+    conv = _pg_elem_conv(elem_t, custom=custom, null_type=null_type)
+    scalar_t = null_type if custom is not None else (elem_t or "string")
     inner = col.substr(F.lit(2), F.length(col) - 2)
     tokens = F.regexp_extract_all(inner, F.lit(_PG_ARR_TOKEN), 1)
     if ndims == 1:
@@ -1563,11 +1589,15 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
         # money_out: optional '-', currency symbol, group separators
         body = F.regexp_replace(col, r"[$,]", "")
         return body.cast("decimal(19,2)")
-    if type_oid in (PG_INET, PG_CIDR, PG_MACADDR):
-        # the reference surfaces these as strings; validate the shape so
-        # a framing bug can't smuggle garbage into a string column
+    if type_oid in (PG_INET, PG_CIDR, PG_MACADDR, PG_MACADDR8):
+        # the reference surfaces these as strings
+        # (PostgresValueConverter.java:258,507 adds MACADDR8); validate
+        # the shape so a framing bug can't smuggle garbage into a string
+        # column — macaddr8 is 8 colon-joined pairs, macaddr 6
         pat = (
             r"^[0-9a-f]{2}(:[0-9a-f]{2}){5}$" if type_oid == PG_MACADDR
+            else r"^[0-9a-f]{2}(:[0-9a-f]{2}){7}$"
+            if type_oid == PG_MACADDR8
             else r"^[0-9a-fA-F:.]+(/\d{1,3})?$"
         )
         return F.when(col.isNull(), F.lit(None).cast("string")).when(
@@ -1600,6 +1630,28 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
         )
     if type_oid == PG_TIMETZ:
         return pg_timetz_value(col)
+    if type_oid == PG_TIMETZ_ARRAY:
+        # array of ZonedTime strings (schemaBuilder :325-329, converted
+        # through createArrayConverter :560-566). timetz text has no
+        # array specials, elements arrive unquoted.
+        return pg_array_value(col, "", ndims, custom=pg_timetz_value)
+    if type_oid == PG_TIME_ARRAY:
+        # array of MicroTime int64 µs-since-midnight, the scalar TIME arm
+        # element-wise (:322-324)
+        return pg_array_value(
+            col, "", ndims, null_type="long",
+            custom=lambda e: F.unix_micros(
+                F.to_timestamp(F.concat(F.lit("1970-01-01 "), e))
+            ),
+        )
+    if type_oid == PG_BYTEA_ARRAY:
+        # array of bytes (:336-337): elements are '\x…' hex, quoted by
+        # array_out (backslash is a special) and unescaped by the
+        # tokenizer before this conversion sees them
+        return pg_array_value(
+            col, "", ndims, null_type="binary",
+            custom=lambda e: F.unhex(e.substr(F.lit(3), F.length(e))),
+        )
     if type_oid in (PG_BIT, PG_VARBIT):
         # bit types carry their declared bit length directly in atttypmod
         # (no VARHDRSZ offset); -1 = unconstrained VARBIT -> bytes form

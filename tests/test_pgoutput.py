@@ -1069,9 +1069,9 @@ def test_pg_bits_values(spark):
     ] == [True, False]
 
     with pytest.raises(ValueError, match="unimplemented"):
-        pg_typed_value(F.col("s"), 1270)  # timetz[]
-    with pytest.raises(ValueError, match="unimplemented"):
         pg_typed_value(F.col("s"), 1563)  # varbit[]
+    with pytest.raises(ValueError, match="unimplemented"):
+        pg_typed_value(F.col("s"), 1017)  # point[] (DBZ-459 fallback)
 
     bad = spark.createDataFrame([("10a01",)], "s string")
     with pytest.raises(Exception, match="malformed bit-string"):
@@ -1105,3 +1105,39 @@ def test_pg_ewkb_geometry_array(spark):
     ).collect()[0]["g"]
     assert bytes(row["wkb"]).hex() == "010700000000000000"
     assert row["srid"] is None
+
+
+def test_pg_array_tail_oids(spark):
+    """The last implemented array arms (PostgresValueConverter.java:
+    286-337,540-566): timetz[] -> ZonedTime strings at UTC, time[] ->
+    µs-since-midnight int64s, bytea[] -> bytes from quoted '\\x…' hex,
+    macaddr8[]/inet[]/oid[]/json[] element forms, and the macaddr8
+    scalar; money[]/interval[]/point[] raise the reference's DBZ-459
+    unimplemented contract."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_typed_value
+
+    def one(oid, text):
+        df = spark.createDataFrame([(text,)], "s string")
+        return df.select(
+            pg_typed_value(F.col("s"), oid).alias("v")
+        ).collect()[0]["v"]
+
+    assert one(1270, "{10:15:30+01,NULL,24:00:00+00}") == [
+        "09:15:30Z", None, "24:00:00Z"]
+    assert one(1183, "{00:00:01.5,NULL}") == [1_500_000, None]
+    by = one(1001, '{"\\\\x6869",NULL}')
+    assert bytes(by[0]) == b"hi" and by[1] is None
+    assert one(774, "01:02:03:04:05:06:07:08") == "01:02:03:04:05:06:07:08"
+    assert one(775, "{01:02:03:04:05:06:07:08}") == [
+        "01:02:03:04:05:06:07:08"]
+    assert one(1041, '{192.168.0.1/24,"::1"}') == ["192.168.0.1/24", "::1"]
+    assert one(1028, "{1,2,NULL}") == [1, 2, None]
+    assert one(199, '{"{\\"a\\": 1}",NULL}') == ['{"a": 1}', None]
+    with pytest.raises(Exception, match="malformed"):
+        one(774, "01:02:03:04:05:06")  # 6 pairs is macaddr, not macaddr8
+    for oid in (791, 1187, 1017, 143, 1003, 1561):
+        with pytest.raises(ValueError, match="unimplemented"):
+            pg_typed_value(F.col("s"), oid)
