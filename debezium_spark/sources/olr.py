@@ -425,6 +425,50 @@ def olr_typed_rows(
     )
 
 
+class OlrStreamDecoder:
+    """Cross-batch OLR decode state for foreachBatch: the schema
+    registry accumulates across micro-batches (OLR resends a table's
+    schema with every mutation by default, but a checkpoint restart or a
+    maxFilesPerTrigger split can land a mutation whose schema variant
+    first appeared in an earlier batch), mirroring BinlogStreamDecoder's
+    TABLE_MAP accumulation. Latest schema per table wins."""
+
+    def __init__(self, spark=None):
+        self.registry: dict[tuple[str, str], list] = {}
+
+    def decode_batch(self, df: DataFrame, msg_col: str = "msg",
+                     blob_col: str | None = None) -> DataFrame:
+        src = df if blob_col is None else split_olr_frames(df, blob_col)
+        decoded = decode_olr_events(src, msg_col=msg_col)
+        self.registry.update(olr_schema_registry(decoded))
+        return decoded
+
+    def typed_rows(self, decoded: DataFrame, owner: str,
+                   table: str) -> DataFrame:
+        # snapshot: the projection must not race later updates
+        return olr_typed_rows(decoded, owner, table,
+                              registry=dict(self.registry))
+
+
+def confirm_request(decoded: DataFrame, database_name: str) -> bytes | None:
+    """After a batch commits downstream, acknowledge the high-water
+    checkpoint so the server can discard delivered changes — the
+    reference's CONFIRM flow (OlrNetworkClient.confirm:240-246, sent
+    with c_scn + c_idx). ONE bounded aggregation (two scalars); returns
+    the framed RedoRequest bytes, or None for an empty batch. Ordering:
+    (c_scn, c_idx) is the server's own checkpoint sequence —
+    max_by(c_idx, c_scn-major) picks the latest delivered position."""
+    row = decoded.agg(
+        F.max(F.struct(F.col("c_scn"), F.col("c_idx"))).alias("hi")
+    ).collect()[0]["hi"]
+    if row is None or row["c_scn"] is None:
+        return None
+    return encode_redo_request(
+        REQUEST_CONFIRM, database_name,
+        c_scn=int(row["c_scn"]), c_idx=int(row["c_idx"] or 0),
+    )
+
+
 def olr_replay_filter(
     decoded: DataFrame,
     replay_scn: int | None,

@@ -1393,6 +1393,57 @@ def pg_timetz_value(col):
     )
 
 
+def pg_timetz_struct_value(col, precision: int = -1):
+    """STRUCTURED-mode TIMETZ (temporal.precision.mode=structured):
+    raw clock components + the ORIGINAL offset, no UTC normalization —
+    hour 24 survives as-is, which OffsetTime cannot represent
+    (PostgresValueConverter.convertTimeWithZoneToStructuredPreservingOffset
+    :1131-1160, StructuredZonedTime.java:25-66: hour/minute/second as
+    int8, nanos + offset_seconds + precision as int32). The reference
+    WARNS and falls back on unparseable text; here the raw components
+    are regex-extracted so a non-matching value yields the same
+    all-zero fallback struct."""
+    p = _PG_TIMETZ_PAT
+    ok = col.rlike(p)
+
+    def g(i, typ):
+        return F.when(
+            ok, F.regexp_extract(col, p, i).cast(typ)
+        ).otherwise(F.lit(0).cast(typ))
+
+    frac = F.regexp_extract(col, p, 4)
+    nanos = F.when(
+        ok & (frac != ""),
+        (F.rpad(frac, 9, "0")).cast("int"),
+    ).otherwise(F.lit(0))
+    off = F.regexp_extract(col, p, 5)
+    sign = F.when(off.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    off_body = off.substr(F.lit(2), F.length(off) - 1)
+    opart = lambda i: F.coalesce(  # noqa: E731 - tiny local extractor
+        F.nullif(
+            F.regexp_extract(
+                off_body, r"^(\d{2})(?::(\d{2}))?(?::(\d{2}))?$", i
+            ),
+            F.lit(""),
+        ).cast("int"),
+        F.lit(0),
+    )
+    off_secs = F.when(
+        ok, sign * (opart(1) * 3600 + opart(2) * 60 + opart(3))
+    ).otherwise(F.lit(0))
+    return F.when(
+        col.isNotNull(),
+        F.struct(
+            g(1, "tinyint").alias("hour"),
+            g(2, "tinyint").alias("minute"),
+            g(3, "tinyint").alias("second"),
+            nanos.alias("nanos"),
+            off_secs.cast("int").alias("offset_seconds"),
+            F.lit(precision).cast("int").alias("precision"),
+        ),
+    )
+
+
 def pg_bits_value(col, length: int):
     """BIT(n)/VARBIT bit-string text ('10110') -> io.debezium.data.Bits:
     little-endian bytes re-sized to the CONTENT's highest set bit, not
@@ -1533,7 +1584,8 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
                    include_unknown: bool = False, ndims: int = 1,
                    hstore_oids: frozenset = frozenset(),
                    hstore_mode: str = "map",
-                   ext_oids: dict[int, str] | None = None):
+                   ext_oids: dict[int, str] | None = None,
+                   timetz_mode: str = "string"):
     """One pgoutput text cell -> typed Spark column, dispatched on the
     relation's column OID (PostgresValueConverter.java:112,286-324).
 
@@ -1629,6 +1681,15 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
             )).cast("string")
         )
     if type_oid == PG_TIMETZ:
+        # temporal.precision.mode: the default ZonedTime ISO string, or
+        # STRUCTURED raw components (PostgresValueConverter.java:241-247)
+        if timetz_mode == "structured":
+            return pg_timetz_struct_value(col)
+        if timetz_mode != "string":
+            raise ValueError(
+                f"timetz_mode must be 'string' or 'structured', "
+                f"got {timetz_mode!r}"
+            )
         return pg_timetz_value(col)
     if type_oid == PG_TIMETZ_ARRAY:
         # array of ZonedTime strings (schemaBuilder :325-329, converted
@@ -1761,6 +1822,7 @@ def typed_projection(
     hstore_oids: frozenset = frozenset(),
     hstore_mode: str = "map",
     ext_oids: dict[int, str] | None = None,
+    timetz_mode: str = "string",
 ) -> DataFrame:
     """Project one relation's decoded text envelope into TYPED columns
     driven by the relation registry's (col_names, col_oids, col_typmods)
@@ -1804,6 +1866,7 @@ def typed_projection(
                            hstore_oids=hstore_oids,
                            hstore_mode=hstore_mode,
                            ext_oids=ext_oids,
+                           timetz_mode=timetz_mode,
                            ).alias(name)
             for name, oid, mod in zip(
                 ver["col_names"], ver["col_oids"], ver["col_typmods"]

@@ -157,3 +157,62 @@ def test_event_timestamp_unit_inference(spark):
     out = decode_olr_events(df).select(
         F.unix_micros("tm").alias("us")).collect()
     assert {r["us"] for r in out} == {base * 1_000_000}
+
+
+def test_stream_decoder_accumulates_schemas_and_confirm(spark):
+    """OlrStreamDecoder: a schema seen only in batch 1 still types batch
+    2's mutations (cross-batch registry, the BinlogStreamDecoder
+    pattern); confirm_request frames a CONFIRM RedoRequest at the
+    batch's high-water (c_scn, c_idx) — the reference's delivery ack
+    (OlrNetworkClient.confirm:240-246)."""
+    from debezium_spark.sources.olr import (
+        REQUEST_CONFIRM,
+        OlrStreamDecoder,
+        confirm_request,
+        parse_redo_response,
+    )
+    from debezium_spark.formats.protobuf_codec import decode_message
+
+    COLS = [{"name": "ID", "type": "NUMBER", "precision": 5, "scale": 0,
+             "length": 22, "nullable": False}]
+
+    def ev(scn, idx, op, with_schema, val):
+        mut = {"op": op, "rid": "r", "after": {"ID": str(val)}}
+        if with_schema:
+            mut["schema"] = {"owner": "S", "table": "T", "obj": 1,
+                             "columns": COLS}
+        else:
+            mut["schema"] = {"owner": "S", "table": "T", "obj": 1}
+        return json.dumps({
+            "scn": str(scn), "tm": str(1_700_000_000), "xid": "x",
+            "db": "D", "c_scn": str(scn), "c_idx": idx, "payload": [mut],
+        })
+
+    dec = OlrStreamDecoder()
+    b1 = spark.createDataFrame(
+        [(bytearray(ev(10, 1, "c", True, 7).encode()),)], "msg binary")
+    d1 = dec.decode_batch(b1)
+    assert dec.typed_rows(d1, "S", "T").collect()[0]["ID"] == 7
+
+    # batch 2: mutation WITHOUT columns -> registry carries over
+    b2 = spark.createDataFrame(
+        [(bytearray(ev(12, 2, "c", False, 9).encode()),)], "msg binary")
+    d2 = dec.decode_batch(b2)
+    assert dec.typed_rows(d2, "S", "T").collect()[0]["ID"] == 9
+
+    frame = confirm_request(d2, "ORCLPDB1")
+    (n,) = struct.unpack_from("<I", frame, 0)
+    req = decode_message(
+        {"name": "RedoRequest", "fields": [
+            {"name": "code", "num": 1, "type": "int64", "repeated": False},
+            {"name": "database_name", "num": 2, "type": "string",
+             "repeated": False},
+            {"name": "c_scn", "num": 8, "type": "int64", "repeated": False},
+            {"name": "c_idx", "num": 9, "type": "int64", "repeated": False},
+        ]}, frame[4:])
+    assert req["code"] == REQUEST_CONFIRM
+    assert req["c_scn"] == 12 and req["c_idx"] == 2
+    assert req["database_name"] == "ORCLPDB1"
+
+    empty = spark.createDataFrame([], "c_scn long, c_idx long")
+    assert confirm_request(empty, "ORCLPDB1") is None

@@ -1141,3 +1141,37 @@ def test_pg_array_tail_oids(spark):
     for oid in (791, 1187, 1017, 143, 1003, 1561):
         with pytest.raises(ValueError, match="unimplemented"):
             pg_typed_value(F.col("s"), oid)
+
+
+def test_pg_timetz_structured_mode(spark):
+    """STRUCTURED TIMETZ preserves the raw hour (incl. the boundary 24)
+    and the ORIGINAL offset with no UTC shift
+    (convertTimeWithZoneToStructuredPreservingOffset:1131-1160,
+    StructuredZonedTime.java); unparseable text degrades to the
+    all-zero fallback struct like the reference's warn path."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_typed_value
+
+    cases = ["10:15:30.5-03:30", "24:00:00+00", "garbage", None]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    out = [
+        r["t"] for r in df.select(
+            pg_typed_value(F.col("s"), 1266, timetz_mode="structured")
+            .alias("t")
+        ).collect()
+    ]
+    assert out[0].asDict() == {
+        "hour": 10, "minute": 15, "second": 30,
+        "nanos": 500_000_000, "offset_seconds": -12_600, "precision": -1,
+    }
+    assert out[1]["hour"] == 24 and out[1]["offset_seconds"] == 0
+    assert out[2].asDict() == {
+        "hour": 0, "minute": 0, "second": 0, "nanos": 0,
+        "offset_seconds": 0, "precision": -1,
+    }
+    assert out[3] is None
+
+    import pytest
+    with pytest.raises(ValueError, match="timetz_mode"):
+        pg_typed_value(F.col("s"), 1266, timetz_mode="nope")
