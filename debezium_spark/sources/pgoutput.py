@@ -1091,8 +1091,12 @@ _PG_UNIMPLEMENTED_ARRAY_OIDS = {
 }
 _PG_RANGE_OIDS = {PG_INT4RANGE, PG_NUMRANGE, PG_TSRANGE, PG_TSTZRANGE,
                   PG_DATERANGE, PG_INT8RANGE}
+# tsvector rides the string set: the reference maps it to the TsVector
+# logical type via convertString with no reshaping
+# (PostgresValueConverter.java:283,511)
+PG_TSVECTOR = 3614
 _PG_STRING_OIDS = {PG_CHAR, PG_NAME, PG_TEXT, PG_JSON, PG_XML, PG_BPCHAR,
-                   PG_VARCHAR, PG_UUID, PG_JSONB}
+                   PG_VARCHAR, PG_UUID, PG_JSONB, PG_TSVECTOR}
 #: array-type OID -> element cast ("" = text elements, unquoted JVM-side).
 #: Temporal elements arrive QUOTED in array_out (they contain spaces) —
 #: the quote-aware tokenizer unescapes before the cast.

@@ -1136,6 +1136,8 @@ def test_pg_array_tail_oids(spark):
     assert one(1041, '{192.168.0.1/24,"::1"}') == ["192.168.0.1/24", "::1"]
     assert one(1028, "{1,2,NULL}") == [1, 2, None]
     assert one(199, '{"{\\"a\\": 1}",NULL}') == ['{"a": 1}', None]
+    # tsvector -> TsVector logical type's string form (:283,511)
+    assert one(3614, "'a':1 'b c':2,3") == "'a':1 'b c':2,3"
     with pytest.raises(Exception, match="malformed"):
         one(774, "01:02:03:04:05:06")  # 6 pairs is macaddr, not macaddr8
     for oid in (791, 1187, 1017, 143, 1003, 1561):
