@@ -858,6 +858,12 @@ def temperature_sample(
         .groupBy(source_col)
         .agg(F.sum(weight_col).cast("long").alias("mass"))
         .filter(F.col("mass") > 0)
+        # lazy checkpoint: the corpus aggregation materializes ONCE (at
+        # the probe below) and the distributed path's q/g subtrees reuse
+        # it — without this the over-guard path would re-run the full
+        # corpus scan+agg for the thresholds after discarding the
+        # probe's work
+        .localCheckpoint(eager=False)
     )
     # Bounded probe: collect at most guard+1 stat rows. A full set means
     # these ARE the complete stats (reuse them — no second agg job); an

@@ -1337,6 +1337,10 @@ def decode_binlog_rows(
                     if not include_query:
                         return  # config off: handler never registered
                     cur[0] = ev["query"]
+                    # the marker row carries the statement it ANNOUNCES,
+                    # not the previous one — recompute the tail after the
+                    # state update so marker.query == marker.after[0]
+                    tail = (cur[0],)
                     marker = [ev["query"]]
                 elif ev["kind"] == "query":
                     marker = [ev["query"]]

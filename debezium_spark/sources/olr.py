@@ -224,15 +224,19 @@ def olr_schema_registry(decoded: DataFrame) -> dict[tuple[str, str], list]:
     """(owner, table) -> [SchemaColumn dicts]. The feed is
     self-describing (every mutation carries its schema), so the collect
     is bounded by DISTINCT TABLES × schema versions — latest wins per
-    table like the reference's table cache."""
+    table like the reference's table cache, where 'latest' is decided by
+    the HIGHEST checkpoint SCN each variant was seen at (a bare distinct
+    collect has no order, so a mid-batch ALTER's two variants would win
+    nondeterministically run-to-run)."""
     rows = (
         decoded.filter(F.col("columns").isNotNull())
-        .select("owner", "table", "columns")
-        .distinct()
+        .groupBy("owner", "table", "columns")
+        .agg(F.max("c_scn").alias("last_scn"))
         .collect()
     )
     reg: dict[tuple[str, str], list] = {}
-    for r in rows:
+    for r in sorted(rows, key=lambda r: (r["last_scn"] is not None,
+                                         r["last_scn"] or 0)):
         reg[(r["owner"], r["table"])] = [c.asDict() for c in r["columns"]]
     return reg
 
@@ -282,6 +286,15 @@ def olr_typed_value(col: Column, column_meta: dict) -> Column:
         if scale is not None and scale == -127:
             # FLOAT's binary scale marker — surface as double
             return col.cast("double")
+        if scale is not None and scale < 0:
+            # NUMBER(p, negative s) rounds to 10^-s: legal Oracle, up to
+            # p + |s| integer digits, always whole — Spark decimals
+            # can't carry a negative scale, so widen to (p+|s|, 0)
+            if precision:
+                return col.cast(
+                    f"decimal({int(precision) - int(scale)},0)"
+                )
+            return col.cast("decimal(38,0)")
         if precision:
             return col.cast(f"decimal({int(precision)},{int(scale or 0)})")
         return col.cast("decimal(38,18)")
@@ -485,9 +498,18 @@ def olr_replay_filter(
     if replay_scn is None:
         return decoded
     before = F.col("c_scn") < F.lit(replay_scn)
+    if replay_xid is None or replay_idx is None:
+        # The reference's offset always carries scn+index+xid together;
+        # without the pair nothing AT the replay SCN can be proven
+        # already-emitted, so keep those rows (a duplicate is recoverable
+        # downstream via the idempotent merge; a silent drop is not).
+        # NULL-safe by construction: `before` can't go NULL on non-null
+        # c_scn, and three-valued logic on a NULL xid literal would
+        # otherwise drop every row at the SCN.
+        return decoded.filter(~before)
     at = (
         (F.col("c_scn") == F.lit(replay_scn))
-        & (F.col("xid") == F.lit(replay_xid))
-        & (F.col("c_idx") <= F.lit(replay_idx))
+        & F.col("xid").eqNullSafe(F.lit(replay_xid))
+        & F.coalesce(F.col("c_idx") <= F.lit(replay_idx), F.lit(False))
     )
     return decoded.filter(~(before | at))

@@ -1331,6 +1331,56 @@ _PG_TIMETZ_PAT = (
 _PG_TIMETZ_BOUNDARY = r"^24:00:00(?:\.0{1,6})?(?:Z|[+-]00(?::?00)?)$"
 
 
+def _pg_time_micros(col):
+    """TIME text 'HH:MM:SS[.ffffff]' -> µs since midnight by PURE
+    INTEGER arithmetic — never to_timestamp, whose epoch anchor shifts
+    with the session timezone (a non-UTC driver session would corrupt
+    every value, and a DST-gap wall time would shift by the wrong
+    offset)."""
+    pat = r"^(\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?$"
+    h = F.regexp_extract(col, pat, 1).cast("long")
+    m = F.regexp_extract(col, pat, 2).cast("long")
+    s = F.regexp_extract(col, pat, 3).cast("long")
+    frac = F.regexp_extract(col, pat, 4)
+    micros = F.when(frac == "", F.lit(0)).otherwise(
+        F.rpad(frac, 6, "0").cast("long")
+    )
+    return (
+        F.when(col.isNull(), F.lit(None).cast("long"))
+        .when(
+            col.rlike(pat) & (h <= 24) & (m <= 59) & (s <= 59),
+            (h * 3600 + m * 60 + s) * F.lit(1_000_000) + micros,
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("malformed time text: "), col)
+            ).cast("long")
+        )
+    )
+
+
+def _timetz_offset_seconds(col, pat):
+    """The TIMETZ offset sub-grammar ('±HH[:MM[:SS]]', pattern group 5)
+    -> signed seconds; shared by the string and structured modes so the
+    two can never diverge."""
+    off = F.regexp_extract(col, pat, 5)
+    sign = F.when(off.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    off_body = off.substr(F.lit(2), F.length(off) - 1)
+
+    def opart(i):
+        return F.coalesce(
+            F.nullif(
+                F.regexp_extract(
+                    off_body, r"^(\d{2})(?::(\d{2}))?(?::(\d{2}))?$", i
+                ),
+                F.lit(""),
+            ).cast("long"),
+            F.lit(0),
+        )
+
+    return sign * (opart(1) * 3600 + opart(2) * 60 + opart(3))
+
+
 def pg_timetz_value(col):
     """TIMETZ text ('HH:MM:SS[.ffffff]±HH[:MM[:SS]]') -> the reference's
     ZonedTime ISO string (PostgresValueConverter.java:1108-1128): parse,
@@ -1348,21 +1398,7 @@ def pg_timetz_value(col):
     micros = F.when(frac == "", F.lit(0)).otherwise(
         F.rpad(frac, 6, "0").cast("long")
     )
-    off = F.regexp_extract(col, _PG_TIMETZ_PAT, 5)
-    sign = F.when(off.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
-    off_body = off.substr(F.lit(2), F.length(off) - 1)
-    opart = lambda i: F.coalesce(  # noqa: E731 - tiny local extractor
-        F.nullif(
-            F.regexp_extract(
-                off_body, r"^(\d{2})(?::(\d{2}))?(?::(\d{2}))?$", i
-            ),
-            F.lit(""),
-        ).cast("long"),
-        F.lit(0),
-    )
-    off_us = sign * (
-        opart(1) * 3600 + opart(2) * 60 + opart(3)
-    ) * F.lit(1_000_000)
+    off_us = _timetz_offset_seconds(col, _PG_TIMETZ_PAT) * F.lit(1_000_000)
     utc_us = F.pmod(
         (h * 3600 + m * 60 + s) * F.lit(1_000_000) + micros - off_us,
         F.lit(86_400_000_000),
@@ -1384,11 +1420,15 @@ def pg_timetz_value(col):
     return (
         F.when(col.isNull(), F.lit(None).cast("string"))
         .when(col.rlike(_PG_TIMETZ_BOUNDARY), F.lit("24:00:00Z"))
-        # the shared TIMETZ_PATTERN is \d{1,2}-lenient because STRUCTURED
-        # mode admits the raw hour 24; default mode's OffsetTime.parse
-        # rejects hours past 23, and the boundary arm above is the only
-        # legal 24 — so a non-boundary hour > 23 is malformed here
-        .when(col.rlike(_PG_TIMETZ_PAT) & (h <= 23), rendered)
+        # the shared TIMETZ_PATTERN is \d{1,2}/\d{2}-lenient because
+        # STRUCTURED mode delivers raw components (incl. hour 24);
+        # default mode's OffsetTime.parse rejects out-of-range clock
+        # fields, and the boundary arm above is the only legal 24 — so a
+        # non-boundary hour > 23 or minute/second > 59 is malformed here
+        .when(
+            col.rlike(_PG_TIMETZ_PAT) & (h <= 23) & (m <= 59) & (s <= 59),
+            rendered,
+        )
         .otherwise(
             F.raise_error(
                 F.concat(F.lit("malformed timetz text: "), col)
@@ -1420,20 +1460,8 @@ def pg_timetz_struct_value(col, precision: int = -1):
         ok & (frac != ""),
         (F.rpad(frac, 9, "0")).cast("int"),
     ).otherwise(F.lit(0))
-    off = F.regexp_extract(col, p, 5)
-    sign = F.when(off.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
-    off_body = off.substr(F.lit(2), F.length(off) - 1)
-    opart = lambda i: F.coalesce(  # noqa: E731 - tiny local extractor
-        F.nullif(
-            F.regexp_extract(
-                off_body, r"^(\d{2})(?::(\d{2}))?(?::(\d{2}))?$", i
-            ),
-            F.lit(""),
-        ).cast("int"),
-        F.lit(0),
-    )
     off_secs = F.when(
-        ok, sign * (opart(1) * 3600 + opart(2) * 60 + opart(3))
+        ok, _timetz_offset_seconds(col, p)
     ).otherwise(F.lit(0))
     return F.when(
         col.isNotNull(),
@@ -1630,9 +1658,10 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
     if type_oid == PG_DATE:
         return col.cast("date")
     if type_oid == PG_TIME:
-        return F.unix_micros(
-            F.to_timestamp(F.concat(F.lit("1970-01-01 "), col))
-        )
+        # µs-since-midnight (MicroTime) by integer arithmetic — the old
+        # to_timestamp formulation anchored to the SESSION timezone's
+        # 1970-01-01 and shifted every value under a non-UTC driver
+        return _pg_time_micros(col)
     if type_oid == PG_TIMESTAMP:
         return col.cast("timestamp_ntz")
     if type_oid == PG_TIMESTAMPTZ:
@@ -1688,7 +1717,11 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
         # temporal.precision.mode: the default ZonedTime ISO string, or
         # STRUCTURED raw components (PostgresValueConverter.java:241-247)
         if timetz_mode == "structured":
-            return pg_timetz_struct_value(col)
+            # timetz's atttypmod IS its declared fractional precision
+            return pg_timetz_struct_value(
+                col,
+                precision=atttypmod if atttypmod is not None else -1,
+            )
         if timetz_mode != "string":
             raise ValueError(
                 f"timetz_mode must be 'string' or 'structured', "
@@ -1702,12 +1735,9 @@ def pg_typed_value(col, type_oid: int, atttypmod: int = -1,
         return pg_array_value(col, "", ndims, custom=pg_timetz_value)
     if type_oid == PG_TIME_ARRAY:
         # array of MicroTime int64 µs-since-midnight, the scalar TIME arm
-        # element-wise (:322-324)
+        # element-wise (:322-324); same tz-proof integer parse
         return pg_array_value(
-            col, "", ndims, null_type="long",
-            custom=lambda e: F.unix_micros(
-                F.to_timestamp(F.concat(F.lit("1970-01-01 "), e))
-            ),
+            col, "", ndims, null_type="long", custom=_pg_time_micros,
         )
     if type_oid == PG_BYTEA_ARRAY:
         # array of bytes (:336-337): elements are '\x…' hex, quoted by

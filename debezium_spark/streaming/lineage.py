@@ -211,11 +211,15 @@ class OpenLineageEmitter:
                 f"(expected one of {sorted(STATE_EVENT_TYPES)})"
             )
         ds = datasets or []
+        # ONE clock read feeds both the seconds and the fraction — two
+        # reads could straddle a second boundary and render a timestamp
+        # up to ~1s early, breaking event-time ordering for consumers
+        now = time.time()
         doc = {
             "eventType": STATE_EVENT_TYPES[state],
             "eventTime": time.strftime(
-                "%Y-%m-%dT%H:%M:%S", time.gmtime()
-            ) + f".{int(time.time() * 1e6) % 1_000_000:06d}Z",
+                "%Y-%m-%dT%H:%M:%S", time.gmtime(now)
+            ) + f".{int(now * 1e6) % 1_000_000:06d}Z",
             "producer": PRODUCER,
             "schemaURL": f"{_SPEC}#/definitions/RunEvent",
             "run": {

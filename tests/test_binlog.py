@@ -979,6 +979,10 @@ def test_include_query_config_off_drops_markers(spark):
     assert by_pos[22]["query"] is None          # reset at xid1
     assert by_pos[30]["kind"] == "rows_query"   # top-level marker row
     assert by_pos[30]["after"] == ["UPDATE x"]
+    # a marker row carries the statement it ANNOUNCES, not the previous
+    # one (r13 review fix)
+    assert by_pos[11]["query"] == "INSERT 1"
+    assert by_pos[30]["query"] == "UPDATE x"
 
 
 def test_xa_bracket_rows_match_plain_transaction(spark):

@@ -216,3 +216,52 @@ def test_stream_decoder_accumulates_schemas_and_confirm(spark):
 
     empty = spark.createDataFrame([], "c_scn long, c_idx long")
     assert confirm_request(empty, "ORCLPDB1") is None
+
+
+def test_review_fixes_replay_partial_args_negative_scale_registry(spark):
+    """r13 review: (1) a replay filter given only the SCN must KEEP rows
+    at that SCN (three-valued logic previously dropped them silently);
+    (2) NUMBER(p, negative scale) widens to decimal(p+|s|, 0) instead of
+    building an illegal Spark decimal; (3) the schema registry picks the
+    variant with the HIGHEST checkpoint SCN when a batch spans an ALTER,
+    not a nondeterministic distinct-order winner."""
+    from decimal import Decimal
+
+    from debezium_spark.sources.olr import (
+        decode_olr_events,
+        olr_replay_filter,
+        olr_schema_registry,
+        olr_typed_value,
+    )
+
+    rows = [(5, 1, "xa"), (7, 2, "xa"), (9, 1, "xb")]
+    df = spark.createDataFrame(rows, "c_scn long, c_idx long, xid string")
+    kept = sorted(r["c_scn"] for r in olr_replay_filter(df, 7).collect())
+    assert kept == [7, 9]
+
+    v = spark.createDataFrame([("1200",)], "v string").select(
+        olr_typed_value(
+            F.col("v"), {"type": "NUMBER", "precision": 5, "scale": -2}
+        ).alias("t")
+    ).collect()[0]["t"]
+    assert v == Decimal("1200")
+
+    def ev(scn, cols):
+        mut = {"op": "c", "rid": "r", "after": {"ID": "1"},
+               "schema": {"owner": "S", "table": "T", "obj": 1,
+                          "columns": cols}}
+        return json.dumps({"scn": str(scn), "tm": "1700000000",
+                           "xid": "x", "db": "D", "c_scn": str(scn),
+                           "c_idx": 0, "payload": [mut]})
+
+    v1 = [{"name": "ID", "type": "NUMBER", "precision": 5, "scale": 0,
+           "length": 22, "nullable": False}]
+    v2 = v1 + [{"name": "N2", "type": "VARCHAR2", "length": 10,
+                "nullable": True}]
+    msgs = spark.createDataFrame(
+        [(bytearray(ev(20, v2).encode()),),   # NEWER schema, earlier row
+         (bytearray(ev(10, v1).encode()),)],
+        "msg binary",
+    )
+    reg = olr_schema_registry(decode_olr_events(msgs))
+    assert [c["name"] for c in reg[("S", "T")]] == ["ID", "N2"]

@@ -1177,3 +1177,38 @@ def test_pg_timetz_structured_mode(spark):
     import pytest
     with pytest.raises(ValueError, match="timetz_mode"):
         pg_typed_value(F.col("s"), 1266, timetz_mode="nope")
+
+
+def test_pg_time_is_session_timezone_proof(spark):
+    """r13 review: TIME (scalar + array) must be pure integer
+    arithmetic — the old to_timestamp formulation anchored to the
+    SESSION timezone's epoch day and shifted every value under a
+    non-UTC driver session; out-of-range minutes now raise in both TIME
+    and string-mode TIMETZ."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_typed_value
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame([("12:00:00.25",)], "s string")
+        got = df.select(
+            pg_typed_value(F.col("s"), 1083).alias("t")
+        ).collect()[0]["t"]
+        assert got == 43_200_250_000  # µs since midnight, tz-free
+        arr = spark.createDataFrame([("{12:00:00.25,NULL}",)], "s string")
+        got_a = arr.select(
+            pg_typed_value(F.col("s"), 1183).alias("t")
+        ).collect()[0]["t"]
+        assert got_a == [43_200_250_000, None]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+    bad = spark.createDataFrame([("10:99:30+00",)], "s string")
+    with pytest.raises(Exception, match="malformed timetz"):
+        bad.select(pg_typed_value(F.col("s"), 1266).alias("t")).collect()
+    badt = spark.createDataFrame([("10:99:30",)], "s string")
+    with pytest.raises(Exception, match="malformed time"):
+        badt.select(pg_typed_value(F.col("s"), 1083).alias("t")).collect()
