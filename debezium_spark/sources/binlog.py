@@ -62,10 +62,12 @@ from pyspark.sql import functions as F
 
 # event type codes (binlog v4)
 QUERY_EVENT = 2
+STOP_EVENT = 3
 ROTATE_EVENT = 4
 FORMAT_DESCRIPTION_EVENT = 15
 XID_EVENT = 16
 TABLE_MAP_EVENT = 19
+HEARTBEAT_EVENT = 27  # primary liveness; never written to the binlog file
 WRITE_ROWS_EVENT = 30  # v2 ("EXT_WRITE_ROWS" in the reference's enum)
 UPDATE_ROWS_EVENT = 31
 DELETE_ROWS_EVENT = 32
@@ -81,10 +83,12 @@ MARIADB_GTID_EVENT = 0xA2  # MariaDB numbers its GTID events from 160
 
 EVENT_NAMES = {
     QUERY_EVENT: "query",
+    STOP_EVENT: "server_stop",
     ROTATE_EVENT: "rotate",
     FORMAT_DESCRIPTION_EVENT: "format_description",
     XID_EVENT: "xid",
     TABLE_MAP_EVENT: "table_map",
+    HEARTBEAT_EVENT: "server_heartbeat",
     WRITE_ROWS_EVENT: "write_rows",
     UPDATE_ROWS_EVENT: "update_rows",
     DELETE_ROWS_EVENT: "delete_rows",
@@ -1043,6 +1047,36 @@ def encode_xid(xid: int, **hdr) -> bytes:
     return encode_header(XID_EVENT, 8, **hdr) + struct.pack("<Q", xid)
 
 
+def parse_server_stop(body: bytes) -> dict:
+    """STOP: empty body, written when the primary shuts down cleanly —
+    the reference's handler is a debug-log no-op
+    (handleServerStop:690-692); surfaced as a marker so operators can
+    see the shutdown boundary."""
+    return {"kind": "server_stop"}
+
+
+def parse_heartbeat(body: bytes) -> dict:
+    """HEARTBEAT (type 27): primary->replica liveness carrying the
+    current binlog file name; never written to the log file. The
+    reference dispatches a connector heartbeat on it
+    (handleServerHeartbeat:700-703) — the marker row is this engine's
+    hook for the same liveness signal (streaming/reliability.Heartbeat).
+    INCIDENT, the third server handler (:712), is a client-LIBRARY
+    artifact wrapping deserialization failures — this engine parses raw
+    bytes itself, so that failure class surfaces as the codec's own
+    ValueError/DLQ path instead."""
+    return {"kind": "server_heartbeat", "log_file": body.decode("utf-8")}
+
+
+def encode_server_stop(**hdr) -> bytes:
+    return encode_header(STOP_EVENT, 0, **hdr)
+
+
+def encode_heartbeat(log_file: str, **hdr) -> bytes:
+    b = log_file.encode("utf-8")
+    return encode_header(HEARTBEAT_EVENT, len(b), **hdr) + b
+
+
 def parse_rows_query(body: bytes) -> dict:
     """ROWS_QUERY (include.query): one ignored length byte, then the
     originating SQL — the statement text the reference copies into the
@@ -1151,6 +1185,10 @@ def parse_event(buf: bytes, registry: dict) -> dict:
         out = parse_transaction_payload(body, registry)
     elif code == ROWS_QUERY_EVENT:
         out = parse_rows_query(body)
+    elif code == STOP_EVENT:
+        out = parse_server_stop(body)
+    elif code == HEARTBEAT_EVENT:
+        out = parse_heartbeat(body)
     elif code == MARIADB_ANNOTATE_ROWS_EVENT:
         out = parse_annotate_rows(body)
     elif code == XA_PREPARE_EVENT:
@@ -1332,7 +1370,8 @@ def decode_binlog_rows(
                         ) + tail
                     )
             elif ev["kind"] in ("query", "xid", "xa_prepare",
-                                "view_change", "rows_query"):
+                                "view_change", "rows_query",
+                                "server_stop", "server_heartbeat"):
                 if ev["kind"] == "rows_query":
                     if not include_query:
                         return  # config off: handler never registered
@@ -1348,8 +1387,12 @@ def decode_binlog_rows(
                     marker = [str(ev["xid"])]
                 elif ev["kind"] == "xa_prepare":
                     marker = [ev["xid_text"]]
-                else:
+                elif ev["kind"] == "view_change":
                     marker = [ev["view_id"]]
+                elif ev["kind"] == "server_heartbeat":
+                    marker = [ev["log_file"]]
+                else:
+                    marker = []  # server_stop: boundary only
                 out.append(
                     (
                         ev["log_pos"],

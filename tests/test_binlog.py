@@ -204,8 +204,18 @@ def test_rotate_and_gtid_events():
 
 
 def test_unknown_event_skips_and_errors_are_loud():
-    stop = encode_header(3, 0)  # STOP event, not handled
-    assert parse_event(stop, {})["kind"] == "skip"
+    # INTVAR (5): statement-based-replication artifact, deliberately
+    # unhandled (row-based streams never carry it)
+    assert parse_event(encode_header(5, 0), {})["kind"] == "skip"
+    # STOP and HEARTBEAT now have arms (handleServerStop:690,
+    # handleServerHeartbeat:700): boundary/liveness markers
+    assert parse_event(encode_header(3, 0), {})["kind"] == "server_stop"
+    from debezium_spark.sources.binlog import encode_heartbeat
+
+    hb = parse_event(encode_heartbeat("binlog.000007"), {})
+    assert (hb["kind"], hb["log_file"]) == (
+        "server_heartbeat", "binlog.000007",
+    )
     # rows event for an unmapped table id raises (can't walk values blind)
     raw = encode_rows_event(
         WRITE_ROWS_EVENT, 404, [TYPE_LONGLONG], [0],
