@@ -2987,7 +2987,8 @@ def s35_binlog_xa_view_change(spark, sf_dir):
            CASE event_type WHEN 'signup' THEN 'c'
                            WHEN 'error' THEN 'd'
                            ELSE 'u' END AS op,
-           CAST(event_id % 1000 + 0.25 AS DECIMAL(10,2)) AS amt,
+           CAST(CAST(event_id % 1000 + 0.25 AS DECIMAL(10,2))
+                AS VARCHAR) AS amt_str,
            'n' || CAST(event_id % 97 AS VARCHAR) AS note,
            CAST(event_id AS BIGINT) * 1000000 + 123456 AS ts_us,
            printf('72%02x', event_id % 256) AS rw_hex,
@@ -3086,9 +3087,12 @@ def s36_olr_stream(spark, sf_dir):
     dec = decode_olr_events(msgs)
     typed = olr_typed_rows(dec, "SHOP", "STOCK")
     return typed.select(
-        F.col("ID").alias("id"),
+        # NUMBER(10,0) decodes as decimal(10,0); surface the key as a
+        # plain long (decimals land as pandas objects, and the in-repo
+        # gate is dtype-class-strict)
+        F.col("ID").cast("long").alias("id"),
         "op",
-        F.col("AMT").alias("amt"),
+        F.col("AMT").cast("string").alias("amt_str"),
         F.col("NOTE").alias("note"),
         F.unix_micros("TS_C").alias("ts_us"),
         F.lower(F.hex("RW")).alias("rw_hex"),

@@ -627,9 +627,9 @@ def test_typed_projection_schema_and_values(spark):
     from debezium_spark.sources.pgoutput import pg_typed_value
     from pyspark.sql import functions as F
 
-    # tsvector (3614) stays genuinely exotic — point (600) is mapped now
-    with _pytest.raises(ValueError, match="OID 3614"):
-        pg_typed_value(F.lit("x"), 3614)
+    # refcursor (1790) stays genuinely exotic — tsvector/point are mapped
+    with _pytest.raises(ValueError, match="OID 1790"):
+        pg_typed_value(F.lit("x"), 1790)
 
 
 def test_typed_projection_is_version_aware(spark):
