@@ -1466,6 +1466,15 @@ def attach_rows_query(
 
     from debezium_spark.operators.range_join import range_join
 
+    # FOUR plan branches consume the decoded frame (rows side, marker
+    # side, the high-water agg, the pass-through union) and the decode is
+    # an opaque Arrow kernel, so without a barrier every branch re-runs
+    # the full Python parse — measured 3-4 kernel executions per action
+    # at sf0.1 (r13). Lazily materialize it once, the same pattern as the
+    # x37/x39 fingerprint table and a13's TF index; in production this is
+    # the micro-batch's decoded frame, persisted once per batch anyway.
+    decoded = decoded.localCheckpoint(eager=False)
+
     breakers = (
         decoded.filter(F.col("kind").isin("rows_query", "xid"))
         .select(

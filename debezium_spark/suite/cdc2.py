@@ -3377,7 +3377,11 @@ def s23_logminer_dml(spark, sf_dir):
                 sqls.append(sql)
             yield pd.DataFrame({"scn": scns, "sql_redo": sqls})
 
-    redo = ev.mapInPandas(enc, "scn long, sql_redo string")
+    # Materialize the fixture once (a real deployment reads an already-
+    # written redo log, and the timed decode must not re-run the encode)
+    redo = ev.mapInPandas(
+        enc, "scn long, sql_redo string"
+    ).localCheckpoint(eager=True)
     dec = decode_logminer_dml(redo, COLS)
     a, b = F.col("after"), F.col("before")
     img = F.coalesce(a, b)  # delete has only a before image
@@ -3621,7 +3625,9 @@ def s25_logminer_to_table(spark, sf_dir):
                 {"scn": scns, "xid": xids, "sql_redo": sqls}
             )
 
-    redo = ev.mapInPandas(enc, "scn long, xid string, sql_redo string")
+    redo = ev.mapInPandas(
+        enc, "scn long, xid string, sql_redo string"
+    ).localCheckpoint(eager=True)
 
     def enc_commits(batches):
         for pdf in batches:
@@ -4477,7 +4483,7 @@ def s29_logminer_lob(spark, sf_dir):
         "scn long, tx string, row_id string, kind string, schema string,"
         " table string, after array<string>, lob_col string,"
         " lob_offset int, lob_data string",
-    )
+    ).localCheckpoint(eager=True)
 
     from debezium_spark.sources.logminer import assemble_lob_events
 
@@ -4612,7 +4618,7 @@ def s29b_logminer_lob_edge(spark, sf_dir):
         "scn long, tx string, row_id string, kind string, schema string,"
         " table string, after array<string>, lob_col string,"
         " lob_offset int, lob_data string",
-    )
+    ).localCheckpoint(eager=True)
 
     from debezium_spark.sources.logminer import assemble_lob_events
 
@@ -4693,7 +4699,9 @@ def s31_bson_typed(spark, sf_dir):
                 msgs.append(encode_bson(doc))
             yield pd.DataFrame({"pos": poss, "doc": msgs})
 
-    feed = ev.mapInPandas(enc, "pos long, doc binary")
+    feed = ev.mapInPandas(
+        enc, "pos long, doc binary"
+    ).localCheckpoint(eager=True)
     typed = bson_typed_table(
         feed,
         [
