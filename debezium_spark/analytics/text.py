@@ -2595,6 +2595,9 @@ def dsir_topk(
     the model is ≤ n_buckets rows and BROADCASTS by construction; the
     final top-k is a distributed TakeOrdered (per-partition heads, never
     a global window)."""
+    # Token explode + per-bucket lambda folds off a one-split scan would
+    # run single-core (guide §2.5); spread first, no-op at scale.
+    docs = ensure_parallelism(docs, 16)
     Q = 1_000_000_000
 
     def q(x):
@@ -2687,6 +2690,10 @@ def nb_quality(
     Per-token log-probabilities are fixed-point quantized
     (floor(log2 p * 1e9) as int64, the x38 pattern) so per-doc sums are
     order-independent and engines agree bit-for-bit."""
+    # The seed-label pass folds an interpreted lambda over every token of
+    # every document; a one-split scan serializes it on one core (guide
+    # §2.5 input skew) — spread first, no-op on well-partitioned input.
+    df = ensure_parallelism(df, 16)
     Q = 1_000_000_000.0
     en_stop = LANG_MARKERS[0][1]
     norm = normalize_text(F.col(text_col))

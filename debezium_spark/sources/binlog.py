@@ -1458,10 +1458,12 @@ def attach_rows_query(
     predicate inside the join, ONE shuffle, linear in rows + statements
     at any stream size. A bare non-equi join here would plan as
     BroadcastNestedLoopJoin: quadratic in statements × rows, measured
-    4x slower at sf0.1 and a scale-killer beyond it. The lead() window
-    that builds intervals runs over the markers only (single-partition
-    but statement-bounded); ``bin_width`` is in position units — pick it
-    near the median statement span (default 1 MiB of binlog)."""
+    4x slower at sf0.1 and a scale-killer beyond it. The lead() that
+    builds intervals is TWO-LEVEL (lead within a position bin + a
+    boundary repair from the next non-empty bin's min), so the only
+    single-partition step handles one row per non-empty bin, not one
+    per statement; ``bin_width`` is in position units — pick it near
+    the median statement span (default 1 MiB of binlog)."""
     from pyspark.sql import Window
 
     from debezium_spark.operators.range_join import range_join
@@ -1483,9 +1485,29 @@ def attach_rows_query(
             F.element_at("after", 1).alias("q_text"),
         )
     )
-    w = Window.orderBy("q_from")
+    # Two-level lead (guide §2): a global-order lead() would sort EVERY
+    # breaker (one per statement + one per tx) in one task. Instead lead
+    # within a position bin (distributed), then repair each bin's LAST
+    # breaker with the next non-empty bin's minimum — the only
+    # single-partition step runs over ONE ROW PER NON-EMPTY BIN, a
+    # reduction of (statements per bin_width of binlog); with the 1 MiB
+    # default and real statement sizes that is 10^2-10^4x. The join back
+    # is on the bin key the window already hashed by, so AQE reuses the
+    # exchange. Results are identical to the global lead: positions are
+    # unique (binlog offsets strictly increase), so "next breaker" =
+    # within-bin lead, or the next non-empty bin's min for the last one.
+    lbin = F.expr(f"q_from div {int(bin_width)}")
+    binned = breakers.withColumn("__lbin", lbin)
+    wb = Window.partitionBy("__lbin").orderBy("q_from")
+    in_bin = binned.withColumn("__lead", F.lead("q_from").over(wb))
+    bin_mins = binned.groupBy("__lbin").agg(F.min("q_from").alias("__bmin"))
+    wg = Window.orderBy("__lbin")
+    nxt = bin_mins.withColumn(
+        "__next", F.lead("__bmin").over(wg)
+    ).select("__lbin", "__next")
     intervals = (
-        breakers.withColumn("q_to", F.lead("q_from").over(w))
+        in_bin.join(nxt, "__lbin", "left")
+        .withColumn("q_to", F.coalesce(F.col("__lead"), F.col("__next")))
         .filter(F.col("kind") == "rows_query")
         .select("q_from", "q_to", "q_text")
     )

@@ -602,6 +602,10 @@ def _decode_data_vectorized(lsn_arr, msg_arr):
 
     if msg_arr.null_count:
         raise ValueError("null message")
+    if not pa.types.is_binary(msg_arr.type):
+        # large_binary (64-bit offsets) would misread below; the row
+        # path handles it
+        raise ValueError(f"unexpected arrow type {msg_arr.type}")
     o = msg_arr.offset
     offs = np.frombuffer(msg_arr.buffers()[1], dtype=np.int32)[
         o : o + len(msg_arr) + 1

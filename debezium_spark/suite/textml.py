@@ -1434,9 +1434,18 @@ def x32_dedupe_corpus_lines(spark, sf_dir):
     every document — after dedup exactly one doc keeps the global footer
     and one doc per source keeps its source footer. One line-key hash agg
     (exchange reused by the join) + one doc-key reassembly agg."""
-    from debezium_spark.analytics.text import dedupe_corpus_lines
+    from debezium_spark.analytics.text import (
+        dedupe_corpus_lines,
+        ensure_parallelism,
+    )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The heavy part here is the fixture's line-rendering expression
+    # (interpreted transform/slice lambdas) evaluated in BOTH Generate
+    # branches; spread the one-split scan first so it parallelizes
+    # (measured 1.99s -> 0.84s at sf0.1, r13 optimization round).
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), 16
+    )
     lines = _six_token_lines(F.col("text"))
     aug = docs.select(
         "doc_id",

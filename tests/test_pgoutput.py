@@ -1212,3 +1212,131 @@ def test_pg_time_is_session_timezone_proof(spark):
     badt = spark.createDataFrame([("10:99:30",)], "s string")
     with pytest.raises(Exception, match="malformed time"):
         badt.select(pg_typed_value(F.col("s"), 1083).alias("t")).collect()
+
+
+# ---------------------------------------------------------------------------
+# r13 optimization round: the vectorized I/U/D decode fast path must be
+# bit-identical to the per-row parse_message path, and every protocol
+# violation must still surface through the row path's exact errors.
+# ---------------------------------------------------------------------------
+def _fastpath_fixture_msgs():
+    from debezium_spark.sources.pgoutput import (
+        encode_delete,
+        encode_insert,
+        encode_update,
+    )
+
+    msgs = []
+    for e in range(400):
+        r = e % 7
+        if r == 1:  # update with old KEY image, toast 'u' cells
+            after = [("t", str(e)), ("t", f"s_{e}"),
+                     ("u", None) if e % 5 == 0 else ("t", f"n_{e}")]
+            key = [("t", str(e)), ("n", None), ("n", None)]
+            msgs.append(encode_update(16385, after, key, "K"))
+        elif r == 2:  # delete with key image
+            msgs.append(encode_delete(16385, [("t", str(e)), ("n", None)],
+                                      "K"))
+        elif r == 3:  # update with full OLD row, unicode + empty string
+            msgs.append(encode_update(
+                99, [("t", f"ünïcødé-{e}"), ("t", "")],
+                [("t", str(e)), ("u", None)], "O"))
+        elif r == 4:  # update with NO old image
+            msgs.append(encode_update(7, [("t", str(e))], None, None))
+        elif r == 5:  # delete with full old row
+            msgs.append(encode_delete(123, [("t", 'x"y\'z'), ("n", None)],
+                                      "O"))
+        elif r == 6:  # zero-column insert
+            msgs.append(encode_insert(5, []))
+        else:
+            msgs.append(encode_insert(16385, [("t", str(e)), ("n", None)]))
+    return msgs
+
+
+def test_vectorized_decode_matches_row_path():
+    import numpy as np
+    import pyarrow as pa
+
+    from debezium_spark.sources.pgoutput import (
+        _decode_data_vectorized,
+        _frame_batch_rowpath,
+    )
+
+    msgs = _fastpath_fixture_msgs()
+    lsn = pa.array(np.arange(len(msgs), dtype=np.int64))
+    fast = _decode_data_vectorized(lsn, pa.array(msgs, type=pa.binary()))
+    slow = _frame_batch_rowpath(range(len(msgs)), msgs,
+                                [False] * len(msgs))
+    assert fast.schema.equals(slow.schema)
+    assert fast.to_pylist() == slow.to_pylist()
+
+
+def test_vectorized_decode_rejects_protocol_violations():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from debezium_spark.sources.pgoutput import _decode_data_vectorized
+
+    def one(msg):
+        return _decode_data_vectorized(
+            pa.array(np.zeros(1, dtype=np.int64)),
+            pa.array([msg], type=pa.binary()),
+        )
+
+    import struct
+
+    # INSERT whose tuple marker is not 'N'
+    bad_marker = b"I" + struct.pack(">i", 5) + b"K" + struct.pack(">h", 0)
+    with pytest.raises(ValueError):
+        one(bad_marker)
+    # unsupported cell kind 'b'
+    bad_cell = b"I" + struct.pack(">i", 5) + b"N" + struct.pack(">h", 1) \
+        + b"b"
+    with pytest.raises(ValueError):
+        one(bad_cell)
+    # a non-data message in the batch
+    with pytest.raises(ValueError):
+        one(b"B" + b"\x00" * 20)
+    # truncated value length walks off the buffer
+    trunc = b"I" + struct.pack(">i", 5) + b"N" + struct.pack(">h", 1) \
+        + b"t" + struct.pack(">i", 99) + b"ab"
+    with pytest.raises(Exception):
+        one(trunc)
+
+
+def test_decode_frames_spark_fast_and_fallback(spark):
+    """End-to-end through mapInArrow: a pure data batch (fast path) and a
+    mixed control+v2 batch (row-path fallback) both decode correctly."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import (
+        decode_frames,
+        encode_begin,
+        encode_insert,
+    )
+
+    msgs = _fastpath_fixture_msgs()
+    df = spark.createDataFrame(
+        [(i, bytearray(m)) for i, m in enumerate(msgs)],
+        "lsn long, msg binary",
+    )
+    out = decode_frames(df).collect()
+    assert len(out) == len(msgs)
+    ins = [r for r in out if r["kind"] == "insert"]
+    assert ins and all(r["after"] is not None for r in ins)
+    dels = [r for r in out if r["kind"] == "delete"]
+    assert dels and all(
+        r["after"] is None and r["before_kind"] in ("K", "O") for r in dels
+    )
+
+    mixed = spark.createDataFrame(
+        [
+            (1, bytearray(encode_begin(9, 7_000_000, 42))),
+            (2, bytearray(encode_insert(5, [("t", "1")]))),
+        ],
+        "lsn long, msg binary",
+    )
+    rows = {r["kind"]: r for r in decode_frames(mixed).collect()}
+    assert rows["begin"]["xid"] == 42
+    assert rows["insert"]["after"][0]["v"] == "1"

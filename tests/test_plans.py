@@ -611,15 +611,21 @@ def test_include_query_attach_is_binned_range_join(spark, qs):
     shuffled hash join when the statement table outgrows broadcast),
     NEVER a non-equi BroadcastNestedLoopJoin over the row stream
     (quadratic in statements x rows; measured 1.5x slower even at
-    sf0.1). The only NL join is the 1-row high-water crossJoin; the only
-    single-partition exchange is the marker-building window (bounded by
-    statement count)."""
+    sf0.1). The only NL join is the 1-row high-water crossJoin. r13: the
+    marker-building lead() is TWO-LEVEL — distributed within position
+    bins (hashpartitioning(__lbin)) plus a boundary repair whose global
+    window sees ONE ROW PER NON-EMPTY BIN — so no single-partition step
+    scales with statement count; the two SinglePartition exchanges left
+    are that bin-repair window and the 1-row high-water aggregation."""
     plan = _plan(spark, qs, "s34_binlog_include_query")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") == 1  # the binned attach
+    # binned attach + the bin-boundary repair join
+    assert plan.count("BroadcastHashJoin") == 2
     assert plan.count("BroadcastNestedLoop") == 1  # 1-row hi bound only
-    # marker-building window + the 1-row high-water aggregation
+    # the statement-scale window runs distributed by position bin
+    assert "hashpartitioning(__lbin" in plan
+    # bin-repair window (1 row/non-empty bin) + 1-row high-water agg
     assert plan.count("SinglePartition") == 2
 
 
