@@ -1206,6 +1206,786 @@ def parse_event(buf: bytes, registry: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# vectorized rows-event decode (r13 optimization round)
+#
+# The per-row ``parse_event`` walk costs ~4.5 s of single-core Python per
+# 100k rows events (profiled: the ``_read_value`` type switch +
+# ``_bitmap_get`` + decimal/temporal rendering dominate). The fast path
+# below decodes a batch's WRITE/UPDATE/DELETE_ROWS subset entirely in
+# numpy over the Arrow binary buffers — O(columns) gather passes per
+# image, digit-matrix rendering for temporals/decimals, one flat byte
+# gather per string column — following the ``_decode_data_vectorized``
+# template in sources/pgoutput.py. Non-rows messages (markers, TABLE_MAPs,
+# payloads) in the same batch still parse through the exact per-row path
+# and the outputs re-interleave by message index, so mixed streams keep
+# their semantics. ANY shape outside the vectorized slice (JSON columns,
+# multi-row events, out-of-range temporals, >18-digit decimal halves,
+# malformed lengths) raises, and the caller re-runs the WHOLE batch
+# through the per-row path, which reports the reference's exact error.
+# ---------------------------------------------------------------------------
+def _gather_le(data, offs, width):
+    """Little-endian unsigned gather of ``width``-byte ints -> uint64."""
+    import numpy as np
+
+    v = np.zeros(len(offs), dtype=np.uint64)
+    for k in range(width):
+        v |= data[offs + k].astype(np.uint64) << np.uint64(8 * k)
+    return v
+
+
+def _gather_be(data, offs, width):
+    """Big-endian unsigned gather of ``width``-byte ints -> uint64."""
+    import numpy as np
+
+    v = np.zeros(len(offs), dtype=np.uint64)
+    for k in range(width):
+        v = (v << np.uint64(8)) | data[offs + k].astype(np.uint64)
+    return v
+
+
+def _gather_bytes(data, offs, width):
+    """(n, width) byte matrix at per-row ``offs``; indices clip to the
+    buffer end so ragged tails never fault — callers mask the excess."""
+    import numpy as np
+
+    idx = offs[:, None] + np.arange(width, dtype=np.int64)[None, :]
+    return data[np.minimum(idx, len(data) - 1)]
+
+
+def _gather_var(data, offs, lens):
+    """Flat gather of per-row variable slices -> (flat bytes, ends) where
+    ``ends`` is the n+1 exclusive cumulative offsets into the flat."""
+    import numpy as np
+
+    ends = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=ends[1:])
+    total = int(ends[-1])
+    flat_idx = (
+        np.repeat(offs - ends[:-1], lens) + np.arange(total, dtype=np.int64)
+    )
+    return data[flat_idx], ends
+
+
+def _utf8_from_flat(flat, ends, valid):
+    """Arrow utf8 over a gathered flat buffer; ``validate(full=True)``
+    enforces the row path's strict-UTF-8 contract (invalid input raises,
+    the caller falls back, the per-row ``.decode`` reports the error).
+    Returns an object ndarray with None at invalid rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    if ends[-1] > np.iinfo(np.int32).max:
+        raise ValueError("string payload exceeds 2 GiB per batch")
+    arr = pa.Array.from_buffers(
+        pa.utf8(),
+        len(valid),
+        [
+            pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()),
+            pa.py_buffer(ends.astype(np.int32).tobytes()),
+            pa.py_buffer(flat.tobytes()),
+        ],
+        null_count=int(len(valid) - valid.sum()),
+    )
+    arr.validate(full=True)
+    return arr.to_numpy(zero_copy_only=False)
+
+
+_HEX_LUT = b"0123456789abcdef"
+
+
+def _hex_from_flat(flat, ends, valid):
+    """bytes.hex() text form, vectorized: two ASCII chars per byte."""
+    import numpy as np
+
+    lut = np.frombuffer(_HEX_LUT, dtype=np.uint8)
+    out = np.empty((len(flat), 2), dtype=np.uint8)
+    out[:, 0] = lut[flat >> 4]
+    out[:, 1] = lut[flat & 0x0F]
+    return _utf8_from_flat(out.reshape(-1), ends * 2, valid)
+
+
+def _put_digits(mat, col, v, ndig):
+    """Zero-padded ``ndig``-digit ASCII rendering of int64 ``v`` into
+    mat[:, col:col+ndig] (the f"{v:0Nd}" contract for non-negative v)."""
+    for k in range(ndig - 1, -1, -1):
+        mat[:, col + k] = (v % 10 + 48).astype("uint8")
+        v = v // 10
+
+
+def _mat_to_strs(mat):
+    """Fixed-width ASCII char matrix -> unicode ndarray."""
+    import numpy as np
+
+    ln = mat.shape[1]
+    return np.frombuffer(mat.tobytes(), dtype=f"S{ln}").astype("U")
+
+
+def _be_mat(m, pos, width):
+    """Big-endian int64 over columns [pos, pos+width) of a byte matrix."""
+    import numpy as np
+
+    v = np.zeros(m.shape[0], dtype=np.int64)
+    for k in range(width):
+        v = v * 256 + m[:, pos + k].astype(np.int64)
+    return v
+
+
+def _frac_digits(mat, col, micros, fsp):
+    """The f"{micros:06d}"[:fsp] tail digits into mat[:, col:col+fsp]."""
+    for k in range(fsp):
+        mat[:, col + k] = (micros // 10 ** (5 - k) % 10 + 48).astype("uint8")
+
+
+def _walk_image_vec(data, off, ends, present, tm):
+    """Vectorized walk of ONE row image for messages sharing a TABLE_MAP:
+    null bitmap over the present columns, then a gather pass per column.
+    Returns (texts, nums, nums_valid, end_off): ``texts`` the (n, ncols)
+    object matrix of the exact ``to_text`` rendering, ``nums`` the
+    FLOAT/DOUBLE numeric dual. Raises ValueError for anything outside the
+    vectorized slice."""
+    import numpy as np
+
+    types, metas = tm["types"], tm["metas"]
+    uns = tm.get("unsigned")
+    el = tm.get("enum_labels_by_col") or {}
+    sl = tm.get("set_labels_by_col") or {}
+    n, ncols = present.shape
+
+    n_present = present.sum(axis=1)
+    nb_len = (n_present + 7) // 8
+    nb_max = int(nb_len.max()) if n else 0
+    if nb_max:
+        bits = np.unpackbits(
+            _gather_bytes(data, off, nb_max), axis=1, bitorder="little"
+        )
+        rank = np.cumsum(present, axis=1) - present  # 0-based among present
+        null = present & np.take_along_axis(
+            bits, np.minimum(rank, nb_max * 8 - 1), axis=1
+        ).astype(bool)
+    else:
+        null = np.zeros_like(present)
+    off = off + nb_len
+
+    texts = np.empty((n, ncols), dtype=object)
+    nums = np.zeros((n, ncols), dtype=np.float64)
+    nums_valid = np.zeros((n, ncols), dtype=bool)
+
+    for j in range(ncols):
+        t, meta = types[j], metas[j]
+        u = bool(uns[j]) if uns else False
+        has = present[:, j] & ~null[:, j]
+        safe = np.where(has, off, 0)
+
+        if t in (TYPE_TINY, TYPE_SHORT, TYPE_INT24, TYPE_LONG,
+                 TYPE_LONGLONG):
+            w = {TYPE_TINY: 1, TYPE_SHORT: 2, TYPE_INT24: 3,
+                 TYPE_LONG: 4, TYPE_LONGLONG: 8}[t]
+            raw = _gather_le(data, safe, w)
+            if t == TYPE_LONGLONG:
+                txt = (raw if u else raw.view(np.int64)).astype("U20")
+            else:
+                v = raw.astype(np.int64)
+                if not u:
+                    half = np.int64(1) << (8 * w - 1)
+                    v = np.where(v >= half, v - (half << 1), v)
+                txt = v.astype("U20")
+            texts[has, j] = txt[has]
+        elif t == TYPE_FLOAT:
+            w = 4
+            f = _gather_le(data, safe, 4).astype(np.uint32).view(np.float32)
+            nums[has, j] = f.astype(np.float64)[has]
+            nums_valid[has, j] = True
+        elif t == TYPE_DOUBLE:
+            w = 8
+            f = _gather_le(data, safe, 8).view(np.float64)
+            nums[has, j] = f[has]
+            nums_valid[has, j] = True
+        elif t == TYPE_YEAR:
+            w = 1
+            b = data[safe].astype(np.int64)
+            y = np.where(b == 0, 0, 1900 + b)
+            texts[has, j] = y.astype("U4")[has]
+        elif t == TYPE_BIT:
+            w = (meta + 7) // 8
+            if w > 8:
+                raise ValueError("BIT wider than 64 outside the "
+                                 "vectorized slice")
+            texts[has, j] = _gather_be(data, safe, w).astype("U20")[has]
+        elif t == TYPE_DATE:
+            w = 3
+            v = _gather_le(data, safe, 3).astype(np.int64)
+            y, mo, d = (v >> 9) & 0x7FFF, (v >> 5) & 0x0F, v & 0x1F
+            if has.any() and int(y[has].max()) > 9999:
+                raise ValueError("5-digit year outside the vectorized "
+                                 "slice")
+            mat = np.empty((n, 10), dtype=np.uint8)
+            _put_digits(mat, 0, y, 4)
+            mat[:, 4] = ord("-")
+            _put_digits(mat, 5, mo, 2)
+            mat[:, 7] = ord("-")
+            _put_digits(mat, 8, d, 2)
+            texts[has, j] = _mat_to_strs(mat)[has]
+        elif t == TYPE_TIMESTAMP2:
+            fb = _fsp_bytes(meta)
+            w = 4 + fb
+            secs = _gather_be(data, safe, 4).astype(np.int64)
+            micros = (
+                _gather_be(data, safe + 4, fb).astype(np.int64)
+                * 10 ** (6 - 2 * fb) if fb else 0
+            )
+            texts[has, j] = (secs * 1_000_000 + micros).astype("U20")[has]
+        elif t == TYPE_DATETIME2:
+            fsp = meta
+            fb = _fsp_bytes(fsp)
+            w = 5 + fb
+            v = _gather_be(data, safe, 5).astype(np.int64) - 0x80_0000_0000
+            if has.any() and int(v[has].min()) < 0:
+                raise ValueError("pre-epoch DATETIME2 outside the "
+                                 "vectorized slice")
+            ym = (v >> 22) & 0x1FFFF
+            y = ym // 13
+            if has.any() and int(y[has].max()) > 9999:
+                raise ValueError("5-digit year outside the vectorized "
+                                 "slice")
+            micros = (
+                _gather_be(data, safe + 5, fb).astype(np.int64)
+                * 10 ** (6 - 2 * fb) if fb else np.zeros(n, dtype=np.int64)
+            )
+            ln = 19 + (1 + fsp if fsp else 0)
+            mat = np.empty((n, ln), dtype=np.uint8)
+            _put_digits(mat, 0, y, 4)
+            mat[:, 4] = ord("-")
+            _put_digits(mat, 5, ym % 13, 2)
+            mat[:, 7] = ord("-")
+            _put_digits(mat, 8, (v >> 17) & 0x1F, 2)
+            mat[:, 10] = ord(" ")
+            _put_digits(mat, 11, (v >> 12) & 0x1F, 2)
+            mat[:, 13] = ord(":")
+            _put_digits(mat, 14, (v >> 6) & 0x3F, 2)
+            mat[:, 16] = ord(":")
+            _put_digits(mat, 17, v & 0x3F, 2)
+            if fsp:
+                mat[:, 19] = ord(".")
+                _frac_digits(mat, 20, micros, fsp)
+            texts[has, j] = _mat_to_strs(mat)[has]
+        elif t == TYPE_TIME2:
+            fsp = meta
+            fb = _fsp_bytes(fsp)
+            w = 3 + fb
+            v = _gather_be(data, safe, 3).astype(np.int64) - 0x80_0000
+            if has.any() and int(v[has].min()) < 0:
+                raise ValueError("negative TIME2 outside the vectorized "
+                                 "slice")
+            hh = (v >> 12) & 0x3FF
+            if has.any() and int(hh[has].max()) > 99:
+                raise ValueError("3-digit hour outside the vectorized "
+                                 "slice")
+            micros = (
+                _gather_be(data, safe + 3, fb).astype(np.int64)
+                * 10 ** (6 - 2 * fb) if fb else np.zeros(n, dtype=np.int64)
+            )
+            ln = 8 + (1 + fsp if fsp else 0)
+            mat = np.empty((n, ln), dtype=np.uint8)
+            _put_digits(mat, 0, hh, 2)
+            mat[:, 2] = ord(":")
+            _put_digits(mat, 3, (v >> 6) & 0x3F, 2)
+            mat[:, 5] = ord(":")
+            _put_digits(mat, 6, v & 0x3F, 2)
+            if fsp:
+                mat[:, 8] = ord(".")
+                _frac_digits(mat, 9, micros, fsp)
+            texts[has, j] = _mat_to_strs(mat)[has]
+        elif t == TYPE_NEWDECIMAL:
+            prec, scale = meta >> 8, meta & 0xFF
+            intg = prec - scale
+            if intg > 18 or scale > 18:
+                raise ValueError(">18-digit decimal half outside the "
+                                 "vectorized slice")
+            w = _newdecimal_len(prec, scale)
+            m = _gather_bytes(data, safe, w).copy()
+            neg = (m[:, 0] & 0x80) == 0
+            m[:, 0] ^= 0x80
+            m[neg] ^= 0xFF
+            intg0, intg0x = divmod(intg, 9)
+            frac0, frac0x = divmod(scale, 9)
+            pos = 0
+            ival = np.zeros(n, dtype=np.int64)
+            if intg0x:
+                ival = _be_mat(m, pos, _DEC_DIG2BYTES[intg0x])
+                pos += _DEC_DIG2BYTES[intg0x]
+            for _ in range(intg0):
+                ival = ival * 10**9 + _be_mat(m, pos, 4)
+                pos += 4
+            fval = np.zeros(n, dtype=np.int64)
+            for _ in range(frac0):
+                fval = fval * 10**9 + _be_mat(m, pos, 4)
+                pos += 4
+            if frac0x:
+                fval = fval * 10**frac0x + _be_mat(
+                    m, pos, _DEC_DIG2BYTES[frac0x]
+                )
+            txt = ival.astype("U20")
+            if scale:
+                txt = np.char.add(
+                    np.char.add(txt, "."),
+                    np.char.zfill(fval.astype("U20"), scale),
+                )
+            nonzero = (ival != 0) | (fval != 0)
+            txt = np.where(neg & nonzero, np.char.add("-", txt), txt)
+            texts[has, j] = txt[has]
+        elif t == TYPE_VARCHAR:
+            pw = 1 if meta < 256 else 2
+            raw_ln = (
+                data[safe].astype(np.int64) if pw == 1
+                else _gather_le(data, safe, 2).astype(np.int64)
+            )
+            ln = np.where(has, raw_ln, 0)
+            if (np.where(has, off + pw + ln, 0) > ends).any():
+                raise ValueError("VARCHAR length past event end")
+            flat, fends = _gather_var(data, safe + pw, ln)
+            texts[:, j] = _utf8_from_flat(flat, fends, has)
+            off = off + np.where(has, pw + ln, 0)
+            continue
+        elif t == TYPE_BLOB:
+            pw = meta
+            ln = np.where(
+                has, _gather_le(data, safe, pw).astype(np.int64), 0
+            )
+            if (np.where(has, off + pw + ln, 0) > ends).any():
+                raise ValueError("BLOB length past event end")
+            flat, fends = _gather_var(data, safe + pw, ln)
+            texts[:, j] = _hex_from_flat(flat, fends, has)
+            off = off + np.where(has, pw + ln, 0)
+            continue
+        elif t == TYPE_STRING:
+            real, w = meta >> 8, meta & 0xFF
+            if real not in (ENUM_REAL, SET_REAL):
+                raise ValueError("STRING real type outside the "
+                                 "vectorized slice")
+            v = _gather_le(data, safe, w).astype(np.int64)
+            labels = el.get(j) if real == ENUM_REAL else sl.get(j)
+            if labels is None:
+                texts[has, j] = v.astype("U20")[has]
+            elif real == ENUM_REAL:
+                sub = v[has]
+                if len(sub) and not (
+                    (sub >= 0) & (sub <= len(labels))
+                ).all():
+                    raise ValueError("enum ordinal outside the declared "
+                                     "labels")
+                lut = np.array([""] + list(labels), dtype=object)
+                texts[has, j] = lut[sub]
+            else:
+                sub = v[has]
+                if len(sub) and (sub >> len(labels)).any():
+                    raise ValueError("set bitmask past the declared "
+                                     "labels")
+                if len(sub):
+                    uq, inv = np.unique(sub, return_inverse=True)
+                    rendered = np.array(
+                        [
+                            ",".join(
+                                lab for b, lab in enumerate(labels)
+                                if (int(q) >> b) & 1
+                            )
+                            for q in uq
+                        ],
+                        dtype=object,
+                    )
+                    texts[has, j] = rendered[inv]
+        else:
+            raise ValueError(
+                f"column type {t} outside the vectorized slice"
+            )
+        off = off + np.where(has, w, 0)
+        if (off > ends).any():
+            raise ValueError("image walk past event end")
+    return texts, nums, nums_valid, off
+
+
+_ROWS_OPS = {WRITE_ROWS_EVENT: "c", UPDATE_ROWS_EVENT: "u",
+             DELETE_ROWS_EVENT: "d"}
+
+
+def _list_utf8(texts):
+    import numpy as np
+    import pyarrow as pa
+
+    n, ncols = texts.shape
+    child = pa.array(texts.ravel(), type=pa.utf8())
+    offs = pa.array(
+        np.arange(0, (n + 1) * ncols, ncols, dtype=np.int32)
+    )
+    return pa.ListArray.from_arrays(offs, child)
+
+
+def _list_f64(vals, valid):
+    import numpy as np
+    import pyarrow as pa
+
+    n, ncols = vals.shape
+    child = pa.array(vals.ravel(), type=pa.float64(), mask=~valid.ravel())
+    offs = pa.array(
+        np.arange(0, (n + 1) * ncols, ncols, dtype=np.int32)
+    )
+    return pa.ListArray.from_arrays(offs, child)
+
+
+def _list_bool(mat):
+    import numpy as np
+    import pyarrow as pa
+
+    n, ncols = mat.shape
+    child = pa.array(mat.ravel())
+    offs = pa.array(
+        np.arange(0, (n + 1) * ncols, ncols, dtype=np.int32)
+    )
+    return pa.ListArray.from_arrays(offs, child)
+
+
+def _binlog_arrow_schema(include_query):
+    import pyarrow as pa
+
+    fields = [
+        ("log_pos", pa.int64()),
+        ("kind", pa.utf8()),
+        ("schema", pa.utf8()),
+        ("table", pa.utf8()),
+        ("before", pa.list_(pa.utf8())),
+        ("after", pa.list_(pa.utf8())),
+        ("before_nums", pa.list_(pa.float64())),
+        ("after_nums", pa.list_(pa.float64())),
+        ("before_present", pa.list_(pa.bool_())),
+        ("after_present", pa.list_(pa.bool_())),
+    ]
+    if include_query:
+        fields.append(("query", pa.utf8()))
+    return pa.schema(fields)
+
+
+def _decode_rows_group(data, starts, ends, type_code, tm, include_query):
+    """Vectorized decode of one (table_id, event type) group of
+    SINGLE-ROW rows events -> RecordBatch (one output row per event)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ncols = len(tm["types"])
+    n = len(starts)
+    log_pos = _gather_le(data, starts + 13, 4).astype(np.int64)
+    b0 = starts + HEADER_LEN
+    extra_len = _gather_le(data, b0 + 8, 2).astype(np.int64)
+    off = b0 + 8 + extra_len
+    ncb = data[np.minimum(off, len(data) - 1)]
+    if (ncb >= 0xFB).any() or (ncb != ncols).any():
+        raise ValueError("rows event column count outside the "
+                         "vectorized slice")
+    off = off + 1
+    bm_len = (ncols + 7) // 8
+    present = np.unpackbits(
+        _gather_bytes(data, off, bm_len), axis=1, bitorder="little"
+    )[:, :ncols].astype(bool)
+    off = off + bm_len
+    if type_code == UPDATE_ROWS_EVENT:
+        present_after = np.unpackbits(
+            _gather_bytes(data, off, bm_len), axis=1, bitorder="little"
+        )[:, :ncols].astype(bool)
+        off = off + bm_len
+    else:
+        present_after = present
+
+    null_list = lambda t: pa.nulls(n, type=t)  # noqa: E731
+    if type_code == WRITE_ROWS_EVENT:
+        at, an, av, off = _walk_image_vec(data, off, ends, present, tm)
+        before = null_list(pa.list_(pa.utf8()))
+        before_nums = null_list(pa.list_(pa.float64()))
+        after, after_nums = _list_utf8(at), _list_f64(an, av)
+        bp = null_list(pa.list_(pa.bool_()))
+        ap = _list_bool(present)
+    elif type_code == DELETE_ROWS_EVENT:
+        bt, bn, bv, off = _walk_image_vec(data, off, ends, present, tm)
+        before, before_nums = _list_utf8(bt), _list_f64(bn, bv)
+        after = null_list(pa.list_(pa.utf8()))
+        after_nums = null_list(pa.list_(pa.float64()))
+        bp = _list_bool(present)
+        ap = null_list(pa.list_(pa.bool_()))
+    else:
+        bt, bn, bv, off = _walk_image_vec(data, off, ends, present, tm)
+        at, an, av, off = _walk_image_vec(
+            data, off, ends, present_after, tm
+        )
+        before, before_nums = _list_utf8(bt), _list_f64(bn, bv)
+        after, after_nums = _list_utf8(at), _list_f64(an, av)
+        bp, ap = _list_bool(present), _list_bool(present_after)
+    if (off != ends).any():
+        raise ValueError("multi-row event outside the vectorized slice")
+
+    op = _ROWS_OPS[type_code]
+    cols = [
+        pa.array(log_pos),
+        pa.array(np.repeat(np.array([op], dtype=object), n),
+                 type=pa.utf8()),
+        pa.array(np.repeat(np.array([tm["schema"]], dtype=object), n),
+                 type=pa.utf8()),
+        pa.array(np.repeat(np.array([tm["table"]], dtype=object), n),
+                 type=pa.utf8()),
+        before,
+        after,
+        before_nums,
+        after_nums,
+        bp,
+        ap,
+    ]
+    if include_query:
+        # top-level rows events carry no statement state: the per-message
+        # `cur` slot starts None and only TRANSACTION_PAYLOAD (row path)
+        # threads it
+        cols.append(pa.nulls(n, type=pa.utf8()))
+    return pa.RecordBatch.from_arrays(
+        cols, schema=_binlog_arrow_schema(include_query)
+    )
+
+
+def _emit_event(ev, out, cur, include_query):
+    """One parsed event -> output tuples (the exact per-row semantics;
+    shared by the row path and the vectorized path's non-rows subset)."""
+    tail = ((cur[0],) if include_query else ())
+    if ev["kind"] in ("write_rows", "update_rows", "delete_rows"):
+        op = {"write_rows": "c", "update_rows": "u",
+              "delete_rows": "d"}[ev["kind"]]
+        el = ev.get("_enum_labels")
+        sl = ev.get("_set_labels")
+        for row in ev["rows"]:
+            out.append(
+                (
+                    ev["log_pos"],
+                    op,
+                    ev["schema"],
+                    ev["table"],
+                    _to_text(row["before"], el, sl),
+                    _to_text(row["after"], el, sl),
+                    _to_num(row["before"]),
+                    _to_num(row["after"]),
+                    ev["before_present"],
+                    ev["after_present"],
+                ) + tail
+            )
+    elif ev["kind"] in ("query", "xid", "xa_prepare", "view_change",
+                        "rows_query", "server_stop", "server_heartbeat"):
+        if ev["kind"] == "rows_query":
+            if not include_query:
+                return  # config off: handler never registered
+            cur[0] = ev["query"]
+            # the marker row carries the statement it ANNOUNCES, not the
+            # previous one — recompute the tail after the state update so
+            # marker.query == marker.after[0]
+            tail = (cur[0],)
+            marker = [ev["query"]]
+        elif ev["kind"] == "query":
+            marker = [ev["query"]]
+        elif ev["kind"] == "xid":
+            marker = [str(ev["xid"])]
+        elif ev["kind"] == "xa_prepare":
+            marker = [ev["xid_text"]]
+        elif ev["kind"] == "view_change":
+            marker = [ev["view_id"]]
+        elif ev["kind"] == "server_heartbeat":
+            marker = [ev["log_file"]]
+        else:
+            marker = []  # server_stop: boundary only
+        out.append(
+            (
+                ev["log_pos"],
+                ev["kind"],
+                ev.get("schema"),
+                None,
+                None,
+                marker,
+                None,
+                None,
+                None,
+                None,
+            ) + tail
+        )
+        if ev["kind"] == "xid":
+            # tx completion resets the recorded statement
+            # (BinlogOffsetContext resets sourceInfo's query the same way
+            # at transaction end)
+            cur[0] = None
+    elif ev["kind"] == "transaction_payload":
+        # the reference's handleTransactionPayload: replay every embedded
+        # event through the normal dispatch (:992-999)
+        for emb in ev["events"]:
+            _emit_event(emb, out, cur, include_query)
+
+
+def _to_text(vals, enum_labels=None, set_labels=None):
+    if vals is None:
+        return None
+    out = []
+    for i, v in enumerate(vals):
+        if v is None or isinstance(v, float):
+            out.append(None)  # DOUBLEs surface in *_nums only
+        elif isinstance(v, str):
+            out.append(v)
+        elif isinstance(v, bytes):
+            out.append(v.hex())  # BLOB/TEXT: hex text form
+        elif enum_labels and i in enum_labels:
+            # wire ordinal -> ENUM_STR_VALUE label (1-based; 0 is MySQL's
+            # invalid-value empty string)
+            labels = enum_labels[i]
+            v = int(v)
+            if not 0 <= v <= len(labels):
+                raise ValueError(
+                    f"enum ordinal {v} outside the {len(labels)} "
+                    "wire-declared labels"
+                )
+            out.append("" if v == 0 else labels[v - 1])
+        elif set_labels and i in set_labels:
+            # bitmask -> comma-joined SET_STR_VALUE labels (the
+            # reference's EnumSet text form)
+            labels = set_labels[i]
+            v = int(v)
+            if v >> len(labels):
+                raise ValueError(
+                    f"set bitmask {v:#x} has bits past the "
+                    f"{len(labels)} wire-declared labels"
+                )
+            out.append(",".join(
+                lab for b, lab in enumerate(labels) if v >> b & 1
+            ))
+        else:
+            out.append(str(int(v)))
+    return out
+
+
+def _to_num(vals):
+    if vals is None:
+        return None
+    return [float(v) if isinstance(v, float) else None for v in vals]
+
+
+def _attach_labels(ev, registry):
+    """Stamp the enum/set label tables the emit's to_text needs onto a
+    parsed rows event (also inside replayed payload events)."""
+    if ev["kind"] in ("write_rows", "update_rows", "delete_rows"):
+        tm = registry.get(ev["table_id"], {})
+        ev["_enum_labels"] = tm.get("enum_labels_by_col")
+        ev["_set_labels"] = tm.get("set_labels_by_col")
+    elif ev["kind"] == "transaction_payload":
+        for emb in ev["events"]:
+            _attach_labels(emb, registry)
+    return ev
+
+
+def _batch_from_tuples(tuples, include_query):
+    import pyarrow as pa
+
+    schema = _binlog_arrow_schema(include_query)
+    if not tuples:
+        return pa.RecordBatch.from_arrays(
+            [pa.array([], type=f.type) for f in schema], schema=schema
+        )
+    cols = list(zip(*tuples))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(list(c), type=f.type)
+            for c, f in zip(cols, schema)
+        ],
+        schema=schema,
+    )
+
+
+def _rows_batch_rowpath(msgs, registry, include_query):
+    """Exact per-row decode of a whole batch (the fallback path; raises
+    the reference's precise errors for malformed input)."""
+    out = []
+    for raw in msgs:
+        _emit_event(
+            _attach_labels(parse_event(bytes(raw), registry), registry),
+            out, [None], include_query,
+        )
+    return _batch_from_tuples(out, include_query)
+
+
+def _decode_rows_batch_vectorized(msg_arr, registry, include_query):
+    """One mixed Arrow batch -> one RecordBatch: the rows-event subset
+    decodes vectorized (grouped by table and event type), everything else
+    rides the per-row path, and the outputs re-interleave in message
+    order. Raises when the rows subset leaves the vectorized slice."""
+    import numpy as np
+    import pyarrow as pa
+
+    if msg_arr.null_count:
+        raise ValueError("null message")
+    if not pa.types.is_binary(msg_arr.type):
+        raise ValueError(f"unexpected arrow type {msg_arr.type}")
+    o = msg_arr.offset
+    offs = np.frombuffer(msg_arr.buffers()[1], dtype=np.int32)[
+        o : o + len(msg_arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(msg_arr.buffers()[2], dtype=np.uint8)
+    starts, ends = offs[:-1], offs[1:]
+    n = len(starts)
+    if n == 0:
+        raise ValueError("empty batch")
+
+    tcodes = data[np.minimum(starts + 4, len(data) - 1)]
+    rows_mask = (
+        (tcodes == WRITE_ROWS_EVENT)
+        | (tcodes == UPDATE_ROWS_EVENT)
+        | (tcodes == DELETE_ROWS_EVENT)
+    ) & (ends - starts > HEADER_LEN + 10)
+    if not rows_mask.any():
+        raise ValueError("no vectorizable rows events")
+
+    batches: list = []
+    orders: list = []
+
+    ridx = np.nonzero(rows_mask)[0]
+    tids = _gather_le(data, starts[ridx] + HEADER_LEN, 6).astype(np.int64)
+    gkey = tids * 256 + tcodes[ridx].astype(np.int64)
+    for k in np.unique(gkey):
+        sel = ridx[gkey == k]
+        tid, tc = int(k) >> 8, int(k) & 0xFF
+        tm = registry.get(tid)
+        if tm is None:
+            raise ValueError("rows event for unmapped table id")
+        batches.append(
+            _decode_rows_group(
+                data, starts[sel], ends[sel], tc, tm, include_query
+            )
+        )
+        orders.append(sel)
+
+    nr_idx = np.nonzero(~rows_mask)[0]
+    if len(nr_idx):
+        out: list = []
+        src: list = []
+        for i in nr_idx:
+            before = len(out)
+            _emit_event(
+                _attach_labels(
+                    parse_event(data[starts[i]:ends[i]].tobytes(),
+                                registry),
+                    registry,
+                ),
+                out, [None], include_query,
+            )
+            src.extend([int(i)] * (len(out) - before))
+        batches.append(_batch_from_tuples(out, include_query))
+        orders.append(np.array(src, dtype=np.int64))
+
+    tbl = pa.Table.from_batches(batches)
+    order = np.concatenate(orders) if orders else np.array([], np.int64)
+    perm = np.argsort(order, kind="stable")
+    merged = tbl.take(perm).combine_chunks()
+    out_batches = merged.to_batches()
+    if len(out_batches) != 1:  # pragma: no cover - combine_chunks contract
+        return pa.Table.from_batches(out_batches).combine_chunks().to_batches()[0]
+    return out_batches[0]
+
+
+# ---------------------------------------------------------------------------
 # distributed decode
 # ---------------------------------------------------------------------------
 def table_map_registry(
@@ -1287,150 +2067,40 @@ def decode_binlog_rows(
     ``registry`` (table_id → TABLE_MAP parse) defaults to the batch's
     own TABLE_MAPs; a streaming caller passes the accumulated one (see
     BinlogStreamDecoder) so rows events decode even when their TABLE_MAP
-    arrived in an earlier micro-batch."""
-    import pandas as pd
+    arrived in an earlier micro-batch.
 
+    r13: a batch's rows-event subset decodes through the vectorized numpy
+    walk (``_decode_rows_batch_vectorized``); markers/maps/payloads in
+    the same batch keep the exact per-row path and re-interleave by
+    message order. Any batch whose rows events leave the vectorized
+    slice falls back whole to the per-row path, which raises the
+    reference's exact errors for malformed input."""
     if registry is None:
         registry = table_map_registry(df, msg_col=msg_col)
 
-    def to_text(vals, enum_labels=None, set_labels=None):
-        if vals is None:
-            return None
-        out = []
-        for i, v in enumerate(vals):
-            if v is None or isinstance(v, float):
-                out.append(None)  # DOUBLEs surface in *_nums only
-            elif isinstance(v, str):
-                out.append(v)
-            elif isinstance(v, bytes):
-                out.append(v.hex())  # BLOB/TEXT: hex text form
-            elif enum_labels and i in enum_labels:
-                # wire ordinal -> ENUM_STR_VALUE label (1-based; 0 is
-                # MySQL's invalid-value empty string)
-                labels = enum_labels[i]
-                v = int(v)
-                if not 0 <= v <= len(labels):
-                    raise ValueError(
-                        f"enum ordinal {v} outside the {len(labels)} "
-                        "wire-declared labels"
-                    )
-                out.append("" if v == 0 else labels[v - 1])
-            elif set_labels and i in set_labels:
-                # bitmask -> comma-joined SET_STR_VALUE labels (the
-                # reference's EnumSet text form)
-                labels = set_labels[i]
-                v = int(v)
-                if v >> len(labels):
-                    raise ValueError(
-                        f"set bitmask {v:#x} has bits past the "
-                        f"{len(labels)} wire-declared labels"
-                    )
-                out.append(",".join(
-                    lab for b, lab in enumerate(labels) if v >> b & 1
-                ))
-            else:
-                out.append(str(int(v)))
-        return out
-
-    def to_num(vals):
-        if vals is None:
-            return None
-        return [float(v) if isinstance(v, float) else None for v in vals]
-
     def run(batches):
-        def emit(ev, out, cur):
-            # `cur` is the current statement text — one slot per TOP-LEVEL
-            # message, so it only ever threads across events that arrived
-            # inside the same TRANSACTION_PAYLOAD (one transaction, one
-            # parse unit); it never leaks across messages, whose relative
-            # order across partitions is not guaranteed.
-            tail = ((cur[0],) if include_query else ())
-            if ev["kind"] in ("write_rows", "update_rows", "delete_rows"):
-                op = {
-                    "write_rows": "c",
-                    "update_rows": "u",
-                    "delete_rows": "d",
-                }[ev["kind"]]
-                tm = registry.get(ev["table_id"], {})
-                el = tm.get("enum_labels_by_col")
-                sl = tm.get("set_labels_by_col")
-                for row in ev["rows"]:
-                    out.append(
-                        (
-                            ev["log_pos"],
-                            op,
-                            ev["schema"],
-                            ev["table"],
-                            to_text(row["before"], el, sl),
-                            to_text(row["after"], el, sl),
-                            to_num(row["before"]),
-                            to_num(row["after"]),
-                            ev["before_present"],
-                            ev["after_present"],
-                        ) + tail
-                    )
-            elif ev["kind"] in ("query", "xid", "xa_prepare",
-                                "view_change", "rows_query",
-                                "server_stop", "server_heartbeat"):
-                if ev["kind"] == "rows_query":
-                    if not include_query:
-                        return  # config off: handler never registered
-                    cur[0] = ev["query"]
-                    # the marker row carries the statement it ANNOUNCES,
-                    # not the previous one — recompute the tail after the
-                    # state update so marker.query == marker.after[0]
-                    tail = (cur[0],)
-                    marker = [ev["query"]]
-                elif ev["kind"] == "query":
-                    marker = [ev["query"]]
-                elif ev["kind"] == "xid":
-                    marker = [str(ev["xid"])]
-                elif ev["kind"] == "xa_prepare":
-                    marker = [ev["xid_text"]]
-                elif ev["kind"] == "view_change":
-                    marker = [ev["view_id"]]
-                elif ev["kind"] == "server_heartbeat":
-                    marker = [ev["log_file"]]
-                else:
-                    marker = []  # server_stop: boundary only
-                out.append(
-                    (
-                        ev["log_pos"],
-                        ev["kind"],
-                        ev.get("schema"),
-                        None,
-                        None,
-                        marker,
-                        None,
-                        None,
-                        None,
-                        None,
-                    ) + tail
-                )
-                if ev["kind"] == "xid":
-                    # tx completion resets the recorded statement
-                    # (BinlogOffsetContext resets sourceInfo's query the
-                    # same way at transaction end)
-                    cur[0] = None
-            elif ev["kind"] == "transaction_payload":
-                # the reference's handleTransactionPayload: replay every
-                # embedded event through the normal dispatch (:992-999)
-                for emb in ev["events"]:
-                    emit(emb, out, cur)
+        import pyarrow as pa
 
-        cols = [
-            "log_pos", "kind", "schema", "table", "before",
-            "after", "before_nums", "after_nums",
-            "before_present", "after_present",
-        ] + (["query"] if include_query else [])
-        for pdf in batches:
-            out = []
-            for raw in pdf[msg_col]:
-                emit(parse_event(bytes(raw), registry), out, [None])
-            yield pd.DataFrame(out, columns=cols)
+        for batch in batches:
+            if batch.num_rows == 0:
+                yield _rows_batch_rowpath([], registry, include_query)
+                continue
+            msg_arr = batch.column(0)
+            if isinstance(msg_arr, pa.ChunkedArray):  # pragma: no cover
+                msg_arr = msg_arr.combine_chunks()
+            try:
+                yield _decode_rows_batch_vectorized(
+                    msg_arr, registry, include_query
+                )
+                continue
+            except Exception:  # noqa: BLE001 - fall back to exact path
+                pass
+            yield _rows_batch_rowpath(
+                (v.as_py() for v in msg_arr), registry, include_query
+            )
 
     schema = _ROW_SCHEMA + (", query string" if include_query else "")
-    return df.select(msg_col).mapInPandas(run, schema)
+    return df.select(msg_col).mapInArrow(run, schema)
 
 
 def attach_rows_query(

@@ -1046,3 +1046,187 @@ def test_xa_bracket_rows_match_plain_transaction(spark):
         "pos long, msg binary")
     m = decode_binlog_rows(df).filter("kind = 'xa_prepare'").collect()[0]
     assert m["after"] == ["X'a1',X'7a7a',9"]
+
+
+# ---------------------------------------------------------------------------
+# r13: vectorized rows-event decode (fast path) vs the exact per-row path
+# ---------------------------------------------------------------------------
+def _vec_fixture():
+    """A mixed-table, mixed-type message list spanning the vectorized
+    slice: every fixed-width type, strings/blobs, enum/set labels,
+    MINIMAL images, nulls, markers interleaved."""
+    from debezium_spark.sources.binlog import (
+        ENUM_REAL,
+        SET_REAL,
+        TYPE_BIT,
+        TYPE_BLOB,
+        TYPE_DATE,
+        TYPE_DATETIME2,
+        TYPE_FLOAT,
+        TYPE_INT24,
+        TYPE_NEWDECIMAL,
+        TYPE_SHORT,
+        TYPE_STRING,
+        TYPE_TIME2,
+        TYPE_TIMESTAMP2,
+        TYPE_TINY,
+        TYPE_YEAR,
+    )
+
+    t_a = [TYPE_TINY, TYPE_SHORT, TYPE_INT24, TYPE_LONG, TYPE_LONGLONG,
+           TYPE_FLOAT, TYPE_DOUBLE, TYPE_YEAR, TYPE_BIT, TYPE_DATE]
+    m_a = [0, 0, 0, 0, 0, 4, 8, 0, 13, 0]
+    t_b = [TYPE_DATETIME2, TYPE_TIME2, TYPE_TIMESTAMP2, TYPE_NEWDECIMAL,
+           TYPE_VARCHAR, TYPE_VARCHAR, TYPE_BLOB, TYPE_STRING, TYPE_STRING]
+    m_b = [6, 3, 2, (20 << 8) | 6, 40, 300, 2,
+           (ENUM_REAL << 8) | 1, (SET_REAL << 8) | 2]
+    tm_a = encode_table_map(41, "db", "fixed", t_a, m_a, [True] * 10,
+                            unsigned=[True, False, True, False, True,
+                                      False, False, False, False, False],
+                            log_pos=10)
+    tm_b = encode_table_map(
+        42, "db", "varied", t_b, m_b, [True] * 9,
+        column_names=list("abcdefghi"),
+        enum_values=[["x", "y", "z"]], set_values=[["p", "q", "r"]],
+        log_pos=11)
+    rows_a = [
+        [255, -32768, 16777215, -2147483648, 18446744073709551615,
+         1.5, -2.5e300, 2026, 0x1FFF, "2026-08-17"],
+        [0, 0, 0, 0, 0, -0.0, 0.0, 0, 0, "0000-00-00"],
+        [None, -1, None, 7, None, None, 3.14, 2155, 1, None],
+    ]
+    rows_b = [
+        ["2026-08-17 12:34:56.123456", "23:59:59.999", 1755432896120000,
+         "-12345678901234.567890", "héllo", "x" * 300, b"\xde\xad",
+         2, 5],
+        ["0000-00-00 00:00:00", "00:00:00", 0, "0.000000", "", None,
+         b"", 0, 0],
+        [None, None, None, "99999999999999.999999", None, "",
+         None, None, 7],
+    ]
+    msgs = [encode_query("db", "BEGIN", log_pos=100), tm_a, tm_b]
+    for i, r in enumerate(rows_a):
+        msgs.append(encode_rows_event(WRITE_ROWS_EVENT, 41, t_a, m_a,
+                                      [{"after": r}],
+                                      unsigned=[True, False, True, False,
+                                                True, False, False, False,
+                                                False, False],
+                                      log_pos=200 + i))
+    for i, r in enumerate(rows_b):
+        msgs.append(encode_rows_event(WRITE_ROWS_EVENT, 42, t_b, m_b,
+                                      [{"after": r}], log_pos=300 + i))
+    msgs.append(encode_rows_event(
+        UPDATE_ROWS_EVENT, 42, t_b, m_b,
+        [{"before": rows_b[0], "after": rows_b[1]}], log_pos=400))
+    msgs.append(encode_rows_event(
+        DELETE_ROWS_EVENT, 41, t_a, m_a, [{"before": rows_a[0]}],
+        unsigned=[True, False, True, False, True,
+                  False, False, False, False, False],
+        log_pos=401))
+    # MINIMAL images: PK-only before, changed-only after
+    msgs.append(encode_rows_event(
+        UPDATE_ROWS_EVENT, 41, t_a, m_a,
+        [{"before": [3] + [None] * 9,
+          "after": [None, 9] + [None] * 8}],
+        present=[True] + [False] * 9,
+        present_after=[False, True] + [False] * 8, log_pos=402))
+    msgs.append(encode_xid(9, log_pos=500))
+    return msgs
+
+
+def test_vectorized_rows_decode_matches_row_path():
+    import pyarrow as pa
+
+    from debezium_spark.sources.binlog import (
+        _decode_rows_batch_vectorized,
+        _rows_batch_rowpath,
+        table_map_registry,
+    )
+
+    msgs = _vec_fixture()
+    reg = {}
+    for raw in msgs:
+        if raw[HEADER_LEN - 15] == TABLE_MAP_EVENT:
+            tm = parse_table_map(raw[HEADER_LEN:])
+            reg[tm["table_id"]] = tm
+    for include_query in (False, True):
+        vec = _decode_rows_batch_vectorized(
+            pa.array(msgs, type=pa.binary()), reg, include_query)
+        row = _rows_batch_rowpath(msgs, reg, include_query)
+        assert vec.schema.equals(row.schema)
+        assert vec.to_pylist() == row.to_pylist()
+    # sliced (non-zero offset) arrow input decodes identically too
+    arr = pa.array(msgs, type=pa.binary()).slice(3, 7)
+    vec = _decode_rows_batch_vectorized(arr, reg, False)
+    row = _rows_batch_rowpath([v.as_py() for v in arr], reg, False)
+    assert vec.to_pylist() == row.to_pylist()
+
+
+def test_vectorized_rows_decode_falls_outside_slice():
+    """Shapes beyond the vectorized slice raise (the caller then re-runs
+    the exact row path): multi-row events, wide decimals, JSON columns."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from debezium_spark.sources.binlog import (
+        TYPE_JSON,
+        TYPE_NEWDECIMAL,
+        _decode_rows_batch_vectorized,
+        parse_table_map,
+    )
+
+    types, metas = [TYPE_LONG], [0]
+    tm = parse_table_map(
+        encode_table_map(5, "d", "t", types, metas, [True])[HEADER_LEN:])
+    multi = encode_rows_event(
+        WRITE_ROWS_EVENT, 5, types, metas,
+        [{"after": [1]}, {"after": [2]}], log_pos=7)
+    with _pytest.raises(ValueError):
+        _decode_rows_batch_vectorized(
+            pa.array([multi], type=pa.binary()), {5: tm}, False)
+
+    wide = [TYPE_NEWDECIMAL]
+    wmeta = [(30 << 8) | 2]
+    wtm = parse_table_map(
+        encode_table_map(6, "d", "w", wide, wmeta, [True])[HEADER_LEN:])
+    ev = encode_rows_event(WRITE_ROWS_EVENT, 6, wide, wmeta,
+                           [{"after": ["1" * 28 + ".90"]}], log_pos=8)
+    with _pytest.raises(ValueError):
+        _decode_rows_batch_vectorized(
+            pa.array([ev], type=pa.binary()), {6: wtm}, False)
+
+    jt, jm = [TYPE_JSON], [4]
+    jtm = parse_table_map(
+        encode_table_map(7, "d", "j", jt, jm, [True])[HEADER_LEN:])
+    jev = encode_rows_event(WRITE_ROWS_EVENT, 7, jt, jm,
+                            [{"after": [b"\x05\x01\x00"]}], log_pos=9)
+    with _pytest.raises(ValueError):
+        _decode_rows_batch_vectorized(
+            pa.array([jev], type=pa.binary()), {7: jtm}, False)
+
+
+def test_decode_binlog_rows_spark_fast_and_fallback(spark):
+    """End-to-end through mapInArrow: a vectorizable stream and a
+    multi-row (fallback) stream both match the per-row semantics."""
+    msgs = _vec_fixture()
+    df = spark.createDataFrame(
+        [(bytearray(m),) for m in msgs], "msg binary")
+    out = {r["log_pos"]: r for r in decode_binlog_rows(df).collect()}
+    assert out[201]["after"][:5] == ["0", "0", "0", "0", "0"]
+    assert out[200]["after"][0] == "255"
+    assert out[200]["after"][4] == "18446744073709551615"
+    assert out[300]["after"][7] == "y"  # enum ordinal 2 -> label
+    assert out[300]["after"][8] == "p,r"  # set bitmask 5 -> labels
+    assert out[402]["before_present"] == [True] + [False] * 9
+    assert out[402]["after"][1] == "9"
+    # multi-row event forces the whole-batch row-path fallback
+    multi = encode_rows_event(
+        WRITE_ROWS_EVENT, 41, [TYPE_LONG], [0],
+        [{"after": [1]}, {"after": [2]}], log_pos=600)
+    tm41 = encode_table_map(41, "db", "fixed", [TYPE_LONG], [0], [True],
+                            log_pos=599)
+    df2 = spark.createDataFrame(
+        [(bytearray(tm41),), (bytearray(multi),)], "msg binary")
+    vals = sorted(
+        r["after"][0] for r in decode_binlog_rows(df2).collect())
+    assert vals == ["1", "2"]
