@@ -441,3 +441,32 @@ def test_xml_write_without_begin_raises(spark):
     rows = [_lob_row(1, "tx1", "r1", "xml_write", lob_data="<a/>")]
     with pytest.raises(Exception, match="XML_BEGIN"):
         _assemble(spark, rows)
+
+
+def test_lob_chain_split_across_arrow_batches(spark):
+    """The mapInPandas fold re-attaches a (tx, rowid) chain that an Arrow
+    batch boundary split: with maxRecordsPerBatch=7, a 3-chain / 60-row
+    transaction crosses several batch edges and must fold identically to
+    the default batching."""
+    from debezium_spark.sources.logminer import UNAVAILABLE
+
+    rows = []
+    for k in range(3):
+        rid = f"r{k}"
+        base = k * 100
+        rows.append(_lob_row(base, "tx1", rid, "insert",
+                             [str(k), "ok", "EMPTY_CLOB()"]))
+        rows.append(_lob_row(base + 1, "tx1", rid, "sel_lob_locator",
+                             [str(k), "ok", UNAVAILABLE], lob_col="note"))
+        for j in range(17):
+            rows.append(_lob_row(base + 2 + j, "tx1", rid, "lob_write",
+                                 lob_offset=j, lob_data=str(j % 10)))
+    expected = _assemble(spark, rows)
+    assert len(expected) == 3 and expected[0][6][2] == "0123456789" + "0123456"
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        assert _assemble(spark, rows) == expected
+    finally:
+        spark.conf.set(key, prev)
