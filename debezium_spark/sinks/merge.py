@@ -39,6 +39,67 @@ from debezium_spark.operators.unwrap import extract_new_record_state
 BUCKET_COL = "__bucket"
 
 
+def footer_rows_exceed(env_batch: DataFrame, limit: int) -> bool:
+    """True when the micro-batch's parquet footer row counts already exceed
+    ``limit`` — a driver-local metadata read (no Spark job). Returns False
+    on any uncertainty (non-parquet/remote input, unreadable footer): the
+    limit(n+1) probe then decides as before."""
+    try:
+        files = env_batch.inputFiles()
+    except Exception:  # pragma: no cover - non-file-backed batch
+        return False
+    if not files:
+        return False
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for uri in files:
+            path = uri.removeprefix("file://").removeprefix("file:")
+            if not path.endswith(".parquet") or not os.path.exists(path):
+                return False
+            total += pq.ParquetFile(path).metadata.num_rows
+            if total > limit:
+                return True
+    except Exception:  # pragma: no cover - footer read failure
+        return False
+    return False
+
+
+def arrow_last_per_key(tbl, n_keys: int):
+    """Survivor indices (one per key, last event wins) for a collected
+    micro-batch Arrow table carrying ``__op``/``__pos``/``__ts`` and
+    ``__k_0..__k_{n-1}`` key columns.
+
+    Order is max (pos, ts_ns, op) with nulls smallest; ties beyond the full
+    order key go to the later batch row — identical to the row path's
+    ``ok >= prev`` insertion loop (stable lexsort + keep-last reproduces
+    both the order and the tie rule) and to ``reduce_last_per_key``'s
+    window whenever the full order key differs. A NULL pos sorts smallest
+    via the same null-flag trick as ts (NaN would otherwise rank LARGEST
+    under lexsort, inverting the distributed window's nulls-smallest
+    order)."""
+    import numpy as np
+    import pandas as pd
+
+    pos_s = tbl.column("__pos").to_pandas()
+    pos_flag = pos_s.notna().to_numpy()
+    pos = pos_s.fillna(0).to_numpy(dtype=np.int64)
+    ts_s = tbl.column("__ts").to_pandas()
+    ts_flag = ts_s.notna().to_numpy()
+    ts_val = ts_s.fillna(0).to_numpy(dtype=np.int64)
+    op_arr = tbl.column("__op").to_pandas().fillna("").to_numpy(dtype=str)
+    order = np.lexsort((op_arr, ts_val, ts_flag, pos, pos_flag))
+    kdf = pd.DataFrame(
+        {
+            f"__k_{i}": tbl.column(f"__k_{i}").to_pandas()
+            for i in range(n_keys)
+        }
+    )
+    winners = ~kdf.iloc[order].duplicated(keep="last").to_numpy()
+    return order[winners]
+
+
 def merge_changes(
     target_df: DataFrame,
     env_df: DataFrame,
@@ -257,30 +318,9 @@ class ParquetMergeSink:
             )
 
     def _footer_rows_exceed_limit(self, env_batch: DataFrame) -> bool:
-        """True when the micro-batch's parquet footer row counts already
-        exceed ``inline_max_rows`` — a driver-local metadata read (no Spark
-        job). Returns False on any uncertainty (non-parquet/remote input,
-        unreadable footer): the limit(n+1) probe then decides as before."""
-        try:
-            files = env_batch.inputFiles()
-        except Exception:  # pragma: no cover - non-file-backed batch
-            return False
-        if not files:
-            return False
-        try:
-            import pyarrow.parquet as pq
-
-            total = 0
-            for uri in files:
-                path = uri.removeprefix("file://").removeprefix("file:")
-                if not path.endswith(".parquet") or not os.path.exists(path):
-                    return False
-                total += pq.ParquetFile(path).metadata.num_rows
-                if total > self.inline_max_rows:
-                    return True
-        except Exception:  # pragma: no cover - footer read failure
-            return False
-        return False
+        """See :func:`footer_rows_exceed` (module-level, shared with the
+        MOR sink's inline delta path)."""
+        return footer_rows_exceed(env_batch, self.inline_max_rows)
 
     def _prepare_inline_arrow(self, env_batch: DataFrame, epoch_id):
         """Arrow-vectorized inline micro-batch preparation.
@@ -355,29 +395,10 @@ class ParquetMergeSink:
                 self._write_schema_sidecar(row_schema)
             return ("done", None)
 
-        # Survivor per key: max (pos, ts_ns, op) with nulls smallest; ties
-        # beyond the full order key go to the later batch row — identical
-        # to the row path's `ok >= prev` insertion loop (stable sort +
-        # keep-last reproduces both the order and the tie rule). A NULL pos
-        # sorts smallest via the same null-flag trick as ts (NaN would
-        # otherwise rank LARGEST under lexsort, inverting the distributed
-        # window's nulls-smallest order).
-        pos_s = tbl.column("__pos").to_pandas()
-        pos_flag = pos_s.notna().to_numpy()
-        pos = pos_s.fillna(0).to_numpy(dtype=np.int64)
-        ts_s = tbl.column("__ts").to_pandas()
-        ts_flag = ts_s.notna().to_numpy()
-        ts_val = ts_s.fillna(0).to_numpy(dtype=np.int64)
-        op_arr = tbl.column("__op").to_pandas().fillna("").to_numpy(dtype=str)
-        order = np.lexsort((op_arr, ts_val, ts_flag, pos, pos_flag))
-        kdf = pd.DataFrame(
-            {
-                f"__k_{i}": tbl.column(f"__k_{i}").to_pandas()
-                for i in range(len(self.pk_cols))
-            }
-        )
-        winners = ~kdf.iloc[order].duplicated(keep="last").to_numpy()
-        take_idx = order[winners]
+        # Survivor per key: arrow_last_per_key (module-level, shared with
+        # the MOR sink's inline delta path) — max (pos, ts_ns, op) with
+        # nulls smallest, ties to the later batch row.
+        take_idx = arrow_last_per_key(tbl, len(self.pk_cols))
         won = tbl.take(pa.array(take_idx, type=pa.int64()))
 
         deleted = pc.fill_null(pc.equal(won.column("__op"), "d"), False)

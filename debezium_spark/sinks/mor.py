@@ -89,6 +89,7 @@ class LogMergeSink:
         compact_every: int = 8,
         schema_registry=None,
         table_name: str = "target",
+        inline_max_rows: int = 32768,
     ):
         if insert_mode != "upsert":
             raise ValueError(
@@ -103,6 +104,15 @@ class LogMergeSink:
         self.table_name = table_name
         self._schema_version = 0
         self._known_cols: set[str] | None = None
+        # Micro-batches at or below this row count take the inline path:
+        # ONE job pulls the batch driver-side as Arrow, the K4 reduction is
+        # a numpy lexsort (the same arrow_last_per_key the COW sink's
+        # inline path uses), and the reduced delta file is written by the
+        # DRIVER with pyarrow — zero further Spark jobs. One job per batch
+        # instead of the distributed delta plan's 3-4 (broadcast truncate
+        # agg + window shuffle + write). Batches above the bound
+        # (backfills) keep the fully distributed plan.
+        self.inline_max_rows = inline_max_rows
         os.makedirs(self._delta_root, exist_ok=True)
 
     # -- layout helpers ---------------------------------------------------
@@ -173,6 +183,94 @@ class LogMergeSink:
         )
         return flat.unionByName(marker)
 
+    def _prepare_delta_inline(self, env_batch: DataFrame):
+        """Arrow-vectorized inline delta preparation.
+
+        ONE job flattens the batch (state already folded to the survivor's
+        side: before-image for deletes, after-image otherwise) and pulls it
+        driver-side as an Arrow table; last-per-key survivor selection is
+        the shared ``arrow_last_per_key`` lexsort. Returns the reduced
+        delta as a pyarrow table (columns = row fields + ``__deleted`` +
+        ``__op`` — exactly the distributed ``_delta_frame`` schema, types
+        carried unchanged from the envelope's Arrow conversion), or
+        ``None`` to take the distributed path (over-threshold batch,
+        truncate present, reserved-name collision). Raises on the
+        unexpected — write_batch falls back to the distributed plan."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyspark.sql.types as T
+
+        from debezium_spark.sinks.merge import (
+            arrow_last_per_key,
+            footer_rows_exceed,
+        )
+
+        if self.inline_max_rows <= 0 or footer_rows_exceed(
+            env_batch, self.inline_max_rows
+        ):
+            return None
+        row_schema = T.StructType(env_batch.schema["after"].dataType.fields)
+        field_names = [f.name for f in row_schema.fields]
+        reserved = {"__op", "__pos", "__ts", "__deleted"}
+        if reserved & set(field_names) or any(
+            f.startswith("__k_") for f in field_names
+        ):
+            return None  # name collision: let the distributed plan handle
+        has_ts = "ts_ns" in env_batch.columns
+        sel = [
+            F.col("op").alias("__op"),
+            F.col("source.pos").alias("__pos"),
+            (F.col("ts_ns") if has_ts else F.lit(None)).cast("long").alias("__ts"),
+            *[
+                F.col(f"key.{c}").alias(f"__k_{i}")
+                for i, c in enumerate(self.pk_cols)
+            ],
+            *[
+                F.when(F.col("op") == "d", F.col(f"before.{f}"))
+                .otherwise(F.col(f"after.{f}"))
+                .alias(f)
+                for f in field_names
+            ],
+        ]
+        tbl = (
+            env_batch.filter(F.col("op").isNotNull())
+            .select(*sel)
+            .limit(self.inline_max_rows + 1)
+            .toArrow()
+        )
+        if tbl.num_rows > self.inline_max_rows:
+            return None
+        if tbl.num_rows and pc.any(
+            pc.equal(tbl.column("__op"), OP_TRUNCATE)
+        ).as_py():
+            # the distributed plan owns truncate-marker semantics
+            return None
+        if tbl.num_rows == 0:
+            won = tbl
+        else:
+            take_idx = arrow_last_per_key(tbl, len(self.pk_cols))
+            won = tbl.take(pa.array(take_idx, type=pa.int64()))
+        deleted = pc.fill_null(pc.equal(won.column("__op"), "d"), False)
+        return pa.table(
+            [*(won.column(f) for f in field_names), deleted,
+             won.column("__op")],
+            names=[*field_names, "__deleted", "__op"],
+        )
+
+    def _write_delta_file(self, tbl, epoch: int) -> None:
+        """Driver-side delta write: one pyarrow parquet file in the epoch
+        dir (same rmtree-then-write overwrite semantics as the Spark
+        writer, so checkpointed re-delivery stays idempotent)."""
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self._delta_root, f"epoch={epoch}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            tbl, os.path.join(d, "part-00000-inline.snappy.parquet"),
+            compression="snappy",
+        )
+
     def allocate_oob_epoch(self) -> int:
         """Next free epoch in the out-of-band (negative) namespace.
 
@@ -193,9 +291,17 @@ class LogMergeSink:
                 f"(marker epoch={m}, neg_floor={floor}); a delta written "
                 "there would be invisible"
             )
-        delta = self._delta_frame(env_batch)
+        try:
+            inline_tbl = self._prepare_delta_inline(env_batch)
+        except Exception:  # pragma: no cover - Arrow-unfriendly schema
+            inline_tbl = None
+        delta = None if inline_tbl is not None else self._delta_frame(env_batch)
+        cols = (
+            set(inline_tbl.column_names)
+            if inline_tbl is not None
+            else set(delta.columns)
+        )
         if self.schema_registry is not None:
-            cols = set(delta.columns)
             if self._known_cols is None:
                 self._known_cols = cols
             elif cols - self._known_cols:
@@ -207,11 +313,14 @@ class LogMergeSink:
                     sorted(self._known_cols),
                     epoch,
                 )
-        # Overwrite keyed by epoch → re-delivery of a checkpointed batch
-        # rewrites the identical delta (idempotent replay).
-        delta.write.mode("overwrite").parquet(
-            os.path.join(self._delta_root, f"epoch={epoch}")
-        )
+        if inline_tbl is not None:
+            self._write_delta_file(inline_tbl, epoch)
+        else:
+            # Overwrite keyed by epoch → re-delivery of a checkpointed
+            # batch rewrites the identical delta (idempotent replay).
+            delta.write.mode("overwrite").parquet(
+                os.path.join(self._delta_root, f"epoch={epoch}")
+            )
         if self.compact_every and len(self._delta_epochs()) >= self.compact_every:
             self.compact()
 

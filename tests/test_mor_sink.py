@@ -274,3 +274,40 @@ def test_incremental_snapshot_chunks_into_mor_sink(spark, sf_dir, tmp_path):
     assert not snap.active
     got = sorted(r.id for r in sink.read().collect())
     assert got == sorted(r.id for r in src.collect())
+
+
+def test_mor_inline_delta_equals_distributed_delta(spark, sf_dir, tmp_path):
+    """The inline (driver-pyarrow-written) delta must be byte-equivalent in
+    CONTENT to the distributed _delta_frame plan: same reduced survivors,
+    same columns, and the merged read over mixed-provenance deltas (inline
+    epochs beside Spark-written epochs) must agree with an all-distributed
+    sink."""
+    env = accounts_changefeed(spark, sf_dir).limit(4000).localCheckpoint()
+    half1 = env.filter(F.col("source.pos") % 2 == 0)
+    half2 = env.filter(F.col("source.pos") % 2 == 1)
+
+    inline = LogMergeSink(spark, str(tmp_path / "a"), ["id"],
+                          compact_every=0)
+    distributed = LogMergeSink(spark, str(tmp_path / "b"), ["id"],
+                               compact_every=0, inline_max_rows=0)
+    # epoch 0 inline, epoch 1 distributed (mixed provenance) on sink a;
+    # both distributed on sink b
+    inline.write_batch(half1, epoch_id=0)
+    inline.inline_max_rows = 0
+    inline.write_batch(half2, epoch_id=1)
+    distributed.write_batch(half1, epoch_id=0)
+    distributed.write_batch(half2, epoch_id=1)
+
+    # epoch 0 of sink a was written by the driver (single pyarrow file)
+    files_a0 = os.listdir(str(tmp_path / "a" / "delta" / "epoch=0"))
+    assert any("inline" in f for f in files_a0)
+
+    # per-delta content parity (epoch 0: inline vs distributed)
+    read = lambda p: sorted(
+        map(tuple, spark.read.parquet(str(p)).collect())
+    )
+    assert read(tmp_path / "a" / "delta" / "epoch=0") == read(
+        tmp_path / "b" / "delta" / "epoch=0"
+    )
+    # merged-state parity across mixed provenance
+    assert _state(inline) == _state(distributed)
