@@ -824,17 +824,25 @@ _OTW_COMPRESSION_TYPE = 2
 _OTW_UNCOMPRESSED_SIZE = 3
 
 
+_ZSTD_CODEC = None
+
+
 def _zstd(buf: bytes, mode: str, expected: int | None = None) -> bytes:
     """zstd via pyarrow's bundled libzstd (the container has no
     standalone zstandard module); gated so environments without pyarrow
-    fail with a clear message instead of an undecodable stream."""
-    try:
-        import pyarrow as pa
-    except ImportError as exc:  # pragma: no cover - pyarrow is baked in
-        raise RuntimeError(
-            "TRANSACTION_PAYLOAD zstd handling needs pyarrow"
-        ) from exc
-    codec = pa.Codec("zstd")
+    fail with a clear message instead of an undecodable stream. The
+    codec object is constructed once per process — building it per
+    payload measurably dominates small-transaction streams."""
+    global _ZSTD_CODEC
+    if _ZSTD_CODEC is None:
+        try:
+            import pyarrow as pa
+        except ImportError as exc:  # pragma: no cover - pyarrow baked in
+            raise RuntimeError(
+                "TRANSACTION_PAYLOAD zstd handling needs pyarrow"
+            ) from exc
+        _ZSTD_CODEC = pa.Codec("zstd")
+    codec = _ZSTD_CODEC
     if mode == "compress":
         return bytes(codec.compress(buf))
     if expected is None:
@@ -1215,10 +1223,14 @@ def parse_event(buf: bytes, registry: dict) -> dict:
 # numpy over the Arrow binary buffers — O(columns) gather passes per
 # image, digit-matrix rendering for temporals/decimals, one flat byte
 # gather per string column — following the ``_decode_data_vectorized``
-# template in sources/pgoutput.py. Non-rows messages (markers, TABLE_MAPs,
-# payloads) in the same batch still parse through the exact per-row path
-# and the outputs re-interleave by message index, so mixed streams keep
-# their semantics. ANY shape outside the vectorized slice (JSON columns,
+# template in sources/pgoutput.py. TRANSACTION_PAYLOAD events decompress
+# ONCE per payload and their embedded single-row rows events batch into
+# the same vectorized group decode (markers/maps inside the payload keep
+# the sequential replay semantics: registration order, statement
+# threading). Other non-rows messages still parse through the exact
+# per-row path and the outputs re-interleave in (message, embedded
+# event) order, so mixed streams keep their semantics. ANY shape outside
+# the vectorized slice (JSON columns,
 # multi-row events, out-of-range temporals, >18-digit decimal halves,
 # malformed lengths) raises, and the caller re-runs the WHOLE batch
 # through the per-row path, which reports the reference's exact error.
@@ -1663,9 +1675,12 @@ def _binlog_arrow_schema(include_query):
     return pa.schema(fields)
 
 
-def _decode_rows_group(data, starts, ends, type_code, tm, include_query):
+def _decode_rows_group(data, starts, ends, type_code, tm, include_query,
+                       queries=None):
     """Vectorized decode of one (table_id, event type) group of
-    SINGLE-ROW rows events -> RecordBatch (one output row per event)."""
+    SINGLE-ROW rows events -> RecordBatch (one output row per event).
+    ``queries`` (payload-embedded events only) carries the per-event
+    statement threaded from the transaction's ROWS_QUERY markers."""
     import numpy as np
     import pyarrow as pa
 
@@ -1736,10 +1751,14 @@ def _decode_rows_group(data, starts, ends, type_code, tm, include_query):
         ap,
     ]
     if include_query:
-        # top-level rows events carry no statement state: the per-message
-        # `cur` slot starts None and only TRANSACTION_PAYLOAD (row path)
-        # threads it
-        cols.append(pa.nulls(n, type=pa.utf8()))
+        # top-level rows events carry no statement state (the per-message
+        # `cur` slot starts None); payload-embedded events pass the
+        # statement their transaction's walk threaded to them
+        cols.append(
+            pa.array(queries, type=pa.utf8())
+            if queries is not None
+            else pa.nulls(n, type=pa.utf8())
+        )
     return pa.RecordBatch.from_arrays(
         cols, schema=_binlog_arrow_schema(include_query)
     )
@@ -1907,11 +1926,20 @@ def _rows_batch_rowpath(msgs, registry, include_query):
     return _batch_from_tuples(out, include_query)
 
 
+#: output-order key stride: message index * SHIFT + embedded sequence
+#: (a payload's embedded events order within their message; int64-safe
+#: for batches up to 2^31 messages / payloads up to 2^32 events)
+_ORDER_SHIFT = 1 << 32
+
+
 def _decode_rows_batch_vectorized(msg_arr, registry, include_query):
-    """One mixed Arrow batch -> one RecordBatch: the rows-event subset
-    decodes vectorized (grouped by table and event type), everything else
-    rides the per-row path, and the outputs re-interleave in message
-    order. Raises when the rows subset leaves the vectorized slice."""
+    """One mixed Arrow batch -> one RecordBatch: the rows-event subset —
+    top-level AND TRANSACTION_PAYLOAD-embedded (each payload decompressed
+    once, its walk replayed for markers/maps/statement threading, its
+    single-row rows events batched into the same group decode) — decodes
+    vectorized, everything else rides the per-row path, and the outputs
+    re-interleave in (message, embedded-event) order. Raises when the
+    rows subset leaves the vectorized slice."""
     import numpy as np
     import pyarrow as pa
 
@@ -1935,10 +1963,16 @@ def _decode_rows_batch_vectorized(msg_arr, registry, include_query):
         | (tcodes == UPDATE_ROWS_EVENT)
         | (tcodes == DELETE_ROWS_EVENT)
     ) & (ends - starts > HEADER_LEN + 10)
-    if not rows_mask.any():
+    pay_mask = tcodes == TRANSACTION_PAYLOAD_EVENT
+    if not rows_mask.any() and not pay_mask.any():
         raise ValueError("no vectorizable rows events")
 
     batches: list = []
+    # Output order key = message index * SHIFT + embedded sequence, so a
+    # payload's embedded outputs interleave with everything else exactly
+    # where the per-row replay would put them. Stable argsort keeps
+    # concat order for equal keys (multiple outputs of one embedded
+    # event can only come from a NESTED payload, which stays per-row).
     orders: list = []
 
     ridx = np.nonzero(rows_mask)[0]
@@ -1955,9 +1989,96 @@ def _decode_rows_batch_vectorized(msg_arr, registry, include_query):
                 data, starts[sel], ends[sel], tc, tm, include_query
             )
         )
-        orders.append(sel)
+        orders.append(sel * _ORDER_SHIFT)
 
-    nr_idx = np.nonzero(~rows_mask)[0]
+    # ---- TRANSACTION_PAYLOAD expansion: decompress each payload ONCE,
+    # walk its embedded events in order (registering TABLE_MAPs and
+    # threading the statement state exactly like the per-row replay), and
+    # batch the embedded single-row rows events for the same vectorized
+    # group decode as top-level ones. Exactness guards raise — and the
+    # caller re-runs the whole batch through the per-row path, which
+    # raises the reference's precise error — wherever the vectorized
+    # ordering could diverge from the sequential replay: a rows event
+    # whose table id is unmapped AT ITS POSITION in the walk, or an
+    # embedded TABLE_MAP that REDEFINES an already-registered id.
+    emb_chunks: list = []
+    emb_lens: list = []
+    emb_keys: list = []
+    emb_order: list = []
+    emb_query: list = []
+    mk_out: list = []
+    mk_order: list = []
+    # real streams re-announce the SAME TABLE_MAP before every
+    # transaction — parse each distinct body once per batch
+    tm_cache: dict = {}
+    for i in np.nonzero(pay_mask)[0]:
+        cur = [None]
+        body = data[starts[i] + HEADER_LEN:ends[i]].tobytes()
+        for seq, raw in enumerate(_payload_raw_events(body)):
+            code = raw[4]
+            key = int(i) * _ORDER_SHIFT + seq
+            if code == TABLE_MAP_EVENT:
+                mb = raw[HEADER_LEN:]
+                if mb not in tm_cache:
+                    tm = parse_table_map(mb)
+                    old = registry.get(tm["table_id"])
+                    if old is None:
+                        registry[tm["table_id"]] = tm
+                    elif old is not tm and {
+                        k: v for k, v in old.items()
+                        if k not in ("log_pos", "timestamp", "server_id")
+                    } != tm:
+                        raise ValueError(
+                            "embedded TABLE_MAP redefines a registered "
+                            "table id"
+                        )
+                    tm_cache[mb] = tm
+            elif code in (
+                WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT
+            ) and len(raw) > HEADER_LEN + 10:
+                tid = int.from_bytes(
+                    raw[HEADER_LEN:HEADER_LEN + 6], "little"
+                )
+                if tid not in registry:
+                    raise ValueError("rows event for unmapped table id")
+                emb_chunks.append(raw)
+                emb_lens.append(len(raw))
+                emb_keys.append(tid * 256 + code)
+                emb_order.append(key)
+                emb_query.append(cur[0])
+            else:
+                before = len(mk_out)
+                _emit_event(
+                    _attach_labels(parse_event(raw, registry), registry),
+                    mk_out, cur, include_query,
+                )
+                mk_order.extend([key] * (len(mk_out) - before))
+    if emb_chunks:
+        emb_data = np.frombuffer(b"".join(emb_chunks), dtype=np.uint8)
+        el = np.asarray(emb_lens, dtype=np.int64)
+        emb_ends = np.cumsum(el)
+        emb_starts = emb_ends - el
+        ekeys = np.asarray(emb_keys, dtype=np.int64)
+        eorder = np.asarray(emb_order, dtype=np.int64)
+        for k in np.unique(ekeys):
+            sel = np.nonzero(ekeys == k)[0]
+            tid, tc = int(k) >> 8, int(k) & 0xFF
+            batches.append(
+                _decode_rows_group(
+                    emb_data, emb_starts[sel], emb_ends[sel], tc,
+                    registry[tid], include_query,
+                    queries=(
+                        [emb_query[j] for j in sel]
+                        if include_query else None
+                    ),
+                )
+            )
+            orders.append(eorder[sel])
+    if mk_out:
+        batches.append(_batch_from_tuples(mk_out, include_query))
+        orders.append(np.array(mk_order, dtype=np.int64))
+
+    nr_idx = np.nonzero(~rows_mask & ~pay_mask)[0]
     if len(nr_idx):
         out: list = []
         src: list = []
@@ -1971,9 +2092,11 @@ def _decode_rows_batch_vectorized(msg_arr, registry, include_query):
                 ),
                 out, [None], include_query,
             )
-            src.extend([int(i)] * (len(out) - before))
+            src.extend([int(i) * _ORDER_SHIFT] * (len(out) - before))
         batches.append(_batch_from_tuples(out, include_query))
         orders.append(np.array(src, dtype=np.int64))
+    if not batches:
+        raise ValueError("no vectorizable rows events")
 
     tbl = pa.Table.from_batches(batches)
     order = np.concatenate(orders) if orders else np.array([], np.int64)
@@ -2069,12 +2192,14 @@ def decode_binlog_rows(
     BinlogStreamDecoder) so rows events decode even when their TABLE_MAP
     arrived in an earlier micro-batch.
 
-    r13: a batch's rows-event subset decodes through the vectorized numpy
-    walk (``_decode_rows_batch_vectorized``); markers/maps/payloads in
-    the same batch keep the exact per-row path and re-interleave by
-    message order. Any batch whose rows events leave the vectorized
-    slice falls back whole to the per-row path, which raises the
-    reference's exact errors for malformed input."""
+    r13: a batch's rows-event subset — including rows events embedded in
+    TRANSACTION_PAYLOADs, which decompress once per payload and batch
+    into the same group decode — runs through the vectorized numpy walk
+    (``_decode_rows_batch_vectorized``); markers/maps in the same batch
+    keep the exact per-row path and all outputs re-interleave in
+    (message, embedded-event) order. Any batch whose rows events leave
+    the vectorized slice falls back whole to the per-row path, which
+    raises the reference's exact errors for malformed input."""
     if registry is None:
         registry = table_map_registry(df, msg_col=msg_col)
 

@@ -1230,3 +1230,107 @@ def test_decode_binlog_rows_spark_fast_and_fallback(spark):
     vals = sorted(
         r["after"][0] for r in decode_binlog_rows(df2).collect())
     assert vals == ["1", "2"]
+
+
+def test_vectorized_payload_expansion_matches_row_path():
+    """TRANSACTION_PAYLOAD batches decode through the vectorized group
+    path (embedded rows events) and match the exact per-row replay,
+    including include.query statement threading, marker interleave, a
+    payload-embedded TABLE_MAP, and a top-level rows event in the same
+    batch."""
+    import pyarrow as pa
+
+    from debezium_spark.sources.binlog import (
+        PAYLOAD_COMPRESSION_NONE,
+        TYPE_NEWDECIMAL,
+        _decode_rows_batch_vectorized,
+        _rows_batch_rowpath,
+        encode_rows_query,
+        encode_transaction_payload,
+    )
+
+    types = [TYPE_LONG, TYPE_VARCHAR, TYPE_NEWDECIMAL]
+    metas = [0, 40, (12 << 8) | 3]
+    tm = encode_table_map(21, "db", "pay", types, metas, [True] * 3,
+                          log_pos=10)
+    msgs = []
+    for t in range(6):
+        emb = [
+            encode_query("db", "BEGIN", log_pos=100 + t * 10),
+            tm,
+            encode_rows_query(f"INSERT /* {t} */", log_pos=101 + t * 10),
+            encode_rows_event(
+                WRITE_ROWS_EVENT, 21, types, metas,
+                [{"after": [t, f"v{t}", f"-{t}.125"]}],
+                log_pos=102 + t * 10),
+            encode_rows_query(f"UPDATE /* {t} */", log_pos=103 + t * 10),
+            encode_rows_event(
+                UPDATE_ROWS_EVENT, 21, types, metas,
+                [{"before": [t, f"v{t}", f"-{t}.125"],
+                  "after": [t, f"w{t}", None]}],
+                log_pos=104 + t * 10),
+            encode_xid(t, log_pos=105 + t * 10),
+        ]
+        comp = (PAYLOAD_COMPRESSION_NONE if t % 3 == 0 else 0)
+        msgs.append(encode_transaction_payload(
+            emb, compression=comp, log_pos=106 + t * 10))
+    # a top-level rows event and marker interleave with the payloads
+    msgs.append(encode_rows_event(
+        WRITE_ROWS_EVENT, 21, types, metas,
+        [{"after": [99, "top", "0.000"]}], log_pos=900))
+    msgs.append(encode_xid(77, log_pos=901))
+
+    reg = {21: parse_table_map(tm[HEADER_LEN:])}
+    for include_query in (False, True):
+        vec = _decode_rows_batch_vectorized(
+            pa.array(msgs, type=pa.binary()), dict(reg), include_query)
+        row = _rows_batch_rowpath(msgs, dict(reg), include_query)
+        assert vec.schema.equals(row.schema)
+        assert vec.to_pylist() == row.to_pylist()
+    # the registry entry can also arrive ONLY inside the payloads (the
+    # streaming bootstrap case): both paths start from an empty registry
+    vec = _decode_rows_batch_vectorized(
+        pa.array(msgs[:-2], type=pa.binary()), {}, True)
+    row = _rows_batch_rowpath(msgs[:-2], {}, True)
+    assert vec.to_pylist() == row.to_pylist()
+
+
+def test_vectorized_payload_guards():
+    """Exactness guards raise (-> whole-batch row-path fallback): an
+    embedded rows event for a table id unmapped at its walk position,
+    and an embedded TABLE_MAP redefining a registered id differently."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from debezium_spark.sources.binlog import (
+        _decode_rows_batch_vectorized,
+        encode_transaction_payload,
+    )
+
+    ev = encode_rows_event(WRITE_ROWS_EVENT, 77, [TYPE_LONG], [0],
+                           [{"after": [1]}], log_pos=5)
+    pay = encode_transaction_payload([ev], log_pos=6)
+    with _pytest.raises(ValueError):
+        _decode_rows_batch_vectorized(
+            pa.array([pay], type=pa.binary()), {}, False)
+
+    tm_a = encode_table_map(8, "d", "t", [TYPE_LONG], [0], [True])
+    tm_b = encode_table_map(8, "d", "t2", [TYPE_LONG], [0], [True])
+    reg = {8: parse_table_map(tm_a[HEADER_LEN:])}
+    pay2 = encode_transaction_payload(
+        [tm_b,
+         encode_rows_event(WRITE_ROWS_EVENT, 8, [TYPE_LONG], [0],
+                           [{"after": [2]}], log_pos=9)],
+        log_pos=10)
+    with _pytest.raises(ValueError):
+        _decode_rows_batch_vectorized(
+            pa.array([pay2], type=pa.binary()), reg, False)
+    # ... while re-announcing the SAME map is the normal stream shape
+    pay3 = encode_transaction_payload(
+        [tm_a,
+         encode_rows_event(WRITE_ROWS_EVENT, 8, [TYPE_LONG], [0],
+                           [{"after": [3]}], log_pos=11)],
+        log_pos=12)
+    out = _decode_rows_batch_vectorized(
+        pa.array([pay3], type=pa.binary()), reg, False)
+    assert [r["after"] for r in out.to_pylist()] == [["3"]]
