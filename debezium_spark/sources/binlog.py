@@ -1229,11 +1229,13 @@ def parse_event(buf: bytes, registry: dict) -> dict:
 # the sequential replay semantics: registration order, statement
 # threading). Other non-rows messages still parse through the exact
 # per-row path and the outputs re-interleave in (message, embedded
-# event) order, so mixed streams keep their semantics. ANY shape outside
-# the vectorized slice (JSON columns,
-# multi-row events, out-of-range temporals, >18-digit decimal halves,
-# malformed lengths) raises, and the caller re-runs the WHOLE batch
-# through the per-row path, which reports the reference's exact error.
+# event) order, so mixed streams keep their semantics. JSON columns
+# decode per-cell through the exact row-path JSONB renderer (the tree
+# walk has no vector form) without dropping the rest of the batch off
+# the fast path. ANY shape outside the vectorized slice (multi-row
+# events, out-of-range temporals, >18-digit decimal halves, malformed
+# lengths) raises, and the caller re-runs the WHOLE batch through the
+# per-row path, which reports the reference's exact error.
 # ---------------------------------------------------------------------------
 def _gather_le(data, offs, width):
     """Little-endian unsigned gather of ``width``-byte ints -> uint64."""
@@ -1567,6 +1569,27 @@ def _walk_image_vec(data, off, ends, present, tm):
                 raise ValueError("BLOB length past event end")
             flat, fends = _gather_var(data, safe + pw, ln)
             texts[:, j] = _hex_from_flat(flat, fends, has)
+            off = off + np.where(has, pw + ln, 0)
+            continue
+        elif t == TYPE_JSON:
+            # the JSONB tree walk has no vector form — decode THIS
+            # column's cells through the exact row-path renderer while
+            # every other column stays vectorized (previously one JSON
+            # column dropped the whole batch to the per-row replay)
+            from debezium_spark.sources.jsonb import jsonb_to_text
+
+            pw = meta
+            ln = np.where(
+                has, _gather_le(data, safe, pw).astype(np.int64), 0
+            )
+            if (np.where(has, off + pw + ln, 0) > ends).any():
+                raise ValueError("JSON length past event end")
+            cs = safe + pw
+            idx = np.nonzero(has)[0]
+            texts[idx, j] = [
+                jsonb_to_text(data[cs[i]:cs[i] + ln[i]].tobytes())
+                for i in idx
+            ]
             off = off + np.where(has, pw + ln, 0)
             continue
         elif t == TYPE_STRING:

@@ -1164,7 +1164,7 @@ def test_vectorized_rows_decode_matches_row_path():
 
 def test_vectorized_rows_decode_falls_outside_slice():
     """Shapes beyond the vectorized slice raise (the caller then re-runs
-    the exact row path): multi-row events, wide decimals, JSON columns."""
+    the exact row path): multi-row events, wide decimals."""
     import pyarrow as pa
     import pytest as _pytest
 
@@ -1195,14 +1195,31 @@ def test_vectorized_rows_decode_falls_outside_slice():
         _decode_rows_batch_vectorized(
             pa.array([ev], type=pa.binary()), {6: wtm}, False)
 
-    jt, jm = [TYPE_JSON], [4]
+    # JSON columns stay ON the fast path now (per-cell JSONB render,
+    # everything else vectorized) and match the row path exactly
+    from debezium_spark.sources.binlog import _rows_batch_rowpath
+
+    jt, jm = [TYPE_JSON, TYPE_LONG], [4, 0]
     jtm = parse_table_map(
-        encode_table_map(7, "d", "j", jt, jm, [True])[HEADER_LEN:])
-    jev = encode_rows_event(WRITE_ROWS_EVENT, 7, jt, jm,
-                            [{"after": [b"\x05\x01\x00"]}], log_pos=9)
+        encode_table_map(7, "d", "j", jt, jm, [True, True])[HEADER_LEN:])
+    jmsgs = [
+        encode_rows_event(WRITE_ROWS_EVENT, 7, jt, jm,
+                          [{"after": [b"\x05\x01\x00", 4]}], log_pos=9),
+        encode_rows_event(WRITE_ROWS_EVENT, 7, jt, jm,
+                          [{"after": [b"", 5]}], log_pos=10),
+        encode_rows_event(WRITE_ROWS_EVENT, 7, jt, jm,
+                          [{"after": [None, 6]}], log_pos=11),
+    ]
+    vec = _decode_rows_batch_vectorized(
+        pa.array(jmsgs, type=pa.binary()), {7: jtm}, False)
+    row = _rows_batch_rowpath(jmsgs, {7: jtm}, False)
+    assert vec.to_pylist() == row.to_pylist()
+    # ... while a MALFORMED document still raises the renderer's error
+    bad = encode_rows_event(WRITE_ROWS_EVENT, 7, jt, jm,
+                            [{"after": [b"\xff\xff\xff", 7]}], log_pos=12)
     with _pytest.raises(ValueError):
         _decode_rows_batch_vectorized(
-            pa.array([jev], type=pa.binary()), {7: jtm}, False)
+            pa.array([bad], type=pa.binary()), {7: jtm}, False)
 
 
 def test_decode_binlog_rows_spark_fast_and_fallback(spark):
