@@ -207,6 +207,7 @@ class ParquetMergeSink:
         schema_registry=None,
         table_name: str = "target",
         inline_max_rows: int = 32768,
+        inline_merge_target_rows: int = 1 << 18,
     ):
         self.spark = spark
         self.path = path
@@ -224,6 +225,15 @@ class ParquetMergeSink:
         # files are scanned once instead of once per plan subtree. Batches
         # above the bound (backfills) keep the fully distributed plan.
         self.inline_max_rows = inline_max_rows
+        # When an inline batch's AFFECTED buckets together hold at most
+        # this many on-disk rows (parquet footer counts, no job), the
+        # MERGE itself also runs driver-side: pyarrow reads the touched
+        # buckets, the upsert anti-join is a key-set filter, and the
+        # merged buckets go back through the same staging+swap protocol —
+        # ONE Spark job per micro-batch total (the batch collect) instead
+        # of two. Bounds driver memory to (threshold + batch) Arrow rows;
+        # big tables/buckets keep the distributed merge.
+        self.inline_merge_target_rows = inline_merge_target_rows
 
     def _bucket_of(self) -> F.Column:
         return F.pmod(F.hash(*self.pk_cols), F.lit(self.num_buckets))
@@ -400,7 +410,26 @@ class ParquetMergeSink:
         # nulls smallest, ties to the later batch row.
         take_idx = arrow_last_per_key(tbl, len(self.pk_cols))
         won = tbl.take(pa.array(take_idx, type=pa.int64()))
+        affected = sorted(set(tbl.column("__b").to_pylist()))
+        # Evolution is recorded LAST: everything above can throw (Arrow
+        # conversion, exotic types), and write_batch's fallback re-runs
+        # _write_batch_inline which detects again — recording earlier would
+        # double-increment the schema version and write a duplicate history
+        # row for the same batch.
+        self._detect_evolution(
+            field_names,
+            lambda: int(pc.min(tbl.column("__pos")).as_py() or 0),
+        )
+        return ("inline", (won, affected, row_schema))
 
+    def _flat_local_from_won(self, won, row_schema):
+        """Survivor Arrow table -> the one-partition local change relation
+        the Spark-side MERGE joins against."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyspark.sql.types as T
+
+        field_names = [f.name for f in row_schema.fields]
         deleted = pc.fill_null(pc.equal(won.column("__op"), "d"), False)
         out_tbl = pa.table(
             [*(won.column(f) for f in field_names), deleted, won.column("__op")],
@@ -416,20 +445,149 @@ class ParquetMergeSink:
                 T.StructField("__op", T.StringType(), True),
             ]
         )
-        flat_local = self.spark.createDataFrame(
+        return self.spark.createDataFrame(
             out_tbl, schema=flat_schema
         ).coalesce(1)
-        affected = sorted(set(tbl.column("__b").to_pylist()))
-        # Evolution is recorded LAST: everything above can throw (Arrow
-        # conversion, exotic types), and write_batch's fallback re-runs
-        # _write_batch_inline which detects again — recording earlier would
-        # double-increment the schema version and write a duplicate history
-        # row for the same batch.
-        self._detect_evolution(
-            field_names,
-            lambda: int(pc.min(tbl.column("__pos")).as_py() or 0),
+
+    def _merge_inline_driver(self, won, affected, row_schema,
+                             epoch_id) -> bool:
+        """Driver-side MERGE for a small upsert batch whose affected
+        buckets are small: pyarrow reads the touched bucket files (no
+        job), the upsert anti-join is a key-set filter, and the merged
+        buckets go back through the shared staging+swap protocol — the
+        batch's ONLY Spark job stays the collect in
+        ``_prepare_inline_arrow``. Returns True when fully handled;
+        returns False (no side effects) whenever exactness or scale is at
+        risk: non-upsert modes, no table yet, floating-point or nested
+        key columns (Spark's NaN/complex equality differs from Python's),
+        a survivor whose key struct differs from its state PK (the Spark
+        path re-buckets by STATE pk — unreproducible without Spark's
+        hash), over-threshold target buckets, or target files whose arrow
+        types don't cast to the batch's."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if (
+            self.insert_mode != "upsert"
+            or self.inline_merge_target_rows <= 0
+            or not self._has_buckets()
+        ):
+            return False
+        field_names = [f.name for f in row_schema.fields]
+        batch_schema = pa.schema(
+            [won.schema.field(f) for f in field_names]
         )
-        return ("inline", (flat_local, affected, row_schema))
+        for c in self.pk_cols:
+            t = batch_schema.field(c).type
+            if pa.types.is_floating(t) or pa.types.is_nested(t):
+                return False
+        # the Spark path assigns output buckets by hash(STATE pk); __b was
+        # hashed from the KEY struct — only provably equal when the values
+        # are (they are for well-formed CDC; guard anyway)
+        for i, c in enumerate(self.pk_cols):
+            if won.column(f"__k_{i}").to_pylist() != \
+                    won.column(c).to_pylist():
+                return False
+
+        files_by_bucket: dict[int, list[str]] = {}
+        total = 0
+        for b in affected:
+            d = os.path.join(self.path, f"{BUCKET_COL}={b}")
+            fs = (
+                sorted(
+                    os.path.join(d, e)
+                    for e in os.listdir(d)
+                    if e.endswith(".parquet")
+                )
+                if os.path.isdir(d)
+                else []
+            )
+            files_by_bucket[b] = fs
+            for p in fs:
+                total += pq.ParquetFile(p).metadata.num_rows
+            if total > self.inline_merge_target_rows:
+                return False
+
+        bcol = won.column("__b").to_numpy(zero_copy_only=False)
+        deleted = pc.fill_null(
+            pc.equal(won.column("__op"), "d"), False
+        ).to_numpy(zero_copy_only=False)
+        merged_by_bucket: dict[int, "pa.Table"] = {}
+        try:
+            for b in affected:
+                sel = np.nonzero(bcol == b)[0]
+                sub = won.take(pa.array(sel, type=pa.int64()))
+                # keys = the survivor STATE's pk values, exactly
+                # merge_flat_changes' flat.select(pk_cols); a NULL
+                # component never equals anything under join semantics
+                keys = set()
+                for kt in zip(
+                    *(sub.column(c).to_pylist() for c in self.pk_cols)
+                ):
+                    if all(v is not None for v in kt):
+                        keys.add(kt)
+                parts = []
+                for p in files_by_bucket[b]:
+                    t = pq.read_table(p)
+                    cols = []
+                    for f in batch_schema:
+                        if f.name in t.column_names:
+                            col = t.column(f.name)
+                            if col.type != f.type:
+                                col = col.cast(f.type)
+                        else:
+                            # pre-evolution bucket: new columns read NULL,
+                            # same as _read_target's explicit-schema read
+                            col = pa.nulls(t.num_rows, type=f.type)
+                        cols.append(col)
+                    tt = pa.table(cols, schema=batch_schema)
+                    if keys:
+                        mask = np.fromiter(
+                            (
+                                kt not in keys
+                                for kt in zip(
+                                    *(
+                                        tt.column(c).to_pylist()
+                                        for c in self.pk_cols
+                                    )
+                                )
+                            ),
+                            dtype=bool,
+                            count=tt.num_rows,
+                        )
+                        if not mask.all():
+                            tt = tt.filter(pa.array(mask))
+                    parts.append(tt)
+                alive = sub.filter(
+                    pa.array(~deleted[sel])
+                ).select(field_names)
+                parts.append(alive.cast(batch_schema))
+                merged_by_bucket[b] = pa.concat_tables(parts)
+        except pa.ArrowInvalid:
+            return False  # uncastable on-disk type: the Spark read handles
+
+        staging = (
+            f"{self.path}.staging-"
+            f"{epoch_id if epoch_id is not None else 'x'}"
+        )
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        for b, tbl in merged_by_bucket.items():
+            if tbl.num_rows == 0:
+                continue  # emptied bucket: the swap drops its dir
+            d = os.path.join(staging, f"{BUCKET_COL}={b}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                tbl,
+                os.path.join(d, "part-00000-inline.snappy.parquet"),
+                compression="snappy",
+            )
+        os.makedirs(staging, exist_ok=True)
+        self._swap_staged(staging, affected, row_schema)
+        return True
 
     def _try_collect_inline(self, env_batch: DataFrame):
         """Inline fast path: materialize the micro-batch driver-side in ONE
@@ -574,7 +732,11 @@ class ParquetMergeSink:
         if verdict == "done":
             return
         if verdict == "inline":
-            flat_local, affected, row_schema = payload
+            won, affected, row_schema = payload
+            if self._merge_inline_driver(won, affected, row_schema,
+                                         epoch_id):
+                return
+            flat_local = self._flat_local_from_won(won, row_schema)
             target = self._read_target(row_schema)
             target_sub = target.filter(
                 F.col(BUCKET_COL).isin(affected)
@@ -690,6 +852,14 @@ class ParquetMergeSink:
             os.replace(staging, self.path)
             self._write_schema_sidecar(row_schema)
             return
+        self._swap_staged(staging, affected, row_schema)
+
+    def _swap_staged(self, staging: str, affected, row_schema) -> None:
+        """Move staged bucket dirs into place (driver fs renames) and drop
+        emptied buckets; shared by the Spark write path and the driver-side
+        inline merge so the swap/crash-consistency protocol exists once."""
+        import shutil
+
         written = set()
         for entry in os.listdir(staging):
             if entry.startswith(f"{BUCKET_COL}="):

@@ -459,3 +459,54 @@ def test_events_leaves_session_timezone_untouched(spark, sf_dir):
         assert vals == base_vals
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_driver_inline_merge_matches_spark_paths(spark, sf_dir, tmp_path):
+    """The driver-side inline MERGE (pyarrow bucket rewrite, zero Spark
+    jobs past the collect) must be observably identical to BOTH Spark
+    paths — the inline local-relation plan and the fully distributed
+    plan — including deletes and multi-event keys."""
+    import glob
+
+    env = accounts_changefeed(spark, sf_dir)
+    lo = env.filter(F.col("source.pos") % 2 == 0)
+    hi = env.filter(F.col("source.pos") % 2 == 1)
+    drv = ParquetMergeSink(
+        spark, str(tmp_path / "drv"), ["id"], num_buckets=8
+    )
+    spk = ParquetMergeSink(
+        spark, str(tmp_path / "spk"), ["id"], num_buckets=8,
+        inline_merge_target_rows=0,
+    )
+    dist = ParquetMergeSink(
+        spark, str(tmp_path / "dist"), ["id"], num_buckets=8,
+        inline_max_rows=0,
+    )
+    for sink in (drv, spk, dist):
+        sink.write_batch(lo, 0)
+        sink.write_batch(hi, 1)
+    a = [tuple(r) for r in drv.read().orderBy("id").collect()]
+    b = [tuple(r) for r in spk.read().orderBy("id").collect()]
+    c = [tuple(r) for r in dist.read().orderBy("id").collect()]
+    assert a == b == c and len(a) > 0
+    # the driver path genuinely ran (batch 1; batch 0 had no buckets yet)
+    assert glob.glob(str(tmp_path / "drv" / "__bucket=*" / "*-inline*"))
+
+
+def test_driver_inline_merge_drops_emptied_bucket(spark, sf_dir, tmp_path):
+    """A driver-side merge whose deletes empty a bucket removes the
+    bucket dir (same contract as the Spark swap), and the table still
+    reads as empty via the schema sidecar."""
+    env = accounts_changefeed(spark, sf_dir)
+    sink = ParquetMergeSink(
+        spark, str(tmp_path / "t"), ["id"], num_buckets=1
+    )
+    sink.write_batch(_mk_event(env, key_id=31337, op="c", pos=1), 0)
+    assert [r.id for r in sink.read().collect()] == [31337]
+    sink.write_batch(_mk_event(env, key_id=31337, op="d", pos=2), 1)
+    import os
+
+    assert not any(
+        e.startswith("__bucket=") for e in os.listdir(tmp_path / "t")
+    )
+    assert sink.read().count() == 0
