@@ -87,6 +87,19 @@ HEADLINE = [
 ]
 
 
+# Legs whose TIMED plan reuses a lazily localCheckpoint-ed intermediate
+# that the warm-up runs materialize (VERDICT r13 Wrong #4): the timed
+# number measures the plan DOWNSTREAM of the checkpoint, not the kernel
+# that fills it. Production-legitimate (the intermediate is computed once
+# per micro-batch / reused across branches), but round-over-round readers
+# must not compare these legs' numbers to single-pass decode legs.
+WARM_CHECKPOINT_LEGS = [
+    "s34_binlog_include_query",   # attach_rows_query's decoded frame
+    "x38_charlm_quality",         # _charlm_doc_counts kernel output
+    "x39_duplicated_spans_sampled",  # _poly_window_grams kernel output
+    "x46_temperature_mixture",    # temperature_sample per-source stats
+]
+
 _PROBE_ARR = None
 
 # Calm-host reference for the two probes, measured on this box across quiet
@@ -100,6 +113,16 @@ _PROBE_ARR = None
 CALM_PROBE = [0.07, 0.03]
 NOISY_FACTOR = 2.0
 MAX_SEGMENT_RETRIES = 2
+# Calm-host per-JOB scheduling latency band (see _job_latency_probe). r13's
+# driver window showed the failure mode the cpu/membw probes are blind to:
+# scheduler-side degradation (0.672-1.771 s/job vs the 0.03-0.08 calm band)
+# inflated untouched legs 4-16x while both _noise_probe parts read calm, so
+# nothing requeued or quarantined. Per-leg timing blocks are therefore ALSO
+# bracketed by a lightweight job probe, and a block whose bracket exceeds
+# 2x the calm ceiling requeues / qualifies for quarantine exactly like a
+# cpu/membw-noisy one.
+JOB_CALM_SEC = 0.08
+JOB_NOISY_FACTOR = 2.0
 # Calm-window run-to-run spread is ~6% (r6: w1 [0.945, 0.906, 0.887]); a
 # block whose 3 runs span more than 1.5x ran through invisible-to-probe
 # contention and re-runs like a probe-noisy one.
@@ -111,6 +134,33 @@ def _is_noisy(probe: list[float]) -> bool:
         probe[0] > CALM_PROBE[0] * NOISY_FACTOR
         or probe[1] > CALM_PROBE[1] * NOISY_FACTOR
     )
+
+
+_JOB_PROBE_DF = None
+
+
+def _job_probe(spark) -> float:
+    """Lightweight per-bracket job-latency reading: the MIN of two timed
+    runs of a trivial 2-stage (shuffle) job over 1,000 rows. Min, not
+    median: the question is "can the host schedule a job at the calm
+    floor right now at all" — one GC-lengthened run must not flag a calm
+    window, while a degraded scheduler inflates every run so the min
+    still reads high."""
+    global _JOB_PROBE_DF
+    if _JOB_PROBE_DF is None:
+        _JOB_PROBE_DF = spark.range(1000).selectExpr("id", "id * 2 AS v")
+        _JOB_PROBE_DF.count()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _JOB_PROBE_DF.groupBy((_JOB_PROBE_DF.id % 7).alias("k")).count() \
+            .collect()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def _job_noisy(lat: float) -> bool:
+    return lat > JOB_CALM_SEC * JOB_NOISY_FACTOR
 
 
 def _noise_probe() -> list[float]:
@@ -247,6 +297,9 @@ def main() -> None:
     #   machine-health trace to judge any surprising delta against.
     noise = [_noise_probe()]
     job_latency = [_job_latency_probe(spark)]
+    # Per-leg job-latency brackets [pre, post] around the ACCEPTED timing
+    # block — the scheduler-health trace the cpu/membw probes can't see.
+    job_brackets: dict[str, list[float]] = {}
     requeues: dict[str, int] = {}
     noisy_accepted: list[str] = []
     spread_accepted: list[str] = []
@@ -287,28 +340,35 @@ def main() -> None:
         # spread_accepted so the delta reader knows not to trust it.
         for attempt in range(MAX_SEGMENT_RETRIES + 1):
             pre = _noise_probe()
+            pre_j = _job_probe(spark)
             runs = []
             for _ in range(3):
                 t0 = time.time()
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
             post = _noise_probe()
+            post_j = _job_probe(spark)
             wide = max(runs) / max(min(runs), 1e-9) > SPREAD_FACTOR
-            if not (_is_noisy(pre) or _is_noisy(post) or wide):
+            job_sick = _job_noisy(pre_j) or _job_noisy(post_j)
+            if not (_is_noisy(pre) or _is_noisy(post) or wide or job_sick):
                 break
         if attempt:
             requeues[name] = attempt
-        if _is_noisy(pre) or _is_noisy(post):
+        if _is_noisy(pre) or _is_noisy(post) or job_sick:
             # Quarantine evidence comes from the ACCEPTED block's probes
             # only: an earlier requeued attempt's noise was already
             # discarded along with its timings, so letting it flag the leg
             # would quarantine a genuine >2x regression measured in the
-            # calm accepted block (r12 ADVICE).
+            # calm accepted block (r12 ADVICE). The job-latency bracket
+            # counts as probe evidence since r14: the r13 driver window's
+            # pathology was scheduler-side and invisible to cpu/membw
+            # (VERDICT r13 Wrong #2).
             noisy_accepted.append(name)
             probe_flagged.add(name)
         if wide:
             spread_accepted.append(name)
         noise.append(post)
+        job_brackets[name] = [pre_j, post_j]
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = [round(r, 3) for r in runs]
 
@@ -351,7 +411,11 @@ def main() -> None:
         "query_runs": spreads,
         "noise_probe_sec": noise,
         "job_latency_probe_sec": job_latency,
+        "job_latency_brackets": job_brackets,
         "job_latency_calm_reference": [0.03, 0.08],
+        "warm_checkpoint_legs": [
+            n for n in WARM_CHECKPOINT_LEGS if n in timings
+        ],
         "calm_probe_reference": CALM_PROBE,
         "noise_requeues": requeues,
         "noisy_accepted": noisy_accepted,
@@ -453,20 +517,25 @@ def _mor_read_sweep(spark) -> dict:
             df.write.format("noop").mode("overwrite").save()  # warm-up
             for attempt in range(MAX_SEGMENT_RETRIES + 1):
                 pre = _noise_probe()
+                pre_j = _job_probe(spark)
                 runs = []
                 for _ in range(3):
                     t0 = time.time()
                     df.write.format("noop").mode("overwrite").save()
                     runs.append(time.time() - t0)
                 post = _noise_probe()
-                if not (_is_noisy(pre) or _is_noisy(post)):
+                post_j = _job_probe(spark)
+                sick = (_is_noisy(pre) or _is_noisy(post)
+                        or _job_noisy(pre_j) or _job_noisy(post_j))
+                if not sick:
                     break
             out[tag] = {
                 "deltas_outstanding": outstanding,
                 "read_sec": round(statistics.median(runs), 3),
                 "read_sec_runs": [round(r, 3) for r in runs],
                 "noise_requeued": attempt,
-                "noisy_accepted": _is_noisy(pre) or _is_noisy(post),
+                "noisy_accepted": sick,
+                "job_latency_bracket": [pre_j, post_j],
             }
 
         written = 0
@@ -565,15 +634,19 @@ def _pipeline_throughput(spark) -> dict:
         # window (r5's MOR runs were [19.1, 19.8, 77.7]).
         for attempt in range(2):
             pre = _noise_probe()
+            pre_j = _job_probe(spark)
             runs = [one_run(sink_factory, f"{tag}_{attempt}_{i}") for i in range(3)]
             post = _noise_probe()
-            if not (_is_noisy(pre) or _is_noisy(post)):
+            post_j = _job_probe(spark)
+            if not (_is_noisy(pre) or _is_noisy(post)
+                    or _job_noisy(pre_j) or _job_noisy(post_j)):
                 break
         stream_secs = sorted(r["stream_sec"] for r in runs)
         med = stream_secs[1]
         rep = next(r for r in runs if r["stream_sec"] == med)
         return {
             "noise_probes": [pre, post],
+            "job_latency_bracket": [pre_j, post_j],
             "noise_requeued": attempt,
             "events": n_events,
             "events_per_batch": n_events // max(1, rep["batches"]),
