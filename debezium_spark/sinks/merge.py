@@ -565,8 +565,13 @@ class ParquetMergeSink:
                 ).select(field_names)
                 parts.append(alive.cast(batch_schema))
                 merged_by_bucket[b] = pa.concat_tables(parts)
-        except pa.ArrowInvalid:
-            return False  # uncastable on-disk type: the Spark read handles
+        except pa.lib.ArrowException:
+            # Any Arrow read/cast failure (ArrowInvalid, but also
+            # ArrowNotImplementedError / ArrowTypeError on mismatched
+            # on-disk types) declines to the Spark merge path — no side
+            # effects have happened yet, the distributed plan owns the
+            # batch.
+            return False
 
         staging = (
             f"{self.path}.staging-"

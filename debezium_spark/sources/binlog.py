@@ -1951,7 +1951,9 @@ def _rows_batch_rowpath(msgs, registry, include_query):
 
 #: output-order key stride: message index * SHIFT + embedded sequence
 #: (a payload's embedded events order within their message; int64-safe
-#: for batches up to 2^31 messages / payloads up to 2^32 events)
+#: for batches up to 2^31 messages / payloads with FEWER than 2^32
+#: embedded events — the walk below guards seq < SHIFT and falls back
+#: to the per-row path on the theoretical overflow)
 _ORDER_SHIFT = 1 << 32
 
 
@@ -2039,6 +2041,23 @@ def _decode_rows_batch_vectorized(msg_arr, registry, include_query):
         body = data[starts[i] + HEADER_LEN:ends[i]].tobytes()
         for seq, raw in enumerate(_payload_raw_events(body)):
             code = raw[4]
+            if seq >= _ORDER_SHIFT:  # pragma: no cover - 2^32 events
+                raise ValueError(
+                    "payload embeds too many events for the order-key "
+                    "stride"
+                )
+            if code == TRANSACTION_PAYLOAD_EVENT:
+                # A NESTED payload would route through parse_event ->
+                # parse_transaction_payload, whose embedded TABLE_MAPs
+                # register into the shared registry UNCONDITIONALLY —
+                # bypassing the redefinition guard above, so a nested
+                # redefinition could silently decode earlier payloads'
+                # batched rows with the wrong map. Not a shape real
+                # MySQL streams produce; fall back to the sequential
+                # per-row replay, which threads the registry exactly.
+                raise ValueError(
+                    "nested TRANSACTION_PAYLOAD inside a payload"
+                )
             key = int(i) * _ORDER_SHIFT + seq
             if code == TABLE_MAP_EVENT:
                 mb = raw[HEADER_LEN:]

@@ -1351,3 +1351,15 @@ def test_vectorized_payload_guards():
     out = _decode_rows_batch_vectorized(
         pa.array([pay3], type=pa.binary()), reg, False)
     assert [r["after"] for r in out.to_pylist()] == [["3"]]
+    # a NESTED payload must fall back too: its parse_event replay would
+    # register embedded TABLE_MAPs without the redefinition guard
+    nested = encode_transaction_payload(
+        [encode_transaction_payload(
+            [tm_a,
+             encode_rows_event(WRITE_ROWS_EVENT, 8, [TYPE_LONG], [0],
+                               [{"after": [4]}], log_pos=13)],
+            log_pos=14)],
+        log_pos=15)
+    with _pytest.raises(ValueError, match="nested TRANSACTION_PAYLOAD"):
+        _decode_rows_batch_vectorized(
+            pa.array([nested], type=pa.binary()), dict(reg), False)
