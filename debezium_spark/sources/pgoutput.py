@@ -1640,13 +1640,19 @@ def _pg_time_micros(col):
     INTEGER arithmetic — never to_timestamp, whose epoch anchor shifts
     with the session timezone (a non-UTC driver session would corrupt
     every value, and a DST-gap wall time would shift by the wrong
-    offset)."""
+    offset). The grammar is fixed-width left of the fraction, so after
+    ONE validation rlike the components read by plain substr — the old
+    form re-ran the full pattern 4x per cell (one regexp_extract per
+    group), the dominant cost of the TIME/TIME[] arms (guide §4.1:
+    cheaper built-ins before anything else). substr/cast only evaluate
+    under the rlike short-circuit, so malformed text still reaches the
+    raise_error arm, never a CAST_INVALID_INPUT."""
     pat = r"^(\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?$"
-    h = F.regexp_extract(col, pat, 1).cast("long")
-    m = F.regexp_extract(col, pat, 2).cast("long")
-    s = F.regexp_extract(col, pat, 3).cast("long")
-    frac = F.regexp_extract(col, pat, 4)
-    micros = F.when(frac == "", F.lit(0)).otherwise(
+    h = col.substr(1, 2).cast("long")
+    m = col.substr(4, 2).cast("long")
+    s = col.substr(7, 2).cast("long")
+    frac = F.when(F.length(col) > 8, col.substr(F.lit(10), F.length(col)))
+    micros = F.when(frac.isNull(), F.lit(0)).otherwise(
         F.rpad(frac, 6, "0").cast("long")
     )
     return (
@@ -1663,26 +1669,31 @@ def _pg_time_micros(col):
     )
 
 
-def _timetz_offset_seconds(col, pat):
-    """The TIMETZ offset sub-grammar ('±HH[:MM[:SS]]', pattern group 5)
-    -> signed seconds; shared by the string and structured modes so the
-    two can never diverge."""
-    off = F.regexp_extract(col, pat, 5)
-    sign = F.when(off.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
-    off_body = off.substr(F.lit(2), F.length(off) - 1)
+def _timetz_parts(col):
+    """Positional decomposition of TIMETZ text ALREADY validated against
+    ``_PG_TIMETZ_PAT``: one char-class split into the clock and offset
+    halves ('+'/'-' appears exactly once, as the offset sign — a timetz
+    clock is never negative), then plain ':'/'.' splits. Returns
+    (h, m, s, frac-or-null, offset_seconds). Replaces the old form's ~8
+    full-pattern regexp_extract passes per cell (each group its own
+    engine run) with one trivial split each (guide §4.1); byte-identical
+    on the validated domain because the splits read the same groups the
+    anchored pattern defined. Only ever evaluated under the caller's
+    rlike short-circuit."""
+    halves = F.split(col, r"[+-]", 2)
+    cparts = F.split(F.get(halves, 0), r"[:.]")
+    h = F.get(cparts, 0).cast("long")
+    m = F.get(cparts, 1).cast("long")
+    s = F.get(cparts, 2).cast("long")
+    frac = F.get(cparts, 3)
+    sign = F.when(col.contains("-"), F.lit(-1)).otherwise(F.lit(1))
+    oparts = F.split(F.get(halves, 1), ":")
 
     def opart(i):
-        return F.coalesce(
-            F.nullif(
-                F.regexp_extract(
-                    off_body, r"^(\d{2})(?::(\d{2}))?(?::(\d{2}))?$", i
-                ),
-                F.lit(""),
-            ).cast("long"),
-            F.lit(0),
-        )
+        return F.coalesce(F.get(oparts, i).cast("long"), F.lit(0))
 
-    return sign * (opart(1) * 3600 + opart(2) * 60 + opart(3))
+    off_secs = sign * (opart(0) * 3600 + opart(1) * 60 + opart(2))
+    return h, m, s, frac, off_secs
 
 
 def pg_timetz_value(col):
@@ -1695,14 +1706,11 @@ def pg_timetz_value(col):
     (PostgresTimeBoundary.java:16-22, isTimeWithTimeZoneBoundaryAtUtc)
     because OffsetTime cannot represent hour 24. Malformed text raises —
     the reference's default-mode OffsetTime.parse throws the same way."""
-    h = F.regexp_extract(col, _PG_TIMETZ_PAT, 1).cast("long")
-    m = F.regexp_extract(col, _PG_TIMETZ_PAT, 2).cast("long")
-    s = F.regexp_extract(col, _PG_TIMETZ_PAT, 3).cast("long")
-    frac = F.regexp_extract(col, _PG_TIMETZ_PAT, 4)
-    micros = F.when(frac == "", F.lit(0)).otherwise(
+    h, m, s, frac, off_secs = _timetz_parts(col)
+    micros = F.when(frac.isNull(), F.lit(0)).otherwise(
         F.rpad(frac, 6, "0").cast("long")
     )
-    off_us = _timetz_offset_seconds(col, _PG_TIMETZ_PAT) * F.lit(1_000_000)
+    off_us = off_secs * F.lit(1_000_000)
     utc_us = F.pmod(
         (h * 3600 + m * 60 + s) * F.lit(1_000_000) + micros - off_us,
         F.lit(86_400_000_000),
@@ -1748,31 +1756,26 @@ def pg_timetz_struct_value(col, precision: int = -1):
     (PostgresValueConverter.convertTimeWithZoneToStructuredPreservingOffset
     :1131-1160, StructuredZonedTime.java:25-66: hour/minute/second as
     int8, nanos + offset_seconds + precision as int32). The reference
-    WARNS and falls back on unparseable text; here the raw components
-    are regex-extracted so a non-matching value yields the same
+    WARNS and falls back on unparseable text; here one validation rlike
+    gates the positional parse so a non-matching value yields the same
     all-zero fallback struct."""
-    p = _PG_TIMETZ_PAT
-    ok = col.rlike(p)
+    ok = col.rlike(_PG_TIMETZ_PAT)
+    ph, pm, ps, pfrac, poff = _timetz_parts(col)
 
-    def g(i, typ):
-        return F.when(
-            ok, F.regexp_extract(col, p, i).cast(typ)
-        ).otherwise(F.lit(0).cast(typ))
+    def g(part, typ):
+        return F.when(ok, part.cast(typ)).otherwise(F.lit(0).cast(typ))
 
-    frac = F.regexp_extract(col, p, 4)
     nanos = F.when(
-        ok & (frac != ""),
-        (F.rpad(frac, 9, "0")).cast("int"),
+        ok & pfrac.isNotNull(),
+        (F.rpad(pfrac, 9, "0")).cast("int"),
     ).otherwise(F.lit(0))
-    off_secs = F.when(
-        ok, _timetz_offset_seconds(col, p)
-    ).otherwise(F.lit(0))
+    off_secs = F.when(ok, poff).otherwise(F.lit(0))
     return F.when(
         col.isNotNull(),
         F.struct(
-            g(1, "tinyint").alias("hour"),
-            g(2, "tinyint").alias("minute"),
-            g(3, "tinyint").alias("second"),
+            g(ph, "tinyint").alias("hour"),
+            g(pm, "tinyint").alias("minute"),
+            g(ps, "tinyint").alias("second"),
             nanos.alias("nanos"),
             off_secs.cast("int").alias("offset_seconds"),
             F.lit(precision).cast("int").alias("precision"),

@@ -1340,3 +1340,109 @@ def test_decode_frames_spark_fast_and_fallback(spark):
     rows = {r["kind"]: r for r in decode_frames(mixed).collect()}
     assert rows["begin"]["xid"] == 42
     assert rows["insert"]["after"][0]["v"] == "1"
+
+
+def test_pg_timetz_positional_parse_parity(spark):
+    """r14: the timetz/time arms parse positionally (one validation
+    rlike + char-class splits) instead of one regexp_extract per group.
+    Dense-domain parity against an independent Python reference
+    (datetime arithmetic): every (hour, minute, second, fraction,
+    offset-shape) combination over a stratified sweep must match, for
+    the string mode, the structured mode, and the TIME µs arm."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from debezium_spark.sources.pgoutput import pg_typed_value
+
+    cases = []
+    fracs = ["", ".5", ".25", ".999999", ".000001", ".120000"]
+    offs = ["+00", "-05", "+01:30", "-11:45", "+02:00:30", "-00:00:01",
+            "+23", "-23:59:59"]
+    i = 0
+    for h in range(24):
+        for m in (0, 1, 9, 30, 59):
+            for s in (0, 5, 59):
+                f = fracs[i % len(fracs)]
+                off = offs[i % len(offs)]
+                i += 1
+                cases.append((f"{h:02d}:{m:02d}:{s:02d}{f}{off}",))
+    # single-digit hours (the pattern is \d{1,2}) and boundary spellings
+    cases += [(f"{h}:30:15.75+0{h % 10}",) for h in range(10)]
+    cases += [("24:00:00+00",), ("24:00:00.000000Z",), ("24:00:00-0000",),
+              (None,)]
+
+    import re
+
+    def py_ref(txt):
+        if txt is None:
+            return None
+        if txt.startswith("24:00:00"):
+            return "24:00:00Z"
+        mt = re.match(
+            r"^(\d{1,2}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?"
+            r"([+-])(\d{2})(?::(\d{2}))?(?::(\d{2}))?$", txt)
+        assert mt, txt
+        hh, mm, ss = int(mt[1]), int(mt[2]), int(mt[3])
+        frac_us = int((mt[4] or "").ljust(6, "0")) if mt[4] else 0
+        osec = (int(mt[6]) * 3600 + int(mt[7] or 0) * 60
+                + int(mt[8] or 0)) * (-1 if mt[5] == "-" else 1)
+        total = (hh * 3600 + mm * 60 + ss - osec) % 86400
+        us = total * 1_000_000 + frac_us
+        out = "%02d:%02d:%02d" % (us // 3_600_000_000,
+                                  us % 3_600_000_000 // 60_000_000,
+                                  us % 60_000_000 // 1_000_000)
+        fr = ("%06d" % (us % 1_000_000)).rstrip("0")
+        return out + ("." + fr if fr else "") + "Z"
+
+    # normalize the 1-digit-hour spellings for the reference
+    expect = []
+    for (c,) in cases:
+        if c is not None and c[1] == ":":  # '5:30:15...' 1-digit hour
+            expect.append(py_ref("0" + c))
+        else:
+            expect.append(py_ref(c))
+    df = spark.createDataFrame(cases, "s string").coalesce(2)
+    got = [r["t"] for r in df.select(
+        pg_typed_value(F.col("s"), 1266).alias("t")).collect()]
+    assert got == expect
+
+    # structured mode: raw components, original offset, no UTC shift
+    st = [r["t"] for r in df.select(
+        pg_typed_value(F.col("s"), 1266, timetz_mode="structured")
+        .alias("t")).collect()]
+    pat = re.compile(
+        r"^(\d{1,2}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?"
+        r"([+-])(\d{2})(?::(\d{2}))?(?::(\d{2}))?$")
+    for (c,), row in zip(cases, st):
+        if c is None:
+            assert row is None
+            continue
+        mt = pat.match(c)
+        if mt is None:
+            # boundary spellings outside the shared pattern -> fallback 0s
+            assert row["hour"] == 0 and row["offset_seconds"] == 0, c
+            continue
+        nan = int(mt[4].ljust(9, "0")) if mt[4] else 0
+        osec = (int(mt[6]) * 3600 + int(mt[7] or 0) * 60
+                + int(mt[8] or 0)) * (-1 if mt[5] == "-" else 1)
+        assert (row["hour"], row["minute"], row["second"]) == (
+            int(mt[1]), int(mt[2]), int(mt[3])), c
+        assert row["nanos"] == nan and row["offset_seconds"] == osec, c
+
+    # TIME arm: µs since midnight over the same clock domain
+    tcases = [(f"{h:02d}:{mm:02d}:{ss:02d}{f}",)
+              for h in range(0, 24, 3)
+              for mm in (0, 59) for ss in (0, 30)
+              for f in ("", ".5", ".000123")]
+    tdf = spark.createDataFrame(tcases, "s string").coalesce(2)
+    tgot = [r["t"] for r in tdf.select(
+        pg_typed_value(F.col("s"), 1083).alias("t")).collect()]
+    texp = []
+    for (c,) in tcases:
+        hh, mm, rest = c.split(":")
+        ss = int(rest[:2])
+        frac = int(rest[3:].ljust(6, "0")) if "." in rest else 0
+        texp.append((int(hh) * 3600 + int(mm) * 60 + ss) * 1_000_000
+                    + frac)
+    assert tgot == texp
