@@ -46,19 +46,27 @@ from debezium_spark.suite import register
 #: column conversion) REGARDLESS of work — a null kernel over the same
 #: 100k-message stream ran 0.67 s at 64 partitions, 0.40 s at 32, 0.26 s
 #: at 8 — so tiny partitions are pure overhead, while one giant partition
-#: serializes the heavy row-path kernels (binlog/logminer). ~8k rows/task
-#: puts sf0.1 at ~13 partitions, the measured sweet spot for both kernel
-#: classes, and GROWS the task count linearly with the feed (sf10 → all
-#: cores busy with full batches) instead of pinning it to the local core
-#: count — the scale-adaptive form §2.5 of the optimization guide asks
-#: for.
+#: serializes the heavy row-path kernels (binlog/logminer).
 _WIRE_ROWS_PER_TASK = 8192
 
 
 def _wire_parts(spark, rows: int) -> int:
+    """Partition count for the checkpointed wire fixtures: FLOORED at
+    defaultParallelism, growing rows-proportionally past it (bounded at
+    8 waves so huge feeds amortize the fixed per-task cost with larger
+    batches, not more tasks).
+
+    r13 sized this by rows alone (~13 partitions at sf0.1) — optimal for
+    the Python decode kernels in isolation, but the checkpoint's
+    partitioning pins EVERY downstream stage (there is no exchange
+    between the decode and e.g. the typed projection), so the
+    regex/lambda-heavy JVM projection of the s22 family ran 13-of-32
+    cores and regressed 2.6x (VERDICT r13 #3). The ~0.1 s the decode
+    legs pay for core-count tasks at sf0.1 buys the dominant JVM stages
+    full parallelism (guide §2.5: partition for the EXPENSIVE stage)."""
     cap = spark.sparkContext.defaultParallelism
-    return max(2, min(cap, (int(rows) + _WIRE_ROWS_PER_TASK - 1)
-                      // _WIRE_ROWS_PER_TASK))
+    by_rows = (int(rows) + _WIRE_ROWS_PER_TASK - 1) // _WIRE_ROWS_PER_TASK
+    return max(2, cap, min(by_rows, 8 * cap))
 
 
 def _feed_rows(sf_dir: str) -> int:
