@@ -16,6 +16,9 @@ Design rules (these survive a 1000-executor / 100 TB scale-up):
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -162,21 +165,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _zip_ngrams(arr: Column, n: int, cnt: Column, sep: str) -> Column:
+    """n-grams over ``arr`` by zipping n shifted copies, sliced to ``cnt``.
+
+    Higher-order lambdas re-evaluate every OUTER expression they
+    reference once per element — the old ``transform(sequence(1, cnt),
+    i -> concat_ws(slice(arr, i, n)))`` form therefore re-derived the
+    whole array (tokenize / normalize chain) per POSITION: O(len²)
+    work per document, the reason x30's 500-doc rewrite took minutes.
+    Here every shifted copy enters ``arrays_zip`` as an ARGUMENT
+    (evaluated once per row) and the lambda touches only its own
+    variable. concat_ws skips the NULLs that zip-padding introduces at
+    the tail, which reproduces the short-window grams exactly."""
+    size = F.greatest(F.size(arr), F.lit(1))
+    shifted = [arr] + [
+        F.slice(arr, j + 1, F.greatest(size - j, F.lit(1)))
+        for j in range(1, n)
+    ]
+    return F.transform(
+        F.slice(F.arrays_zip(*shifted), 1, cnt),
+        lambda s: F.concat_ws(sep, *[s[str(j)] for j in range(n)]),
+    )
+
+
 def shingles(col: Column, k: int = 5) -> Column:
     """Character k-shingles of the normalized text as an array (no explode)."""
     norm = normalize_text(col)
-    n = F.greatest(F.lit(1), F.length(norm) - F.lit(k - 1))
-    return F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+    length = F.length(norm)
+    n = F.greatest(F.lit(1), length - F.lit(k - 1))
+    # split('', '') is [] (not ['']); the old substr form gave ['']
+    return F.when(length == 0, F.array(F.lit(""))).otherwise(
+        _zip_ngrams(F.split(norm, ""), k, n, "")
+    )
 
 
 def word_ngrams(col: Column, n: int = 2) -> Column:
     """Word n-grams over whitespace tokens (the n-gram-Jaccard dedup unit)."""
     toks = tokenize(col)
     cnt = F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1))
-    return F.transform(
-        F.sequence(F.lit(1), cnt),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    return _zip_ngrams(toks, n, cnt, " ")
 
 
 def oracle_shingles(expr: str, k: int = 5) -> str:
@@ -279,9 +306,10 @@ def minhash_signature_expr(
 
     norm = normalize_text(F.col(text_col))
     n = F.greatest(F.lit(1), F.length(norm) - F.lit(k - 1))
+    # split-to-chars so the lambda only touches its own variable — the
+    # sequence+substr form re-ran the normalize chain per CHARACTER
     codes = F.transform(
-        F.sequence(F.lit(1), F.length(norm)),
-        lambda i: F.ascii(norm.substr(i, F.lit(1))).cast("long"),
+        F.split(norm, ""), lambda c: F.ascii(c).cast("long")
     )
     out = df.withColumn("__c", codes)
     bases = F.array_distinct(
@@ -1640,27 +1668,35 @@ def remove_boilerplate_spans(
 
     toks = tokenize(F.col(text_col))
     L = F.size(toks)
-    n_starts = F.greatest(F.lit(1), L - F.lit(n - 1))
     # hits[i] (1-based): does the gram starting at token i match the bank?
+    # (word_ngrams emits exactly the n_starts = max(1, L-n+1) grams.)
     hits = F.transform(
-        F.sequence(F.lit(1), n_starts),
-        lambda i: F.array_contains(bank, F.concat_ws(" ", F.slice(toks, i, n))),
+        word_ngrams(F.col(text_col), n),
+        lambda g: F.array_contains(bank, g),
     )
-    # token p survives unless some start i in [p-n+1, p] (clamped to the
-    # valid start range) hit the bank
-    def _covered(p):
-        return F.exists(
-            F.sequence(F.greatest(F.lit(1), p - F.lit(n - 1)), F.least(p, n_starts)),
-            lambda i: F.element_at(hits, i),
-        )
-
+    # covered[p] = OR of hits[p-n+1 .. p] clamped to the valid start
+    # range — built by zipping n shifted copies of hits (prepend j
+    # falses for shift j; zip-padding NULLs past n_starts coalesce to
+    # false) so no lambda references an outer expression. The previous
+    # exists(sequence(...), i -> hits[i]) form re-evaluated the whole
+    # hits array per TOKEN: O(L²·n) per document.
+    shifted = [hits] + [
+        F.concat(F.array_repeat(F.lit(False), j), hits) for j in range(1, n)
+    ]
+    covered = F.transform(
+        F.slice(F.arrays_zip(*shifted), 1, L),
+        lambda s: reduce(
+            operator.or_,
+            [F.coalesce(s[str(j)], F.lit(False)) for j in range(n)],
+        ),
+    )
     kept = F.filter(
         F.zip_with(
-            F.sequence(F.lit(1), L),
             toks,
-            lambda p, t: F.struct(p.alias("p"), t.alias("t")),
+            covered,
+            lambda t, c: F.struct(t.alias("t"), c.alias("c")),
         ),
-        lambda e: ~_covered(e["p"]),
+        lambda e: ~e["c"],
     )
     return df.select(
         F.col(id_col),
