@@ -122,15 +122,80 @@ def test_lsh_banding_recall_vs_true_jaccard(spark, sf_dir):
     assert recall >= 0.8, f"LSH banding recall for j>=0.7 pairs = {recall:.2f}"
 
 
-def test_lsh_banding_recall_at_bench_scale(spark):
+def _exact_jaccard_pairs(spark, docs, thresh: float = 0.7) -> set:
+    """Exact (a, b) doc pairs with shingle-set Jaccard ≥ thresh via PREFIX
+    FILTERING (the PPJoin lemma): order every set by global rarity, index
+    only each set's first n - ceil(t·n) + 1 elements — a J ≥ t pair MUST
+    share an element inside these prefixes — then verify every candidate
+    with the exact array_intersect Jaccard. Equivalent to the naive
+    inverted-index join but immune to its stop-shingle blowup (an
+    all-pairs join on a shingle shared by most documents is quadratic in
+    the corpus; the hottest shingles here sort to the END of every set
+    and almost never enter a prefix)."""
+    from debezium_spark.analytics.text import shingles
+
+    sets_df = docs.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 5)).alias("ss")
+    ).select("doc_id", "ss", F.size("ss").alias("n")).localCheckpoint()
+    inv = sets_df.select("doc_id", "n", F.explode("ss").alias("sh"))
+    freq = inv.groupBy("sh").agg(F.count("*").alias("df_"))
+    ordered = (
+        inv.join(freq, "sh")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df_", "sh"))
+            ).alias("osh")
+        )
+    )
+    pref_len = (
+        F.col("n") - F.ceil(F.lit(thresh) * F.col("n")) + F.lit(1)
+    ).cast("int")
+    pref = ordered.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.transform(
+                F.slice("osh", F.lit(1), pref_len), lambda s: s["sh"]
+            )
+        ).alias("sh"),
+    )
+    a, b = pref.alias("pa"), pref.alias("pb")
+    # length filter (exact): J >= t implies min(|A|,|B|) >= t*max(|A|,|B|)
+    cand = (
+        a.join(b, (F.col("pa.sh") == F.col("pb.sh"))
+               & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+               & (F.col("pa.n") >= F.lit(thresh) * F.col("pb.n"))
+               & (F.col("pb.n") >= F.lit(thresh) * F.col("pa.n")))
+        .select(
+            F.col("pa.doc_id").alias("x"), F.col("pb.doc_id").alias("y")
+        )
+        .distinct()
+    )
+    sa = sets_df.select(
+        F.col("doc_id").alias("x"), F.col("ss").alias("ss_a")
+    )
+    sb = sets_df.select(
+        F.col("doc_id").alias("y"), F.col("ss").alias("ss_b")
+    )
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    union = F.size(F.array_union("ss_a", "ss_b"))
+    verified = (
+        cand.join(F.broadcast(sa), "x").join(F.broadcast(sb), "y")
+        .filter((inter / union) >= thresh)
+        .select("x", "y")
+        .collect()
+    )
+    return {(r["x"], r["y"]) for r in verified}
+
+
+def test_lsh_banding_recall_at_bench_scale(spark, sf_dir):
     """Same recall floor at the BENCH scale (sf0.1, 5k docs) so banding
     quality drift at the scale the judge measures can't hide behind a
-    small-fixture pass. Ground truth here avoids the all-pairs cross join:
-    any pair with Jaccard ≥ 0.7 must share at least one shingle, so an
-    inverted-index join on the shingle (explode → equi-join → per-pair
-    shared count) enumerates an exact superset, and |A∩B|/(|A|+|B|-|A∩B|)
-    from the shared count is the exact Jaccard — the same trick that makes
-    this audit runnable at any scale."""
+    small-fixture pass. Ground truth is the prefix-filtered exact Jaccard
+    join (see _exact_jaccard_pairs) — SELF-CHECKED here against the naive
+    all-pairs cross-join truth at the small sf before being trusted at
+    bench scale, so a prefix-filter bug can't silently inflate recall."""
     import os
 
     bench_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,35 +205,28 @@ def test_lsh_banding_recall_at_bench_scale(spark):
         pytest.skip(f"bench-scale fixtures not present at {bench_sf}")
     from debezium_spark.analytics.text import lsh_candidate_pairs, shingles
 
+    small = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sets_small = small.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 5)).alias("ss")
+    )
+    a, b = sets_small.alias("a"), sets_small.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
+    union = F.size(F.array_union(F.col("a.ss"), F.col("b.ss")))
+    naive = {
+        (r["x"], r["y"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter((inter / union) >= 0.7)
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .collect()
+    }
+    assert _exact_jaccard_pairs(spark, small) == naive, (
+        "prefix-filtered truth disagrees with the naive cross join"
+    )
+
     docs = spark.read.parquet(f"{bench_sf}/documents.parquet")
     cands = {(r["a"], r["b"]) for r in lsh_candidate_pairs(docs).collect()}
-
-    sets_df = docs.select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), 5)).alias("ss")
-    ).select("doc_id", "ss", F.size("ss").alias("n"))
-    inv = sets_df.select(
-        "doc_id", "n", F.explode("ss").alias("sh")
-    )
-    a, b = inv.alias("ia"), inv.alias("ib")
-    shared = (
-        a.join(b, (F.col("ia.sh") == F.col("ib.sh"))
-               & (F.col("ia.doc_id") < F.col("ib.doc_id")))
-        .groupBy(
-            F.col("ia.doc_id").alias("x"),
-            F.col("ib.doc_id").alias("y"),
-            F.col("ia.n").alias("na"),
-            F.col("ib.n").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
-        .withColumn(
-            "j",
-            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
-        )
-        .filter(F.col("j") >= 0.7)
-        .select("x", "y")
-        .collect()
-    )
-    truth = {(r["x"], r["y"]) for r in shared}
+    truth = _exact_jaccard_pairs(spark, docs)
     assert truth, "sf0.1 fixture should contain true near-dup pairs"
     recall = len(truth & cands) / len(truth)
     assert recall >= 0.8, (
@@ -192,10 +250,16 @@ def test_prebuilt_index_roundtrip_serves_queries(spark, sf_dir, tmp_path):
         save_vector_index,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # m=4 (the operator default): the roundtrip property asserted here —
+    # serve-from-loaded-artifacts ≡ train-in-call — is parameter-
+    # independent; m=8 doubled every training subtree (the cost is plan
+    # analysis + job count, not data) without widening the contract.
     cents = ivf_train(emb, n_cells=8, iterations=1)
-    books = pq_train(emb, m=8, k=16)
-    codes = pq_encode(emb, books, m=8)
+    books = pq_train(emb, m=4, k=16)
+    codes = pq_encode(emb, books, m=4)
     path = str(tmp_path / "annidx")
     save_vector_index(path, centroids=cents, codebooks=books, codes=codes)
     idx = load_vector_index(spark, path)
@@ -203,27 +267,35 @@ def test_prebuilt_index_roundtrip_serves_queries(spark, sf_dir, tmp_path):
 
     q1 = emb.orderBy("vec_id").limit(10)
     q2 = emb.orderBy(F.col("vec_id").desc()).limit(10)
-    for q in (q1, q2):
+
+    def pq_pair(q):
         served = knn_pq(
-            emb, q, k=K, m=8, rerank=50,
+            emb, q, k=K, m=4, rerank=50,
             codebooks=idx["codebooks"], codes=idx["codes"],
         )
-        retrained = knn_pq(emb, q, k=K, m=8, n_codes=16, rerank=50)
-        assert sorted(map(tuple, served.collect())) == sorted(
-            map(tuple, retrained.collect())
-        )
+        retrained = knn_pq(emb, q, k=K, m=4, n_codes=16, rerank=50)
+        return served.collect(), retrained.collect()
 
-    served = knn_ivfpq(
-        emb, q1, k=K, n_cells=8, nprobe=2, m=8, rerank=50,
-        centroids=idx["centroids"], codebooks=idx["codebooks"],
-        codes=idx["codes"],
-    )
-    retrained = knn_ivfpq(
-        emb, q1, k=K, n_cells=8, nprobe=2, m=8, n_codes=16, rerank=50
-    )
-    assert sorted(map(tuple, served.collect())) == sorted(
-        map(tuple, retrained.collect())
-    )
+    def ivfpq_pair(q):
+        served = knn_ivfpq(
+            emb, q, k=K, n_cells=8, nprobe=2, m=4, rerank=50,
+            centroids=idx["centroids"], codebooks=idx["codebooks"],
+            codes=idx["codes"],
+        )
+        retrained = knn_ivfpq(
+            emb, q, k=K, n_cells=8, nprobe=2, m=4, n_codes=16, rerank=50
+        )
+        return served.collect(), retrained.collect()
+
+    # the three comparisons are independent reads — overlap their jobs
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f1, f2 = pool.submit(pq_pair, q1), pool.submit(pq_pair, q2)
+        f3 = pool.submit(ivfpq_pair, q1)
+        for fut in (f1, f2, f3):
+            served_rows, retrained_rows = fut.result()
+            assert sorted(map(tuple, served_rows)) == sorted(
+                map(tuple, retrained_rows)
+            )
 
 
 def test_semdedup_flags_near_identical_cellmates(spark):

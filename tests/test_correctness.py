@@ -91,17 +91,19 @@ def test_query_matches_oracle(spark, sf_dir, name):
     pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
 
 
-def test_no_complex_output_schemas(spark, sf_dir):
+def test_no_complex_output_schemas(spark, built_queries):
     """Driver-canonicalizer compatibility audit: no registered query may emit
     a top-level array/map/struct column. The driver sorts a pandas frame on
     all columns and dies on unhashable list cells (r5's h5 red row); complex
-    values must be rendered as deterministic strings before the projection."""
+    values must be rendered as deterministic strings before the projection.
+    Output schemas are scale-independent, so the audit reads the shared
+    sf0.01 build instead of paying a third full-registry fixture pass."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
+    assert set(built_queries) == {n for n, _ in QUERY_ITEMS}
     offenders = []
-    for name, q in QUERY_ITEMS:
-        schema = q.fn(spark, sf_dir).schema
-        for field in schema.fields:
+    for name, df in built_queries.items():
+        for field in df.schema.fields:
             if isinstance(field.dataType, (ArrayType, MapType, StructType)):
                 offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
     assert not offenders, (

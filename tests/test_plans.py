@@ -252,20 +252,22 @@ def test_bucketed_table_window_without_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS bw_orders")
 
 
-def test_no_query_in_registry_plans_a_cartesian_product(spark, qs):
+def test_no_query_in_registry_plans_a_cartesian_product(spark, built_queries):
     """Blanket guarantee over the ENTIRE registry: no registered query's
     physical plan contains an unhinted CartesianProduct. (Broadcast
     nested-loop joins are allowed — they are the intended plan for tiny
     broadcast sides like knn query sets and centroid tables.)"""
     offenders = []
-    for name, q in sorted(qs.items()):
-        plan = q.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    for name, df in built_queries.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
 
 
-def test_no_query_in_registry_uses_a_single_partition_window(spark, qs):
+def test_no_query_in_registry_uses_a_single_partition_window(
+    spark, built_queries
+):
     """Blanket guarantee: no registered query plans a Window that funnels
     unbounded input through ONE task. That shape is an empty partition spec
     OR a spec of only foldable (literal) expressions — the suite uses
@@ -317,10 +319,10 @@ def test_no_query_in_registry_uses_a_single_partition_window(spark, qs):
     # where the query threads with no window at all (the s32 path).
     allowed = {"s34_binlog_include_query"}
     offenders = {}
-    for name, q in sorted(qs.items()):
+    for name, df in built_queries.items():
         if name in allowed:
             continue
-        bad = offending_windows(q.fn(spark, SF))
+        bad = offending_windows(df)
         if bad:
             offenders[name] = bad
     assert not offenders, f"single-partition windows in: {offenders}"
