@@ -253,10 +253,12 @@ def ivf_train(
     # the local relation skips re-running the seed-sampling lineage in
     # every subsequent assignment pass.
     seed_rows = seeds.collect()  # already in (__h, __sid) order
-    assign_to = vectors.sparkSession.createDataFrame(
-        [(i, r["cvec"]) for i, r in enumerate(seed_rows)],
-        f"cell int, cvec {vectors.schema[vec_col].dataType.simpleString()}",
-    ).coalesce(1)
+    # the seed rows are already in Python: hand them to the literal
+    # builder directly (a createDataFrame->collect round trip through a
+    # Python-pickled local relation costs seconds per call)
+    assign_to = [
+        {"cell": i, "cvec": list(r["cvec"])} for i, r in enumerate(seed_rows)
+    ]
     cents = None
     for _ in range(iterations):
         member = _nearest_cells(vectors, assign_to, id_col, vec_col, nprobe=1)
@@ -309,8 +311,19 @@ def _nearest_cells(
     (cell, cvec) structs inside the plan; each vector scores all cells and
     keeps its top-nprobe with an array sort. Zero shuffle and zero row
     amplification — the previous crossJoin+window shape pushed
-    corpus x n_cells rows through an exchange just to argmax 8 numbers."""
-    rows = centroids.select("cell", "cvec").collect()
+    corpus x n_cells rows through an exchange just to argmax 8 numbers.
+
+    ``centroids`` may be a DataFrame (collected here — cheap for the
+    JVM-backed checkpoint/parquet frames real callers pass) or an
+    already-collected sequence of {cell, cvec} rows: training loops hold
+    the seed rows in Python already, and a collect() of a PYTHON-pickled
+    local relation pays a multi-second Python-RDD round trip per call
+    (measured ~7 s for 16 rows — it was ~80% of pq_train's wall time)."""
+    rows = (
+        centroids.select("cell", "cvec").collect()
+        if isinstance(centroids, DataFrame)
+        else list(centroids)
+    )
     cent_arr = F.array(
         *[
             F.struct(
@@ -519,10 +532,10 @@ def pq_train(
             .limit(k)
         )
         seed_rows = seeds.collect()  # k rows, already in (__h, __sid) order
-        assign_to = spark.createDataFrame(
-            [(i, list(r["cvec"])) for i, r in enumerate(seed_rows)],
-            "cell int, cvec array<double>",
-        ).coalesce(1)
+        assign_to = [
+            {"cell": i, "cvec": list(r["cvec"])}
+            for i, r in enumerate(seed_rows)
+        ]
         member = _nearest_code(sub, assign_to, vec_col)
         cents = _lloyd_update(member, vec_col)
         books.append(cents.withColumn("m", F.lit(mi)))
@@ -572,10 +585,16 @@ def _codebook_literal(codebooks: DataFrame, mi: int) -> tuple:
     return arr, rows
 
 
-def _nearest_code(sub: DataFrame, codebook: DataFrame, vec_col: str) -> DataFrame:
+def _nearest_code(sub: DataFrame, codebook, vec_col: str) -> DataFrame:
     """Min-L2 codeword assignment — map-side literal codebook, zero
-    shuffle, ties broken by ascending code (same idiom as _nearest_cells)."""
-    rows = codebook.select("cell", "cvec").collect()
+    shuffle, ties broken by ascending code (same idiom as _nearest_cells).
+    ``codebook`` is a DataFrame or an already-collected sequence of
+    {cell, cvec} rows (see _nearest_cells on why training passes rows)."""
+    rows = (
+        codebook.select("cell", "cvec").collect()
+        if isinstance(codebook, DataFrame)
+        else list(codebook)
+    )
     cent_arr = F.array(
         *[
             F.struct(
