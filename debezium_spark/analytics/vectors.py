@@ -16,6 +16,7 @@ an external-model call.
 from __future__ import annotations
 
 import hashlib
+import threading
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -209,6 +210,10 @@ def field_to_embedding(
 # ---------------------------------------------------------------------------
 # IVF — trained inverted-file ANN (the FAISS-style scale path)
 # ---------------------------------------------------------------------------
+
+#: guards session-global conf save/set/restore windows (see pq_train)
+_SESSION_CONF_LOCK = threading.Lock()
+
 
 def ivf_train(
     vectors: DataFrame,
@@ -556,17 +561,24 @@ def pq_train(
     # Constraint propagation only prunes redundant filters; this tiny
     # tree has none to prune.
     key = "spark.sql.constraintPropagation.enabled"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "false")
-    try:
-        return out.select(
-            "m", F.col("cell").alias("code"), "cvec", "n_members"
-        ).localCheckpoint(eager=True)
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    # The save/set/restore of a SESSION-global conf must not interleave:
+    # two concurrent pq_train calls (train-many callers overlap
+    # independent jobs per guide §2.6) would have the second read the
+    # first's "false" as the value to restore, leaving constraint
+    # propagation off for the whole session — which silently strips
+    # IsNotNull inference from every later plan.
+    with _SESSION_CONF_LOCK:
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "false")
+        try:
+            return out.select(
+                "m", F.col("cell").alias("code"), "cvec", "n_members"
+            ).localCheckpoint(eager=True)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
 
 def _codebook_literal(codebooks: DataFrame, mi: int) -> tuple:
